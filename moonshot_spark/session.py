@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults target the test/bench harness (local[32], 128 GiB box);
+on a real cluster most of these are overridden by spark-submit conf.  The
+scale-relevant settings (AQE, adaptive coalescing, Arrow) are good defaults
+at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "moonshot_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    AQE is on: at 100 TB the static shuffle-partition count is always wrong
+    for some stage, and AQE's runtime coalescing + skew-join splitting fix
+    that without per-query tuning.  Arrow is on for the pandas_udf hot paths
+    (ML scoring, minhash) and for createDataFrame from pandas in tests.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

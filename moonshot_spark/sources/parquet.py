@@ -1,0 +1,54 @@
+"""Parquet sources (SURVEY.md §2.1 S1–S2).
+
+The reference pulls data over HTTP from quantrocket services
+(base.py:28-31); our I/O layer is Parquet-first: ``spark.read.parquet``
+with Catalyst predicate pushdown and column pruning standing in for the
+reference's server-side sid/date/field filters (base.py:1238-1251).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def events_to_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a daily OHLCV price panel from the events table.
+
+    The driver's synthetic schema has no price panel; `events` (user_id,
+    ts, value) is the time-series analog.  Panel derivation: sid = user_id,
+    date = day, open/close = first/last value of the day (A2 semantics,
+    reference base.py:853-854 first-of-day / 1457-1458 last-of-day),
+    high/low = max/min, volume = row count.
+
+    One shuffle (groupBy sid,date); at scale this is the classic
+    time-series rollup and pre-aggregates 100 TB of ticks down to the
+    daily panel before any strategy logic runs.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events
+        .withColumn("sid", F.col("user_id").cast("string"))
+        .withColumn("date", F.to_date("ts"))
+        .groupBy("sid", "date")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max_by("value", "ts").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count("*").cast("double").alias("volume"),
+        )
+    )

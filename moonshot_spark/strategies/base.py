@@ -1,0 +1,433 @@
+"""The Moonshot strategy engine, PySpark-native (SURVEY.md §2.9 D18–D22, §3).
+
+Reference: moonshot/strategies/base.py (quantrocket-llc/moonshot).  The
+reference drives a fixed DAG of eager pandas matrix transformations
+(base.py:1335-1351); here the same template-method API builds ONE lazy
+DataFrame lineage over the wide panel (SURVEY.md §7.0):
+
+    prices(sid, date[, time], open, close, volume, ...)
+      → signal → weight → position → gross_return
+      → commission/slippage → return → turnover/total_holdings
+      → melt to results(field, sid, date[, time], value)
+
+Every stage is a ``withColumn`` over the same rows, so pandas'
+index-aligned arithmetic (the reference's core semantics) is same-row
+column arithmetic — no joins.  The only shuffles in the whole backtest are:
+
+  1. one hash partition by ``sid`` for the per-sid window stage chain
+     (signals→positions→returns share one Window exec after Catalyst
+     collapses same-key windows), and
+  2. one hash partition by ``date`` for the cross-sectional allocation
+     windows.
+
+At 100 TB that is two exchanges total, each streaming — no driver
+materialization anywhere (the reference materializes every stage in RAM,
+base.py:1335-1351).
+
+Hook surface (the reference's UDF surface, base.py:298,336,389,437,483):
+user subclasses override ``prices_to_signals`` etc.; hooks receive and
+return Spark DataFrames.  Pandas strategies can instead run unmodified via
+``applyInPandas`` per sid-partition — see strategies/compat.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from moonshot_spark.functions.window import pct_change, shift
+from moonshot_spark.operators.weights import allocate_equal_weights
+
+
+class MoonshotError(Exception):
+    pass
+
+
+class MoonshotParameterError(MoonshotError):
+    pass
+
+
+#: canonical master (securities dimension) columns — reference base.py:1094-1096
+MASTER_COLUMNS = ["sid", "symbol", "sec_type", "currency", "exchange",
+                  "timezone", "price_magnifier", "multiplier"]
+
+#: output metric fields, alphabetical like the reference's sorted concat
+#: (base.py:1382 ``sorted(all_results.keys())``)
+RESULT_FIELDS = ["AbsExposure", "AbsWeight", "Commission", "NetExposure",
+                 "Return", "Signal", "Slippage", "TotalHoldings", "Turnover",
+                 "Weight"]
+
+
+class Moonshot:
+    """Template-method backtest engine (reference base.py:33).
+
+    Configuration class attributes mirror the reference's (base.py:186-310).
+    """
+
+    CODE: str | None = None
+    DB: str | None = None
+    DB_FIELDS: list[str] = ["Open", "Close", "Volume"]
+    LOOKBACK_WINDOW: int | None = None
+    COMMISSION_CLASS = None          # Commission subclass or dict[sec-group → cls]
+    SLIPPAGE_CLASSES = ()
+    SLIPPAGE_BPS: float = 0
+    BENCHMARK: str | None = None
+    POSITIONS_CLOSED_DAILY: bool = False
+    ALLOW_REBALANCE: bool | float = True
+    CONTRACT_VALUE_REFERENCE_FIELD: str | None = None
+    NLV: dict[str, float] | None = None
+
+    def __init__(self):
+        self.is_backtest = False
+        self.is_trade = False
+        self._backtest_results: dict[str, str] = {}   # field name → column name
+        self._securities_master: DataFrame | None = None
+
+    # ------------------------------------------------------------------ #
+    # window helpers                                                     #
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _is_intraday(df: DataFrame) -> bool:
+        """Intraday panels carry a ``time`` column (reference checks
+        ``"Time" in prices.index.names``, base.py:849-850)."""
+        return "time" in df.columns
+
+    def _sid_window(self, df: DataFrame) -> WindowSpec:
+        order = ["date", "time"] if self._is_intraday(df) else ["date"]
+        return Window.partitionBy("sid").orderBy(*order)
+
+    def _date_cols(self, df: DataFrame) -> tuple[str, ...]:
+        return ("date", "time") if self._is_intraday(df) else ("date",)
+
+    # ------------------------------------------------------------------ #
+    # user hooks (the UDF surface — reference base.py:298-545)           #
+    # ------------------------------------------------------------------ #
+
+    def prices_to_signals(self, prices: DataFrame) -> DataFrame:
+        """Return ``prices`` with a ``signal`` column (reference base.py:298)."""
+        raise NotImplementedError("strategies must implement prices_to_signals")
+
+    def signals_to_target_weights(self, signals: DataFrame) -> DataFrame:
+        """Default: equal weights among active signals (reference base.py:386)."""
+        return allocate_equal_weights(signals, date_cols=self._date_cols(signals))
+
+    def target_weights_to_positions(self, weights: DataFrame) -> DataFrame:
+        """Default: enter position the period after allocation —
+        ``positions = weights.shift()`` (reference base.py:434)."""
+        return weights.withColumn(
+            "position", shift("weight", 1, self._sid_window(weights)))
+
+    def positions_to_gross_returns(self, positions: DataFrame) -> DataFrame:
+        """Default: ``closes.pct_change() * positions.shift()``
+        (reference base.py:479-481)."""
+        w = self._sid_window(positions)
+        return positions.withColumn(
+            "gross_return", pct_change("close", 1, w) * shift("position", 1, w))
+
+    def limit_position_sizes(self, prices: DataFrame
+                             ) -> tuple[DataFrame | None, DataFrame | None]:
+        """Return (max_quantities_for_longs, max_quantities_for_shorts) as
+        DataFrames keyed (sid, date[, time]) with a ``max_quantity`` column,
+        or (None, None) for unconstrained (reference base.py:974-1048).
+        NULL max_quantity = no limit for that row (NaN sentinel,
+        base.py:997-998)."""
+        return None, None
+
+    def order_stubs_to_orders(self, orders: DataFrame,
+                              prices: DataFrame) -> DataFrame:
+        """Default: market DAY orders (reference base.py:483,543-545)."""
+        return orders.withColumn("order_type", F.lit("MKT")) \
+                     .withColumn("tif", F.lit("DAY"))
+
+    # ------------------------------------------------------------------ #
+    # results registration (D25, reference base.py:1502-1570)            #
+    # ------------------------------------------------------------------ #
+
+    def save_to_results(self, name: str, column: str) -> None:
+        """Register a panel column for inclusion in backtest results under
+        field ``name``.  Reserved names rejected like base.py:1502-1570."""
+        if name in RESULT_FIELDS or name == "Benchmark":
+            raise MoonshotParameterError(
+                f"{name} is a reserved name, please choose another")
+        self._backtest_results[name] = column
+
+    # ------------------------------------------------------------------ #
+    # contract values (D7, reference base.py:1857-1913)                  #
+    # ------------------------------------------------------------------ #
+
+    _CONTRACT_VALUE_CANDIDATE_FIELDS = ("close", "open")
+
+    def _contract_value_expr(self, prices: DataFrame):
+        field = (self.CONTRACT_VALUE_REFERENCE_FIELD or "").lower() or None
+        if field is None:
+            for candidate in self._CONTRACT_VALUE_CANDIDATE_FIELDS:
+                if candidate in prices.columns:
+                    field = candidate
+                    break
+            else:
+                raise MoonshotParameterError(
+                    "Can't identify a suitable field to use to calculate "
+                    "contract values. Please set CONTRACT_VALUE_REFERENCE_FIELD.")
+        price = F.col(field)
+        # FX contract value is 1 (1 EUR.USD = 1 EUR) — reference base.py:1903-1908
+        if "sec_type" in prices.columns:
+            price = F.when(F.col("sec_type") == "CASH", F.lit(1.0)).otherwise(price)
+        magnifier = (F.coalesce(F.col("price_magnifier"), F.lit(1.0))
+                     if "price_magnifier" in prices.columns else F.lit(1.0))
+        multiplier = (F.coalesce(F.col("multiplier"), F.lit(1.0))
+                      if "multiplier" in prices.columns else F.lit(1.0))
+        return price / magnifier * multiplier
+
+    # ------------------------------------------------------------------ #
+    # turnover (D6, reference base.py:701-714)                           #
+    # ------------------------------------------------------------------ #
+
+    def _turnover_expr(self, df: DataFrame):
+        if self.POSITIONS_CLOSED_DAILY:
+            return F.abs(F.col("position") * 2)
+        filled = F.coalesce(F.col("position"), F.lit(0.0))
+        return F.abs(filled - F.lag(filled, 1).over(self._sid_window(df)))
+
+    # ------------------------------------------------------------------ #
+    # commissions (D8/D14, reference base.py:839-901)                    #
+    # ------------------------------------------------------------------ #
+
+    def _with_commissions(self, df: DataFrame) -> DataFrame:
+        if not self.COMMISSION_CLASS:
+            return df.withColumn("commission", F.lit(0.0))
+
+        contract_value = self._contract_value_expr(df)
+        turnover = F.col("turnover")
+        nlv = F.col("nlv") if "nlv" in df.columns else None
+
+        if not isinstance(self.COMMISSION_CLASS, dict):
+            expr = self.COMMISSION_CLASS.commission_expr(contract_value, turnover, nlv)
+            return df.withColumn("commission", expr)
+
+        # per-(sectype, exchange, currency) dispatch — reference base.py:869-901.
+        # The reference layers `.where(in_sec_group, ...)` per group; here
+        # that's a CASE WHEN chain on broadcast-joined master columns.
+        # Completeness validation collects the distinct sec-groups (small dim).
+        commission_classes = {tuple(k): v for k, v in self.COMMISSION_CLASS.items()}
+        required = {
+            (r["sec_type"], r["exchange"], r["currency"])
+            for r in df.select("sec_type", "exchange", "currency").distinct().collect()
+        }
+        missing = required - set(commission_classes)
+        if missing:
+            raise MoonshotParameterError(
+                "expected a commission class for each combination of "
+                "(sectype,exchange,currency) but none is defined for {0}".format(
+                    ", ".join("({0})".format(",".join(t)) for t in sorted(missing))))
+        expr = F.lit(None).cast("double")
+        for (sec_type, exchange, currency), cls in commission_classes.items():
+            in_group = ((F.col("sec_type") == sec_type)
+                        & (F.col("exchange") == exchange)
+                        & (F.col("currency") == currency))
+            expr = F.when(in_group,
+                          cls.commission_expr(contract_value, turnover, nlv)
+                          ).otherwise(expr)
+        return df.withColumn("commission", expr)
+
+    # ------------------------------------------------------------------ #
+    # slippage (D12/D15, reference base.py:903-919)                      #
+    # ------------------------------------------------------------------ #
+
+    def _with_slippage(self, df: DataFrame) -> DataFrame:
+        from moonshot_spark.slippage.fixed import FixedSlippage
+
+        turnover = F.col("turnover")
+        position = F.col("position")
+        total = F.lit(0.0)
+        slippage_classes = self.SLIPPAGE_CLASSES or ()
+        if not isinstance(slippage_classes, (list, tuple)):
+            slippage_classes = [slippage_classes]
+        for slippage_class in slippage_classes:
+            inst = slippage_class() if isinstance(slippage_class, type) else slippage_class
+            total = total + inst.slippage_expr(df, turnover, position)
+        if self.SLIPPAGE_BPS:
+            total = total + FixedSlippage(self.SLIPPAGE_BPS / 10000.0) \
+                .slippage_expr(df, turnover, position)
+        return df.withColumn("slippage", F.coalesce(total, F.lit(0.0)))
+
+    # ------------------------------------------------------------------ #
+    # weight constraints (D16, reference base.py:921-972)                #
+    # ------------------------------------------------------------------ #
+
+    def _constrain_weights(self, weights: DataFrame, prices: DataFrame) -> DataFrame:
+        max_longs, max_shorts = self.limit_position_sizes(prices)
+        if max_longs is None and max_shorts is None:
+            return weights
+
+        if "nlv" not in weights.columns:
+            raise MoonshotParameterError(
+                "must provide NLVs if using limit_position_sizes")
+
+        w = self._sid_window(weights)
+        cv = self._contract_value_expr(weights)
+        cv_ffilled = F.last(cv, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+
+        df = weights.withColumn("__cv", cv_ffilled)
+        keys = ["sid", *self._date_cols(weights)]
+        if max_longs is not None:
+            df = df.join(max_longs.withColumnRenamed("max_quantity", "__max_long"),
+                         keys, "left")
+        if max_shorts is not None:
+            df = df.join(max_shorts.withColumnRenamed("max_quantity", "__max_short"),
+                         keys, "left")
+
+        # weights → integer quantities (reference base.py:947-956).  bround =
+        # half-even, matching numpy/pandas .round()
+        trade_value = F.col("weight") * F.col("nlv")
+        qty = trade_value / F.abs(F.when(F.col("__cv") != 0, F.col("__cv")))
+        qty = F.coalesce(F.bround(qty), F.lit(0.0)).cast("long")
+        df = df.withColumn("__qty", qty)
+
+        q = F.col("__qty")
+        if max_longs is not None:
+            cap = F.abs(F.col("__max_long"))
+            # NULL cap = no limit (NaN sentinel, base.py:997-998)
+            q = F.when(cap.isNotNull() & (q > cap), cap.cast("long")).otherwise(q)
+        if max_shorts is not None:
+            cap = -F.abs(F.col("__max_short"))
+            q = F.when(cap.isNotNull() & (q < cap), cap.cast("long")).otherwise(q)
+
+        # quantities → weights (reference base.py:968-971)
+        df = df.withColumn("weight", q * F.col("__cv") / F.col("nlv"))
+        return df.drop("__cv", "__qty", "__max_long", "__max_short")
+
+    # ------------------------------------------------------------------ #
+    # benchmark (D17, reference base.py:1402-1500)                       #
+    # ------------------------------------------------------------------ #
+
+    def _benchmark_returns(self, prices: DataFrame) -> DataFrame | None:
+        if not self.BENCHMARK:
+            return None
+        date_cols = list(self._date_cols(prices))
+        w = Window.partitionBy(F.lit(1)).orderBy(*date_cols)
+        bench = (prices.where(F.col("sid") == self.BENCHMARK)
+                 .select(*date_cols, "close"))
+        ffilled = F.last("close", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        bench = bench.withColumn("__close", ffilled)
+        prev = F.lag("__close", 1).over(w)
+        return (bench.withColumn("benchmark", (F.col("__close") - prev) / prev)
+                .select(*date_cols, "benchmark"))
+
+    # ------------------------------------------------------------------ #
+    # master join                                                        #
+    # ------------------------------------------------------------------ #
+
+    def _join_master(self, prices: DataFrame, master: DataFrame | None,
+                     nlv: dict[str, float] | None) -> DataFrame:
+        """Broadcast-join the securities dimension onto the panel (J4 —
+        replaces the reference's `.apply` row-broadcast, base.py:858-879).
+        Optionally append per-currency NLV (reference base.py:1126-1144)."""
+        if master is None:
+            return prices
+        self._securities_master = master
+        join_cols = [c for c in master.columns if c != "sid"
+                     and c not in prices.columns]
+        prices = prices.join(F.broadcast(master.select("sid", *join_cols)),
+                             "sid", "left")
+        nlv = nlv or self.NLV
+        if nlv is not None and "currency" in prices.columns:
+            spark = prices.sparkSession
+            nlv_df = spark.createDataFrame(
+                [(k, float(v)) for k, v in nlv.items()], ["currency", "nlv"])
+            prices = prices.join(F.broadcast(nlv_df), "currency", "left")
+        return prices
+
+    # ------------------------------------------------------------------ #
+    # the backtest pipeline (D18, reference base.py:1293-1400)           #
+    # ------------------------------------------------------------------ #
+
+    def backtest(self, prices: DataFrame, master: DataFrame | None = None,
+                 start_date: str | None = None, end_date: str | None = None,
+                 nlv: dict[str, float] | None = None,
+                 allocation: float = 1.0,
+                 label_sids: bool = False) -> DataFrame:
+        """Run the backtest DAG and return the long results DataFrame
+        ``(field, sid, date[, time], value)``.
+
+        Stage order matches reference base.py:1335-1400 exactly.
+        """
+        self.is_backtest = True
+        allocation = allocation or 1.0
+
+        if end_date:
+            prices = prices.where(F.col("date") <= F.lit(end_date).cast("date"))
+        prices = self._join_master(prices, master, nlv)
+
+        df = self.prices_to_signals(prices)
+        df = df.withColumn("signal", F.col("signal").cast("double"))
+        df = self.signals_to_target_weights(df)
+        df = df.withColumn("weight", F.col("weight") * F.lit(allocation))
+        df = self._constrain_weights(df, prices)
+        df = self.target_weights_to_positions(df)
+        df = self.positions_to_gross_returns(df)
+        df = df.withColumn("turnover", self._turnover_expr(df))
+        df = self._with_commissions(df)
+        df = self._with_slippage(df)
+        # returns = gross.fillna(0) − commissions − slippage (base.py:1348);
+        # commission NULLs (from NULL first-row turnover) propagate like NaN.
+        df = df.withColumn(
+            "return",
+            F.coalesce(F.col("gross_return"), F.lit(0.0))
+            - F.col("commission") - F.col("slippage"))
+        df = df.withColumn(
+            "total_holdings",
+            (F.coalesce(F.col("position"), F.lit(0.0)) != 0).cast("double"))
+
+        results = self._melt_results(df, prices)
+
+        if label_sids and master is not None:
+            symbols = master.select(
+                "sid", F.concat(F.col("symbol"), F.lit("("), F.col("sid"),
+                                F.lit(")")).alias("__label"))
+            results = (results.join(F.broadcast(symbols), "sid", "left")
+                       .withColumn("sid", F.coalesce("__label", "sid"))
+                       .drop("__label"))
+
+        if start_date:
+            results = results.where(
+                F.col("date") >= F.lit(start_date).cast("date"))
+        return results
+
+    def _melt_results(self, df: DataFrame, prices: DataFrame) -> DataFrame:
+        """Stack the metric columns into the long results format
+        (R1 — reference pd.concat at base.py:1382-1388)."""
+        date_cols = list(self._date_cols(df))
+        metric_exprs = {
+            "AbsExposure": F.abs(F.col("position")),
+            "AbsWeight": F.abs(F.col("weight")),
+            "Commission": F.col("commission"),
+            "NetExposure": F.col("position"),
+            "Return": F.col("return"),
+            "Signal": F.col("signal"),
+            "Slippage": F.col("slippage"),
+            "TotalHoldings": F.col("total_holdings"),
+            "Turnover": F.col("turnover"),
+            "Weight": F.col("weight"),
+        }
+        for name, colname in self._backtest_results.items():
+            metric_exprs[name] = F.col(colname).cast("double")
+
+        stack_args = []
+        for name in sorted(metric_exprs):
+            stack_args.append(F.lit(name))
+            stack_args.append(metric_exprs[name].cast("double"))
+        results = df.select(
+            "sid", *date_cols,
+            F.stack(F.lit(len(metric_exprs)), *stack_args).alias("field", "value"))
+
+        bench = self._benchmark_returns(prices)
+        if bench is not None:
+            bench_long = bench.select(
+                F.lit(self.BENCHMARK).alias("sid"), *date_cols,
+                F.lit("Benchmark").alias("field"),
+                F.col("benchmark").cast("double").alias("value"))
+            results = results.unionByName(bench_long)
+        return results.select("field", "sid", *date_cols, "value")

@@ -1,0 +1,107 @@
+"""MoonshotML — ML-scored strategy variant (SURVEY.md §2.9 D23).
+
+Reference: moonshot/strategies/ml.py (543 LoC).  The reference stacks
+per-field feature matrices into a (n_samples, n_features) numpy array,
+calls ``model.predict`` once on the driver, and unstacks predictions back
+into the panel (ml.py:444-517).
+
+Spark design: features are ordinary panel columns (one column per feature);
+scoring is a vectorized ``pandas_udf`` over Arrow batches with the model
+broadcast to executors — each batch builds its (batch, n_features) array
+and calls predict locally.  At 100 TB this is embarrassingly parallel where
+the reference is driver-RAM-bound (ml.py:485-492 explicit ``del``).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from moonshot_spark.strategies.base import Moonshot, MoonshotParameterError
+
+
+class MoonshotML(Moonshot):
+    """Template-method ML strategy (reference ml.py:36).
+
+    Subclasses override ``prices_to_features`` (returning the panel with
+    feature columns listed in its ``FEATURE_COLS``) and
+    ``predictions_to_signals``.
+    """
+
+    MODEL: str | None = None   # path to pickled/joblib model (ml.py:211-225)
+
+    def __init__(self):
+        super().__init__()
+        self.model = None
+
+    # -- user hooks (reference ml.py:227,301) -------------------------- #
+
+    def prices_to_features(self, prices: DataFrame) -> tuple[DataFrame, list[str]]:
+        """Return (panel with feature columns, ordered feature column names)."""
+        raise NotImplementedError("strategies must implement prices_to_features")
+
+    def predictions_to_signals(self, predictions: DataFrame) -> DataFrame:
+        """Map the ``prediction`` column to a ``signal`` column."""
+        raise NotImplementedError("strategies must implement predictions_to_signals")
+
+    # -- model loading (reference ml.py:211-225) ----------------------- #
+
+    def _load_model(self, model=None):
+        if model is not None:
+            self.model = model
+            return
+        if not self.MODEL:
+            raise MoonshotParameterError("please specify a model file or object")
+        path = self.MODEL
+        if path.endswith((".joblib",)):
+            import joblib
+            self.model = joblib.load(path)
+        else:
+            with open(path, "rb") as f:
+                self.model = pickle.load(f)
+
+    # -- scoring (reference ml.py:444-517) ----------------------------- #
+
+    def _score(self, df: DataFrame, feature_cols: list[str]) -> DataFrame:
+        """Add a ``prediction`` column by scoring feature columns with the
+        broadcast model via an Arrow-batched pandas_udf.
+
+        Feature NaNs are zero-filled like the reference (ml.py:480);
+        predict_proba models contribute P(class=1) (ml.py:494-506).
+        """
+        import pandas as pd  # noqa: F401 — imported for the udf closure
+
+        spark = df.sparkSession
+        broadcast_model = spark.sparkContext.broadcast(self.model)
+
+        @F.pandas_udf(DoubleType())
+        def predict_udf(*cols):
+            import numpy as np
+            model = broadcast_model.value
+            X = np.column_stack([c.fillna(0).to_numpy(dtype="float64")
+                                 for c in cols])
+            if hasattr(model, "predict_proba"):
+                preds = model.predict_proba(X)[:, 1]
+            else:
+                preds = np.asarray(model.predict(X), dtype="float64")
+                if preds.ndim == 2 and preds.shape[1] == 1:
+                    preds = preds[:, 0]
+            import pandas as _pd
+            return _pd.Series(preds)
+
+        return df.withColumn("prediction", predict_udf(*[F.col(c) for c in feature_cols]))
+
+    # -- pipeline override (reference ml.py:412-517) ------------------- #
+
+    def prices_to_signals(self, prices: DataFrame) -> DataFrame:
+        df, feature_cols = self.prices_to_features(prices)
+        df = self._score(df, feature_cols)
+        return self.predictions_to_signals(df)
+
+    def backtest(self, prices: DataFrame, master: DataFrame | None = None,
+                 model=None, **kwargs) -> DataFrame:
+        self._load_model(model)
+        return super().backtest(prices, master=master, **kwargs)

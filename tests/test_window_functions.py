@@ -1,0 +1,138 @@
+"""Property tests: window primitives vs pandas reference semantics.
+
+The reference's operators ARE pandas ops (shift/pct_change/diff/rolling/
+ffill — SURVEY.md §2.5); correctness is defined as bit-level agreement with
+pandas on the same series, including NaN placement.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from moonshot_spark.functions import (
+    cum_sum, diff, ffill, pct_change, rolling_mean, rolling_std, shift,
+    sid_window, xs_count_nonzero, xs_rank, xs_sum, xs_zscore,
+)
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for sid in ["A", "B", "C"]:
+        vals = rng.normal(100, 10, 40)
+        # inject nulls to test NaN propagation
+        for i, d in enumerate(pd.date_range("2024-01-01", periods=40)):
+            v = None if (i % 11 == 3) else float(vals[i])
+            rows.append((sid, d.date(), v))
+    return spark.createDataFrame(rows, "sid string, date date, value double").cache()
+
+
+def to_pandas_panel(sdf_rows):
+    df = pd.DataFrame(sdf_rows, columns=["sid", "date", "value", "out"])
+    return df.sort_values(["sid", "date"]).reset_index(drop=True)
+
+
+def check_against_pandas(series_df, spark_col, pandas_fn):
+    out = series_df.withColumn("out", spark_col).orderBy("sid", "date")
+    got = to_pandas_panel([(r["sid"], r["date"], r["value"], r["out"])
+                           for r in out.collect()])
+    expected = (got.groupby("sid")["value"].apply(pandas_fn)
+                .reset_index(drop=True))
+    for g, e in zip(got["out"], expected, strict=True):
+        if e is None or (isinstance(e, float) and math.isnan(e)):
+            assert g is None or math.isnan(g)
+        else:
+            assert g == pytest.approx(e, rel=1e-12)
+
+
+def test_shift(series_df):
+    check_against_pandas(series_df, shift("value", 2), lambda s: s.shift(2))
+
+
+def test_lead(series_df):
+    check_against_pandas(series_df, shift("value", -1), lambda s: s.shift(-1))
+
+
+def test_pct_change(series_df):
+    # pandas>=2 pct_change ffills by default unless fill_method=None;
+    # the engine matches fill_method=None (NaN stays NaN)
+    check_against_pandas(series_df, pct_change("value"),
+                         lambda s: s.pct_change(fill_method=None))
+
+
+def test_diff(series_df):
+    check_against_pandas(series_df, diff("value"), lambda s: s.diff())
+
+
+def test_ffill(series_df):
+    check_against_pandas(series_df, ffill("value"), lambda s: s.ffill())
+
+
+def test_rolling_mean_min_periods(series_df):
+    check_against_pandas(series_df, rolling_mean("value", 5),
+                         lambda s: s.rolling(5).mean())
+
+
+def test_rolling_mean_min_periods_1(series_df):
+    check_against_pandas(series_df, rolling_mean("value", 5, min_periods=1),
+                         lambda s: s.rolling(5, min_periods=1).mean())
+
+
+def test_rolling_std(series_df):
+    check_against_pandas(series_df, rolling_std("value", 7),
+                         lambda s: s.rolling(7).std())
+
+
+def test_cum_sum(series_df):
+    check_against_pandas(series_df, cum_sum("value"), lambda s: s.cumsum())
+
+
+def test_xs_sum(series_df):
+    out = series_df.withColumn("out", xs_sum("value")).orderBy("sid", "date")
+    rows = out.collect()
+    pdf = pd.DataFrame([(r["sid"], r["date"], r["value"], r["out"]) for r in rows],
+                       columns=["sid", "date", "value", "out"])
+    expected = pdf.groupby("date")["value"].transform("sum")
+    for g, e in zip(pdf["out"], expected, strict=True):
+        assert g == pytest.approx(e, rel=1e-12)
+
+
+def test_xs_zscore(series_df):
+    out = series_df.withColumn("out", xs_zscore("value")).orderBy("sid", "date")
+    rows = out.collect()
+    pdf = pd.DataFrame([(r["sid"], r["date"], r["value"], r["out"]) for r in rows],
+                       columns=["sid", "date", "value", "out"])
+    grp = pdf.groupby("date")["value"]
+    expected = (pdf["value"] - grp.transform("mean")) / grp.transform("std")
+    for g, e in zip(pdf["out"], expected, strict=True):
+        if pd.isna(e):
+            assert g is None or math.isnan(g)
+        else:
+            assert g == pytest.approx(e, rel=1e-12)
+
+
+def test_xs_rank(series_df):
+    out = (series_df.dropna()
+           .withColumn("out", xs_rank("value", ascending=False).cast("double"))
+           .orderBy("sid", "date"))
+    rows = out.collect()
+    pdf = pd.DataFrame([(r["sid"], r["date"], r["value"], r["out"]) for r in rows],
+                       columns=["sid", "date", "value", "out"])
+    expected = pdf.groupby("date")["value"].rank(ascending=False, method="min")
+    for g, e in zip(pdf["out"], expected, strict=True):
+        assert g == e
+
+
+def test_same_key_windows_collapse_to_one_exchange(series_df):
+    """Plan check: chained same-key window calls must produce ONE shuffle."""
+    w = sid_window()
+    df = (series_df
+          .withColumn("a", shift("value", 1, w))
+          .withColumn("b", diff("value", 1, w))
+          .withColumn("c", pct_change("value", 1, w)))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
