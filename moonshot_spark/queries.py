@@ -1,0 +1,447 @@
+"""Query catalog: every operator claimed in SURVEY.md §2 as a named query.
+
+Each entry maps a name to (spark_fn, oracle_sql):
+
+- ``spark_fn(spark, sf_dir) -> DataFrame`` — the Spark-native plan.
+- ``oracle_sql`` — equivalent ANSI SQL for DuckDB over the same parquet
+  tables (driver pre-registers views ``region nation customer supplier part
+  orders lineitem events documents embeddings``), or None for ops that
+  aren't SQL-expressible (driver then records a rows-only check).
+
+Cross-engine float discipline: two-operand double arithmetic (+,-,*,/) and
+min/max/lag/count are bit-deterministic across engines, so most queries
+hash-match exactly.  Multi-row accumulations (sum/avg over many rows) are
+association-order-dependent, so big aggregates sum via DECIMAL(38,10)
+(exact in both engines, cast back to double) and window accumulations round
+to 7 digits on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from moonshot_spark.functions.window import (
+    days_since_prev, diff, ffill, pct_change, rolling_mean, shift,
+)
+from moonshot_spark.functions.crosssec import xs_rank, xs_sum, xs_zscore
+from moonshot_spark.sources.parquet import events_to_panel, load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply engine-required runtime confs to an externally-created session.
+
+    The driver (and any embedding application) builds its own SparkSession;
+    these SQLConf settings are runtime-settable and required for correct
+    semantics: ns-timestamp parquet reads and NULL-on-zero-divide (pandas/
+    DuckDB-parity, see session.py).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+    return deco
+
+
+# --------------------------------------------------------------------- #
+# shared SQL fragments                                                  #
+# --------------------------------------------------------------------- #
+
+# daily OHLCV panel from events: sid = user_id, date = day (SURVEY §2.1 S1,
+# §2.4 A2 first/last-of-day semantics)
+PANEL_SQL = """
+    SELECT CAST(user_id AS VARCHAR) AS sid, CAST(ts AS DATE) AS date,
+           arg_min(value, ts) AS open, arg_max(value, ts) AS close,
+           max(value) AS high, min(value) AS low,
+           CAST(count(*) AS DOUBLE) AS volume
+    FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- #
+# S1/A2 — panel derivation (scan + first/last-of-day rollup)            #
+# --------------------------------------------------------------------- #
+
+@register("panel_ohlcv", f"""
+WITH panel AS ({PANEL_SQL})
+SELECT sid, date, open, close, high, low, volume FROM panel
+""")
+def panel_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_to_panel(spark, sf_dir).select(
+        "sid", "date", "open", "close", "high", "low", "volume")
+
+
+# --------------------------------------------------------------------- #
+# W2/W3/W4/W7 — per-sid window primitives (exact two-operand float ops) #
+# --------------------------------------------------------------------- #
+
+@register("window_shift_diff_pct", f"""
+WITH panel AS ({PANEL_SQL})
+SELECT sid, date, close,
+       lag(close, 1) OVER w AS close_lag1,
+       lag(close, 2) OVER w AS close_lag2,
+       lead(close, 1) OVER w AS close_lead1,
+       close - lag(close, 1) OVER w AS close_diff,
+       (close - lag(close, 1) OVER w) / lag(close, 1) OVER w AS close_pct_change,
+       CAST(date_diff('day', lag(date, 1) OVER w, date) AS INT) AS days_since_prev
+FROM panel
+WINDOW w AS (PARTITION BY sid ORDER BY date)
+""")
+def window_shift_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    return panel.select(
+        "sid", "date", "close",
+        shift("close", 1, w).alias("close_lag1"),
+        shift("close", 2, w).alias("close_lag2"),
+        shift("close", -1, w).alias("close_lead1"),
+        diff("close", 1, w).alias("close_diff"),
+        pct_change("close", 1, w).alias("close_pct_change"),
+        days_since_prev("date", w).cast("int").alias("days_since_prev"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# W1 — rolling mean with pandas min_periods semantics                   #
+# --------------------------------------------------------------------- #
+
+@register("window_rolling_mean", f"""
+WITH panel AS ({PANEL_SQL})
+SELECT sid, date,
+       CASE WHEN count(close) OVER w5 >= 5
+            THEN CAST(sum(CAST(close AS DECIMAL(18,2))) OVER w5 AS DOUBLE)
+                 / count(close) OVER w5 END AS mavg5,
+       CASE WHEN count(close) OVER w10 >= 10
+            THEN CAST(sum(CAST(close AS DECIMAL(18,2))) OVER w10 AS DOUBLE)
+                 / count(close) OVER w10 END AS mavg10
+FROM panel
+WINDOW w5 AS (PARTITION BY sid ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       w10 AS (PARTITION BY sid ORDER BY date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+""")
+def window_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decimal-summed rolling mean: the source values are 2-decimal doubles,
+    # so DECIMAL(18,2) accumulation is exact and cross-engine deterministic
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+
+    def mavg(n):
+        frame = w.rowsBetween(-(n - 1), 0)
+        s = F.sum(F.col("close").cast("decimal(18,2)")).over(frame).cast("double")
+        cnt = F.count("close").over(frame)
+        return F.when(cnt >= n, s / cnt)
+
+    return panel.select("sid", "date",
+                        mavg(5).alias("mavg5"), mavg(10).alias("mavg10"))
+
+
+# --------------------------------------------------------------------- #
+# J5/R4 + W5 — calendar-spine reindex + forward fill                    #
+# --------------------------------------------------------------------- #
+
+@register("spine_reindex_ffill", f"""
+WITH panel AS ({PANEL_SQL}),
+dates AS (SELECT DISTINCT date FROM panel),
+sids AS (SELECT DISTINCT sid FROM panel),
+spine AS (SELECT sid, date FROM sids CROSS JOIN dates)
+SELECT s.sid, s.date, p.close,
+       last_value(p.close IGNORE NULLS) OVER (
+           PARTITION BY s.sid ORDER BY s.date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffilled
+FROM spine s LEFT JOIN panel p ON s.sid = p.sid AND s.date = p.date
+""")
+def spine_reindex_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reindex the panel onto the full sid×date spine (pandas reindex,
+    reference base.py:1450-1453) then ffill (base.py:935)."""
+    panel = events_to_panel(spark, sf_dir)
+    dates = panel.select("date").distinct()
+    sids = panel.select("sid").distinct()
+    spine = sids.crossJoin(dates)
+    joined = spine.join(panel.select("sid", "date", "close"),
+                        ["sid", "date"], "left")
+    w = Window.partitionBy("sid").orderBy("date")
+    return joined.select(
+        "sid", "date", "close", ffill("close", w).alias("close_ffilled"))
+
+
+# --------------------------------------------------------------------- #
+# A1/W8/W9 — cross-sectional stats                                      #
+# --------------------------------------------------------------------- #
+
+@register("crosssec_stats", f"""
+WITH panel AS ({PANEL_SQL}),
+stats AS (
+    SELECT sid, date, close,
+           CAST(sum(CAST(close AS DECIMAL(18,2))) OVER wd AS DOUBLE) AS s1,
+           CAST(sum(CAST(close AS DECIMAL(18,2)) * CAST(close AS DECIMAL(18,2)))
+                OVER wd AS DOUBLE) AS s2,
+           CAST(count(close) OVER wd AS DOUBLE) AS n,
+           CAST(rank() OVER (PARTITION BY date ORDER BY close DESC) AS INT) AS xs_rank
+    FROM panel WINDOW wd AS (PARTITION BY date)
+)
+SELECT sid, date, close,
+       s1 AS xs_sum,
+       close - s1 / n AS xs_demean,
+       (close - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS xs_zscore,
+       xs_rank
+FROM stats
+""")
+def crosssec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mean/std from exact decimal sums (sum-of-squares formula) so every
+    # output double is a deterministic function of the inputs in both engines
+    panel = events_to_panel(spark, sf_dir)
+    wd = Window.partitionBy("date")
+    c_dec = F.col("close").cast("decimal(18,2)")
+    s1 = F.sum(c_dec).over(wd).cast("double")
+    s2 = F.sum(c_dec * c_dec).over(wd).cast("double")
+    n = F.count("close").over(wd).cast("double")
+    mean = s1 / n
+    std = F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    return panel.select(
+        "sid", "date", "close",
+        s1.alias("xs_sum"),
+        (F.col("close") - mean).alias("xs_demean"),
+        ((F.col("close") - mean) / std).alias("xs_zscore"),
+        xs_rank("close", ("date",), ascending=False).cast("int").alias("xs_rank"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# A4-style grouped aggregation over lineitem (TPC-H Q1 shape) —          #
+# DECIMAL-summed for cross-engine exactness                             #
+# --------------------------------------------------------------------- #
+
+@register("agg_lineitem_pricing", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def agg_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # all arithmetic in DECIMAL (inputs are 2-decimal money values):
+    # products and sums are exact, so both engines produce identical doubles
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                  .alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+                 F.sum(price * (1 - disc) * (1 + tax)).cast("double")
+                  .alias("sum_charge"),
+                 F.count("*").alias("count_order")))
+
+
+# --------------------------------------------------------------------- #
+# J2/J4 — broadcast dimension joins (star join over lineitem)           #
+# --------------------------------------------------------------------- #
+
+@register("join_star_revenue", """
+SELECT p.p_brand, s.s_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY p.p_brand, s.s_name
+""")
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .groupBy("p_brand", "s_name")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                       * (1 - F.col("l_discount").cast("decimal(18,2)")))
+                 .cast("double").alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+# --------------------------------------------------------------------- #
+# J3 — full outer join with coalesce (positions ⨝ open-orders analog)   #
+# --------------------------------------------------------------------- #
+
+@register("join_outer_net", """
+WITH bought AS (
+    SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS buy_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), clicked AS (
+    SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT coalesce(b.user_id, c.user_id) AS user_id,
+       coalesce(b.buy_value, 0) + coalesce(c.click_value, 0) AS net_value
+FROM bought b FULL OUTER JOIN clicked c ON b.user_id = c.user_id
+""")
+def join_outer_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference pattern: positions ⟗ open orders then coalesce-sum
+    (base.py:1850-1851)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(18,2)"
+    bought = (ev.where(F.col("event_type") == "purchase").groupBy("user_id")
+              .agg(F.sum(F.col("value").cast(dec)).cast("double").alias("buy_value")))
+    clicked = (ev.where(F.col("event_type") == "click").groupBy("user_id")
+               .agg(F.sum(F.col("value").cast(dec)).cast("double").alias("click_value")))
+    return (bought.join(clicked, "user_id", "full_outer")
+            .select(F.col("user_id"),
+                    (F.coalesce("buy_value", F.lit(0.0))
+                     + F.coalesce("click_value", F.lit(0.0))).alias("net_value")))
+
+
+# --------------------------------------------------------------------- #
+# O/W9 — per-group top-k                                                #
+# --------------------------------------------------------------------- #
+
+@register("topk_events_per_user", """
+SELECT user_id, event_id, value, CAST(rn AS INT) AS rn FROM (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+    FROM events
+) WHERE rn <= 3
+""")
+def topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("user_id", "event_id", "value", F.col("rn").cast("int")))
+
+
+# --------------------------------------------------------------------- #
+# sessionization — stateful gap detection as cumulative window           #
+# --------------------------------------------------------------------- #
+
+@register("sessionize_events", """
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+    SELECT user_id, ts,
+           sum(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM gaps
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+FROM sessions GROUP BY user_id, session_id
+""")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): the classic stateful
+    streaming op expressed as lag + cumulative sum — no applyInPandas, pure
+    window algebra, one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 (F.max(F.col("ts").cast("long"))
+                  - F.min(F.col("ts").cast("long"))).alias("duration_sec")))
+
+
+# --------------------------------------------------------------------- #
+# the flagship: full backtest pipeline (D18) vs SQL oracle              #
+# --------------------------------------------------------------------- #
+
+_BACKTEST_DMA_SQL = f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN (CASE WHEN count(close) OVER w5 >= 5
+                      THEN avg(close) OVER w5 END)
+                   > (CASE WHEN count(close) OVER w10 >= 10
+                      THEN avg(close) OVER w10 END)
+                THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+    WINDOW w5 AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w10 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
+),
+gross AS (
+    SELECT *,
+           (close - lag(close) OVER w) / lag(close) OVER w
+               * lag(position) OVER w AS gross_return,
+           abs(coalesce(position, 0) - lag(coalesce(position, 0)) OVER w) AS turnover
+    FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+fin AS (
+    SELECT *, coalesce(gross_return, 0) AS ret,
+           CASE WHEN coalesce(position, 0) <> 0 THEN 1.0 ELSE 0.0 END AS total_holdings
+    FROM gross
+)
+SELECT field, sid, date, round(value, 7) AS value FROM (
+    SELECT 'AbsExposure' AS field, sid, date, abs(position) AS value FROM fin
+    UNION ALL SELECT 'AbsWeight', sid, date, abs(weight) FROM fin
+    UNION ALL SELECT 'Commission', sid, date, 0.0 FROM fin
+    UNION ALL SELECT 'NetExposure', sid, date, position FROM fin
+    UNION ALL SELECT 'Return', sid, date, ret FROM fin
+    UNION ALL SELECT 'Signal', sid, date, signal FROM fin
+    UNION ALL SELECT 'Slippage', sid, date, 0.0 FROM fin
+    UNION ALL SELECT 'TotalHoldings', sid, date, total_holdings FROM fin
+    UNION ALL SELECT 'Turnover', sid, date, turnover FROM fin
+    UNION ALL SELECT 'Weight', sid, date, weight FROM fin
+)
+"""
+
+
+@register("backtest_dma", _BACKTEST_DMA_SQL)
+def backtest_dma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonshot_spark.strategies.demo import DualMovingAverage
+
+    panel = events_to_panel(spark, sf_dir)
+    results = DualMovingAverage().backtest(panel)
+    return results.select("field", "sid", "date",
+                          F.round("value", 7).alias("value"))

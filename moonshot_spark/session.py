@@ -38,6 +38,13 @@ def get_spark(app_name: str = "moonshot_spark", master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # pandas/NaN-style semantics: divide-by-zero yields NULL (matches
+        # DuckDB and the reference's NaN-guard idiom, base.py:955) instead of
+        # ANSI errors
+        .config("spark.sql.ansi.enabled", "false")
+        # driver testdata stores TIMESTAMP(NANOS) which Spark's reader rejects;
+        # read as long (ns since epoch) and convert explicitly (sources/parquet.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

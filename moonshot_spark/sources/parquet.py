@@ -18,7 +18,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) read as long ns (nanosAsLong); keep
+        # the exact ns value for ordering/tie-breaks (bit-identical to
+        # DuckDB's ns precision) and add a µs timestamp for calendar ops.
+        df = (df.withColumnRenamed("ts", "ts_ns")
+              .withColumn("ts", F.timestamp_micros(
+                  (F.col("ts_ns") / 1000).cast("long"))))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -45,8 +53,8 @@ def events_to_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("date", F.to_date("ts"))
         .groupBy("sid", "date")
         .agg(
-            F.min_by("value", "ts").alias("open"),
-            F.max_by("value", "ts").alias("close"),
+            F.min_by("value", "ts_ns").alias("open"),
+            F.max_by("value", "ts_ns").alias("close"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
             F.count("*").cast("double").alias("volume"),
