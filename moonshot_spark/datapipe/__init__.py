@@ -1,0 +1,31 @@
+"""Large-scale training-data pipeline operators (SURVEY.md §7.1 step 9).
+
+Beyond-reference components for 100 TB corpus processing: deduplication
+(exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search
+(brute-force + LSH-bucketed ANN), text analysis (language ID, quality
+scoring, token counting, fingerprinting), and multimodal column plumbing.
+
+Design rules: everything is built from JVM-side ``pyspark.sql.functions``
+(array/lambda higher-order functions for shingles and hashing) so the hot
+path stays in whole-stage codegen; Pandas UDFs only where genuinely needed
+(binary decode stubs, numpy-heavy similarity).
+"""
+
+from moonshot_spark.datapipe.text import (
+    tokens_expr, token_count_expr, quality_exprs, lang_scores_expr,
+    fingerprint_expr,
+)
+from moonshot_spark.datapipe.dedup import (
+    exact_duplicates, minhash_signatures, lsh_candidate_pairs, simhash_expr,
+)
+from moonshot_spark.datapipe.similarity import (
+    cosine_expr, brute_force_topk, lsh_bucketed_topk,
+)
+
+__all__ = [
+    "tokens_expr", "token_count_expr", "quality_exprs", "lang_scores_expr",
+    "fingerprint_expr",
+    "exact_duplicates", "minhash_signatures", "lsh_candidate_pairs",
+    "simhash_expr",
+    "cosine_expr", "brute_force_topk", "lsh_bucketed_topk",
+]

@@ -1,0 +1,157 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of these at 100 TB):
+
+- **Exact**: hash-groupBy on a fingerprint — one shuffle on the md5 key,
+  perfectly balanced unless a single text dominates (then AQE skew-split).
+- **MinHash+LSH**: shingle → k minhashes → b bands; candidate pairs only
+  within identical band buckets, so the quadratic pair join becomes a
+  per-bucket self-join.  All hashing is md5-based and engine-portable.
+- **SimHash**: 64-bit signature via per-token hash bit-voting; near-dups =
+  signatures within small Hamming distance, found via band-exact match.
+
+Everything below is built from array higher-order functions (transform/
+filter/aggregate) — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles_expr(col, n: int = 3):
+    """Word n-gram shingles as an array<string> (distinct, order-free set)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: fingerprint → groupBy → keep groups >1.
+
+    Returns (fingerprint, n_docs, keep_id, dup_ids): the canonical survivor
+    (min id) and the removable duplicates.
+    """
+    from moonshot_spark.datapipe.text import fingerprint_expr
+
+    fp = docs.select(F.col(id_col), fingerprint_expr(text_col).alias("fingerprint"))
+    return (fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("keep_id"),
+                 F.sort_array(F.collect_list(id_col)).alias("all_ids"))
+            .where(F.col("n_docs") > 1)
+            .withColumn("dup_ids", F.slice("all_ids", 2, 1_000_000))
+            .drop("all_ids"))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: for hash function i, the minimum of
+    md5(i || shingle) over the doc's shingle set.
+
+    md5-based hash family keeps the signature deterministic across engines
+    and runs (no seed state).  Output: (id, sig array<string> length k).
+    """
+    sh = shingles_expr(text_col, shingle_n)
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.encode(
+                F.concat(i.cast("string"), F.lit("|"), s), "UTF-8")))))
+    return docs.select(F.col(id_col), hashes.alias("minhash_sig"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 16,
+                        bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
+
+    banding: signature split into ``bands`` bands of k/bands rows; docs
+    sharing any identical band land in the same bucket.  The pair join is
+    per-bucket (equi-join on band hash), so cost is Σ bucket² not n² —
+    the standard LSH scale path.
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, distinct.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(F.encode(F.concat_ws(
+            "|", F.slice(F.col("minhash_sig"), b * rows_per_band + 1,
+                         rows_per_band)), "UTF-8")))
+    banded = (sigs.select(id_col, "minhash_sig",
+                          F.posexplode(band_arr).alias("band_id", "band_hash")))
+
+    left = banded.select(F.col(id_col).alias("id_a"),
+                         F.col("minhash_sig").alias("sig_a"),
+                         "band_id", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"),
+                          F.col("minhash_sig").alias("sig_b"),
+                          "band_id", "band_hash")
+    pairs = (left.join(right, ["band_id", "band_hash"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b")
+             .distinct())
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+    return (pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+        (matches.cast("double") / F.size("sig_a")).alias("est_jaccard")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, candidate_pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate pairs (verification stage
+    after LSH): |A∩B| / |A∪B| over shingle sets."""
+    sh = docs.select(F.col(id_col), shingles_expr(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = candidate_pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select("doc_a", "doc_b",
+                         (inter.cast("double") / union).alias("jaccard"))
+
+
+def simhash_expr(col, bits: int = 32):
+    """SimHash signature as a ``bits``-char '0'/'1' string.
+
+    Per-token hash bits come from the md5 hex digest: bit j of a token =
+    high bit of hex nibble j (nibble >= '8' lexicographically ⇔ value ≥ 8).
+    Bit j of the signature is set when the token vote is positive.  md5 +
+    string comparisons keep the signature identical in every engine; near-
+    duplicate candidates are signatures within small Hamming distance
+    (``hamming_expr``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    tok_md5 = F.transform(toks, lambda t: F.md5(F.encode(t, "UTF-8")))
+    bit_chars = F.transform(
+        F.sequence(F.lit(1), F.lit(bits)),
+        lambda j: F.when(
+            F.aggregate(
+                tok_md5, F.lit(0).cast("bigint"),
+                lambda acc, h: acc + F.when(
+                    h.substr(j, F.lit(1)) >= "8", F.lit(1)).otherwise(F.lit(-1))
+            ) > 0,
+            F.lit("1")).otherwise(F.lit("0")))
+    return F.array_join(bit_chars, "")
+
+
+def hamming_expr(sig_a, sig_b, bits: int = 32):
+    """Hamming distance between two equal-length bitstring signatures."""
+    a = F.col(sig_a) if isinstance(sig_a, str) else sig_a
+    b = F.col(sig_b) if isinstance(sig_b, str) else sig_b
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)), F.lit(0),
+        lambda acc, j: acc + F.when(
+            a.substr(j, F.lit(1)) == b.substr(j, F.lit(1)), F.lit(0)
+        ).otherwise(F.lit(1)))

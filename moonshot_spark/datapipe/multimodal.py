@@ -1,0 +1,83 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct; the
+decode/feature steps are Arrow-batched ``mapInPandas`` stages.  The actual
+codec calls are STUBBED (image/audio libraries are not in this container):
+``decode_stub=True`` produces a deterministic fake feature vector from the
+payload bytes so the Spark-side plumbing — schema, batching, partitioning —
+is real and testable; swapping in a real decoder is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, LongType, StringType, StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("media_type", StringType(), True),     # image/audio/video
+    StructField("payload", BinaryType(), True),        # opaque encoded bytes
+    StructField("byte_len", LongType(), True),
+    StructField("content_md5", StringType(), True),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("media_type", StringType(), True),
+    StructField("byte_len", LongType(), True),
+    StructField("feature", ArrayType(DoubleType()), True),
+])
+
+
+def docs_to_media(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Build a media table from documents (text bytes standing in for an
+    encoded payload): exercises BinaryType end to end."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col(id_col) % 3 + 1).cast("int")).alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("bigint").alias("byte_len"),
+        F.md5(payload).alias("content_md5"),
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 8,
+                     decode_stub: bool = True) -> DataFrame:
+    """Decode + featurize each payload via mapInPandas (Arrow batches).
+
+    With ``decode_stub`` the "feature" is a deterministic byte-histogram
+    projection of the payload — stable across runs/engines, no codec needed.
+    A real implementation would replace ``_featurize_payload`` with e.g.
+    PIL/torchvision decode + model forward per batch.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real media decoding requires image/audio libraries not present "
+            "in this environment; use decode_stub=True")
+
+    def _featurize_payload(payload: bytes | None) -> list[float] | None:
+        if payload is None:
+            return None
+        import numpy as np
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        # deterministic fake: per-bucket byte-value means over `dim` buckets
+        hist = [float(arr[i::dim].mean()) if arr[i::dim].size else 0.0
+                for i in range(dim)]
+        return hist
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            out = pdf[["media_id", "media_type", "byte_len"]].copy()
+            out["feature"] = pdf["payload"].map(_featurize_payload)
+            yield out
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)

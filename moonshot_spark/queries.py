@@ -445,3 +445,207 @@ def backtest_dma(spark: SparkSession, sf_dir: str) -> DataFrame:
     results = DualMovingAverage().backtest(panel)
     return results.select("field", "sid", "date",
                           F.round("value", 7).alias("value"))
+
+
+# --------------------------------------------------------------------- #
+# datapipe: text analysis                                               #
+# --------------------------------------------------------------------- #
+
+@register("text_stats", """
+WITH toks AS (
+    SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+           / len(t) AS mean_token_len,
+       CAST(len(list_filter(t, x -> x IN
+           ('the','and','of','to','a','in','is','it'))) AS DOUBLE)
+           / len(t) AS stopword_ratio,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           AS DOUBLE) / length(text) AS punct_ratio,
+       CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+           AS DOUBLE) / length(text) AS upper_ratio
+FROM toks
+""")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonshot_spark.datapipe.text import quality_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_exprs("text")
+    return docs.select("doc_id", *[q[k].alias(k) for k in
+                                   ("n_chars", "n_tokens", "mean_token_len",
+                                    "stopword_ratio", "punct_ratio", "upper_ratio")])
+
+
+@register("lang_id", """
+WITH toks AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), scores AS (
+    SELECT doc_id, lang,
+           len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein','nicht','mit'))) AS s_de,
+           len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','it'))) AS s_en,
+           len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+           len(list_filter(t, x -> x IN ('le','la','et','les','des','un','une','est'))) AS s_fr
+    FROM toks
+)
+SELECT doc_id, lang AS lang_label,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       CAST(s_en AS INT) AS s_en, CAST(s_de AS INT) AS s_de,
+       CAST(s_es AS INT) AS s_es, CAST(s_fr AS INT) AS s_fr
+FROM scores
+""")
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonshot_spark.datapipe.text import lang_id_expr, lang_scores_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores_expr("text")
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_label"),
+        lang_id_expr("text").alias("lang_pred"),
+        *[scores[lang].cast("int").alias(f"s_{lang}")
+          for lang in ("en", "de", "es", "fr")])
+
+
+# --------------------------------------------------------------------- #
+# datapipe: deduplication                                               #
+# --------------------------------------------------------------------- #
+
+@register("dedup_exact", """
+WITH fp AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+)
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_id,
+       list_sort(list(doc_id))[2:] AS dup_ids
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonshot_spark.datapipe.dedup import exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs)
+
+
+@register("minhash_lsh_pairs", """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2),
+        i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS shingles
+    FROM toks
+), sigs AS (
+    SELECT doc_id, list_transform(range(0, 16),
+        i -> list_min(list_transform(shingles,
+            s -> md5(concat(CAST(i AS VARCHAR), '|', s))))) AS sig
+    FROM sh
+), bands AS (
+    SELECT doc_id, sig, b.band_id,
+           md5(array_to_string(list_slice(sig, b.band_id * 4 + 1,
+                                          b.band_id * 4 + 4), '|')) AS band_hash
+    FROM sigs, (SELECT unnest(range(0, 4)) AS band_id) b
+), pairs AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           l.sig AS sig_a, r.sig AS sig_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+           / 16 AS est_jaccard
+FROM pairs
+""")
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonshot_spark.datapipe.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
+
+
+@register("simhash_signatures", """
+WITH toks AS (
+    SELECT doc_id, list_transform(string_split(text, ' '), x -> md5(x)) AS hs
+    FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_transform(range(1, 33),
+           j -> CASE WHEN list_sum(list_transform(hs,
+                    h -> CASE WHEN substr(h, j, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+                THEN '1' ELSE '0' END), '') AS simhash
+FROM toks
+""")
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonshot_spark.datapipe.dedup import simhash_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_expr("text").alias("simhash"))
+
+
+# --------------------------------------------------------------------- #
+# datapipe: similarity search                                           #
+# --------------------------------------------------------------------- #
+
+@register("ann_cosine_topk", """
+WITH corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), queries AS (
+    SELECT vec_id AS query_id, v AS q FROM corpus WHERE vec_id < 8
+), sims AS (
+    SELECT q.query_id, c.vec_id,
+           list_reduce(list_transform(range(1, len(c.v) + 1),
+               i -> c.v[i] * q.q[i]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, len(c.v) + 1),
+                  i -> c.v[i] * c.v[i]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, len(q.q) + 1),
+                  i -> q.q[i] * q.q[i]), (x, y) -> x + y))) AS cosine
+    FROM corpus c CROSS JOIN queries q
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM sims
+) WHERE rank <= 5
+""")
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonshot_spark.datapipe.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = (emb.where(F.col("vec_id") < 8)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+# --------------------------------------------------------------------- #
+# datapipe: multimodal binary columns                                   #
+# --------------------------------------------------------------------- #
+
+@register("multimodal_meta", """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5
+FROM documents
+""")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonshot_spark.datapipe.multimodal import docs_to_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs_to_media(docs).select("media_id", "media_type", "byte_len",
+                                      "content_md5")
+
+
+@register("multimodal_features")  # mapInPandas decode stub — rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moonshot_spark.datapipe.multimodal import docs_to_media, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(docs_to_media(docs))

@@ -1,0 +1,137 @@
+"""Datapipe operator tests: dedup, similarity, text analysis, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonshot_spark.datapipe.dedup import (
+    exact_duplicates, hamming_expr, lsh_candidate_pairs, ngram_jaccard_pairs,
+    simhash_expr,
+)
+from moonshot_spark.datapipe.multimodal import docs_to_media, extract_features
+from moonshot_spark.datapipe.similarity import brute_force_topk, lsh_bucketed_topk
+from moonshot_spark.datapipe.text import fingerprint_expr, lang_id_expr
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different content about spark window functions and joins"
+    rows = [(0, base), (1, base), (2, near), (3, other),
+            (4, "der hund ist nicht mit der katze und das haus"),
+            (5, "el perro es un animal que vive en la casa y es feliz")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    dups = exact_duplicates(docs).collect()
+    assert len(dups) == 1
+    assert dups[0]["keep_id"] == 0
+    assert dups[0]["dup_ids"] == [1]
+    assert dups[0]["n_docs"] == 2
+
+
+def test_exact_duplicates_whitespace_normalization(spark):
+    rows = [(0, "hello  world"), (1, "Hello world "), (2, "unrelated")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dups = exact_duplicates(df).collect()
+    assert len(dups) == 1 and dups[0]["n_docs"] == 2
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+             for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0     # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.3      # near dup
+    assert (0, 3) not in pairs                          # unrelated
+
+
+def test_ngram_jaccard_verification(docs):
+    cands = lsh_candidate_pairs(docs)
+    verified = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(docs, cands).collect()}
+    assert verified[(0, 1)] == 1.0
+    assert 0.3 < verified[(0, 2)] < 1.0
+
+
+def test_simhash_near_dup_distance(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in
+            docs.select("doc_id", simhash_expr("text").alias("sig")).collect()}
+    assert sigs[0] == sigs[1]
+    assert len(sigs[0]) == 32 and set(sigs[0]) <= {"0", "1"}
+
+    pairs = docs.alias("a").crossJoin(docs.alias("b")).where(
+        F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"),
+        hamming_expr(simhash_expr(F.col("a.text")),
+                     simhash_expr(F.col("b.text"))).alias("ham"))
+    ham = {(r["da"], r["db"]): r["ham"] for r in pairs.collect()}
+    assert ham[(0, 1)] == 0
+    assert ham[(0, 2)] < ham[(0, 3)]    # near-dup closer than unrelated
+
+
+def test_lang_id(docs):
+    preds = {r["doc_id"]: r["pred"] for r in
+             docs.select("doc_id", lang_id_expr("text").alias("pred")).collect()}
+    assert preds[0] == "en" and preds[4] == "de" and preds[5] == "es"
+
+
+def test_fingerprint_stability(docs):
+    fp1 = docs.select(fingerprint_expr("text").alias("f")).collect()
+    fp2 = docs.select(fingerprint_expr("text").alias("f")).collect()
+    assert fp1 == fp2
+    assert all(len(r["f"]) == 32 for r in fp1)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(50):
+        v = rng.normal(0, 1, 16)
+        rows.append((i, [float(x) for x in v]))
+    # vec 50 = vec 0 scaled (cosine 1.0); vec 51 = -vec 0 (cosine -1.0)
+    rows.append((50, [x * 2.0 for x in rows[0][1]]))
+    rows.append((51, [-x for x in rows[0][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(embeddings):
+    q = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = brute_force_topk(embeddings, q, k=3).collect()
+    assert [r["vec_id"] for r in top][:2] == [0, 50]      # self then scaled copy
+    assert top[0]["cosine"] == pytest.approx(1.0)
+    assert top[1]["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_bucketed_topk_recall(embeddings):
+    import numpy as np
+    rng = np.random.default_rng(5)
+    planes = [list(rng.normal(0, 1, 16)) for _ in range(4)]
+    q = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = lsh_bucketed_topk(embeddings, q, planes, k=3).collect()
+    got = [r["vec_id"] for r in top]
+    # scaled copy shares every hyperplane side with the query → same bucket
+    assert got[:2] == [0, 50]
+    # opposite vector lands in the complementary bucket → excluded
+    assert 51 not in got
+
+
+def test_multimodal_features(docs):
+    media = docs_to_media(docs)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == docs.count()
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # identical payloads → identical features (deterministic stub)
+    assert by_id[0]["feature"] == by_id[1]["feature"]
+    assert by_id[0]["byte_len"] == len(
+        docs.where(F.col("doc_id") == 0).first()["text"].encode())
+
+
+def test_multimodal_real_decode_gated(docs):
+    with pytest.raises(NotImplementedError):
+        extract_features(docs_to_media(docs), decode_stub=False)
