@@ -649,3 +649,246 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(docs_to_media(docs))
+
+
+# --------------------------------------------------------------------- #
+# D19–D22 — the trade pipeline (orders generation)                      #
+# --------------------------------------------------------------------- #
+
+@register("trade_orders", f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN close < 100 THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+sd AS (SELECT max(date) AS signal_date FROM panel),
+cvf AS (
+    SELECT sid, date,
+           last_value(close IGNORE NULLS) OVER (
+               PARTITION BY sid ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS contract_value
+    FROM panel
+),
+today AS (
+    SELECT w.sid, w.weight, c.contract_value
+    FROM wts w JOIN sd ON w.date = sd.signal_date
+    JOIN cvf c ON c.sid = w.sid AND c.date = w.date
+),
+alloc AS (SELECT * FROM (VALUES ('U100', 0.6), ('U200', 0.4)) t(account, allocation)),
+bal AS (SELECT * FROM (VALUES ('U100', 1000000.0), ('U200', 500000.0)) t(account, nlv)),
+qty AS (
+    SELECT t.sid, a.account,
+           CAST(round_even(t.weight * a.allocation * b.nlv
+                / abs(nullif(t.contract_value, 0)), 0) AS BIGINT) AS q
+    FROM today t CROSS JOIN alloc a JOIN bal b ON a.account = b.account
+)
+SELECT sid, account,
+       CASE WHEN q > 0 THEN 'BUY' ELSE 'SELL' END AS action,
+       'buy-below-100' AS order_ref,
+       abs(q) AS total_quantity,
+       'MKT' AS order_type, 'DAY' AS tif
+FROM qty WHERE q <> 0 AND q IS NOT NULL
+""")
+def trade_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full trade pipeline (D19–D22): today's weights × account allocations
+    → NLV/contract-value quantities → order stubs."""
+    from moonshot_spark.strategies.base import Moonshot
+
+    class BuyBelow100(Moonshot):
+        CODE = "buy-below-100"
+
+        def prices_to_signals(self, prices):
+            return prices.withColumn(
+                "signal", (F.col("close") < 100).cast("int"))
+
+    panel = events_to_panel(spark, sf_dir)
+    balances = spark.createDataFrame(
+        [("U100", "USD", 1000000.0), ("U200", "USD", 500000.0)],
+        "account string, currency string, net_liquidation double")
+    orders = BuyBelow100().trade(panel, {"U100": 0.6, "U200": 0.4}, balances)
+    return orders.select("sid", "account", "action", "order_ref",
+                         "total_quantity", "order_type", "tif")
+
+
+# --------------------------------------------------------------------- #
+# D1–D5 — weight allocation operators                                   #
+# --------------------------------------------------------------------- #
+
+@register("weights_neutralized", f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN close > 130 THEN -1.0
+                WHEN close < 70 THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER wd, 0) <> 0
+                             THEN sum(abs(signal)) OVER wd ELSE 1 END) AS weight
+    FROM sig WINDOW wd AS (PARTITION BY date)
+),
+sides AS (
+    SELECT *, CASE WHEN weight > 0 THEN weight ELSE 0.0 END AS lw,
+              CASE WHEN weight < 0 THEN weight ELSE 0.0 END AS sw
+    FROM wts
+),
+tot AS (
+    SELECT *, sum(lw) OVER wd AS tl, sum(abs(sw)) OVER wd AS ts
+    FROM sides WINDOW wd AS (PARTITION BY date)
+),
+scaled AS (
+    SELECT *,
+           CASE WHEN tl <= ts THEN lw
+                ELSE lw * ts / (CASE WHEN tl = 0 THEN 1.0 ELSE tl END) END AS slw,
+           CASE WHEN ts <= tl THEN sw
+                ELSE sw * tl / (CASE WHEN ts = 0 THEN 1.0 ELSE ts END) END AS ssw
+    FROM tot
+)
+SELECT sid, date, signal, weight,
+       CASE WHEN slw > 0 THEN slw ELSE ssw END AS neutral_weight
+FROM scaled
+""")
+def weights_neutralized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 equal-weight allocation + D5 market-neutral scaling as a query."""
+    from moonshot_spark.operators.weights import (
+        allocate_equal_weights, neutralize_weights)
+
+    panel = events_to_panel(spark, sf_dir)
+    sig = panel.withColumn(
+        "signal", F.when(F.col("close") > 130, -1.0)
+        .when(F.col("close") < 70, 1.0).otherwise(0.0))
+    w = allocate_equal_weights(sig)
+    n = neutralize_weights(w, "weight", out_col="neutral_weight")
+    return n.select("sid", "date", "signal", "weight", "neutral_weight")
+
+
+# --------------------------------------------------------------------- #
+# D8/D12/D15 — backtest with commissions and slippage                   #
+# --------------------------------------------------------------------- #
+
+_BACKTEST_COSTS_SQL = f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN (CASE WHEN count(close) OVER w5 >= 5
+                      THEN avg(close) OVER w5 END)
+                   > (CASE WHEN count(close) OVER w10 >= 10
+                      THEN avg(close) OVER w10 END)
+                THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+    WINDOW w5 AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w10 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
+),
+gross AS (
+    SELECT *,
+           (close - lag(close) OVER w) / lag(close) OVER w
+               * lag(position) OVER w AS gross_return,
+           abs(coalesce(position, 0) - lag(coalesce(position, 0)) OVER w) AS turnover
+    FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+costed AS (
+    SELECT *,
+           turnover * 0.0005 + turnover * 0.00002 AS commission,
+           coalesce(turnover * 0.0002, 0) AS slippage
+    FROM gross
+)
+SELECT sid, date,
+       round(coalesce(gross_return, 0) - commission - slippage, 7) AS net_return,
+       round(commission, 7) AS commission, round(slippage, 7) AS slippage
+FROM costed
+"""
+
+
+@register("backtest_dma_costs", _BACKTEST_COSTS_SQL)
+def backtest_dma_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest with percentage commissions (D8) and fixed bps slippage
+    (D12/D15) exercised through the oracle."""
+    from moonshot_spark.strategies.demo import DualMovingAverageWithCosts
+
+    panel = events_to_panel(spark, sf_dir)
+    results = DualMovingAverageWithCosts().backtest(panel)
+    pivoted = (results.groupBy("sid", "date")
+               .pivot("field", ["Return", "Commission", "Slippage"])
+               .agg(F.first("value")))
+    return pivoted.select(
+        "sid", "date",
+        F.round("Return", 7).alias("net_return"),
+        F.round("Commission", 7).alias("commission"),
+        F.round("Slippage", 7).alias("slippage"))
+
+
+# --------------------------------------------------------------------- #
+# J7 — as-of (point-in-time) join                                       #
+# --------------------------------------------------------------------- #
+
+@register("asof_purchase_click", """
+WITH purchases AS (
+    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+    SELECT user_id, ts AS click_ts, value AS click_value FROM events
+    WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id, p.value, c.click_ts, c.click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+""")
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the user's most recent click at-or-before it —
+    pandas merge_asof semantics via the union+ffill trick (one shuffle,
+    no range-join blowup).  Oracle uses DuckDB's native ASOF JOIN."""
+    from moonshot_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts_ns").alias("t"),
+                         "ts", "event_id", "value"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts_ns").alias("t"),
+                      F.col("ts").alias("click_ts"),
+                      F.col("value").alias("click_value")))
+    joined = asof_join(purchases, clicks, on="t", by="user_id",
+                       value_cols=["click_ts", "click_value"])
+    return joined.select("user_id", "event_id", "value", "click_ts",
+                         "click_value")
+
+
+# --------------------------------------------------------------------- #
+# R2 — pivot/unpivot (stack/unstack)                                    #
+# --------------------------------------------------------------------- #
+
+@register("pivot_event_type", """
+SELECT user_id,
+       CAST(coalesce(sum(CAST(CASE WHEN event_type = 'click' THEN value END
+            AS DECIMAL(18,2))), 0) AS DOUBLE) AS click,
+       CAST(coalesce(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END
+            AS DECIMAL(18,2))), 0) AS DOUBLE) AS purchase,
+       CAST(coalesce(sum(CAST(CASE WHEN event_type = 'view' THEN value END
+            AS DECIMAL(18,2))), 0) AS DOUBLE) AS view
+FROM events GROUP BY user_id
+""")
+def pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unstack (R2): long event rows → wide per-type value totals."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .pivot("event_type", ["click", "purchase", "view"])
+            .agg(F.coalesce(F.sum(F.col("value").cast("decimal(18,2)")),
+                            F.lit(0).cast("decimal(18,2)")).cast("double")))

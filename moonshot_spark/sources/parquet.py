@@ -25,7 +25,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # DuckDB's ns precision) and add a µs timestamp for calendar ops.
         df = (df.withColumnRenamed("ts", "ts_ns")
               .withColumn("ts", F.timestamp_micros(
-                  (F.col("ts_ns") / 1000).cast("long"))))
+                  F.expr("ts_ns div 1000"))))  # integer div — double division
+                                               # rounds and shifts µs by one
     return df
 
 

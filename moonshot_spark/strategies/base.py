@@ -396,6 +396,213 @@ class Moonshot:
                 F.col("date") >= F.lit(start_date).cast("date"))
         return results
 
+    # ------------------------------------------------------------------ #
+    # the trade pipeline (D19–D22, D26 — reference base.py:1572-1806)    #
+    # ------------------------------------------------------------------ #
+
+    ACCOUNT_BALANCE_FIELD: str | list[str] | None = None
+
+    def trade(self, prices: DataFrame, allocations: dict[str, float],
+              balances: DataFrame, exchange_rates: DataFrame | None = None,
+              positions: DataFrame | None = None,
+              open_orders: DataFrame | None = None,
+              master: DataFrame | None = None,
+              review_date: str | None = None) -> DataFrame | None:
+        """Generate live orders: today's target weights → net order quantities.
+
+        Stage order matches reference base.py:1595-1806.  Inputs replace the
+        reference's quantrocket service calls (SURVEY §2.1 S3–S6):
+
+        - ``balances``: (account, currency, <balance fields...>)
+        - ``exchange_rates``: (base_currency, quote_currency, rate)
+        - ``positions``: (sid, account, quantity) current positions
+        - ``open_orders``: (sid, account, quantity) net remaining order qty
+        - ``allocations``: account → fraction of NLV for this strategy
+
+        Every join here is a broadcast join (all inputs are small dims); the
+        only large-data stages are the signal/weight windows, identical to
+        the backtest path.  Returns None when there is nothing to order
+        (reference base.py:1800-1801).
+        """
+        self.is_trade = True
+        self.review_date = review_date
+        spark = prices.sparkSession
+
+        prices = self._join_master(prices, master, None)
+        df = self.prices_to_signals(prices)
+        df = df.withColumn("signal", F.col("signal").cast("double"))
+        df = self.signals_to_target_weights(df)
+
+        # D19: signal-date selection.  review_date if given, else the panel's
+        # max date (reference uses "today" against live data; with batch
+        # inputs the latest row is today's analog, and staleness validation
+        # (base.py:773-775) is the caller's concern).
+        if review_date is not None:
+            signal_date = F.lit(review_date).cast("date")
+        else:
+            signal_date = df.select(F.max("date")).collect()[0][0]
+        self._signal_date = signal_date
+        today = df.where(F.col("date") == signal_date)
+        if self._is_intraday(df):
+            # as-of pick: latest time ≤ now/review time (J7, base.py:790-795);
+            # with batch inputs, use the last time of the signal date
+            w = Window.partitionBy("sid").orderBy(F.desc("time"))
+            today = (today.withColumn("__rn", F.row_number().over(w))
+                     .where(F.col("__rn") == 1).drop("__rn"))
+
+        # contract values as-of signal date, ffilled (base.py:1622-1624)
+        w_sid = self._sid_window(df)
+        cv = F.last(self._contract_value_expr(df), ignorenulls=True).over(
+            w_sid.rowsBetween(Window.unboundedPreceding, 0))
+        cv_today = (df.withColumn("__cv", cv)
+                    .where(F.col("date") == signal_date)
+                    .groupBy("sid").agg(F.last("__cv").alias("contract_value")))
+        today = today.select("sid", "weight",
+                             *[c for c in ("sec_type", "currency", "symbol")
+                               if c in today.columns]) \
+            .join(F.broadcast(cv_today), "sid", "left")
+
+        # cross with accounts; weight × allocation (base.py:1609-1616)
+        alloc_df = spark.createDataFrame(
+            [(a, float(v)) for a, v in allocations.items()],
+            "account string, allocation double")
+        today = (today.crossJoin(F.broadcast(alloc_df))
+                 .withColumn("weight", F.col("weight") * F.col("allocation")))
+
+        # NLV = least of balance fields (A5, base.py:1671); base currency
+        balance_fields = self.ACCOUNT_BALANCE_FIELD or "net_liquidation"
+        if not isinstance(balance_fields, (list, tuple)):
+            balance_fields = [balance_fields]
+        nlv_expr = (F.least(*[F.col(f) for f in balance_fields])
+                    if len(balance_fields) > 1 else F.col(balance_fields[0]))
+        bal = balances.select(F.col("account"),
+                              F.col("currency").alias("base_currency"),
+                              nlv_expr.cast("double").alias("nlv"))
+        today = today.join(F.broadcast(bal), "account", "left")
+
+        # trade currency: master Currency; CASH → quote currency from symbol
+        # (F2, base.py:1640-1644)
+        if "currency" in today.columns:
+            quote = F.col("currency")
+            if "sec_type" in today.columns and "symbol" in today.columns:
+                quote = F.when(F.col("sec_type") == "CASH",
+                               F.split(F.col("symbol"), r"\.")[0]).otherwise(quote)
+            today = today.withColumn("quote_currency", quote)
+        else:
+            today = today.withColumn("quote_currency", F.col("base_currency"))
+
+        # FX conversion (J2, base.py:1695-1726); rate=1 where base==quote
+        if exchange_rates is not None:
+            today = today.join(F.broadcast(exchange_rates),
+                               ["base_currency", "quote_currency"], "left")
+        else:
+            today = today.withColumn("rate", F.lit(None).cast("double"))
+        today = today.withColumn(
+            "rate", F.when(F.col("base_currency") == F.col("quote_currency"),
+                           F.lit(1.0)).otherwise(F.col("rate")))
+
+        # weights → integer target quantities (base.py:1728-1734); bround =
+        # half-even like numpy round
+        qty = (F.col("weight") * F.col("nlv") * F.col("rate")
+               / F.abs(F.when(F.col("contract_value") != 0,
+                              F.col("contract_value"))))
+        today = today.withColumn(
+            "target_quantity",
+            F.coalesce(F.bround(qty), F.lit(0.0)).cast("long"))
+
+        # position-size caps at signal date (base.py:1738-1758)
+        max_longs, max_shorts = self.limit_position_sizes(prices)
+        q = F.col("target_quantity")
+        if max_longs is not None:
+            ml = (max_longs.where(F.col("date") == signal_date)
+                  .select("sid", F.abs("max_quantity").alias("__max_long")))
+            today = today.join(F.broadcast(ml), "sid", "left")
+            cap = F.col("__max_long")
+            q = F.when(cap.isNotNull() & (q > cap), cap.cast("long")).otherwise(q)
+        if max_shorts is not None:
+            ms = (max_shorts.where(F.col("date") == signal_date)
+                  .select("sid", (-F.abs("max_quantity")).alias("__max_short")))
+            today = today.join(F.broadcast(ms), "sid", "left")
+            cap = F.col("__max_short")
+            q = F.when(cap.isNotNull() & (q < cap), cap.cast("long")).otherwise(q)
+        today = today.withColumn("target_quantity", q) \
+            .drop("__max_long", "__max_short")
+
+        # existing positions + open orders → net quantities (J3 + D26,
+        # base.py:1760-1798)
+        existing = self._positions_and_orders(positions, open_orders)
+        if existing is not None:
+            today = today.join(F.broadcast(existing), ["sid", "account"], "left")
+            today = today.withColumn("existing",
+                                     F.coalesce("existing", F.lit(0).cast("long")))
+            net = F.col("target_quantity") - F.col("existing")
+            if self.ALLOW_REBALANCE is not True:
+                tq, ex = F.col("target_quantity"), F.col("existing")
+                is_rebalance = ((tq > 0) & (ex > 0)) | ((tq < 0) & (ex < 0))
+                if not self.ALLOW_REBALANCE:
+                    net = F.when(is_rebalance, F.lit(0)).otherwise(net)
+                else:
+                    if not isinstance(self.ALLOW_REBALANCE, (int, float)):
+                        raise MoonshotParameterError(
+                            "invalid value for ALLOW_REBALANCE: {0} (should be "
+                            "a float)".format(self.ALLOW_REBALANCE))
+                    rebalance_pct = F.abs(net.cast("double") / ex)
+                    net = F.when(is_rebalance
+                                 & (rebalance_pct < self.ALLOW_REBALANCE),
+                                 F.lit(0)).otherwise(net)
+            today = today.withColumn("net_quantity", net.cast("long"))
+        else:
+            today = today.withColumn("net_quantity", F.col("target_quantity"))
+
+        # D22: quantities → order stubs (melt; zeros dropped)
+        order_stubs = (today.where(F.col("net_quantity") != 0)
+                       .select(
+                           "sid", "account",
+                           F.when(F.col("net_quantity") > 0, F.lit("BUY"))
+                           .otherwise(F.lit("SELL")).alias("action"),
+                           F.lit(self.CODE).alias("order_ref"),
+                           F.abs("net_quantity").alias("total_quantity")))
+        if order_stubs.isEmpty():
+            return None
+        return self.order_stubs_to_orders(order_stubs, prices)
+
+    @staticmethod
+    def _positions_and_orders(positions: DataFrame | None,
+                              open_orders: DataFrame | None) -> DataFrame | None:
+        """Full-outer combine current positions with net open-order
+        quantities (J3 — reference base.py:1850-1851)."""
+        def norm(df):
+            return df.select("sid", "account",
+                             F.col("quantity").cast("long").alias("quantity"))
+
+        if positions is None and open_orders is None:
+            return None
+        if positions is None:
+            combined = norm(open_orders)
+        elif open_orders is None:
+            combined = norm(positions)
+        else:
+            p = norm(positions).withColumnRenamed("quantity", "pos_qty")
+            o = norm(open_orders).withColumnRenamed("quantity", "ord_qty")
+            combined = (p.join(o, ["sid", "account"], "full_outer")
+                        .select("sid", "account",
+                                (F.coalesce("pos_qty", F.lit(0))
+                                 + F.coalesce("ord_qty", F.lit(0))).alias("quantity")))
+        return combined.withColumnRenamed("quantity", "existing")
+
+    def orders_to_child_orders(self, orders: DataFrame) -> DataFrame:
+        """Bracket orders: copy orders, link via parent_id, reverse the
+        action (D21 — reference base.py:607-655)."""
+        if "order_id" not in orders.columns:
+            orders = orders.withColumn(
+                "order_id", F.monotonically_increasing_id().cast("string"))
+        return (orders
+                .withColumnRenamed("order_id", "parent_id")
+                .withColumn("action",
+                            F.when(F.col("action") == "BUY", F.lit("SELL"))
+                            .otherwise(F.lit("BUY")))
+                .withColumn("order_id", F.lit(None).cast("string")))
+
     def _melt_results(self, df: DataFrame, prices: DataFrame) -> DataFrame:
         """Stack the metric columns into the long results format
         (R1 — reference pd.concat at base.py:1382-1388)."""

@@ -1,0 +1,201 @@
+"""Trade-path tests, golden values ported from the reference
+(moonshot/_tests/test_trade.py:26-151 basic, :1271+ multi-account,
+:1761+ existing positions, :2165+ positions+orders, :2632+ magnifier,
+:2802+ FX)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonshot_spark import Moonshot
+
+DATES = [datetime.date(2024, 6, d) for d in (3, 4, 5)]
+
+
+class BuyBelow10(Moonshot):
+    CODE = "buy-below-10"
+
+    def prices_to_signals(self, prices):
+        return prices.withColumn("signal", (F.col("close") < 10).cast("int"))
+
+
+@pytest.fixture(scope="module")
+def prices(spark):
+    # reference test_trade.py:43-65: closes FI12345 [9, 11, 10.50],
+    # FI23456 [9.89, 11, 8.50]
+    closes = {"FI12345": [9, 11, 10.50], "FI23456": [9.89, 11, 8.50]}
+    rows = [(sid, d, float(c)) for sid, cs in closes.items()
+            for d, c in zip(DATES, cs, strict=True)]
+    return spark.createDataFrame(rows, "sid string, date date, close double")
+
+
+@pytest.fixture(scope="module")
+def master(spark):
+    return spark.createDataFrame(
+        [("FI12345", "ABC", "STK", "USD", "NYSE", "America/New_York", None, None),
+         ("FI23456", "DEF", "STK", "USD", "NYSE", "America/New_York", None, None)],
+        "sid string, symbol string, sec_type string, currency string, "
+        "exchange string, timezone string, price_magnifier double, multiplier double")
+
+
+@pytest.fixture(scope="module")
+def balances(spark):
+    return spark.createDataFrame(
+        [("U123", "USD", 55000.0)],
+        "account string, currency string, net_liquidation double")
+
+
+def orders_list(orders):
+    return sorted([r.asDict() for r in orders.collect()],
+                  key=lambda r: (r["sid"], r["account"]))
+
+
+def test_basic_long_only(prices, master, balances):
+    """reference test_trade.py:137-151: 1.0 * 1.0 * 55K / 8.50 = 6471 BUY."""
+    orders = BuyBelow10().trade(prices, {"U123": 1.0}, balances, master=master)
+    got = orders_list(orders)
+    assert got == [{
+        "sid": "FI23456", "account": "U123", "action": "BUY",
+        "order_ref": "buy-below-10", "total_quantity": 6471,
+        "order_type": "MKT", "tif": "DAY"}]
+
+
+def test_no_orders(prices, master, balances):
+    """No signals on signal date → None (reference test_trade.py:152+)."""
+    class NeverBuy(BuyBelow10):
+        def prices_to_signals(self, p):
+            return p.withColumn("signal", F.lit(0))
+
+    assert NeverBuy().trade(prices, {"U123": 1.0}, balances, master=master) is None
+
+
+def test_multiple_accounts(spark, prices, master):
+    """reference test_trade.py:1271+: per-account NLV scaling."""
+    balances = spark.createDataFrame(
+        [("U123", "USD", 85000.0), ("DU234", "USD", 450000.0)],
+        "account string, currency string, net_liquidation double")
+    orders = BuyBelow10().trade(prices, {"U123": 0.5, "DU234": 0.3},
+                                balances, master=master)
+    got = {(r["sid"], r["account"]): r["total_quantity"]
+           for r in orders.collect()}
+    # weight 1.0 (single active signal), qty = alloc * nlv / 8.50
+    assert got[("FI23456", "U123")] == round(0.5 * 85000 / 8.50)
+    assert got[("FI23456", "DU234")] == round(0.3 * 450000 / 8.50)
+
+
+def test_existing_positions_netting(spark, prices, master, balances):
+    """reference test_trade.py:1761+: net = target − existing."""
+    positions = spark.createDataFrame(
+        [("FI23456", "U123", 1000)], "sid string, account string, quantity long")
+    orders = BuyBelow10().trade(prices, {"U123": 1.0}, balances,
+                                positions=positions, master=master)
+    got = orders_list(orders)
+    assert got[0]["total_quantity"] == 6471 - 1000
+    assert got[0]["action"] == "BUY"
+
+
+def test_positions_and_open_orders_combined(spark, prices, master, balances):
+    """reference test_trade.py:2165+: positions + open orders sum."""
+    positions = spark.createDataFrame(
+        [("FI23456", "U123", 4000)], "sid string, account string, quantity long")
+    open_orders = spark.createDataFrame(
+        [("FI23456", "U123", 3000)], "sid string, account string, quantity long")
+    orders = BuyBelow10().trade(prices, {"U123": 1.0}, balances,
+                                positions=positions, open_orders=open_orders,
+                                master=master)
+    got = orders_list(orders)
+    # target 6471 − (4000+3000) = −529 → SELL 529
+    assert got[0]["action"] == "SELL" and got[0]["total_quantity"] == 529
+
+
+def test_sell_existing_when_no_signal(spark, prices, master, balances):
+    """A position in a sid with zero target → full exit order."""
+    positions = spark.createDataFrame(
+        [("FI12345", "U123", 500)], "sid string, account string, quantity long")
+    orders = BuyBelow10().trade(prices, {"U123": 1.0}, balances,
+                                positions=positions, master=master)
+    got = {(r["sid"], r["action"]): r["total_quantity"] for r in orders.collect()}
+    assert got[("FI12345", "SELL")] == 500
+    assert got[("FI23456", "BUY")] == 6471
+
+
+def test_allow_rebalance_false(spark, prices, master, balances):
+    """reference base.py:1784-1787: same-side rebalance suppressed."""
+    class NoRebalance(BuyBelow10):
+        ALLOW_REBALANCE = False
+
+    positions = spark.createDataFrame(
+        [("FI23456", "U123", 1000)], "sid string, account string, quantity long")
+    orders = NoRebalance().trade(prices, {"U123": 1.0}, balances,
+                                 positions=positions, master=master)
+    assert orders is None
+
+
+def test_allow_rebalance_threshold(spark, prices, master, balances):
+    """reference base.py:1788-1798: rebalance only if |Δ/existing| ≥ pct."""
+    class SmallRebalance(BuyBelow10):
+        ALLOW_REBALANCE = 0.25
+
+    # existing 6000, target 6471 → Δ=471, 7.8% < 25% → suppressed
+    positions = spark.createDataFrame(
+        [("FI23456", "U123", 6000)], "sid string, account string, quantity long")
+    assert SmallRebalance().trade(prices, {"U123": 1.0}, balances,
+                                  positions=positions, master=master) is None
+    # existing 1000 → Δ=5471, 547% ≥ 25% → allowed
+    positions = spark.createDataFrame(
+        [("FI23456", "U123", 1000)], "sid string, account string, quantity long")
+    orders = SmallRebalance().trade(prices, {"U123": 1.0}, balances,
+                                    positions=positions, master=master)
+    assert orders_list(orders)[0]["total_quantity"] == 5471
+
+
+def test_price_magnifier_and_multiplier(spark, prices, balances):
+    """reference test_trade.py:2632+: contract value = price/magnifier×mult."""
+    master = spark.createDataFrame(
+        [("FI12345", "ABC", "FUT", "USD", "CME", "America/New_York", 2.0, 20.0),
+         ("FI23456", "DEF", "FUT", "USD", "CME", "America/New_York", 2.0, 20.0)],
+        "sid string, symbol string, sec_type string, currency string, "
+        "exchange string, timezone string, price_magnifier double, multiplier double")
+    orders = BuyBelow10().trade(prices, {"U123": 1.0}, balances, master=master)
+    got = orders_list(orders)
+    # contract value = 8.50 / 2 * 20 = 85 → 55000/85 = 647
+    assert got[0]["total_quantity"] == round(55000 / 85.0)
+
+
+def test_exchange_rates(spark, prices, balances):
+    """reference test_trade.py:2802+: EUR-base account buys USD stock."""
+    master = spark.createDataFrame(
+        [("FI12345", "ABC", "STK", "USD", "NYSE", "UTC", None, None),
+         ("FI23456", "DEF", "STK", "USD", "NYSE", "UTC", None, None)],
+        "sid string, symbol string, sec_type string, currency string, "
+        "exchange string, timezone string, price_magnifier double, multiplier double")
+    balances_eur = spark.createDataFrame(
+        [("U123", "EUR", 55000.0)],
+        "account string, currency string, net_liquidation double")
+    rates = spark.createDataFrame(
+        [("EUR", "USD", 1.10)],
+        "base_currency string, quote_currency string, rate double")
+    orders = BuyBelow10().trade(prices, {"U123": 1.0}, balances_eur,
+                                exchange_rates=rates, master=master)
+    got = orders_list(orders)
+    # 55000 EUR * 1.10 = 60500 USD / 8.50 = 7118
+    assert got[0]["total_quantity"] == round(55000 * 1.10 / 8.50)
+
+
+def test_review_date(spark, prices, master, balances):
+    """review_date selects an earlier signal date (reference D19)."""
+    orders = BuyBelow10().trade(prices, {"U123": 1.0}, balances, master=master,
+                                review_date="2024-06-03")
+    got = {r["sid"]: r for r in orders.collect()}
+    # on 6/3 both sids signal (9 < 10, 9.89 < 10): weight 0.5 each
+    assert got["FI12345"]["total_quantity"] == round(0.5 * 55000 / 9.0)
+    assert got["FI23456"]["total_quantity"] == round(0.5 * 55000 / 9.89)
+
+
+def test_child_orders(spark, prices, master, balances):
+    orders = BuyBelow10().trade(prices, {"U123": 1.0}, balances, master=master)
+    child = BuyBelow10().orders_to_child_orders(
+        orders.withColumn("order_id", F.lit("0")))
+    rows = child.collect()
+    assert rows[0]["action"] == "SELL" and rows[0]["parent_id"] == "0"
