@@ -892,3 +892,40 @@ def pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .pivot("event_type", ["click", "purchase", "view"])
             .agg(F.coalesce(F.sum(F.col("value").cast("decimal(18,2)")),
                             F.lit(0).cast("decimal(18,2)")).cast("double")))
+
+
+# --------------------------------------------------------------------- #
+# D23 — ML scoring via broadcast-model pandas_udf                       #
+# --------------------------------------------------------------------- #
+
+@register("ml_score_linear", f"""
+WITH panel AS ({PANEL_SQL})
+SELECT sid, date,
+       -2.0 + close * 0.1 + (volume / 10.0) * 0.5 AS prediction,
+       CASE WHEN -2.0 + close * 0.1 + (volume / 10.0) * 0.5 > 10 THEN 1.0
+            ELSE 0.0 END AS signal
+FROM panel
+""")
+def ml_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoonshotML feature assembly + Arrow-batched pandas_udf scoring with a
+    broadcast linear model.  The model's arithmetic is element-wise numpy
+    (stable order), so the oracle is the same linear formula in SQL — this
+    checks the whole Arrow round trip bit-for-bit."""
+    from moonshot_spark.ml_models import LinearModel
+    from moonshot_spark.strategies.ml import MoonshotML
+
+    class LinearStrategy(MoonshotML):
+        def prices_to_features(self, prices):
+            df = prices.withColumn("f_close", F.col("close")) \
+                       .withColumn("f_vol", F.col("volume") / 10.0)
+            return df, ["f_close", "f_vol"]
+
+        def predictions_to_signals(self, predictions):
+            return predictions.withColumn(
+                "signal", (F.col("prediction") > 10).cast("double"))
+
+    strat = LinearStrategy()
+    strat._load_model(LinearModel([0.1, 0.5], bias=-2.0))
+    panel = events_to_panel(spark, sf_dir)
+    scored = strat.prices_to_signals(panel)
+    return scored.select("sid", "date", "prediction", "signal")

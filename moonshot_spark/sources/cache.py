@@ -1,0 +1,95 @@
+"""Result cache: fingerprint-keyed Parquet checkpoints with staleness
+invalidation (SURVEY.md §2.1 S11).
+
+Reference: moonshot/_cache.py:28-184 — pickle files keyed by SHA-224 of the
+query kwargs, invalidated when source DBs (or the strategy file) were
+modified after the cached copy.  Spark version: each cache entry is a
+Parquet directory keyed by a SHA-224 fingerprint of canonicalized kwargs,
+with a sidecar metadata file recording the source paths' max mtime at write
+time.  Reads are ordinary ``spark.read.parquet`` — at scale a cache hit
+replaces recomputing the whole upstream DAG with one columnar scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_CACHE_DIR = os.environ.get("MOONSHOT_CACHE_DIR", "/tmp/moonshot_spark_cache")
+
+
+def _fingerprint(prefix: str, kwargs: dict) -> str:
+    """SHA-224 of canonical JSON of kwargs (reference _cache.py:59-69 uses
+    SHA-224 of pickled kwargs; JSON canonicalization avoids pickle's
+    version instability)."""
+    canonical = json.dumps(kwargs, sort_keys=True, default=str)
+    digest = hashlib.sha224(canonical.encode()).hexdigest()
+    return f"{prefix}_{digest}"
+
+
+def _source_mtime(paths: list[str]) -> float:
+    """Max mtime across source files/dirs (recursive), 0 if none exist."""
+    latest = 0.0
+    for p in paths:
+        if os.path.isfile(p):
+            latest = max(latest, os.path.getmtime(p))
+        elif os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                for f in files:
+                    latest = max(latest, os.path.getmtime(os.path.join(root, f)))
+    return latest
+
+
+class Cache:
+    """get/set keyed by (prefix, kwargs), invalidated by source mtimes.
+
+    Mirrors the reference API shape (_cache.py Cache.get/set) with Parquet
+    as the storage format.
+    """
+
+    def __init__(self, cache_dir: str = DEFAULT_CACHE_DIR):
+        self.cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def _paths(self, key: str) -> tuple[str, str]:
+        base = os.path.join(self.cache_dir, key)
+        return base + ".parquet", base + ".meta.json"
+
+    def get(self, spark: SparkSession, prefix: str, kwargs: dict,
+            unless_modified: list[str] | None = None) -> DataFrame | None:
+        """Return the cached DataFrame, or None on miss / staleness.
+
+        ``unless_modified``: source paths; if any was modified after the
+        cache entry was written, the entry is stale (reference
+        _cache.py:130-145 ``unless_dbs_modified``).
+        """
+        key = _fingerprint(prefix, kwargs)
+        data_path, meta_path = self._paths(key)
+        if not (os.path.exists(data_path) and os.path.exists(meta_path)):
+            return None
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if unless_modified:
+            if _source_mtime(unless_modified) > meta["written_at"]:
+                return None
+        return spark.read.parquet(data_path)
+
+    def set(self, prefix: str, kwargs: dict, df: DataFrame) -> str:
+        key = _fingerprint(prefix, kwargs)
+        data_path, meta_path = self._paths(key)
+        df.write.mode("overwrite").parquet(data_path)
+        with open(meta_path, "w") as f:
+            json.dump({"written_at": time.time(), "prefix": prefix}, f)
+        return data_path
+
+    def clear(self, prefix: str | None = None) -> None:
+        for name in os.listdir(self.cache_dir):
+            if prefix is None or name.startswith(prefix + "_"):
+                path = os.path.join(self.cache_dir, name)
+                shutil.rmtree(path, ignore_errors=True) if os.path.isdir(path) \
+                    else os.remove(path)

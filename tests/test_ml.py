@@ -1,0 +1,94 @@
+"""MoonshotML tests (reference _tests/test_ml.py patterns): pandas_udf
+scoring with broadcast models, predict vs predict_proba, pipeline E2E."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonshot_spark import MoonshotML
+from moonshot_spark.ml_models import LinearModel, LogisticModel as ProbaModel
+
+DATES = [datetime.date(2018, 5, d) for d in (1, 2, 3, 4)]
+
+
+class TwoFeatureStrategy(MoonshotML):
+    def prices_to_features(self, prices):
+        df = (prices
+              .withColumn("f_close", F.col("close"))
+              .withColumn("f_vol_ratio", F.col("volume") / 10000.0))
+        return df, ["f_close", "f_vol_ratio"]
+
+    def predictions_to_signals(self, predictions):
+        return predictions.withColumn(
+            "signal", (F.col("prediction") > 10).cast("int"))
+
+
+@pytest.fixture(scope="module")
+def prices(spark):
+    closes = {"FI12345": [9, 11, 10.50, 9.99], "FI23456": [9.89, 11, 8.50, 10.50]}
+    volumes = {"FI12345": [5000, 16000, 8800, 9900],
+               "FI23456": [15000, 14000, 28800, 17000]}
+    rows = [(sid, d, float(c), float(v)) for sid in closes
+            for d, c, v in zip(DATES, closes[sid], volumes[sid], strict=True)]
+    return spark.createDataFrame(
+        rows, "sid string, date date, close double, volume double")
+
+
+def test_ml_predict_pipeline(prices):
+    model = LinearModel([1.0, 0.5])
+    results = TwoFeatureStrategy().backtest(prices, model=model)
+    sig = {(r["sid"], r["date"]): r["value"]
+           for r in results.where(F.col("field") == "Signal").collect()}
+    # prediction = close + 0.5*volume/10000
+    assert sig[("FI12345", DATES[0])] == (1.0 if 9 + 0.25 > 10 else 0.0)
+    assert sig[("FI12345", DATES[1])] == 1.0   # 11 + 0.8 > 10
+    assert sig[("FI23456", DATES[0])] == 1.0   # 9.89 + 0.75 > 10
+
+
+def test_ml_predict_proba(prices):
+    """predict_proba models contribute P(class=1) (reference ml.py:494-506)."""
+
+    class ProbaStrategy(TwoFeatureStrategy):
+        def predictions_to_signals(self, predictions):
+            return predictions.withColumn(
+                "signal", (F.col("prediction") > 0.5).cast("int"))
+
+    model = ProbaModel([1.0, 0.0], bias=-10.0)     # sigmoid(close − 10)
+    results = ProbaStrategy().backtest(prices, model=model)
+    sig = {(r["sid"], r["date"]): r["value"]
+           for r in results.where(F.col("field") == "Signal").collect()}
+    assert sig[("FI12345", DATES[0])] == 0.0   # sigmoid(-1) < .5
+    assert sig[("FI12345", DATES[1])] == 1.0   # sigmoid(1) > .5
+
+
+def test_ml_feature_nan_fill(spark):
+    """Feature NaNs are zero-filled before scoring (reference ml.py:480)."""
+    rows = [("A", DATES[0], 5.0, None), ("A", DATES[1], None, 2.0)]
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, close double, volume double")
+
+    class S(TwoFeatureStrategy):
+        def predictions_to_signals(self, predictions):
+            return predictions.withColumn("signal", F.col("prediction"))
+
+    model = LinearModel([1.0, 1.0])
+    results = S().backtest(prices, model=model)
+    sig = {r["date"]: r["value"]
+           for r in results.where(F.col("field") == "Signal").collect()}
+    assert sig[DATES[0]] == 5.0        # close 5 + fill(volume/1e4 → null→0)
+    assert sig[DATES[1]] == 2.0 / 10000 * 10000 * 0 + 0.0002  # null close → 0
+
+
+def test_ml_model_file_roundtrip(tmp_path, prices):
+    import pickle
+
+    path = tmp_path / "model.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(LinearModel([1.0, 0.5]), f)
+
+    class FileStrategy(TwoFeatureStrategy):
+        MODEL = str(path)
+
+    results = FileStrategy().backtest(prices)
+    assert results.where(F.col("field") == "Signal").count() == 8
