@@ -11,9 +11,13 @@ Each entry maps a name to (spark_fn, oracle_sql):
 Cross-engine float discipline: two-operand double arithmetic (+,-,*,/) and
 min/max/lag/count are bit-deterministic across engines, so most queries
 hash-match exactly.  Multi-row accumulations (sum/avg over many rows) are
-association-order-dependent, so big aggregates sum via DECIMAL(38,10)
-(exact in both engines, cast back to double) and window accumulations round
-to 7 digits on both sides.
+association-order-dependent, so aggregates sum via DECIMAL(18,2) (inputs
+are 2-decimal money; decimal sums are exact in both engines, cast back to
+double).  Avoid ``round()`` on doubles in query outputs: Spark rounds the
+shortest decimal repr (HALF_UP) while DuckDB rounds the binary value, so
+even bit-identical inputs can round differently at .xx5 boundaries —
+``floor``/``round_even`` (= Spark ``bround`` on halves away from repr
+boundaries) or no rounding at all are the portable choices.
 """
 
 from __future__ import annotations
@@ -422,7 +426,7 @@ fin AS (
            CASE WHEN coalesce(position, 0) <> 0 THEN 1.0 ELSE 0.0 END AS total_holdings
     FROM gross
 )
-SELECT field, sid, date, round(value, 7) AS value FROM (
+SELECT field, sid, date, value FROM (
     SELECT 'AbsExposure' AS field, sid, date, abs(position) AS value FROM fin
     UNION ALL SELECT 'AbsWeight', sid, date, abs(weight) FROM fin
     UNION ALL SELECT 'Commission', sid, date, 0.0 FROM fin
@@ -443,8 +447,7 @@ def backtest_dma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     panel = events_to_panel(spark, sf_dir)
     results = DualMovingAverage().backtest(panel)
-    return results.select("field", "sid", "date",
-                          F.round("value", 7).alias("value"))
+    return results.select("field", "sid", "date", "value")
 
 
 # --------------------------------------------------------------------- #
@@ -811,8 +814,8 @@ costed AS (
     FROM gross
 )
 SELECT sid, date,
-       round(coalesce(gross_return, 0) - commission - slippage, 7) AS net_return,
-       round(commission, 7) AS commission, round(slippage, 7) AS slippage
+       coalesce(gross_return, 0) - commission - slippage AS net_return,
+       commission, slippage
 FROM costed
 """
 
@@ -830,9 +833,9 @@ def backtest_dma_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.first("value")))
     return pivoted.select(
         "sid", "date",
-        F.round("Return", 7).alias("net_return"),
-        F.round("Commission", 7).alias("commission"),
-        F.round("Slippage", 7).alias("slippage"))
+        F.col("Return").alias("net_return"),
+        F.col("Commission").alias("commission"),
+        F.col("Slippage").alias("slippage"))
 
 
 # --------------------------------------------------------------------- #
@@ -929,3 +932,173 @@ def ml_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = events_to_panel(spark, sf_dir)
     scored = strat.prices_to_signals(panel)
     return scored.select("sid", "date", "prediction", "signal")
+
+
+# --------------------------------------------------------------------- #
+# R3 — semi/anti joins (key-set membership)                             #
+# --------------------------------------------------------------------- #
+
+@register("join_semi_anti", """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment, 'with_orders' AS status
+FROM customer c WHERE EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c.c_custkey, c.c_name, c.c_mktsegment, 'no_orders' AS status
+FROM customer c WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS) + left_anti (NOT EXISTS) — the reference's
+    exclude-sids key-set filters (R3, base.py:1244-1245)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    with_orders = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                             "left_semi")
+                   .select("c_custkey", "c_name", "c_mktsegment",
+                           F.lit("with_orders").alias("status")))
+    no_orders = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                           "left_anti")
+                 .select("c_custkey", "c_name", "c_mktsegment",
+                         F.lit("no_orders").alias("status")))
+    return with_orders.unionByName(no_orders)
+
+
+# --------------------------------------------------------------------- #
+# rollup / grouping sets                                                #
+# --------------------------------------------------------------------- #
+
+@register("rollup_revenue", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_price"),
+                 F.count("*").alias("n")))
+
+
+# --------------------------------------------------------------------- #
+# F2/F3/F4 — scalar function families                                   #
+# --------------------------------------------------------------------- #
+
+@register("scalar_string_funcs", """
+SELECT event_id,
+       upper(event_type) AS type_upper,
+       concat(event_type, '_', CAST(user_id AS VARCHAR)) AS type_user,
+       substr(event_type, 1, 3) AS type_prefix,
+       length(event_type) AS type_len,
+       string_split(props, ':')[1] AS props_key,
+       strftime(ts, '%Y-%m-%d') AS day_str
+FROM events
+""")
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 string family: upper/concat/substr/length/split/date_format
+    (reference base.py:1133,1644 split; 882,1392 concat; 765 strftime)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.concat(F.col("event_type"), F.lit("_"),
+                 F.col("user_id").cast("string")).alias("type_user"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.length("event_type").cast("bigint").alias("type_len"),
+        F.split("props", ":")[0].alias("props_key"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"))
+
+
+@register("scalar_date_funcs", """
+SELECT event_id,
+       CAST(ts AS DATE) AS day,
+       CAST(date_part('dow', ts) AS INT) AS dow,
+       CAST(date_part('hour', ts) AS INT) AS hour,
+       CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week_start,
+       CAST(last_day(CAST(ts AS DATE)) AS DATE) AS month_end,
+       CAST(CAST(ts AS DATE) + INTERVAL 30 DAY AS DATE) AS day_plus_30,
+       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+           AS days_since_start
+FROM events
+""")
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 date/time family (reference base.py:740-765,1179, borrowfee.py:53).
+    Note Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday → dayofweek-1."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_date("ts").alias("day"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+        F.trunc(F.to_date("ts"), "week").alias("week_start"),
+        F.last_day("ts").alias("month_end"),
+        F.date_add(F.to_date("ts"), 30).alias("day_plus_30"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("int").alias("days_since_start"))
+
+
+@register("scalar_conditional_caps", """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity > 25 THEN 25.0 ELSE l_quantity END AS qty_capped,
+       least(l_quantity, 25.0) AS qty_least,
+       greatest(l_discount, 0.05) AS disc_floor,
+       CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END
+           AS signed_qty,
+       abs(CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END)
+           AS abs_qty,
+       floor(l_extendedprice / 100.0) AS price_hundreds
+FROM lineitem
+""")
+def scalar_conditional_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/P6/P9-P11: when/otherwise, least/greatest caps, abs, round
+    (reference base.py:959-966 caps, weight.py:35 np.where)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    signed = F.when(F.col("l_returnflag") == "R",
+                    -F.col("l_quantity")).otherwise(F.col("l_quantity"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_quantity") > 25, 25.0).otherwise(F.col("l_quantity"))
+        .alias("qty_capped"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_least"),
+        F.greatest(F.col("l_discount"), F.lit(0.05)).alias("disc_floor"),
+        signed.alias("signed_qty"),
+        F.abs(signed).alias("abs_qty"),
+        F.floor(F.col("l_extendedprice") / 100.0).cast("double")
+        .alias("price_hundreds"))
+
+
+# --------------------------------------------------------------------- #
+# D17 — benchmark returns                                               #
+# --------------------------------------------------------------------- #
+
+@register("benchmark_returns", f"""
+WITH panel AS ({PANEL_SQL}),
+dates AS (SELECT DISTINCT date FROM panel),
+bench AS (SELECT date, close FROM panel WHERE sid = '7'),
+spine AS (
+    SELECT d.date,
+           last_value(b.close IGNORE NULLS) OVER (
+               ORDER BY d.date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close
+    FROM dates d LEFT JOIN bench b ON d.date = b.date
+)
+SELECT date, (close - lag(close) OVER (ORDER BY date))
+             / lag(close) OVER (ORDER BY date) AS benchmark
+FROM spine
+""")
+def benchmark_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17: benchmark sid extraction, spine alignment, ffill, pct_change
+    (reference base.py:1402-1500)."""
+    panel = events_to_panel(spark, sf_dir)
+    dates = panel.select("date").distinct()
+    bench = panel.where(F.col("sid") == "7").select("date", "close")
+    spine = dates.join(bench, "date", "left")
+    w = Window.partitionBy(F.lit(1)).orderBy("date")
+    filled = F.last("close", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    spine = spine.withColumn("__c", filled)
+    prev = F.lag("__c").over(w)
+    return spine.select(
+        "date", ((F.col("__c") - prev) / prev).alias("benchmark"))

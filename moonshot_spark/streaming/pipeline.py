@@ -1,0 +1,109 @@
+"""Structured Streaming extension (SURVEY.md §7.1 step 10).
+
+The reference has no streaming surface — live trading is batch-recompute +
+diff (reference base.py:1760-1772, README.md:17).  This module re-expresses
+that loop on Structured Streaming:
+
+- ``stream_events_to_panel``: tick stream → watermarked tumbling-window
+  OHLCV rollup (late ticks within the watermark still update their day).
+- ``stream_sessionize``: native ``session_window`` gap sessionization —
+  the stateful-operator analog of the batch ``sessionize_events`` query.
+- ``stream_trade_orders``: micro-batch trading via ``foreachBatch``: each
+  batch re-runs the batch trade pipeline on the accumulated panel and
+  emits order diffs — the streaming version of the reference's
+  recompute-and-diff loop, with exactly-once sink semantics from the
+  streaming checkpoint.
+
+All aggregations here are incremental (partial aggregation state in the
+state store): at production scale the rollup state is (sid × open windows),
+not the raw tick history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based event stream (each new parquet file in ``path`` is a
+    micro-batch).  In production this is a Kafka source with the same
+    downstream plan."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_events_to_panel(events: DataFrame, watermark: str = "1 hour",
+                           bar: str = "1 day") -> DataFrame:
+    """Tick stream → per-(sid, bar) OHLCV with late-data handling.
+
+    min_by/max_by give exact open/close (first/last tick by event time) —
+    the same A2 semantics as the batch ``events_to_panel`` — and aggregate
+    incrementally in the state store.
+    """
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.col("user_id").cast("string").alias("sid"),
+                     F.window("ts", bar).alias("bar"))
+            .agg(F.min_by("value", "ts").alias("open"),
+                 F.max_by("value", "ts").alias("close"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.count("*").cast("double").alias("volume"))
+            .select("sid", F.to_date(F.col("bar.start")).alias("date"),
+                    "open", "close", "high", "low", "volume"))
+
+
+def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user with inactivity gap — the streaming-native
+    form of the batch lag+cumsum sessionization (queries.sessionize_events)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id", F.session_window("ts", gap).alias("session"))
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+
+
+def stream_trade_orders(panel_stream: DataFrame, strategy_factory,
+                        allocations: dict[str, float], balances_fn,
+                        checkpoint_dir: str, output_path: str):
+    """Micro-batch trading loop: on each trigger, run the batch trade
+    pipeline over the current panel snapshot and append the order diff.
+
+    ``strategy_factory()`` → a Moonshot instance; ``balances_fn(spark)`` →
+    the current balances DataFrame (re-read per batch so intraday balance
+    moves are respected).  The streaming checkpoint gives exactly-once
+    order emission across restarts — the property the reference's cron-
+    driven loop can't provide.
+    """
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        strategy = strategy_factory()
+        orders = strategy.trade(batch_df, allocations, balances_fn(spark))
+        if orders is not None:
+            (orders.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(output_path))
+
+    return (panel_stream.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update"))

@@ -1,0 +1,100 @@
+"""Structured Streaming tests: panel rollup, sessionization, micro-batch
+trading — run with availableNow over file sources, compared against the
+equivalent batch computation."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonshot_spark.sources.parquet import load_table
+from moonshot_spark.streaming.pipeline import (
+    read_event_stream, stream_events_to_panel, stream_sessionize,
+    stream_trade_orders,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Events as a streaming-source directory (two files → two batches)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        path, mode="overwrite")
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(path)
+    return path
+
+
+def run_to_memory(stream_df, spark, name, output_mode="complete"):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_panel_matches_batch(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    panel = stream_events_to_panel(stream)
+    got = run_to_memory(panel, spark, "panel_stream")
+
+    batch = (load_table(spark, SF_DIR, "events")
+             .groupBy(F.col("user_id").cast("string").alias("sid"),
+                      F.to_date("ts").alias("date"))
+             .agg(F.max("value").alias("high"), F.min("value").alias("low"),
+                  F.count("*").cast("double").alias("volume")))
+    g = {(r["sid"], r["date"]): (r["high"], r["low"], r["volume"])
+         for r in got.collect()}
+    b = {(r["sid"], r["date"]): (r["high"], r["low"], r["volume"])
+         for r in batch.collect()}
+    assert g == b
+
+
+def test_stream_sessionize(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    sessions = stream_sessionize(stream, gap="30 minutes")
+    got = run_to_memory(sessions, spark, "sessions_stream")
+    # session count per user must match the batch lag+cumsum sessionization
+    from moonshot_spark.queries import QUERIES
+    batch = QUERIES["sessionize_events"](spark, SF_DIR)
+    got_counts = {r["user_id"]: r["n"] for r in
+                  got.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    batch_counts = {r["user_id"]: r["n"] for r in
+                    batch.groupBy("user_id").agg(
+                        F.countDistinct("session_id").alias("n")).collect()}
+    assert got_counts == batch_counts
+
+
+def test_stream_trade_orders(spark, stream_dir, tmp_path):
+    from moonshot_spark.strategies.base import Moonshot
+
+    class BuyBelow100(Moonshot):
+        CODE = "stream-buy"
+
+        def prices_to_signals(self, prices):
+            return prices.withColumn("signal",
+                                     (F.col("close") < 100).cast("int"))
+
+    def balances_fn(spark_):
+        return spark_.createDataFrame(
+            [("U1", "USD", 100000.0)],
+            "account string, currency string, net_liquidation double")
+
+    checkpoint = str(tmp_path / "ckpt")
+    out = str(tmp_path / "orders")
+    stream = read_event_stream(spark, stream_dir)
+    panel = stream_events_to_panel(stream)
+    q = stream_trade_orders(panel, BuyBelow100, {"U1": 1.0}, balances_fn,
+                            checkpoint, out).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    orders = spark.read.parquet(out)
+    rows = orders.collect()
+    assert len(rows) > 0
+    assert {r["order_ref"] for r in rows} == {"stream-buy"}
+    assert all(r["total_quantity"] > 0 for r in rows)
+    assert {r["action"] for r in rows} <= {"BUY", "SELL"}
