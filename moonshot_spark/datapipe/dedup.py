@@ -51,19 +51,44 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16,
                        shingle_n: int = 3) -> DataFrame:
-    """Per-doc MinHash signature: for hash function i, the minimum of
-    md5(i || shingle) over the doc's shingle set.
+    """Per-doc MinHash signature of ``num_hashes`` 8-hex-char hashes.
 
-    md5-based hash family keeps the signature deterministic across engines
-    and runs (no seed state).  Output: (id, sig array<string> length k).
+    Hash family: each shingle gets ceil(k/4) md5 digests (salted variants),
+    each split into four 32-bit hex slices → k independent hashes from k/4
+    md5 calls.  minhash_i = lexicographic min of slice i over the shingle
+    set.  md5-based → deterministic across engines and runs (no seed state).
+
+    Scale notes: the input is repartitioned before the (CPU-heavy) hashing
+    projection so signature computation parallelizes even when the source
+    is a single file/row-group; the slices array is materialized as a
+    column so the per-shingle md5 work runs once, not once per hash
+    function.  Output: (id, minhash_sig array<string> length k).
     """
-    sh = shingles_expr(text_col, shingle_n)
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.encode(
-                F.concat(i.cast("string"), F.lit("|"), s), "UTF-8")))))
-    return docs.select(F.col(id_col), hashes.alias("minhash_sig"))
+    assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
+    n_md5 = num_hashes // 4
+
+    # explode shingles to rows: each shingle's md5s are computed exactly once
+    # in a flat whole-stage-codegen projection (array-lambda nesting would be
+    # interpreted AND CollapseProject would duplicate the md5 per hash), and
+    # the k mins aggregate with map-side partial aggregation — the shuffle
+    # carries one k-slice row per doc, not the shingle set.
+    exploded = (docs
+                .repartition(F.col(id_col))
+                .select(F.col(id_col),
+                        F.explode(shingles_expr(text_col, shingle_n)).alias("__s")))
+    digests = [F.md5(F.encode(F.col("__s"), "UTF-8"))] + [
+        F.md5(F.encode(F.concat(F.lit(f"{chr(96 + j)}|"), F.col("__s")),
+                       "UTF-8"))
+        for j in range(1, n_md5)]
+    slice_cols = [d.substr(1 + 8 * k, 8).alias(f"__h{j * 4 + k}")
+                  for j, d in enumerate(digests) for k in range(4)]
+    sliced = exploded.select(F.col(id_col), *slice_cols)
+    agg = sliced.groupBy(id_col).agg(
+        *[F.min(f"__h{i}").alias(f"__m{i}") for i in range(num_hashes)])
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+        .alias("minhash_sig"))
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
@@ -88,6 +113,10 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                          rows_per_band)), "UTF-8")))
     banded = (sigs.select(id_col, "minhash_sig",
                           F.posexplode(band_arr).alias("band_id", "band_hash")))
+    # both legs of the self-join (and the pair distinct) would otherwise
+    # recompute the whole shingle→md5 pipeline; the banded signatures are
+    # tiny (k hashes/doc) so cache them for the join
+    banded = banded.persist()
 
     left = banded.select(F.col(id_col).alias("id_a"),
                          F.col("minhash_sig").alias("sig_a"),

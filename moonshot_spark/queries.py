@@ -544,11 +544,16 @@ WITH toks AS (
     SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2),
         i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS shingles
     FROM toks
-), sigs AS (
-    SELECT doc_id, list_transform(range(0, 16),
-        i -> list_min(list_transform(shingles,
-            s -> md5(concat(CAST(i AS VARCHAR), '|', s))))) AS sig
+), sl AS (
+    SELECT doc_id, list_transform(shingles, s -> flatten(list_transform(
+        [md5(s), md5('a|' || s), md5('b|' || s), md5('c|' || s)],
+        h -> [substr(h, 1, 8), substr(h, 9, 8), substr(h, 17, 8),
+              substr(h, 25, 8)]))) AS slices
     FROM sh
+), sigs AS (
+    SELECT doc_id, list_transform(range(1, 17),
+        i -> list_min(list_transform(slices, a -> a[i]))) AS sig
+    FROM sl
 ), bands AS (
     SELECT doc_id, sig, b.band_id,
            md5(array_to_string(list_slice(sig, b.band_id * 4 + 1,
