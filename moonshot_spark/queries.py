@@ -1107,3 +1107,111 @@ def benchmark_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("__c").over(w)
     return spine.select(
         "date", ((F.col("__c") - prev) / prev).alias("benchmark"))
+
+
+# --------------------------------------------------------------------- #
+# distinct aggregation + percentiles                                    #
+# --------------------------------------------------------------------- #
+
+@register("distinct_and_percentiles", """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       median(value) AS median_value,
+       quantile_cont(value, 0.9) AS p90_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+""")
+def distinct_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation + interpolated percentiles.  Spark
+    percentile() and DuckDB quantile_cont both interpolate over the sorted
+    values — deterministic given exact inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count("*").alias("n_events"),
+                 F.expr("percentile(value, 0.5)").alias("median_value"),
+                 F.expr("percentile(value, 0.9)").alias("p90_value"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value")))
+
+
+# --------------------------------------------------------------------- #
+# F5 — JSON parsing                                                     #
+# --------------------------------------------------------------------- #
+
+@register("json_extract_props", """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_value
+FROM events
+""")
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: JSON field extraction (reference base.py:1838-1842 json.load)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+        F.get_json_object("props", "$.missing").cast("bigint")
+        .alias("missing_value"))
+
+
+# --------------------------------------------------------------------- #
+# W10 — resample / rebalance interval                                   #
+# --------------------------------------------------------------------- #
+
+@register("resample_weekly", f"""
+WITH panel AS ({PANEL_SQL})
+SELECT sid, CAST(date_trunc('week', date) AS DATE) AS week,
+       arg_max(close, date) AS close_last,
+       arg_min(open, date) AS open_first,
+       max(high) AS high, min(low) AS low,
+       CAST(sum(CAST(volume AS DECIMAL(18,2))) AS DOUBLE) AS volume
+FROM panel GROUP BY 1, 2
+""")
+def resample_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: periodic resampling (REBALANCE_INTERVAL convention, reference
+    base.py:95-97,1068-1084) — daily panel → weekly OHLCV bars."""
+    panel = events_to_panel(spark, sf_dir)
+    return (panel.groupBy(
+        "sid", F.trunc("date", "week").alias("week"))
+        .agg(F.max_by("close", "date").alias("close_last"),
+             F.min_by("open", "date").alias("open_first"),
+             F.max("high").alias("high"), F.min("low").alias("low"),
+             F.sum(F.col("volume").cast("decimal(18,2)")).cast("double")
+             .alias("volume")))
+
+
+# --------------------------------------------------------------------- #
+# IVF centroids — the ANN scale path's training step                    #
+# --------------------------------------------------------------------- #
+
+@register("ivf_label_centroids", """
+WITH dims AS (
+    SELECT label, i.i AS dim, CAST(embedding[i.i + 1] AS DOUBLE) AS v
+    FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       list_reduce(list_sort(list(v)), (a, b) -> a + b) / count(v) AS centroid,
+       CAST(count(v) AS BIGINT) AS n
+FROM dims GROUP BY label, dim
+""")
+def ivf_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the coarse-quantizer
+    training step of an IVF index (posexplode + mean per (label, dim)).
+
+    The oracle-exact sum is a sorted left-to-right fold (arbitrary floats
+    can't go through DECIMAL: the double→decimal cast itself differs
+    between engines).  At 100 TB you'd use a plain F.avg — the fold is the
+    determinism device for the correctness gate, same shuffle shape.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v"))
+    sorted_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.col("v").cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (exploded.groupBy("label", F.col("dim").cast("int").alias("dim"))
+            .agg((sorted_sum / F.count("v")).alias("centroid"),
+                 F.count("v").alias("n"))
+            .select("label", "dim", "centroid", "n"))
