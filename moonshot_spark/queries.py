@@ -1215,3 +1215,155 @@ def ivf_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((sorted_sum / F.count("v")).alias("centroid"),
                  F.count("v").alias("n"))
             .select("label", "dim", "centroid", "n"))
+
+
+# --------------------------------------------------------------------- #
+# embedding-cosine near-duplicates                                      #
+# --------------------------------------------------------------------- #
+
+@register("embedding_near_dups", """
+WITH corpus AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), normed AS (
+    SELECT vec_id, label, v,
+           sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+               i -> v[i] * v[i]), (x, y) -> x + y)) AS norm
+    FROM corpus
+), pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           list_reduce(list_transform(range(1, len(a.v) + 1),
+               i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+           / (a.norm * b.norm) AS cosine
+    FROM normed a JOIN normed b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, cosine
+FROM pairs WHERE cosine > 0.35
+""")
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: candidate pairs within the
+    same label bucket (the IVF-cell restriction), kept above a cosine
+    threshold.  Norms are computed once per vector BEFORE the pair join —
+    only the dot product runs per pair.  At 100 TB the label/IVF-cell
+    equi-join bounds the pair blowup to Σ cell²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
+                              lambda acc, x: acc + x))
+    normed = emb.select("vec_id", "label", v.alias("__v"), norm.alias("__n"))
+    a = normed.select(F.col("vec_id").alias("vec_a"), "label",
+                      F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = normed.select(F.col("vec_id").alias("vec_b"), "label",
+                      F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    pairs = a.join(b, "label").where(F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(F.zip_with("__va", "__vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (pairs.withColumn("cosine", dot / (F.col("__na") * F.col("__nb")))
+            .where(F.col("cosine") > 0.35)
+            .select("vec_a", "vec_b", "label", "cosine"))
+
+
+# --------------------------------------------------------------------- #
+# BPE-ish subword token counting                                        #
+# --------------------------------------------------------------------- #
+
+@register("token_counts", """
+WITH toks AS (
+    SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(words,
+           w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_char_tokens
+FROM toks
+""")
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish subword estimate (≈4 chars
+    per subword token, per word — the standard LLM budget heuristic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    subword = F.aggregate(
+        words, F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0))
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        subword.alias("n_subword_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("n_char_tokens"))
+
+
+# --------------------------------------------------------------------- #
+# TPC-H Q3 shape: 3-way join + agg + top-k                              #
+# --------------------------------------------------------------------- #
+
+@register("q3_shipping_priority", """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS order_date, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
+    customer broadcasts; the orders⋈lineitem join shuffles on orderkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li
+            .join(orders.where(F.col("o_orderstatus") != "F"),
+                  li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+                  orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                       * (1 - F.col("l_discount").cast("decimal(18,2)")))
+                 .cast("double").alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.col("o_orderdate").cast("date").alias("order_date"),
+                    "o_orderpriority")
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+# --------------------------------------------------------------------- #
+# R3 — true row-set operations (UNION / INTERSECT / EXCEPT)             #
+# --------------------------------------------------------------------- #
+
+@register("set_ops_users", """
+WITH purchasers AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), clickers AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+), errorers AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+SELECT user_id, 'purchase_and_click' AS segment
+FROM (SELECT user_id FROM purchasers INTERSECT SELECT user_id FROM clickers)
+UNION ALL
+SELECT user_id, 'purchase_not_error' AS segment
+FROM (SELECT user_id FROM purchasers EXCEPT SELECT user_id FROM errorers)
+UNION ALL
+SELECT user_id, 'any_activity' AS segment
+FROM (SELECT user_id FROM purchasers UNION SELECT user_id FROM clickers)
+""")
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def users(t):
+        return ev.where(F.col("event_type") == t).select("user_id").distinct()
+
+    purchasers, clickers, errorers = users("purchase"), users("click"), users("error")
+    return (purchasers.intersect(clickers)
+            .withColumn("segment", F.lit("purchase_and_click"))
+            .unionByName(purchasers.exceptAll(errorers).distinct()
+                         .withColumn("segment", F.lit("purchase_not_error")))
+            .unionByName(purchasers.union(clickers).distinct()
+                         .withColumn("segment", F.lit("any_activity"))))

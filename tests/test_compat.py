@@ -1,0 +1,72 @@
+"""Pandas-strategy compatibility shim tests: an unmodified reference-style
+pandas strategy must produce identical results to the native Spark hook."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonshot_spark import Moonshot
+from moonshot_spark.strategies.compat import PandasStrategyAdapter
+
+DATES = [datetime.date(2018, 5, d) for d in (1, 2, 3, 4)]
+
+
+@pytest.fixture(scope="module")
+def prices(spark):
+    closes = {"FI12345": [9, 11, 10.50, 9.99], "FI23456": [9.89, 11, 8.50, 10.50]}
+    volumes = {"FI12345": [5000, 16000, 8800, 9900],
+               "FI23456": [15000, 14000, 28800, 17000]}
+    rows = [(sid, d, float(c), float(v)) for sid in closes
+            for d, c, v in zip(DATES, closes[sid], volumes[sid], strict=True)]
+    return spark.createDataFrame(
+        rows, "sid string, date date, close double, volume double")
+
+
+class PandasBuyBelow10:
+    """Reference-style strategy, verbatim from the reference's test
+    (_tests/test_backtest.py:114-121) — pandas API, no Spark imports."""
+
+    CODE = "pandas-buy-below-10"
+
+    def prices_to_signals(self, prices):
+        signals = prices.loc["Close"] < 10
+        return signals.astype(int)
+
+
+class NativeBuyBelow10(Moonshot):
+    def prices_to_signals(self, prices):
+        return prices.withColumn("signal", (F.col("close") < 10).cast("int"))
+
+
+def results_map(results):
+    return {(r["field"], r["sid"], r["date"]): r["value"]
+            for r in results.collect()}
+
+
+def test_pandas_strategy_matches_native(prices):
+    native = results_map(NativeBuyBelow10().backtest(prices))
+    adapted = results_map(PandasStrategyAdapter(PandasBuyBelow10()).backtest(prices))
+    assert set(native) == set(adapted)
+    for k, v in native.items():
+        if v is None:
+            assert adapted[k] is None
+        else:
+            assert adapted[k] == pytest.approx(v)
+
+
+def test_pandas_strategy_rolling_window(prices):
+    """A pandas hook that needs full per-sid history (rolling mean)."""
+
+    class PandasMavg:
+        def prices_to_signals(self, prices):
+            closes = prices.loc["Close"]
+            mavg = closes.rolling(2).mean()
+            return (closes > mavg).astype(int)
+
+    results = PandasStrategyAdapter(PandasMavg()).backtest(prices)
+    sig = results_map(results)
+    # mavg day2 FI12345 = (9+11)/2 = 10 < 11 → 1
+    assert sig[("Signal", "FI12345", DATES[1])] == 1.0
+    # day1: rolling(2) is NaN → comparison False → 0
+    assert sig[("Signal", "FI12345", DATES[0])] == 0.0
