@@ -1367,3 +1367,71 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .withColumn("segment", F.lit("purchase_not_error")))
             .unionByName(purchasers.union(clickers).distinct()
                          .withColumn("segment", F.lit("any_activity"))))
+
+
+# --------------------------------------------------------------------- #
+# TPC-H Q5 shape: 5-way star join                                       #
+# --------------------------------------------------------------------- #
+
+@register("q5_region_revenue", """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY n.n_name
+""")
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake dim chain (region→nation→supplier) joined
+    to the fact table.  All three dims broadcast; the only shuffle is the
+    final aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (supp
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region.where(F.col("r_name")
+                                           .isin("ASIA", "EUROPE"))),
+                  nation.n_regionkey == region.r_regionkey))
+    return (li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                       * (1 - F.col("l_discount").cast("decimal(18,2)")))
+                 .cast("double").alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+# --------------------------------------------------------------------- #
+# correlated / scalar subquery                                          #
+# --------------------------------------------------------------------- #
+
+@register("parts_above_brand_avg", """
+SELECT p.p_partkey, p.p_brand, p.p_retailprice,
+       p.p_retailprice - b.brand_avg AS price_vs_brand
+FROM part p
+JOIN (
+    SELECT p_brand,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS brand_avg
+    FROM part GROUP BY p_brand
+) b ON p.p_brand = b.p_brand
+WHERE p.p_retailprice > b.brand_avg
+""")
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (price above group average), decorrelated
+    into an aggregate + self-join — the plan Catalyst produces for the
+    correlated form, written explicitly for oracle-exact decimal math."""
+    part = load_table(spark, sf_dir, "part")
+    brand_avg = (part.groupBy("p_brand")
+                 .agg((F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+                       .cast("double") / F.count("*")).alias("brand_avg")))
+    return (part.join(F.broadcast(brand_avg), "p_brand")
+            .where(F.col("p_retailprice") > F.col("brand_avg"))
+            .select("p_partkey", "p_brand", "p_retailprice",
+                    (F.col("p_retailprice") - F.col("brand_avg"))
+                    .alias("price_vs_brand")))

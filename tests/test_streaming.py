@@ -98,3 +98,48 @@ def test_stream_trade_orders(spark, stream_dir, tmp_path):
     assert {r["order_ref"] for r in rows} == {"stream-buy"}
     assert all(r["total_quantity"] > 0 for r in rows)
     assert {r["action"] for r in rows} <= {"BUY", "SELL"}
+
+
+def test_stateful_position_tracker(spark, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches."""
+    import pandas as pd
+
+    from moonshot_spark.streaming.stateful import track_positions
+
+    orders_dir = str(tmp_path / "orders_stream")
+    os.makedirs(orders_dir)
+    batch1 = spark.createDataFrame(
+        [("A", "U1", "BUY", 100), ("A", "U1", "BUY", 50), ("B", "U1", "SELL", 30)],
+        "sid string, account string, action string, total_quantity long")
+    batch1.coalesce(1).write.mode("overwrite").parquet(orders_dir)
+
+    out_dir = str(tmp_path / "positions_out")
+
+    def run_once():
+        stream = spark.readStream.schema(batch1.schema).parquet(orders_dir)
+
+        def write_batch(bdf, batch_id):
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (track_positions(stream).writeStream
+             .foreachBatch(write_batch).outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    got = {(r["sid"], r["account"]): r["net_quantity"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {("A", "U1"): 150, ("B", "U1"): -30}
+
+    # second batch arrives → restart from checkpoint, state carries forward
+    batch2 = spark.createDataFrame(
+        [("A", "U1", "SELL", 70)],
+        "sid string, account string, action string, total_quantity long")
+    batch2.coalesce(1).write.mode("append").parquet(orders_dir)
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    # latest emission for (A, U1) reflects accumulated state: 150 − 70
+    a_positions = sorted(r["net_quantity"] for r in rows
+                         if r["sid"] == "A")
+    assert 80 in a_positions and 150 in a_positions
