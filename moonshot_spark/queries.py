@@ -1435,3 +1435,35 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p_partkey", "p_brand", "p_retailprice",
                     (F.col("p_retailprice") - F.col("brand_avg"))
                     .alias("price_vs_brand")))
+
+
+# --------------------------------------------------------------------- #
+# range frames — calendar-gap-aware rolling window                      #
+# --------------------------------------------------------------------- #
+
+@register("range_frame_weekly_sum", f"""
+WITH panel AS ({PANEL_SQL})
+SELECT sid, date,
+       CAST(sum(CAST(volume AS DECIMAL(18,2))) OVER (
+           PARTITION BY sid ORDER BY date
+           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS volume_7d,
+       CAST(count(*) OVER (
+           PARTITION BY sid ORDER BY date
+           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS days_in_window
+FROM panel
+""")
+def range_frame_weekly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-gap-aware trailing 7-day sum via a RANGE frame (SURVEY §2.5
+    note: range frames for calendar-aware extensions).  Unlike rowsBetween,
+    missing days shrink the window instead of reaching further back."""
+    panel = events_to_panel(spark, sf_dir)
+    w = (Window.partitionBy("sid")
+         .orderBy(F.col("date").cast("timestamp").cast("long"))
+         .rangeBetween(-6 * 86400, 0))
+    return panel.select(
+        "sid", "date",
+        F.sum(F.col("volume").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("volume_7d"),
+        F.count("*").over(w).alias("days_in_window"))

@@ -437,10 +437,18 @@ class Moonshot:
         # max date (reference uses "today" against live data; with batch
         # inputs the latest row is today's analog, and staleness validation
         # (base.py:773-775) is the caller's concern).
+        max_date = df.select(F.max("date")).collect()[0][0]
         if review_date is not None:
-            signal_date = F.lit(review_date).cast("date")
+            import datetime
+            signal_date = datetime.date.fromisoformat(review_date)
+            if max_date is None or signal_date > max_date:
+                # staleness validation — reference base.py:790-830
+                raise MoonshotError(
+                    "expected signal date {0} not found in target weights "
+                    "DataFrame, is the underlying data up-to-date? "
+                    "(max date is {1})".format(signal_date, max_date))
         else:
-            signal_date = df.select(F.max("date")).collect()[0][0]
+            signal_date = max_date
         self._signal_date = signal_date
         today = df.where(F.col("date") == signal_date)
         if self._is_intraday(df):
@@ -554,15 +562,20 @@ class Moonshot:
         else:
             today = today.withColumn("net_quantity", F.col("target_quantity"))
 
-        # D22: quantities → order stubs (melt; zeros dropped)
+        # D22: quantities → order stubs (melt; zeros dropped).  The stubs are
+        # persisted before the emptiness check so the all-zero gate
+        # (base.py:1800-1801) doesn't recompute the whole pipeline when the
+        # caller consumes the result.
         order_stubs = (today.where(F.col("net_quantity") != 0)
                        .select(
                            "sid", "account",
                            F.when(F.col("net_quantity") > 0, F.lit("BUY"))
                            .otherwise(F.lit("SELL")).alias("action"),
                            F.lit(self.CODE).alias("order_ref"),
-                           F.abs("net_quantity").alias("total_quantity")))
+                           F.abs("net_quantity").alias("total_quantity"))
+                       .persist())
         if order_stubs.isEmpty():
+            order_stubs.unpersist()
             return None
         return self.order_stubs_to_orders(order_stubs, prices)
 

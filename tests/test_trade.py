@@ -199,3 +199,13 @@ def test_child_orders(spark, prices, master, balances):
         orders.withColumn("order_id", F.lit("0")))
     rows = child.collect()
     assert rows[0]["action"] == "SELL" and rows[0]["parent_id"] == "0"
+
+
+def test_stale_review_date_raises(prices, master, balances):
+    """D19 staleness validation: review_date beyond max data date errors
+    (reference base.py:790-830)."""
+    from moonshot_spark.strategies.base import MoonshotError
+
+    with pytest.raises(MoonshotError, match="max date is 2024-06-05"):
+        BuyBelow10().trade(prices, {"U123": 1.0}, balances, master=master,
+                           review_date="2024-07-01")
