@@ -1467,3 +1467,63 @@ def range_frame_weekly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("volume").cast("decimal(18,2)")).over(w)
         .cast("double").alias("volume_7d"),
         F.count("*").over(w).alias("days_in_window"))
+
+
+# --------------------------------------------------------------------- #
+# W10 full semantics — periodic rebalancing with hold-between            #
+# --------------------------------------------------------------------- #
+
+@register("rebalance_weekly_weights", f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN close < 100 THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+flagged AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY sid, date_trunc('week', date) ORDER BY date) AS rn
+    FROM wts
+)
+SELECT sid, date, weight,
+       last_value(CASE WHEN rn = 1 THEN weight END IGNORE NULLS) OVER (
+           PARTITION BY sid ORDER BY date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS held_weight
+FROM flagged
+""")
+def rebalance_weekly_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: weekly rebalancing — weights picked at each week's first
+    observation and held constant until the next rebalance."""
+    from moonshot_spark.operators.rebalance import rebalance_weights
+    from moonshot_spark.operators.weights import allocate_equal_weights
+
+    panel = events_to_panel(spark, sf_dir)
+    sig = panel.withColumn(
+        "signal", F.when(F.col("close") < 100, 1.0).otherwise(0.0))
+    wts = allocate_equal_weights(sig)
+    held = rebalance_weights(wts, "W", weight_col="weight",
+                             out_col="held_weight")
+    return held.select("sid", "date", "weight", "held_weight")
+
+
+# --------------------------------------------------------------------- #
+# approximate aggregates (rows-only: approx algorithms differ by engine) #
+# --------------------------------------------------------------------- #
+
+@register("approx_aggregates")
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx distinct + approx percentiles.  No SQL oracle: the
+    sketch algorithms (and therefore exact outputs) differ across engines —
+    the driver records a rows-only check; test_datapipe-style bounds are
+    asserted in tests/test_skew_approx.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                 F.percentile_approx("value", 0.5).alias("approx_median"),
+                 F.count("*").alias("n")))
