@@ -150,6 +150,32 @@ def ngram_jaccard_pairs(docs: DataFrame, candidate_pairs: DataFrame,
                          (inter.cast("double") / union).alias("jaccard"))
 
 
+def dedup_corpus(docs: DataFrame, method: str = "exact",
+                 text_col: str = "text", id_col: str = "doc_id",
+                 threshold: float = 0.8) -> DataFrame:
+    """End-to-end corpus deduplication: return ``docs`` minus duplicates.
+
+    - ``exact``: drop all but the min-id doc of each identical-text group.
+    - ``minhash``: LSH candidates → exact n-gram Jaccard ≥ ``threshold`` →
+      connected into groups via min-id propagation → keep group minimum.
+      (One iteration of min-propagation: each doc removed if it has a
+      higher id than any ≥-threshold partner — the standard keep-first
+      near-dup policy.)
+    """
+    if method == "exact":
+        dup_groups = exact_duplicates(docs, text_col, id_col)
+        removable = dup_groups.select(
+            F.explode("dup_ids").alias(id_col))
+        return docs.join(removable, id_col, "left_anti")
+    if method == "minhash":
+        candidates = lsh_candidate_pairs(docs, text_col, id_col)
+        verified = (ngram_jaccard_pairs(docs, candidates, text_col, id_col)
+                    .where(F.col("jaccard") >= threshold))
+        removable = verified.select(F.col("doc_b").alias(id_col)).distinct()
+        return docs.join(removable, id_col, "left_anti")
+    raise ValueError(f"unknown dedup method: {method!r}")
+
+
 def simhash_expr(col, bits: int = 32):
     """SimHash signature as a ``bits``-char '0'/'1' string.
 

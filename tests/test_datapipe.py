@@ -135,3 +135,21 @@ def test_multimodal_features(docs):
 def test_multimodal_real_decode_gated(docs):
     with pytest.raises(NotImplementedError):
         extract_features(docs_to_media(docs), decode_stub=False)
+
+
+def test_dedup_corpus_exact(docs):
+    from moonshot_spark.datapipe.dedup import dedup_corpus
+
+    clean = dedup_corpus(docs, "exact")
+    ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert ids == {0, 2, 3, 4, 5}       # doc 1 (exact dup of 0) removed
+
+
+def test_dedup_corpus_minhash(docs):
+    from moonshot_spark.datapipe.dedup import dedup_corpus
+
+    clean = dedup_corpus(docs, "minhash", threshold=0.5)
+    ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert 0 in ids and 1 not in ids    # exact dup removed
+    assert 2 not in ids                 # near dup (jaccard > 0.5) removed
+    assert {3, 4, 5} <= ids             # unrelated docs kept
