@@ -1527,3 +1527,119 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.approx_count_distinct("user_id").alias("approx_users"),
                  F.percentile_approx("value", 0.5).alias("approx_median"),
                  F.count("*").alias("n")))
+
+
+# --------------------------------------------------------------------- #
+# corpus analysis: top terms per language                               #
+# --------------------------------------------------------------------- #
+
+@register("top_terms_per_lang", """
+WITH words AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+), counts AS (
+    SELECT lang, word, count(*) AS n FROM words GROUP BY lang, word
+)
+SELECT lang, word, CAST(n AS BIGINT) AS n, CAST(rn AS INT) AS rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rn
+    FROM counts
+) WHERE rn <= 5
+""")
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency top-k per language: explode → count → windowed top-k
+    (the corpus-vocabulary building block; one shuffle on (lang, word) with
+    map-side combine, one on lang for the top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    counts = words.groupBy("lang", "word").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .select("lang", "word", "n", F.col("rn").cast("int")))
+
+
+# --------------------------------------------------------------------- #
+# funnel: signup → first subsequent purchase per user                   #
+# --------------------------------------------------------------------- #
+
+@register("funnel_signup_purchase", """
+WITH signups AS (
+    SELECT user_id, min(ts) AS signup_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), purchases AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), first_purchase AS (
+    SELECT s.user_id, s.signup_ts,
+           min(p.ts) AS first_purchase_ts
+    FROM signups s LEFT JOIN purchases p
+      ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+    GROUP BY s.user_id, s.signup_ts
+)
+SELECT user_id, signup_ts, first_purchase_ts,
+       CAST(CASE WHEN first_purchase_ts IS NOT NULL
+            THEN date_diff('second', signup_ts, first_purchase_ts) END
+            AS BIGINT) AS seconds_to_convert
+FROM first_purchase
+""")
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: each user's first signup and first purchase at or
+    after it — the event-sequence pattern (min-aggregates + conditional
+    join, no ordered state needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = (ev.where(F.col("event_type") == "signup")
+               .groupBy("user_id").agg(F.min("ts").alias("signup_ts"),
+                                       F.min("ts_ns").alias("__s_ns")))
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("ts").alias("__p_ts"), F.col("ts_ns").alias("__p_ns"))
+    joined = (signups.join(purchases,
+                           (signups.user_id == purchases.user_id)
+                           & (purchases.__p_ns >= signups.__s_ns), "left")
+              .drop(purchases.user_id))
+    out = (joined.groupBy("user_id", "signup_ts")
+           .agg(F.min("__p_ts").alias("first_purchase_ts")))
+    secs = (F.col("first_purchase_ts").cast("long")
+            - F.col("signup_ts").cast("long"))
+    return out.select("user_id", "signup_ts", "first_purchase_ts",
+                      F.when(F.col("first_purchase_ts").isNotNull(), secs)
+                      .alias("seconds_to_convert"))
+
+
+# --------------------------------------------------------------------- #
+# quality filtering — C4/Gopher-style corpus rules                      #
+# --------------------------------------------------------------------- #
+
+@register("quality_filter", """
+WITH toks AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           string_split(text, ' ') AS t FROM documents
+), scored AS (
+    SELECT doc_id, lang, source, n_chars,
+           len(t) AS n_tokens,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+               / len(t) AS mean_token_len,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS DOUBLE) / length(text) AS punct_ratio
+    FROM toks
+)
+SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       mean_token_len, punct_ratio
+FROM scored
+WHERE n_tokens >= 20 AND mean_token_len BETWEEN 2.0 AND 12.0
+  AND punct_ratio < 0.1
+""")
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality gate: keep documents passing length / token-
+    shape / punctuation rules (C4/Gopher-style) — pure column predicates,
+    fully pushed into the scan stage."""
+    from moonshot_spark.datapipe.text import quality_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_exprs("text")
+    scored = docs.select(
+        "doc_id", "lang", "source",
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["punct_ratio"].alias("punct_ratio"))
+    return scored.where(
+        (F.col("n_tokens") >= 20)
+        & F.col("mean_token_len").between(2.0, 12.0)
+        & (F.col("punct_ratio") < 0.1))

@@ -1,0 +1,59 @@
+"""Plan-regression tests: assert the physical plans keep the properties the
+100 TB design depends on (broadcasts, pushdown, exchange counts).  A change
+that silently turns a broadcast join into a sort-merge join or un-pushes a
+filter fails here, not in production."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonshot_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(name):
+    from moonshot_spark.session import get_spark
+    spark = get_spark("plan_tests")
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dims():
+    plan = plan_of("join_star_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q5_snowflake_broadcasts():
+    plan = plan_of("q5_region_revenue")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_lineitem_filter_pushdown():
+    plan = plan_of("agg_lineitem_pricing")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
+        in plan, plan
+
+
+def test_scan_prunes_columns():
+    plan = plan_of("agg_lineitem_pricing")
+    # the 7-column read schema (not all 11 lineitem columns)
+    assert "l_comment" not in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1].split("\n")[0], plan
+
+
+def test_backtest_exchange_budget():
+    """The backtest DAG must stay at ≤4 exchanges and 1 scan (PERF.md)."""
+    plan = plan_of("backtest_dma")
+    assert plan.count("Exchange") <= 4, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_window_chain_single_exchange():
+    plan = plan_of("window_shift_diff_pct")
+    # panel agg shuffle + one sid-window shuffle only
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_ann_broadcasts_queries():
+    plan = plan_of("ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
