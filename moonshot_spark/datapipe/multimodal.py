@@ -81,3 +81,83 @@ def extract_features(media: DataFrame, dim: int = 8,
             yield out
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", LongType(), True),
+    StructField("height", LongType(), True),
+    StructField("payload", BinaryType(), True),
+])
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64,
+                  decode_stub: bool = True) -> DataFrame:
+    """Resize stage for image payloads via mapInPandas.
+
+    Stubbed resize: deterministic byte resampling of the payload to
+    width×height bytes (stride sampling) standing in for a real
+    decode→resize→re-encode (PIL's ``Image.resize`` in production).
+    Schema, filtering, and Arrow batching are the real pipeline.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real image resize requires PIL/torchvision; use decode_stub=True")
+
+    target = width * height
+
+    def _resample(payload):
+        if payload is None:
+            return None
+        import numpy as np
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if arr.size == 0:
+            return bytes(target)
+        idx = (np.arange(target) * arr.size) // target
+        return arr[idx].tobytes()
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            pdf = pdf[pdf["media_type"] == "image"]
+            out = pdf[["media_id"]].copy()
+            out["width"] = width
+            out["height"] = height
+            out["payload"] = pdf["payload"].map(_resample)
+            yield out
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_index", LongType(), False),
+    StructField("frame_payload", BinaryType(), True),
+])
+
+
+def sample_frames(media: DataFrame, num_frames: int = 4,
+                  decode_stub: bool = True) -> DataFrame:
+    """Frame-sampling stage for video payloads: each payload expands to
+    ``num_frames`` evenly spaced byte slices (1:N explode via mapInPandas —
+    the real implementation swaps the slicer for an ffmpeg/pyav keyframe
+    reader; the fan-out shape and schema are identical)."""
+    if not decode_stub:
+        raise NotImplementedError(
+            "real frame sampling requires pyav/ffmpeg; use decode_stub=True")
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in it:
+            pdf = pdf[pdf["media_type"] == "video"]
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r["payload"] or b""
+                chunk = max(1, len(payload) // num_frames)
+                for i in range(num_frames):
+                    rows.append({"media_id": r["media_id"], "frame_index": i,
+                                 "frame_payload":
+                                     payload[i * chunk:(i + 1) * chunk]})
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index",
+                                              "frame_payload"])
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

@@ -1643,3 +1643,76 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") >= 20)
         & F.col("mean_token_len").between(2.0, 12.0)
         & (F.col("punct_ratio") < 0.1))
+
+
+# --------------------------------------------------------------------- #
+# intraday panel + continuous intraday backtest                         #
+# --------------------------------------------------------------------- #
+
+INTRADAY_PANEL_SQL = """
+    SELECT CAST(user_id AS VARCHAR) AS sid, CAST(ts AS DATE) AS date,
+           lpad(CAST(CAST(date_part('hour', ts) AS INT) - CAST(date_part('hour', ts) AS INT) % 6 AS VARCHAR), 2, '0')
+               || ':00:00' AS time,
+           arg_max(value, ts) AS close
+    FROM events GROUP BY 1, 2, 3
+"""
+
+
+@register("backtest_intraday", f"""
+WITH panel AS ({INTRADAY_PANEL_SQL}),
+sig AS (
+    SELECT sid, date, time, close,
+           CASE WHEN close <= 100 THEN 1.0 ELSE -1.0 END AS signal
+    FROM panel
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date, time), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date, time)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER w AS position FROM wts
+    WINDOW w AS (PARTITION BY sid ORDER BY date, time)
+),
+fin AS (
+    SELECT *,
+           (close - lag(close) OVER w) / lag(close) OVER w
+               * lag(position) OVER w AS gross_return,
+           abs(coalesce(position, 0) - lag(coalesce(position, 0)) OVER w) AS turnover
+    FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date, time)
+)
+SELECT sid, date, time, signal, weight, position,
+       coalesce(gross_return, 0) AS ret, turnover
+FROM fin
+""")
+def backtest_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous intraday backtest over a 6-hour-bar panel: windows order
+    by (date, time) with time as a lexicographic 'HH:MM:SS' string —
+    exactly the reference's intraday Time level (base.py:794-795)."""
+    from moonshot_spark.strategies.base import Moonshot
+
+    class LongShortIntraday(Moonshot):
+        def prices_to_signals(self, prices):
+            return prices.withColumn(
+                "signal", F.when(F.col("close") <= 100, 1.0).otherwise(-1.0))
+
+    events = load_table(spark, sf_dir, "events")
+    hour_slot = (F.hour("ts") - F.hour("ts") % 6).cast("int")
+    panel = (events
+             .withColumn("sid", F.col("user_id").cast("string"))
+             .withColumn("date", F.to_date("ts"))
+             .withColumn("time", F.concat(
+                 F.lpad(hour_slot.cast("string"), 2, "0"), F.lit(":00:00")))
+             .groupBy("sid", "date", "time")
+             .agg(F.max_by("value", "ts_ns").alias("close")))
+    results = LongShortIntraday().backtest(panel)
+    pivoted = (results.groupBy("sid", "date", "time")
+               .pivot("field", ["Signal", "Weight", "NetExposure", "Return",
+                                "Turnover"])
+               .agg(F.first("value")))
+    return pivoted.select(
+        "sid", "date", "time",
+        F.col("Signal").alias("signal"), F.col("Weight").alias("weight"),
+        F.col("NetExposure").alias("position"), F.col("Return").alias("ret"),
+        F.col("Turnover").alias("turnover"))

@@ -153,3 +153,27 @@ def test_dedup_corpus_minhash(docs):
     assert 0 in ids and 1 not in ids    # exact dup removed
     assert 2 not in ids                 # near dup (jaccard > 0.5) removed
     assert {3, 4, 5} <= ids             # unrelated docs kept
+
+
+def test_multimodal_resize(docs):
+    from moonshot_spark.datapipe.multimodal import docs_to_media, resize_images
+
+    media = docs_to_media(docs)
+    resized = resize_images(media, width=8, height=4).collect()
+    n_images = media.where(F.col("media_type") == "image").count()
+    assert len(resized) == n_images
+    assert all(len(r["payload"]) == 32 for r in resized)
+    assert all(r["width"] == 8 and r["height"] == 4 for r in resized)
+
+
+def test_multimodal_frame_sampling(docs):
+    from moonshot_spark.datapipe.multimodal import docs_to_media, sample_frames
+
+    media = docs_to_media(docs)
+    frames = sample_frames(media, num_frames=3).collect()
+    n_videos = media.where(F.col("media_type") == "video").count()
+    assert len(frames) == n_videos * 3
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_index"])
+    assert all(sorted(v) == [0, 1, 2] for v in by_media.values())
