@@ -96,12 +96,49 @@ class MoonshotML(Moonshot):
 
     # -- pipeline override (reference ml.py:412-517) ------------------- #
 
+    USE_FEATURE_CACHE = False
+
     def prices_to_signals(self, prices: DataFrame) -> DataFrame:
-        df, feature_cols = self.prices_to_features(prices)
-        df = self._score(df, feature_cols)
-        return self.predictions_to_signals(df)
+        scored = None
+        cache = key = None
+        if self.USE_FEATURE_CACHE:
+            scored, cache, key = self._cached_predictions(prices)
+        if scored is None:
+            df, feature_cols = self.prices_to_features(prices)
+            scored = self._score(df, feature_cols)
+            if cache is not None:
+                cache.set("features", key, scored)
+                scored = cache.get(prices.sparkSession, "features", key)
+        return self.predictions_to_signals(scored)
+
+    def _cached_predictions(self, prices: DataFrame):
+        """Feature/prediction cache keyed by (CODE, input plan), invalidated
+        when the strategy source file changes (reference ml.py:426-433 +
+        _cache.py:114-128).  Cache hits replace the feature+scoring subtree
+        with one parquet scan."""
+        import inspect
+
+        from moonshot_spark.sources.cache import Cache
+
+        cache = Cache()
+        try:
+            source_file = inspect.getsourcefile(type(self))
+        except TypeError:
+            source_file = None
+        key = {"code": self.CODE or type(self).__name__,
+               "plan": prices.semanticHash()}
+        unless = [source_file] if source_file else None
+        cached = cache.get(prices.sparkSession, "features", key,
+                           unless_modified=unless)
+        return cached, cache, key
 
     def backtest(self, prices: DataFrame, master: DataFrame | None = None,
                  model=None, **kwargs) -> DataFrame:
         self._load_model(model)
         return super().backtest(prices, master=master, **kwargs)
+
+    def trade(self, prices: DataFrame, *args, model=None, **kwargs):
+        """ML live trading (reference ml.py trade path, _tests/test_ml.py:2251):
+        identical to Moonshot.trade with the scored-signal override."""
+        self._load_model(model)
+        return super().trade(prices, *args, **kwargs)

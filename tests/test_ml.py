@@ -92,3 +92,57 @@ def test_ml_model_file_roundtrip(tmp_path, prices):
 
     results = FileStrategy().backtest(prices)
     assert results.where(F.col("field") == "Signal").count() == 8
+
+
+def test_ml_trade(spark, prices):
+    """ML trade path (reference _tests/test_ml.py:2251): scored signals
+    drive order generation."""
+    balances = spark.createDataFrame(
+        [("U1", "USD", 50000.0)],
+        "account string, currency string, net_liquidation double")
+
+    class TradeStrategy(TwoFeatureStrategy):
+        CODE = "ml-trade"
+
+    model = LinearModel([1.0, 0.5])
+    orders = TradeStrategy().trade(prices, {"U1": 1.0}, balances, model=model)
+    rows = sorted([r.asDict() for r in orders.collect()],
+                  key=lambda r: r["sid"])
+    # day 4 predictions: FI12345 9.99+0.495=10.485 > 10 → 1;
+    # FI23456 10.50+0.85=11.35 > 10 → 1 → weights 0.5 each
+    assert len(rows) == 2
+    assert rows[0]["sid"] == "FI12345"
+    assert rows[0]["total_quantity"] == round(0.5 * 50000 / 9.99)
+    assert rows[1]["total_quantity"] == round(0.5 * 50000 / 10.50)
+
+
+def test_ml_feature_cache(spark, prices, tmp_path, monkeypatch):
+    """Feature cache: second backtest reuses cached predictions
+    (reference ml.py:426-433 feature cache semantics)."""
+    monkeypatch.setenv("MOONSHOT_CACHE_DIR", str(tmp_path))
+    import moonshot_spark.sources.cache as cache_mod
+    monkeypatch.setattr(cache_mod, "DEFAULT_CACHE_DIR", str(tmp_path))
+
+    calls = {"n": 0}
+
+    class CachedStrategy(TwoFeatureStrategy):
+        CODE = "ml-cached"
+        USE_FEATURE_CACHE = True
+
+        def prices_to_features(self, p):
+            calls["n"] += 1
+            return super().prices_to_features(p)
+
+    model = LinearModel([1.0, 0.5])
+    r1 = CachedStrategy().backtest(prices, model=model)
+    n1 = r1.where(F.col("field") == "Signal").count()
+    r2 = CachedStrategy().backtest(prices, model=model)
+    n2 = r2.where(F.col("field") == "Signal").count()
+    assert n1 == n2 == 8
+    assert calls["n"] == 1     # second run hit the cache
+
+    sig1 = {(r["sid"], r["date"]): r["value"]
+            for r in r1.where(F.col("field") == "Signal").collect()}
+    sig2 = {(r["sid"], r["date"]): r["value"]
+            for r in r2.where(F.col("field") == "Signal").collect()}
+    assert sig1 == sig2
