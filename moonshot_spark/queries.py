@@ -1716,3 +1716,113 @@ def backtest_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("Signal").alias("signal"), F.col("Weight").alias("weight"),
         F.col("NetExposure").alias("position"), F.col("Return").alias("ret"),
         F.col("Turnover").alias("turnover"))
+
+
+# --------------------------------------------------------------------- #
+# performance metrics over backtest returns (moonchart analog)           #
+# --------------------------------------------------------------------- #
+
+@register("performance_metrics", f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN (CASE WHEN count(close) OVER w5 >= 5
+                      THEN avg(close) OVER w5 END)
+                   > (CASE WHEN count(close) OVER w10 >= 10
+                      THEN avg(close) OVER w10 END)
+                THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+    WINDOW w5 AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w10 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
+),
+rets AS (
+    SELECT sid, date,
+           coalesce((close - lag(close) OVER w) / lag(close) OVER w
+               * lag(position) OVER w, 0) AS r
+    FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+series AS (
+    SELECT sid, list(r ORDER BY date) AS rs FROM rets GROUP BY sid
+),
+-- exact prefix folds: engines disagree on windowed running-sum association
+-- (segment trees vs incremental), so each prefix sums left-to-right
+curves AS (
+    SELECT sid, len(rs) AS n,
+           list_transform(range(1, len(rs) + 1),
+               i -> list_reduce(list_slice(rs, 1, i), (a, b) -> a + b)) AS cums
+    FROM series
+)
+SELECT sid, CAST(n AS BIGINT) AS n_periods,
+       cums[n] AS total_return,
+       list_min(list_transform(range(1, n + 1),
+           i -> cums[i] - list_max(list_slice(cums, 1, i)))) AS max_drawdown
+FROM curves
+""")
+def performance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary metrics over the dual-moving-average backtest's returns:
+    additive total return and max drawdown via running sums/maxes (exact
+    cross-engine).  The compounded variants (expm1/log1p) and Sharpe/CAGR
+    live in operators/metrics.py — transcendental functions differ in the
+    last ulp between JVM and libm, so they're pandas-tested, not
+    oracle-hashed."""
+    from moonshot_spark.strategies.demo import DualMovingAverage
+
+    panel = events_to_panel(spark, sf_dir)
+    results = DualMovingAverage().backtest(panel)
+    rets = (results.where(F.col("field") == "Return")
+            .select("sid", "date", F.col("value").alias("return")))
+    series = (rets.groupBy("sid")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("date", "return"))),
+                  lambda s: F.coalesce(s["return"], F.lit(0.0))).alias("rs")))
+    n = F.size("rs")
+    cums = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.aggregate(F.slice("rs", 1, i), F.lit(0.0),
+                              lambda a, b: a + b))
+    curves = series.select("sid", n.alias("n"), cums.alias("cums"))
+    mdd = F.array_min(F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: F.element_at("cums", i)
+        - F.array_max(F.slice("cums", 1, i))))
+    return curves.select(
+        "sid", F.col("n").cast("long").alias("n_periods"),
+        F.element_at("cums", F.col("n")).alias("total_return"),
+        mdd.alias("max_drawdown"))
+
+
+# --------------------------------------------------------------------- #
+# F3 — business-day calendar arithmetic                                 #
+# --------------------------------------------------------------------- #
+
+@register("business_day_shift", """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(CASE CAST(date_part('dow', o_orderdate) AS INT)
+            WHEN 5 THEN o_orderdate + INTERVAL 3 DAY
+            WHEN 6 THEN o_orderdate + INTERVAL 2 DAY
+            ELSE o_orderdate + INTERVAL 1 DAY END AS DATE) AS next_bday,
+       CAST(date_part('dow', o_orderdate) AS INT) AS dow
+FROM orders
+""")
+def business_day_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-business-day arithmetic (F3 — the reference's bdate_range
+    conventions, base.py:1074-1080): Fri→Mon, Sat→Mon, else +1 day."""
+    orders = load_table(spark, sf_dir, "orders")
+    dow = (F.dayofweek("o_orderdate") - 1).cast("int")  # 0=Sunday like DuckDB
+    next_bday = (F.when(dow == 5, F.date_add(F.to_date("o_orderdate"), 3))
+                 .when(dow == 6, F.date_add(F.to_date("o_orderdate"), 2))
+                 .otherwise(F.date_add(F.to_date("o_orderdate"), 1)))
+    return orders.select(
+        "o_orderkey", F.to_date("o_orderdate").alias("order_date"),
+        next_bday.alias("next_bday"), dow.alias("dow"))
