@@ -1,0 +1,63 @@
+"""get_prices source surface: filters push into the scan (reference
+_tests/test_prices.py patterns: query params, pushdown, tz inference)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from moonshot_spark.sources.prices import get_prices, validate_timezones
+from moonshot_spark.strategies.base import MoonshotParameterError
+
+
+@pytest.fixture(scope="module")
+def panel_path(spark, tmp_path_factory):
+    from moonshot_spark.sources.parquet import events_to_panel
+
+    path = str(tmp_path_factory.mktemp("panel") / "prices")
+    events_to_panel(spark, "/root/testdata/sf0.001").write.parquet(path)
+    return path
+
+
+def test_sid_and_date_filters(spark, panel_path):
+    df = get_prices(spark, panel_path, sids=["1", "2"],
+                    start_date="2024-01-10", end_date="2024-01-20")
+    rows = df.collect()
+    assert {r["sid"] for r in rows} <= {"1", "2"}
+    assert all("2024-01-10" <= str(r["date"]) <= "2024-01-20" for r in rows)
+
+
+def test_exclude_sids(spark, panel_path):
+    df = get_prices(spark, panel_path, exclude_sids=["1"])
+    assert "1" not in {r["sid"] for r in df.select("sid").distinct().collect()}
+
+
+def test_field_projection_prunes_scan(spark, panel_path):
+    df = get_prices(spark, panel_path, fields=["close"])
+    assert set(df.columns) == {"sid", "date", "close"}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[-1].split("\n")[0]
+    assert "volume" not in read_schema and "close" in read_schema, plan
+
+
+def test_filters_push_into_scan(spark, panel_path):
+    df = get_prices(spark, panel_path, sids=["1"], start_date="2024-01-10")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[-1].split("]")[0]
+    assert "sid" in pushed and "date" in pushed, plan
+
+
+def test_unknown_field_raises(spark, panel_path):
+    with pytest.raises(MoonshotParameterError, match="not in panel"):
+        get_prices(spark, panel_path, fields=["nope"])
+
+
+def test_timezone_validation(spark):
+    one = spark.createDataFrame(
+        [("A", "America/New_York"), ("B", "America/New_York")],
+        "sid string, timezone string")
+    assert validate_timezones(one) == "America/New_York"
+    mixed = spark.createDataFrame(
+        [("A", "America/New_York"), ("B", "Asia/Tokyo")],
+        "sid string, timezone string")
+    with pytest.raises(MoonshotParameterError, match="multiple timezones"):
+        validate_timezones(mixed)
