@@ -1588,12 +1588,14 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     signups = (ev.where(F.col("event_type") == "signup")
                .groupBy("user_id").agg(F.min("ts").alias("signup_ts"),
                                        F.min("ts_ns").alias("__s_ns")))
-    purchases = ev.where(F.col("event_type") == "purchase") \
-        .select("user_id", F.col("ts").alias("__p_ts"), F.col("ts_ns").alias("__p_ns"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("__p_user"),
+                         F.col("ts").alias("__p_ts"),
+                         F.col("ts_ns").alias("__p_ns")))
     joined = (signups.join(purchases,
-                           (signups.user_id == purchases.user_id)
-                           & (purchases.__p_ns >= signups.__s_ns), "left")
-              .drop(purchases.user_id))
+                           (F.col("user_id") == F.col("__p_user"))
+                           & (F.col("__p_ns") >= F.col("__s_ns")), "left")
+              .drop("__p_user"))
     out = (joined.groupBy("user_id", "signup_ts")
            .agg(F.min("__p_ts").alias("first_purchase_ts")))
     secs = (F.col("first_purchase_ts").cast("long")
