@@ -1828,3 +1828,173 @@ def business_day_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", F.to_date("o_orderdate").alias("order_date"),
         next_bday.alias("next_bday"), dow.alias("dow"))
+
+
+# --------------------------------------------------------------------- #
+# rank-function family (ntile / percent_rank / cume_dist / nth_value)   #
+# --------------------------------------------------------------------- #
+
+@register("rank_functions", f"""
+WITH panel AS ({PANEL_SQL})
+SELECT sid, date, close,
+       CAST(ntile(4) OVER wd AS INT) AS quartile,
+       percent_rank() OVER wd AS pct_rank,
+       cume_dist() OVER wd AS cume,
+       first_value(close) OVER wd AS day_min_close,
+       nth_value(close, 2) OVER (PARTITION BY date ORDER BY close
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS day_2nd_close
+FROM panel
+WINDOW wd AS (PARTITION BY date ORDER BY close, sid)
+""")
+def rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank-function family over the daily cross-section (ties
+    broken by sid for determinism)."""
+    panel = events_to_panel(spark, sf_dir)
+    wd = Window.partitionBy("date").orderBy("close", "sid")
+    wd_full = (Window.partitionBy("date").orderBy("close")
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing))
+    return panel.select(
+        "sid", "date", "close",
+        F.ntile(4).over(wd).cast("int").alias("quartile"),
+        F.percent_rank().over(wd).alias("pct_rank"),
+        F.cume_dist().over(wd).alias("cume"),
+        F.first("close").over(wd).alias("day_min_close"),
+        F.nth_value("close", 2).over(wd_full).alias("day_2nd_close"))
+
+
+# --------------------------------------------------------------------- #
+# cross-sectional momentum strategy (rank-selected top-k)               #
+# --------------------------------------------------------------------- #
+
+@register("backtest_xs_momentum", f"""
+WITH panel AS ({PANEL_SQL}),
+mom AS (
+    SELECT sid, date, close,
+           (close - lag(close, 5) OVER w) / lag(close, 5) OVER w AS mom5
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+ranked AS (
+    SELECT *, CASE WHEN mom5 IS NOT NULL THEN
+        row_number() OVER (PARTITION BY date, (mom5 IS NOT NULL)
+                           ORDER BY mom5 DESC, sid) END AS mom_rank
+    FROM mom
+),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN mom_rank <= 3 THEN 1.0 ELSE 0.0 END AS signal
+    FROM ranked
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position
+    FROM wts
+),
+fin AS (
+    SELECT *, (close - lag(close) OVER w) / lag(close) OVER w
+               * lag(position) OVER w AS gross_return
+    FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+)
+SELECT sid, date, signal, weight, position,
+       coalesce(gross_return, 0) AS ret
+FROM fin
+""")
+def backtest_xs_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional momentum: rank sids by trailing 5-day return each
+    day, hold the top 3 equal-weighted (the W9 rank-selection convention
+    as a full strategy)."""
+    from moonshot_spark.strategies.base import Moonshot
+
+    class XsMomentum(Moonshot):
+        def prices_to_signals(self, prices):
+            w = self._sid_window(prices)
+            mom = pct_change("close", 5, w)
+            df = prices.withColumn("__mom", mom)
+            rank_w = Window.partitionBy(
+                "date", F.col("__mom").isNotNull()).orderBy(
+                F.desc("__mom"), F.asc("sid"))
+            rank = F.when(F.col("__mom").isNotNull(),
+                          F.row_number().over(rank_w))
+            return (df.withColumn(
+                "signal", F.when(rank <= 3, 1.0).otherwise(0.0))
+                .drop("__mom"))
+
+    panel = events_to_panel(spark, sf_dir)
+    results = XsMomentum().backtest(panel)
+    pivoted = (results.groupBy("sid", "date")
+               .pivot("field", ["Signal", "Weight", "NetExposure", "Return"])
+               .agg(F.first("value")))
+    return pivoted.select(
+        "sid", "date", F.col("Signal").alias("signal"),
+        F.col("Weight").alias("weight"),
+        F.col("NetExposure").alias("position"),
+        F.col("Return").alias("ret"))
+
+
+# --------------------------------------------------------------------- #
+# correlation to benchmark (pairs/beta building block, exact folds)     #
+# --------------------------------------------------------------------- #
+
+@register("correlation_to_benchmark", f"""
+WITH panel AS ({PANEL_SQL}),
+rets AS (
+    SELECT sid, date,
+           (close - lag(close) OVER w) / lag(close) OVER w AS r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+bench AS (SELECT date, r AS rb FROM rets WHERE sid = '7' AND r IS NOT NULL),
+joined AS (
+    SELECT s.sid, s.date, s.r, b.rb FROM rets s JOIN bench b ON s.date = b.date
+    WHERE s.r IS NOT NULL AND s.sid <> '7'
+),
+series AS (
+    SELECT sid, count(*) AS n,
+           list_reduce(list(r ORDER BY date), (a, b) -> a + b) AS sx,
+           list_reduce(list(rb ORDER BY date), (a, b) -> a + b) AS sy,
+           list_reduce(list(r * rb ORDER BY date), (a, b) -> a + b) AS sxy,
+           list_reduce(list(r * r ORDER BY date), (a, b) -> a + b) AS sxx,
+           list_reduce(list(rb * rb ORDER BY date), (a, b) -> a + b) AS syy
+    FROM joined GROUP BY sid
+)
+SELECT sid, CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy)
+       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
+       (n * sxy - sx * sy) / (n * syy - sy * sy) AS beta
+FROM series
+""")
+def correlation_to_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and beta of each sid's daily returns vs the
+    benchmark sid — moment sums as date-ordered folds (exact cross-engine;
+    a plain F.corr would differ in accumulation order)."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    rets = panel.select("sid", "date", pct_change("close", 1, w).alias("r"))
+    bench = (rets.where((F.col("sid") == "7") & F.col("r").isNotNull())
+             .select("date", F.col("r").alias("rb")))
+    joined = (rets.where(F.col("r").isNotNull() & (F.col("sid") != "7"))
+              .join(bench, "date"))
+
+    def fold(expr):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("date"), expr.alias("v")))),
+            lambda s: s["v"])
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    series = joined.groupBy("sid").agg(
+        F.count("*").alias("n"),
+        fold(F.col("r")).alias("sx"), fold(F.col("rb")).alias("sy"),
+        fold(F.col("r") * F.col("rb")).alias("sxy"),
+        fold(F.col("r") * F.col("r")).alias("sxx"),
+        fold(F.col("rb") * F.col("rb")).alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx)
+                                  * F.sqrt(n * syy - sy * sy))
+    beta = (n * sxy - sx * sy) / (n * syy - sy * sy)
+    return series.select("sid", "n", corr.alias("corr"), beta.alias("beta"))
