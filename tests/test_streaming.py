@@ -33,7 +33,7 @@ def stream_dir(spark, tmp_path_factory):
 def run_to_memory(stream_df, spark, name, output_mode="complete"):
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    q.awaitTermination()
     return spark.table(name)
 
 
@@ -90,7 +90,7 @@ def test_stream_trade_orders(spark, stream_dir, tmp_path):
     panel = stream_events_to_panel(stream)
     q = stream_trade_orders(panel, BuyBelow100, {"U1": 1.0}, balances_fn,
                             checkpoint, out).trigger(availableNow=True).start()
-    q.awaitTermination(180)
+    q.awaitTermination()
 
     orders = spark.read.parquet(out)
     rows = orders.collect()
@@ -125,7 +125,7 @@ def test_stateful_position_tracker(spark, tmp_path):
              .foreachBatch(write_batch).outputMode("update")
              .option("checkpointLocation", str(tmp_path / "ckpt"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        q.awaitTermination()
 
     run_once()
     got = {(r["sid"], r["account"]): r["net_quantity"]
