@@ -603,6 +603,17 @@ class Moonshot:
                                  + F.coalesce("ord_qty", F.lit(0))).alias("quantity")))
         return combined.withColumnRenamed("quantity", "existing")
 
+    @staticmethod
+    def reindex_like_orders(orders: DataFrame, panel_row: DataFrame,
+                            value_cols: list[str] | None = None) -> DataFrame:
+        """Align panel values onto the orders frame by sid (J1 — reference
+        base.py:603 ``orders.join(series, on="Sid")``): used by
+        ``order_stubs_to_orders`` overrides to attach prices/limits to
+        orders.  Broadcast left join."""
+        value_cols = value_cols or [c for c in panel_row.columns if c != "sid"]
+        return orders.join(F.broadcast(panel_row.select("sid", *value_cols)),
+                           "sid", "left")
+
     def orders_to_child_orders(self, orders: DataFrame) -> DataFrame:
         """Bracket orders: copy orders, link via parent_id, reverse the
         action (D21 — reference base.py:607-655)."""

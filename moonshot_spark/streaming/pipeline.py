@@ -81,6 +81,15 @@ def stream_sessionize(events: DataFrame, gap: str = "30 minutes",
                  F.max("ts").alias("session_end")))
 
 
+def stream_dedup_events(events: DataFrame, keys: list[str] | None = None,
+                        watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication: drop repeated events by key within
+    the watermark horizon (state-store-backed ``dropDuplicates`` — the
+    streaming counterpart of datapipe's batch exact dedup)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
 def stream_trade_orders(panel_stream: DataFrame, strategy_factory,
                         allocations: dict[str, float], balances_fn,
                         checkpoint_dir: str, output_path: str):

@@ -143,3 +143,25 @@ def test_stateful_position_tracker(spark, tmp_path):
     a_positions = sorted(r["net_quantity"] for r in rows
                          if r["sid"] == "A")
     assert 80 in a_positions and 150 in a_positions
+
+
+def test_stream_dedup(spark, tmp_path):
+    from moonshot_spark.streaming.pipeline import (
+        EVENT_SCHEMA, stream_dedup_events)
+
+    src_dir = str(tmp_path / "dup_events")
+    rows = [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),   # dup
+            (2, "2024-01-01 10:05:00", 2, "view", 2.0, "{}")]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, "
+                               "event_type string, value double, props string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
+    deduped = stream_dedup_events(stream)
+    q = (deduped.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("dedup_stream").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]

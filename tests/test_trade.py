@@ -209,3 +209,37 @@ def test_stale_review_date_raises(prices, master, balances):
     with pytest.raises(MoonshotError, match="max date is 2024-06-05"):
         BuyBelow10().trade(prices, {"U123": 1.0}, balances, master=master,
                            review_date="2024-07-01")
+
+
+def test_intraday_trade_asof_pick(spark, master, balances):
+    """Intraday trade: the as-of pick selects the LATEST time of the signal
+    date (J7 — reference base.py:790-795,831)."""
+    rows = []
+    for sid, closes in {"FI12345": [9.0, 11.0], "FI23456": [9.5, 8.0]}.items():
+        for t, c in zip(["10:00:00", "15:00:00"], closes, strict=True):
+            rows.append((sid, datetime.date(2024, 6, 5), t, c))
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, time string, close double")
+    orders = BuyBelow10().trade(prices, {"U123": 1.0}, balances, master=master)
+    got = orders_list(orders)
+    # at 15:00: FI12345 close 11 (no signal), FI23456 close 8.0 (signal) →
+    # weight 1.0, qty = 55000/8.0
+    assert len(got) == 1
+    assert got[0]["sid"] == "FI23456"
+    assert got[0]["total_quantity"] == round(55000 / 8.0)
+
+
+def test_reindex_like_orders(spark, prices, master, balances):
+    """J1: order_stubs_to_orders override attaches panel values by sid."""
+    class WithLimits(BuyBelow10):
+        def order_stubs_to_orders(self, orders, prices_df):
+            latest = (prices_df.where(F.col("date") == self._signal_date)
+                      .select("sid", F.col("close").alias("lmt_price")))
+            orders = self.reindex_like_orders(orders, latest)
+            return (orders.withColumn("order_type", F.lit("LMT"))
+                    .withColumn("tif", F.lit("DAY")))
+
+    orders = WithLimits().trade(prices, {"U123": 1.0}, balances, master=master)
+    got = orders_list(orders)
+    assert got[0]["order_type"] == "LMT"
+    assert got[0]["lmt_price"] == 8.50
