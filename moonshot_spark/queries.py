@@ -1998,3 +1998,88 @@ def correlation_to_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   * F.sqrt(n * syy - sy * sy))
     beta = (n * sxy - sx * sy) / (n * syy - sy * sy)
     return series.select("sid", "n", corr.alias("corr"), beta.alias("beta"))
+
+
+# --------------------------------------------------------------------- #
+# R2 — wide→long unpivot (stack) of the panel field dimension           #
+# --------------------------------------------------------------------- #
+
+@register("unpivot_panel", f"""
+WITH panel AS ({PANEL_SQL})
+SELECT sid, date, field, value FROM (
+    SELECT sid, date, 'open' AS field, open AS value FROM panel
+    UNION ALL SELECT sid, date, 'close', close FROM panel
+    UNION ALL SELECT sid, date, 'high', high FROM panel
+    UNION ALL SELECT sid, date, 'low', low FROM panel
+    UNION ALL SELECT sid, date, 'volume', volume FROM panel
+)
+""")
+def unpivot_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 stack: the wide-by-field panel melted to long (field, value) —
+    the reference's results-concat shape (base.py:1382-1388) as a
+    standalone op via F.stack."""
+    panel = events_to_panel(spark, sf_dir)
+    stack_args = []
+    for f_name in ("open", "close", "high", "low", "volume"):
+        stack_args += [F.lit(f_name), F.col(f_name)]
+    return panel.select(
+        "sid", "date",
+        F.stack(F.lit(5), *stack_args).alias("field", "value"))
+
+
+# --------------------------------------------------------------------- #
+# portfolio-level rollup of per-sid returns                             #
+# --------------------------------------------------------------------- #
+
+@register("portfolio_returns", f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN (CASE WHEN count(close) OVER w5 >= 5
+                      THEN avg(close) OVER w5 END)
+                   > (CASE WHEN count(close) OVER w10 >= 10
+                      THEN avg(close) OVER w10 END)
+                THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+    WINDOW w5 AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w10 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
+),
+rets AS (
+    SELECT sid, date,
+           coalesce((close - lag(close) OVER w) / lag(close) OVER w
+               * lag(position) OVER w, 0) AS r
+    FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+)
+SELECT date,
+       list_reduce(list(r ORDER BY sid), (a, b) -> a + b) AS portfolio_return,
+       CAST(count(*) AS BIGINT) AS n_sids
+FROM rets GROUP BY date
+""")
+def portfolio_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy-level return series: per-date sum of sid returns, summed as
+    a sid-ordered fold (cross-sid accumulation order must be pinned for the
+    oracle hash)."""
+    from moonshot_spark.strategies.demo import DualMovingAverage
+
+    panel = events_to_panel(spark, sf_dir)
+    results = DualMovingAverage().backtest(panel)
+    rets = (results.where(F.col("field") == "Return")
+            .select("sid", "date", F.col("value").alias("r")))
+    folded = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("sid", "r"))),
+                    lambda s: F.coalesce(s["r"], F.lit(0.0))),
+        F.lit(0.0), lambda a, b: a + b)
+    return (rets.groupBy("date")
+            .agg(folded.alias("portfolio_return"),
+                 F.count("*").alias("n_sids")))

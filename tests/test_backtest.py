@@ -153,3 +153,9 @@ def test_label_sids(spark, prices):
     results = BuyBelow10().backtest(prices, master=master, label_sids=True)
     sids = {r["sid"] for r in results.select("sid").distinct().collect()}
     assert sids == {"ABC(FI12345)", "DEF(FI23456)"}
+
+
+def test_end_date_truncation(prices):
+    results = BuyBelow10().backtest(prices, end_date="2018-05-02")
+    dates = {r["date"] for r in results.select("date").distinct().collect()}
+    assert dates == {datetime.date(2018, 5, 1), datetime.date(2018, 5, 2)}
