@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from moonshot_spark.functions.window import (
-    days_since_prev, diff, ffill, pct_change, rolling_mean, shift,
+    days_since_prev, diff, ffill, pct_change, shift,
 )
 from moonshot_spark.functions.crosssec import xs_rank, xs_sum, xs_zscore
 from moonshot_spark.sources.parquet import events_to_panel, load_table

@@ -72,8 +72,6 @@ class MoonshotML(Moonshot):
         Feature NaNs are zero-filled like the reference (ml.py:480);
         predict_proba models contribute P(class=1) (ml.py:494-506).
         """
-        import pandas as pd  # noqa: F401 — imported for the udf closure
-
         spark = df.sparkSession
         broadcast_model = spark.sparkContext.broadcast(self.model)
 
