@@ -21,12 +21,21 @@ from pyspark.sql import functions as F
 
 
 def shingles_expr(col, n: int = 3):
-    """Word n-gram shingles as an array<string> (distinct, order-free set)."""
+    """Word n-gram shingles as an array<string> (distinct, order-free set).
+
+    Documents with fewer than n tokens yield an empty array — without the
+    guard, ``F.sequence(0, size-n)`` with a negative stop produces a
+    DESCENDING sequence and the slice errors out (and DuckDB's ``range``
+    would yield empty, diverging).
+    """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(c, " ")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",

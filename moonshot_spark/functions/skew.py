@@ -25,27 +25,37 @@ def with_salt(df: DataFrame, num_salts: int = 16,
     return df.withColumn(salt_col, F.pmod(h, F.lit(num_salts)).cast("int"))
 
 
-def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column],
-               num_salts: int = 16) -> DataFrame:
-    """Two-stage skew-safe aggregation for algebraic aggregates (sum/count/
-    min/max): groupBy(keys + salt) → groupBy(keys).
+_COMBINERS = {"sum": F.sum, "min": F.min, "max": F.max}
 
-    ``aggs`` maps output column name → aggregate over the input (stage 1);
-    stage 2 re-aggregates with the matching combiner (sum for sum/count,
-    min for min, max for max — inferred from the expression name).
+
+def salted_agg(df: DataFrame, keys: list[str],
+               aggs: dict[str, Column | tuple[Column, str]],
+               num_salts: int = 16) -> DataFrame:
+    """Two-stage skew-safe aggregation for decomposable aggregates:
+    groupBy(keys + salt) → groupBy(keys).
+
+    ``aggs`` maps output column name → either a Column aggregate (combined
+    with ``sum`` in stage 2 — correct for sum and count) or an explicit
+    ``(Column, combiner)`` pair with combiner in {"sum", "min", "max"}.
+    Non-decomposable aggregates (avg, stddev, distinct counts) must be
+    rewritten as sums before salting (e.g. avg = sum/count) — there is no
+    way to combine their per-salt partials, so they are rejected by
+    construction here rather than silently mis-combined.
     """
     salted = with_salt(df, num_salts)
-    stage1 = salted.groupBy(*keys, "__salt").agg(
-        *[expr.alias(name) for name, expr in aggs.items()])
-    combiners = []
-    for name in aggs:
-        fn = str(aggs[name]._jc).lower()
-        if fn.startswith(("min", "min(")) or "min(" in fn:
-            combiners.append(F.min(name).alias(name))
-        elif "max(" in fn:
-            combiners.append(F.max(name).alias(name))
-        else:  # sum / count both combine with sum
-            combiners.append(F.sum(name).alias(name))
+    exprs, combiners = [], []
+    for name, spec in aggs.items():
+        if isinstance(spec, tuple):
+            expr, combiner = spec
+            if combiner not in _COMBINERS:
+                raise ValueError(
+                    f"unsupported combiner {combiner!r} for {name!r}; "
+                    f"choose one of {sorted(_COMBINERS)}")
+        else:
+            expr, combiner = spec, "sum"
+        exprs.append(expr.alias(name))
+        combiners.append(_COMBINERS[combiner](name).alias(name))
+    stage1 = salted.groupBy(*keys, "__salt").agg(*exprs)
     return stage1.groupBy(*keys).agg(*combiners)
 
 

@@ -208,11 +208,17 @@ class Moonshot:
         # per-(sectype, exchange, currency) dispatch — reference base.py:869-901.
         # The reference layers `.where(in_sec_group, ...)` per group; here
         # that's a CASE WHEN chain on broadcast-joined master columns.
-        # Completeness validation collects the distinct sec-groups (small dim).
+        # Completeness validation reads the broadcast-sized securities
+        # master when available — collecting from the fact-table panel
+        # would be a full scan at scale.
         commission_classes = {tuple(k): v for k, v in self.COMMISSION_CLASS.items()}
+        source = (self._securities_master
+                  if self._securities_master is not None else df)
         required = {
             (r["sec_type"], r["exchange"], r["currency"])
-            for r in df.select("sec_type", "exchange", "currency").distinct().collect()
+            for r in source.select("sec_type", "exchange", "currency")
+            .distinct().collect()
+            if r["sec_type"] is not None
         }
         missing = required - set(commission_classes)
         if missing:
@@ -441,8 +447,12 @@ class Moonshot:
         if review_date is not None:
             import datetime
             signal_date = datetime.date.fromisoformat(review_date)
-            if max_date is None or signal_date > max_date:
-                # staleness validation — reference base.py:790-830
+            if (max_date is None or signal_date > max_date
+                    or df.where(F.col("date") == signal_date).isEmpty()):
+                # staleness validation — reference base.py:790-830: the
+                # signal date must actually exist in the weights frame
+                # (a date inside the range but absent — e.g. a holiday —
+                # must error, not silently emit no orders)
                 raise MoonshotError(
                     "expected signal date {0} not found in target weights "
                     "DataFrame, is the underlying data up-to-date? "
@@ -458,13 +468,18 @@ class Moonshot:
             today = (today.withColumn("__rn", F.row_number().over(w))
                      .where(F.col("__rn") == 1).drop("__rn"))
 
-        # contract values as-of signal date, ffilled (base.py:1622-1624)
+        # contract values as-of signal date, ffilled (base.py:1622-1624);
+        # intraday: the latest time's value via max_by (F.last in a groupBy
+        # is order-nondeterministic after a shuffle)
         w_sid = self._sid_window(df)
         cv = F.last(self._contract_value_expr(df), ignorenulls=True).over(
             w_sid.rowsBetween(Window.unboundedPreceding, 0))
-        cv_today = (df.withColumn("__cv", cv)
-                    .where(F.col("date") == signal_date)
-                    .groupBy("sid").agg(F.last("__cv").alias("contract_value")))
+        cv_rows = df.withColumn("__cv", cv).where(F.col("date") == signal_date)
+        if self._is_intraday(df):
+            cv_agg = F.max_by("__cv", "time")
+        else:
+            cv_agg = F.first("__cv")   # one row per (sid, date) in daily panels
+        cv_today = cv_rows.groupBy("sid").agg(cv_agg.alias("contract_value"))
         today = today.select("sid", "weight",
                              *[c for c in ("sec_type", "currency", "symbol")
                                if c in today.columns]) \
@@ -505,9 +520,20 @@ class Moonshot:
                                ["base_currency", "quote_currency"], "left")
         else:
             today = today.withColumn("rate", F.lit(None).cast("double"))
+        # missing-rate validation: a cross-currency row with an active weight
+        # and no FX rate must fail loudly, not silently round to 0 orders.
+        # F.raise_error fires lazily inside the executors — no extra action.
         today = today.withColumn(
             "rate", F.when(F.col("base_currency") == F.col("quote_currency"),
                            F.lit(1.0)).otherwise(F.col("rate")))
+        today = today.withColumn(
+            "rate",
+            F.when(F.col("rate").isNull() & (F.col("weight") != 0),
+                   F.raise_error(F.concat(
+                       F.lit("no exchange rate provided for "),
+                       F.col("base_currency"), F.lit("→"),
+                       F.col("quote_currency")))
+                   ).otherwise(F.col("rate")))
 
         # weights → integer target quantities (base.py:1728-1734); bround =
         # half-even like numpy round
@@ -562,21 +588,22 @@ class Moonshot:
         else:
             today = today.withColumn("net_quantity", F.col("target_quantity"))
 
-        # D22: quantities → order stubs (melt; zeros dropped).  The stubs are
-        # persisted before the emptiness check so the all-zero gate
-        # (base.py:1800-1801) doesn't recompute the whole pipeline when the
-        # caller consumes the result.
+        # D22: quantities → order stubs (melt; zeros dropped).  Orders are
+        # bounded by #sids × #accounts, so materialize them to the driver
+        # once: the all-zero gate (base.py:1800-1801) costs one job and the
+        # caller consumes a local re-created frame — no recompute, no
+        # lingering persist.
         order_stubs = (today.where(F.col("net_quantity") != 0)
                        .select(
                            "sid", "account",
                            F.when(F.col("net_quantity") > 0, F.lit("BUY"))
                            .otherwise(F.lit("SELL")).alias("action"),
                            F.lit(self.CODE).alias("order_ref"),
-                           F.abs("net_quantity").alias("total_quantity"))
-                       .persist())
-        if order_stubs.isEmpty():
-            order_stubs.unpersist()
+                           F.abs("net_quantity").alias("total_quantity")))
+        stub_rows = order_stubs.collect()
+        if not stub_rows:
             return None
+        order_stubs = spark.createDataFrame(stub_rows, order_stubs.schema)
         return self.order_stubs_to_orders(order_stubs, prices)
 
     @staticmethod

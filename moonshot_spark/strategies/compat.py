@@ -52,23 +52,26 @@ def run_pandas_signals(prices: DataFrame, prices_to_signals,
 
     field_cols = field_cols or [c for c in prices.columns
                                 if c not in ("sid", "date", "time")]
+    is_intraday = "time" in prices.columns
+    index_cols = ["date", "time"] if is_intraday else ["date"]
+    index_names = ["Field", "Date", "Time"] if is_intraday else ["Field", "Date"]
     out_schema = StructType(
         [prices.schema[c] for c in prices.columns]
         + [StructField("signal", DoubleType(), True)])
 
     def apply_bucket(pdf):
         import pandas as pd
-        # long wide-by-field → reference (Field, Date) × sid panel
+        # long wide-by-field → reference (Field, Date[, Time]) × sid panel
         frames = {}
         for field in field_cols:
             frames[field.capitalize()] = pdf.pivot(
-                index="date", columns="sid", values=field)
-        panel = pd.concat(frames, names=["Field", "Date"])
+                index=index_cols, columns="sid", values=field)
+        panel = pd.concat(frames, names=index_names)
         signals = prices_to_signals(panel)
         long_sig = signals.stack().rename("signal").reset_index()
-        long_sig.columns = ["date", "sid", "signal"]
+        long_sig.columns = [*index_cols, "sid", "signal"]
         long_sig["signal"] = long_sig["signal"].astype("float64")
-        return pdf.merge(long_sig, on=["date", "sid"], how="left")
+        return pdf.merge(long_sig, on=[*index_cols, "sid"], how="left")
 
     bucketed = prices.withColumn("__bucket", F.pmod(F.hash("sid"), buckets))
     result = bucketed.groupBy("__bucket").applyInPandas(

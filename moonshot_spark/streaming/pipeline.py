@@ -94,13 +94,19 @@ def stream_trade_orders(panel_stream: DataFrame, strategy_factory,
                         allocations: dict[str, float], balances_fn,
                         checkpoint_dir: str, output_path: str):
     """Micro-batch trading loop: on each trigger, run the batch trade
-    pipeline over the current panel snapshot and append the order diff.
+    pipeline over the FULL current panel and write that trigger's orders.
+
+    ``outputMode("complete")`` delivers the entire aggregated panel to each
+    foreachBatch call — required because trade() computes history windows
+    and cross-sectional weights, which would be wrong on an update-mode
+    changed-rows slice.  Each batch writes to its own subdirectory with
+    overwrite, so a crash between sink write and checkpoint commit replays
+    the batch idempotently (same batch_id → same path → overwritten), which
+    is what makes the loop effectively exactly-once.
 
     ``strategy_factory()`` → a Moonshot instance; ``balances_fn(spark)`` →
-    the current balances DataFrame (re-read per batch so intraday balance
-    moves are respected).  The streaming checkpoint gives exactly-once
-    order emission across restarts — the property the reference's cron-
-    driven loop can't provide.
+    the current balances DataFrame (re-read per batch so balance moves are
+    respected).
     """
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -109,10 +115,12 @@ def stream_trade_orders(panel_stream: DataFrame, strategy_factory,
         strategy = strategy_factory()
         orders = strategy.trade(batch_df, allocations, balances_fn(spark))
         if orders is not None:
-            (orders.withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(output_path))
+            # hive-style subdir: the partition path carries batch_id, and
+            # overwrite makes a replayed batch idempotent
+            orders.write.mode("overwrite").parquet(
+                f"{output_path}/batch_id={batch_id}")
 
     return (panel_stream.writeStream
             .foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_dir)
-            .outputMode("update"))
+            .outputMode("complete"))

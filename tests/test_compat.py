@@ -70,3 +70,26 @@ def test_pandas_strategy_rolling_window(prices):
     assert sig[("Signal", "FI12345", DATES[1])] == 1.0
     # day1: rolling(2) is NaN → comparison False → 0
     assert sig[("Signal", "FI12345", DATES[0])] == 0.0
+
+
+def test_pandas_strategy_intraday(spark):
+    """Regression: the shim must handle intraday (Field, Date, Time) panels."""
+    import datetime as dt
+
+    rows = []
+    for sid, closes in {"A": [9.0, 11.0], "B": [12.0, 8.0]}.items():
+        for t, c in zip(["10:00:00", "15:00:00"], closes, strict=True):
+            rows.append((sid, dt.date(2024, 6, 5), t, c))
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, time string, close double")
+
+    class PandasIntraday:
+        def prices_to_signals(self, p):
+            closes = p.loc["Close"]
+            return (closes < 10).astype(int)
+
+    results = PandasStrategyAdapter(PandasIntraday()).backtest(prices)
+    sig = {(r["sid"], r["time"]): r["value"] for r in
+           results.where(F.col("field") == "Signal").collect()}
+    assert sig[("A", "10:00:00")] == 1.0 and sig[("A", "15:00:00")] == 0.0
+    assert sig[("B", "10:00:00")] == 0.0 and sig[("B", "15:00:00")] == 1.0

@@ -177,3 +177,20 @@ def test_multimodal_frame_sampling(docs):
     for r in frames:
         by_media.setdefault(r["media_id"], []).append(r["frame_index"])
     assert all(sorted(v) == [0, 1, 2] for v in by_media.values())
+
+
+def test_shingles_short_docs_yield_empty(spark):
+    """Docs shorter than the shingle size must produce empty shingle sets,
+    not crash (regression: negative-stop F.sequence descends)."""
+    from moonshot_spark.datapipe.dedup import minhash_signatures, shingles_expr
+
+    short = spark.createDataFrame(
+        [(0, "hello world"), (1, "one"), (2, "a fox jumped over me")],
+        "doc_id long, text string")
+    sizes = {r["doc_id"]: r["n"] for r in
+             short.select("doc_id",
+                          F.size(shingles_expr("text")).alias("n")).collect()}
+    assert sizes == {0: 0, 1: 0, 2: 3}   # 5 tokens → 5-3+1 trigrams
+    # minhash over an empty shingle set: NULL hashes, no crash
+    sigs = minhash_signatures(short)
+    assert sigs.count() <= 3

@@ -22,7 +22,7 @@ def test_salted_agg_matches_plain(spark, skewed):
     salted = {r["key"]: (r["s"], r["n"], r["mx"]) for r in
               salted_agg(skewed, ["key"],
                          {"s": F.sum("value"), "n": F.count("*"),
-                          "mx": F.max("value")}).collect()}
+                          "mx": (F.max("value"), "max")}).collect()}
     assert set(plain) == set(salted)
     for k in plain:
         assert salted[k][1] == plain[k][1]
@@ -83,3 +83,8 @@ def test_hypothesis_rolling_mean_matches_pandas(spark):
                 assert r["out"] == pytest.approx(e, rel=1e-9)
 
     check()
+
+
+def test_salted_agg_rejects_bad_combiner(skewed):
+    with pytest.raises(ValueError, match="unsupported combiner"):
+        salted_agg(skewed, ["key"], {"a": (F.avg("value"), "avg")})

@@ -243,3 +243,28 @@ def test_reindex_like_orders(spark, prices, master, balances):
     got = orders_list(orders)
     assert got[0]["order_type"] == "LMT"
     assert got[0]["lmt_price"] == 8.50
+
+
+def test_review_date_absent_in_range_raises(spark, master, balances):
+    """Regression: a review_date inside the range but missing from the
+    panel (holiday) must raise, not silently return None."""
+    from moonshot_spark.strategies.base import MoonshotError
+
+    rows = [("FI12345", datetime.date(2024, 6, 3), 9.0),
+            ("FI12345", datetime.date(2024, 6, 5), 9.5)]
+    gappy = spark.createDataFrame(rows, "sid string, date date, close double")
+    with pytest.raises(MoonshotError, match="2024-06-04"):
+        BuyBelow10().trade(gappy, {"U123": 1.0}, balances, master=master,
+                           review_date="2024-06-04")
+
+
+def test_missing_fx_rate_raises(spark, prices, balances):
+    """Regression: cross-currency weight without an FX rate must error,
+    not silently emit zero orders."""
+    master = spark.createDataFrame(
+        [("FI12345", "ABC", "STK", "JPY", "TSE", "UTC", None, None),
+         ("FI23456", "DEF", "STK", "JPY", "TSE", "UTC", None, None)],
+        "sid string, symbol string, sec_type string, currency string, "
+        "exchange string, timezone string, price_magnifier double, multiplier double")
+    with pytest.raises(Exception, match="no exchange rate provided"):
+        BuyBelow10().trade(prices, {"U123": 1.0}, balances, master=master)
