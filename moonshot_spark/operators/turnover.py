@@ -12,16 +12,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, WindowSpec
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from moonshot_spark.functions.window import sid_window
+
+
+def turnover_expr(position_col: str = "position",
+                  positions_closed_daily: bool = False,
+                  w: WindowSpec | None = None) -> Column:
+    """The turnover column expression — single source of truth shared by
+    the DataFrame operator below and the Moonshot engine."""
+    if positions_closed_daily:
+        return F.abs(F.col(position_col) * 2)
+    w = w if w is not None else sid_window()
+    filled = F.coalesce(F.col(position_col), F.lit(0.0))
+    prev = F.lag(filled, 1).over(w)
+    return F.abs(filled - prev)
 
 
 def positions_to_turnover(df: DataFrame, position_col: str = "position",
                           turnover_col: str = "turnover",
                           positions_closed_daily: bool = False,
                           w: WindowSpec | None = None) -> DataFrame:
-    if positions_closed_daily:
-        return df.withColumn(turnover_col, F.abs(F.col(position_col) * 2))
-    w = w if w is not None else sid_window()
-    filled = F.coalesce(F.col(position_col), F.lit(0.0))
-    prev = F.lag(filled, 1).over(w)
-    return df.withColumn(turnover_col, F.abs(filled - prev))
+    return df.withColumn(
+        turnover_col, turnover_expr(position_col, positions_closed_daily, w))

@@ -184,10 +184,10 @@ class Moonshot:
     # ------------------------------------------------------------------ #
 
     def _turnover_expr(self, df: DataFrame):
-        if self.POSITIONS_CLOSED_DAILY:
-            return F.abs(F.col("position") * 2)
-        filled = F.coalesce(F.col("position"), F.lit(0.0))
-        return F.abs(filled - F.lag(filled, 1).over(self._sid_window(df)))
+        from moonshot_spark.operators.turnover import turnover_expr
+
+        return turnover_expr("position", self.POSITIONS_CLOSED_DAILY,
+                             self._sid_window(df))
 
     # ------------------------------------------------------------------ #
     # commissions (D8/D14, reference base.py:839-901)                    #
