@@ -2083,3 +2083,76 @@ def portfolio_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rets.groupBy("date")
             .agg(folded.alias("portfolio_return"),
                  F.count("*").alias("n_sids")))
+
+
+# --------------------------------------------------------------------- #
+# D8 min-commission floor + S2 NLV append, through the oracle            #
+# --------------------------------------------------------------------- #
+
+@register("backtest_commission_floor", f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN close < 100 THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
+),
+turn AS (
+    SELECT *, abs(coalesce(position, 0)
+                  - lag(coalesce(position, 0)) OVER (PARTITION BY sid ORDER BY date))
+              AS turnover
+    FROM pos
+),
+costed AS (
+    -- broker 1bp with a 50-currency-unit minimum against NLV 1,000,000
+    SELECT sid, date, turnover,
+           turnover * 0.0001 AS raw_commission,
+           50.0 / 1000000.0 AS floor_pct
+    FROM turn
+)
+SELECT sid, date, turnover,
+       CASE WHEN raw_commission > 0 AND raw_commission < floor_pct
+            THEN floor_pct ELSE raw_commission END AS commission
+FROM costed
+""")
+def backtest_commission_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-commission floor (D8, commission/base.py:57-66) through the
+    oracle: NLV joined from the master's currency (S2), floor = MIN/NLV
+    where 0 < commission < floor."""
+    from moonshot_spark.commission.base import PercentageCommission
+    from moonshot_spark.strategies.base import Moonshot
+
+    class FloorCommission(PercentageCommission):
+        BROKER_COMMISSION_RATE = 0.0001
+        MIN_COMMISSION = 50.0
+
+    class Strategy(Moonshot):
+        COMMISSION_CLASS = FloorCommission
+        NLV = {"USD": 1000000.0}
+
+        def prices_to_signals(self, prices):
+            return prices.withColumn(
+                "signal", (F.col("close") < 100).cast("int"))
+
+    panel = events_to_panel(spark, sf_dir)
+    sids = [r["sid"] for r in panel.select("sid").distinct().collect()]
+    master = spark.createDataFrame(
+        [(s, f"SYM{s}", "STK", "USD", "X", "UTC", None, None) for s in sids],
+        "sid string, symbol string, sec_type string, currency string, "
+        "exchange string, timezone string, price_magnifier double, "
+        "multiplier double")
+    results = Strategy().backtest(panel, master=master)
+    pivoted = (results.groupBy("sid", "date")
+               .pivot("field", ["Turnover", "Commission"])
+               .agg(F.first("value")))
+    return pivoted.select("sid", "date",
+                          F.col("Turnover").alias("turnover"),
+                          F.col("Commission").alias("commission"))

@@ -82,6 +82,7 @@ class Moonshot:
         self.is_trade = False
         self._backtest_results: dict[str, str] = {}   # field name → column name
         self._securities_master: DataFrame | None = None
+        self._benchmark_prices: DataFrame | None = None
 
     # ------------------------------------------------------------------ #
     # window helpers                                                     #
@@ -313,7 +314,11 @@ class Moonshot:
             return None
         date_cols = list(self._date_cols(prices))
         w = Window.partitionBy(F.lit(1)).orderBy(*date_cols)
-        bench = (prices.where(F.col("sid") == self.BENCHMARK)
+        # benchmark from a separate source (reference BENCHMARK_DB,
+        # base.py:1402-1500) or extracted from the panel itself
+        source = (self._benchmark_prices
+                  if self._benchmark_prices is not None else prices)
+        bench = (source.where(F.col("sid") == self.BENCHMARK)
                  .select(*date_cols, "close"))
         ffilled = F.last("close", ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, 0))
@@ -354,7 +359,8 @@ class Moonshot:
                  start_date: str | None = None, end_date: str | None = None,
                  nlv: dict[str, float] | None = None,
                  allocation: float = 1.0,
-                 label_sids: bool = False) -> DataFrame:
+                 label_sids: bool = False,
+                 benchmark_prices: DataFrame | None = None) -> DataFrame:
         """Run the backtest DAG and return the long results DataFrame
         ``(field, sid, date[, time], value)``.
 
@@ -362,6 +368,7 @@ class Moonshot:
         """
         self.is_backtest = True
         allocation = allocation or 1.0
+        self._benchmark_prices = benchmark_prices
 
         if end_date:
             prices = prices.where(F.col("date") <= F.lit(end_date).cast("date"))

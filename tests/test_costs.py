@@ -315,3 +315,18 @@ def test_benchmark_field(prices):
     bench = field_map(results, "Benchmark")
     assert bench[("FI12345", DATES[1])] == round((11 - 9) / 9, 9)
     assert bench[("FI12345", DATES[0])] is None
+
+
+def test_external_benchmark_prices(spark, prices):
+    """BENCHMARK from a separate price source (reference BENCHMARK_DB,
+    base.py:1402-1500)."""
+    class Strategy(BuyBelow10):
+        BENCHMARK = "SPY"
+
+    bench_prices = spark.createDataFrame(
+        [("SPY", d, float(100 + i)) for i, d in enumerate(DATES)],
+        "sid string, date date, close double")
+    results = Strategy().backtest(prices, benchmark_prices=bench_prices)
+    bench = field_map(results, "Benchmark")
+    assert bench[("SPY", DATES[1])] == round(1 / 100, 9)
+    assert bench[("SPY", DATES[0])] is None
