@@ -136,3 +136,40 @@ def test_same_key_windows_collapse_to_one_exchange(series_df):
           .withColumn("c", pct_change("value", 1, w)))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join (union+ffill) vs pandas merge_asof on random data,
+    including exact-timestamp matches and keys with no right rows."""
+    import numpy as np
+    import pandas as pd
+
+    from moonshot_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(23)
+    left_rows, right_rows = [], []
+    for key in ["a", "b", "c"]:
+        for t in sorted(rng.choice(np.arange(0, 1000), 25, replace=False)):
+            left_rows.append((key, int(t), float(rng.normal())))
+        if key != "c":   # key 'c' has no right side → all nulls
+            for t in sorted(rng.choice(np.arange(0, 1000), 15, replace=False)):
+                right_rows.append((key, int(t), float(rng.normal())))
+    # force exact-match collisions
+    right_rows.append(("a", left_rows[0][1], 99.0))
+
+    left = spark.createDataFrame(left_rows, "k string, t long, lv double")
+    right = spark.createDataFrame(right_rows, "k string, t long, rv double")
+    got = {(r["k"], r["t"]): r["rv"]
+           for r in asof_join(left, right, on="t", by="k",
+                              value_cols=["rv"]).collect()}
+
+    lpdf = pd.DataFrame(left_rows, columns=["k", "t", "lv"]).sort_values("t")
+    rpdf = pd.DataFrame(right_rows, columns=["k", "t", "rv"]).sort_values(
+        ["t", "rv"])  # ties: merge_asof takes the LAST right row at equal t
+    expected = pd.merge_asof(lpdf, rpdf, on="t", by="k")
+    for _, row in expected.iterrows():
+        g = got[(row["k"], row["t"])]
+        if pd.isna(row["rv"]):
+            assert g is None
+        else:
+            assert g == row["rv"]
