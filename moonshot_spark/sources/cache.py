@@ -52,9 +52,13 @@ class Cache:
     as the storage format.
     """
 
-    def __init__(self, cache_dir: str = DEFAULT_CACHE_DIR):
-        self.cache_dir = cache_dir
-        os.makedirs(cache_dir, exist_ok=True)
+    def __init__(self, cache_dir: str | None = None):
+        # resolved at call time (not def time) so env/monkeypatch overrides
+        # of the module default take effect
+        import moonshot_spark.sources.cache as _mod
+        self.cache_dir = cache_dir or os.environ.get(
+            "MOONSHOT_CACHE_DIR", _mod.DEFAULT_CACHE_DIR)
+        os.makedirs(self.cache_dir, exist_ok=True)
 
     def _paths(self, key: str) -> tuple[str, str]:
         base = os.path.join(self.cache_dir, key)
