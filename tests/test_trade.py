@@ -268,3 +268,35 @@ def test_missing_fx_rate_raises(spark, prices, balances):
         "exchange string, timezone string, price_magnifier double, multiplier double")
     with pytest.raises(Exception, match="no exchange rate provided"):
         BuyBelow10().trade(prices, {"U123": 1.0}, balances, master=master)
+
+
+def test_contract_value_reference_field(spark, master, balances):
+    """CONTRACT_VALUE_REFERENCE_FIELD overrides the close-price default
+    (reference test_trade.py:982+, base.py:1864-1867)."""
+    class UseOpen(BuyBelow10):
+        CONTRACT_VALUE_REFERENCE_FIELD = "open"
+
+    rows = [("FI23456", DATES[i], c, o) for i, (c, o) in
+            enumerate([(9.89, 20.0), (11.0, 22.0), (8.50, 17.0)])]
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, close double, open double")
+    orders = UseOpen().trade(prices, {"U123": 1.0}, balances, master=master)
+    got = orders_list(orders)
+    # quantity uses OPEN (17.0), not close (8.50)
+    assert got[0]["total_quantity"] == round(55000 / 17.0)
+
+
+def test_account_balance_field_least(spark, prices, master):
+    """Multiple balance fields → least per account (A5, reference
+    test_trade.py:1589+, base.py:1671)."""
+    class LesserEquity(BuyBelow10):
+        ACCOUNT_BALANCE_FIELD = ["net_liquidation", "previous_equity"]
+
+    balances = spark.createDataFrame(
+        [("U123", "USD", 60000.0, 48000.0)],
+        "account string, currency string, net_liquidation double, "
+        "previous_equity double")
+    orders = LesserEquity().trade(prices, {"U123": 1.0}, balances,
+                                  master=master)
+    got = orders_list(orders)
+    assert got[0]["total_quantity"] == round(48000 / 8.50)
