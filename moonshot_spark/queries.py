@@ -653,10 +653,20 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_features")  # mapInPandas decode stub — rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→featurize pipeline over binary media payloads (stubbed codec).
+
+    The feature vector (array<double>) is serialized to a deterministic
+    fixed-precision CSV string so the driver's rows-only canonicalization
+    can sort/hash the output (raw array columns are unhashable in pandas).
+    """
     from moonshot_spark.datapipe.multimodal import docs_to_media, extract_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(docs_to_media(docs))
+    feats = extract_features(docs_to_media(docs))
+    feature_csv = F.array_join(
+        F.transform("feature", lambda x: F.format_string("%.4f", x)), ",")
+    return feats.select("media_id", "media_type", "byte_len",
+                        feature_csv.alias("feature_csv"))
 
 
 # --------------------------------------------------------------------- #
@@ -1516,17 +1526,43 @@ def rebalance_weekly_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approximate aggregates (rows-only: approx algorithms differ by engine) #
 # --------------------------------------------------------------------- #
 
-@register("approx_aggregates")
+@register("approx_aggregates", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       TRUE AS users_in_bounds,
+       TRUE AS median_in_bounds
+FROM events
+GROUP BY event_type
+""")
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approx distinct + approx percentiles.  No SQL oracle: the
-    sketch algorithms (and therefore exact outputs) differ across engines —
-    the driver records a rows-only check; test_datapipe-style bounds are
-    asserted in tests/test_skew_approx.py."""
+    """HLL++ approx distinct + approx percentiles, with a *verifiable*
+    contract: sketch outputs differ by engine, so instead of emitting the
+    raw sketch values the query emits relative-error booleans checked
+    against the exact aggregates computed in the same pass.  The DuckDB
+    oracle asserts the booleans are all TRUE (plus the exact group counts),
+    turning the sketch accuracy claim into a hash-checkable row.
+
+    Bounds: HLL++ at rsd=0.02 is well within 10% at these cardinalities;
+    percentile_approx at accuracy=10000 is exact-or-adjacent on the sorted
+    values, checked to 1% relative error (with an absolute fallback for
+    near-zero medians)."""
     ev = load_table(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
-                 F.percentile_approx("value", 0.5).alias("approx_median"),
-                 F.count("*").alias("n")))
+    agg = (ev.groupBy("event_type")
+           .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                .alias("approx_users"),
+                F.countDistinct("user_id").alias("exact_users"),
+                F.percentile_approx("value", 0.5, 10000)
+                .alias("approx_median"),
+                F.expr("percentile(value, 0.5)").alias("exact_median"),
+                F.count("*").alias("n")))
+    users_ok = (F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.10 * F.col("exact_users"))
+    median_ok = (F.abs(F.col("approx_median") - F.col("exact_median"))
+                 <= F.greatest(0.01 * F.abs(F.col("exact_median")),
+                               F.lit(1e-9)))
+    return agg.select("event_type", "n",
+                      users_ok.alias("users_in_bounds"),
+                      median_ok.alias("median_in_bounds"))
 
 
 # --------------------------------------------------------------------- #
@@ -2143,12 +2179,17 @@ def backtest_commission_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "signal", (F.col("close") < 100).cast("int"))
 
     panel = events_to_panel(spark, sf_dir)
-    sids = [r["sid"] for r in panel.select("sid").distinct().collect()]
-    master = spark.createDataFrame(
-        [(s, f"SYM{s}", "STK", "USD", "X", "UTC", None, None) for s in sids],
-        "sid string, symbol string, sec_type string, currency string, "
-        "exchange string, timezone string, price_magnifier double, "
-        "multiplier double")
+    # derive the synthetic master DataFrame-side (no driver collect — the
+    # distinct-sids set would not fit a driver list at 100× scale)
+    master = (panel.select("sid").distinct()
+              .select("sid",
+                      F.concat(F.lit("SYM"), F.col("sid")).alias("symbol"),
+                      F.lit("STK").alias("sec_type"),
+                      F.lit("USD").alias("currency"),
+                      F.lit("X").alias("exchange"),
+                      F.lit("UTC").alias("timezone"),
+                      F.lit(None).cast("double").alias("price_magnifier"),
+                      F.lit(None).cast("double").alias("multiplier")))
     results = Strategy().backtest(panel, master=master)
     pivoted = (results.groupBy("sid", "date")
                .pivot("field", ["Turnover", "Commission"])
