@@ -42,19 +42,43 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate groups: fingerprint → groupBy → keep groups >1.
 
-    Returns (fingerprint, n_docs, keep_id, dup_ids): the canonical survivor
-    (min id) and the removable duplicates.
+    Returns (fingerprint, n_docs, keep_id): the canonical survivor (min id)
+    per duplicated fingerprint.  Deliberately NO per-group id array — a
+    boilerplate fingerprint owning 10M docs would materialize a 10M-element
+    array in a single task; the removable ids come from
+    ``exact_duplicate_mapping`` (a join, streaming per row) instead.  The
+    count/min aggregate itself is skew-proof: map-side partial aggregation
+    reduces each hot fingerprint to one row per map task before the shuffle.
     """
     from moonshot_spark.datapipe.text import fingerprint_expr
 
     fp = docs.select(F.col(id_col), fingerprint_expr(text_col).alias("fingerprint"))
     return (fp.groupBy("fingerprint")
             .agg(F.count("*").alias("n_docs"),
-                 F.min(id_col).alias("keep_id"),
-                 F.sort_array(F.collect_list(id_col)).alias("all_ids"))
-            .where(F.col("n_docs") > 1)
-            .withColumn("dup_ids", F.slice("all_ids", 2, 1_000_000))
-            .drop("all_ids"))
+                 F.min(id_col).alias("keep_id"))
+            .where(F.col("n_docs") > 1))
+
+
+def exact_duplicate_mapping(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Survivor mapping: one row per REMOVABLE doc —
+    (fingerprint, n_docs, keep_id, dup_id with dup_id != keep_id).
+
+    Scale design: group stats join back to the per-doc fingerprints on the
+    fingerprint key.  Each doc row matches exactly one group row, so a hot
+    fingerprint streams through its task without any array or blowup
+    (unlike collect_list, which is unbounded per group).
+    """
+    from moonshot_spark.datapipe.text import fingerprint_expr
+
+    fp = docs.select(F.col(id_col), fingerprint_expr(text_col).alias("fingerprint"))
+    groups = (fp.groupBy("fingerprint")
+              .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+              .where(F.col("n_docs") > 1))
+    return (fp.join(groups, "fingerprint")
+            .where(F.col(id_col) != F.col("keep_id"))
+            .select("fingerprint", "n_docs", "keep_id",
+                    F.col(id_col).alias("dup_id")))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
