@@ -16,7 +16,8 @@ from moonshot_spark.datapipe.text import (
     fingerprint_expr,
 )
 from moonshot_spark.datapipe.dedup import (
-    exact_duplicates, minhash_signatures, lsh_candidate_pairs, simhash_expr,
+    exact_duplicates, exact_duplicate_mapping, minhash_signatures,
+    lsh_candidate_pairs, simhash_expr,
 )
 from moonshot_spark.datapipe.similarity import (
     cosine_expr, brute_force_topk, lsh_bucketed_topk,
@@ -25,7 +26,7 @@ from moonshot_spark.datapipe.similarity import (
 __all__ = [
     "tokens_expr", "token_count_expr", "quality_exprs", "lang_scores_expr",
     "fingerprint_expr",
-    "exact_duplicates", "minhash_signatures", "lsh_candidate_pairs",
-    "simhash_expr",
+    "exact_duplicates", "exact_duplicate_mapping", "minhash_signatures",
+    "lsh_candidate_pairs", "simhash_expr",
     "cosine_expr", "brute_force_topk", "lsh_bucketed_topk",
 ]

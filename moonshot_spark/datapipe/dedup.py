@@ -196,9 +196,8 @@ def dedup_corpus(docs: DataFrame, method: str = "exact",
       near-dup policy.)
     """
     if method == "exact":
-        dup_groups = exact_duplicates(docs, text_col, id_col)
-        removable = dup_groups.select(
-            F.explode("dup_ids").alias(id_col))
+        removable = (exact_duplicate_mapping(docs, text_col, id_col)
+                     .select(F.col("dup_id").alias(id_col)))
         return docs.join(removable, id_col, "left_anti")
     if method == "minhash":
         candidates = lsh_candidate_pairs(docs, text_col, id_col)

@@ -526,8 +526,7 @@ WITH fp AS (
     FROM documents
 )
 SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
-       min(doc_id) AS keep_id,
-       list_sort(list(doc_id))[2:] AS dup_ids
+       min(doc_id) AS keep_id
 FROM fp GROUP BY fingerprint HAVING count(*) > 1
 """)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1542,10 +1541,13 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle asserts the booleans are all TRUE (plus the exact group counts),
     turning the sketch accuracy claim into a hash-checkable row.
 
-    Bounds: HLL++ at rsd=0.02 is well within 10% at these cardinalities;
-    percentile_approx at accuracy=10000 is exact-or-adjacent on the sorted
-    values, checked to 1% relative error (with an absolute fallback for
-    near-zero medians)."""
+    Bounds: HLL++ at rsd=0.02 is well within 10% at these cardinalities.
+    The median check is RANK-based, not value-based: percentile_approx at
+    accuracy=10000 guarantees rank error <= n/10000 regardless of value
+    gaps, so asserting "count(value < approx_median) and
+    count(value <= approx_median) straddle n/2 within n/1000 + 1 ranks" is
+    structurally TRUE for any data (a value-distance bound would flip on
+    even-count groups whose two middle values are far apart)."""
     ev = load_table(spark, sf_dir, "events")
     agg = (ev.groupBy("event_type")
            .agg(F.approx_count_distinct("user_id", rsd=0.02)
@@ -1553,16 +1555,25 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.countDistinct("user_id").alias("exact_users"),
                 F.percentile_approx("value", 0.5, 10000)
                 .alias("approx_median"),
-                F.expr("percentile(value, 0.5)").alias("exact_median"),
                 F.count("*").alias("n")))
+    # second pass: exact rank of the sketch median within each group.
+    # agg is group-cardinality rows — broadcast it back onto the fact table.
+    ranks = (ev.join(F.broadcast(agg.select("event_type", "approx_median")),
+                     "event_type")
+             .groupBy("event_type")
+             .agg(F.count(F.when(F.col("value") < F.col("approx_median"), 1))
+                  .alias("n_below"),
+                  F.count(F.when(F.col("value") <= F.col("approx_median"), 1))
+                  .alias("n_at_or_below")))
+    joined = agg.join(ranks, "event_type")
     users_ok = (F.abs(F.col("approx_users") - F.col("exact_users"))
                 <= 0.10 * F.col("exact_users"))
-    median_ok = (F.abs(F.col("approx_median") - F.col("exact_median"))
-                 <= F.greatest(0.01 * F.abs(F.col("exact_median")),
-                               F.lit(1e-9)))
-    return agg.select("event_type", "n",
-                      users_ok.alias("users_in_bounds"),
-                      median_ok.alias("median_in_bounds"))
+    rank_tol = F.col("n") / 1000 + 1
+    median_ok = ((F.col("n_below") <= F.col("n") / 2 + rank_tol)
+                 & (F.col("n_at_or_below") >= F.col("n") / 2 - rank_tol))
+    return joined.select("event_type", "n",
+                         users_ok.alias("users_in_bounds"),
+                         median_ok.alias("median_in_bounds"))
 
 
 # --------------------------------------------------------------------- #

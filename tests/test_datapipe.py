@@ -4,8 +4,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from moonshot_spark.datapipe.dedup import (
-    exact_duplicates, hamming_expr, lsh_candidate_pairs, ngram_jaccard_pairs,
-    simhash_expr,
+    exact_duplicates, exact_duplicate_mapping, hamming_expr,
+    lsh_candidate_pairs, ngram_jaccard_pairs, simhash_expr,
 )
 from moonshot_spark.datapipe.multimodal import docs_to_media, extract_features
 from moonshot_spark.datapipe.similarity import brute_force_topk, lsh_bucketed_topk
@@ -27,8 +27,22 @@ def test_exact_duplicates(docs):
     dups = exact_duplicates(docs).collect()
     assert len(dups) == 1
     assert dups[0]["keep_id"] == 0
-    assert dups[0]["dup_ids"] == [1]
     assert dups[0]["n_docs"] == 2
+
+
+def test_exact_duplicate_mapping(docs):
+    rows = exact_duplicate_mapping(docs).collect()
+    assert [(r["keep_id"], r["dup_id"], r["n_docs"]) for r in rows] == [(0, 1, 2)]
+
+
+def test_exact_duplicate_mapping_skewed_fingerprint(spark):
+    # one fingerprint owns 90% of docs — mapping must stream per row, not
+    # materialize a per-group array (VERDICT r1 item 6)
+    rows = [(i, "same text" if i < 90 else f"unique {i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mapping = exact_duplicate_mapping(df)
+    assert mapping.count() == 89
+    assert mapping.agg(F.min("keep_id"), F.max("dup_id")).collect()[0] == (0, 89)
 
 
 def test_exact_duplicates_whitespace_normalization(spark):
