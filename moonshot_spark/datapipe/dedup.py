@@ -126,13 +126,26 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 16,
-                        bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                        bands: int = 4, shingle_n: int = 3,
+                        max_bucket_size: int | None = None,
+                        on_oversized: str = "warn") -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
 
     banding: signature split into ``bands`` bands of k/bands rows; docs
     sharing any identical band land in the same bucket.  The pair join is
     per-bucket (equi-join on band hash), so cost is Σ bucket² not n² —
     the standard LSH scale path.
+
+    ``max_bucket_size`` is the hot-bucket guard: a degenerate bucket (every
+    empty/boilerplate doc shares one band hash) turns the per-bucket join
+    quadratic — 1M docs in one bucket is 10¹² pairs.  Buckets over the cap
+    are excluded from the pair join (their members are near-always exact
+    duplicates of a template; run exact dedup first to absorb them).  Never
+    silent: ``on_oversized='warn'`` counts the dropped buckets (one small
+    aggregate job) and emits a warning; ``'error'`` raises; ``'ignore'``
+    skips the extra job.  The bucket count uses a window partitioned by the
+    join key, so its shuffle is the same exchange the self-join needs — the
+    guard adds no extra shuffle to the pair path.
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, distinct.
     """
@@ -150,6 +163,27 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     # recompute the whole shingle→md5 pipeline; the banded signatures are
     # tiny (k hashes/doc) so cache them for the join
     banded = banded.persist()
+
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        bucket_n = F.count("*").over(
+            Window.partitionBy("band_id", "band_hash"))
+        banded = banded.withColumn("__bucket_n", bucket_n)
+        if on_oversized in ("warn", "error"):
+            over = (banded.where(F.col("__bucket_n") > max_bucket_size)
+                    .agg(F.countDistinct("band_id", "band_hash").alias("b"),
+                         F.count("*").alias("m")).collect()[0])
+            if over["b"]:
+                msg = (f"lsh_candidate_pairs: dropped {over['b']} bucket(s) "
+                       f"({over['m']} doc-band rows) over max_bucket_size="
+                       f"{max_bucket_size}; run exact dedup first to absorb "
+                       f"template duplicates")
+                if on_oversized == "error":
+                    raise ValueError(msg)
+                import warnings
+                warnings.warn(msg)
+        banded = (banded.where(F.col("__bucket_n") <= max_bucket_size)
+                  .drop("__bucket_n"))
 
     left = banded.select(F.col(id_col).alias("id_a"),
                          F.col("minhash_sig").alias("sig_a"),

@@ -1239,6 +1239,7 @@ WITH corpus AS (
            sqrt(list_reduce(list_transform(range(1, len(v) + 1),
                i -> v[i] * v[i]), (x, y) -> x + y)) AS norm
     FROM corpus
+    QUALIFY count(*) OVER (PARTITION BY label) <= 100000
 ), pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            list_reduce(list_transform(range(1, len(a.v) + 1),
@@ -1255,12 +1256,19 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     same label bucket (the IVF-cell restriction), kept above a cosine
     threshold.  Norms are computed once per vector BEFORE the pair join —
     only the dot product runs per pair.  At 100 TB the label/IVF-cell
-    equi-join bounds the pair blowup to Σ cell²."""
+    equi-join bounds the pair blowup to Σ cell², and the hot-cell guard
+    (cells over 100k vectors are excluded, mirrored in the oracle's QUALIFY)
+    bounds the worst cell — a degenerate cell holding most of the corpus
+    would otherwise make one join task quadratic.  The cell count is a
+    window over the join key, so it reuses the pair join's own exchange."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
                               lambda acc, x: acc + x))
-    normed = emb.select("vec_id", "label", v.alias("__v"), norm.alias("__n"))
+    cell_n = F.count("*").over(Window.partitionBy("label"))
+    normed = (emb.select("vec_id", "label", v.alias("__v"), norm.alias("__n"),
+                         cell_n.alias("__cell_n"))
+              .where(F.col("__cell_n") <= 100000).drop("__cell_n"))
     a = normed.select(F.col("vec_id").alias("vec_a"), "label",
                       F.col("__v").alias("__va"), F.col("__n").alias("__na"))
     b = normed.select(F.col("vec_id").alias("vec_b"), "label",

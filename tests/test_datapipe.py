@@ -60,6 +60,29 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 3) not in pairs                          # unrelated
 
 
+def test_lsh_hot_bucket_guard(spark):
+    # adversarial mega-bucket: 200 identical template docs all land in the
+    # same band buckets; with the cap the pair join is bounded (the template
+    # bucket is excluded, the two genuine near-dups still pair up)
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    rows = ([(i, "template boilerplate text repeated everywhere forever ok")
+             for i in range(200)] + [(200, base), (201, near)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.warns(UserWarning, match="dropped .* bucket"):
+        pairs = lsh_candidate_pairs(df, max_bucket_size=50).collect()
+    ids = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (200, 201) in ids
+    assert not any(a < 200 and b < 200 for a, b in ids)  # no template pairs
+    # error mode raises instead of silently capping
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        lsh_candidate_pairs(df, max_bucket_size=50, on_oversized="error")
+    # uncapped behavior unchanged for normal corpora
+    small = spark.createDataFrame([(0, base), (1, base)],
+                                  "doc_id long, text string")
+    assert lsh_candidate_pairs(small, max_bucket_size=50).count() == 1
+
+
 def test_ngram_jaccard_verification(docs):
     cands = lsh_candidate_pairs(docs)
     verified = {(r["doc_a"], r["doc_b"]): r["jaccard"]
