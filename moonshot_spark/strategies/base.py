@@ -76,6 +76,12 @@ class Moonshot:
     ALLOW_REBALANCE: bool | float = True
     CONTRACT_VALUE_REFERENCE_FIELD: str | None = None
     NLV: dict[str, float] | None = None
+    CALENDAR: str | None = None      # exchange code for signal-date resolution
+    TIMEZONE: str | None = None      # tz for "today" when no CALENDAR
+    #: callable exchange → {"status", "since", "timezone"}; see
+    #: sources/calendars.make_calendar_service (the reference's
+    #: list_calendar_statuses seam, base.py:744)
+    calendar_service = None
 
     def __init__(self):
         self.is_backtest = False
@@ -415,6 +421,59 @@ class Moonshot:
 
     ACCOUNT_BALANCE_FIELD: str | list[str] | None = None
 
+    def _now(self, tz: str | None):
+        """Wall-clock seam (tz-aware pandas Timestamp).  The reference calls
+        ``pd.Timestamp.now(tz=...)`` inline (base.py:750,757); a method makes
+        live "today" injectable in tests and batch replays."""
+        import pandas as pd
+        return pd.Timestamp.now(tz=tz)
+
+    def _resolve_signal_datetime(self, review_date: str | None,
+                                 master: DataFrame | None):
+        """Resolve the live signal datetime (D19/S8 — reference
+        base.py:735-762).  Precedence:
+
+        1. ``review_date`` (may carry a time for intraday strategies);
+        2. ``CALENDAR`` via ``calendar_service``: closed → last-open
+           ``since`` date, open → now in the exchange's timezone;
+        3. ``TIMEZONE`` (or the master's single timezone) → tz-aware now.
+
+        Returns a pandas Timestamp, or None when none of the above are
+        available — batch inputs with no clock context fall back to the
+        panel's max date (a documented divergence: the reference always
+        runs against a live service and a real clock).
+        """
+        import pandas as pd
+
+        if review_date is not None:
+            return pd.Timestamp(review_date)
+        if self.CALENDAR:
+            if self.calendar_service is None:
+                raise MoonshotParameterError(
+                    "CALENDAR={0!r} requires a calendar_service (see "
+                    "moonshot_spark.sources.calendars.make_calendar_service)"
+                    .format(self.CALENDAR))
+            status = self.calendar_service(self.CALENDAR)
+            if status["status"] == "closed":
+                # signals correspond to the date the exchange was last open
+                return pd.Timestamp(status["since"])
+            return self._now(status["timezone"])
+        tz = self.TIMEZONE
+        if tz is None and master is not None and "timezone" in master.columns:
+            # inferred timezone (reference base.py:1116-1125): must be
+            # unambiguous across the (broadcast-sized) master
+            tzs = [r[0] for r in
+                   master.select("timezone").distinct().collect() if r[0]]
+            if len(tzs) > 1:
+                raise MoonshotParameterError(
+                    "cannot infer timezone because multiple timezones are "
+                    "present in data, please specify TIMEZONE explicitly "
+                    "(timezones: {0})".format(", ".join(sorted(tzs))))
+            tz = tzs[0] if tzs else None
+        if tz is not None:
+            return self._now(tz)
+        return None
+
     def trade(self, prices: DataFrame, allocations: dict[str, float],
               balances: DataFrame, exchange_rates: DataFrame | None = None,
               positions: DataFrame | None = None,
@@ -440,40 +499,95 @@ class Moonshot:
         self.is_trade = True
         self.review_date = review_date
         spark = prices.sparkSession
+        raw_price_fields = [c for c in prices.columns
+                            if c not in ("sid", "date", "time")]
 
         prices = self._join_master(prices, master, None)
         df = self.prices_to_signals(prices)
         df = df.withColumn("signal", F.col("signal").cast("double"))
         df = self.signals_to_target_weights(df)
 
-        # D19: signal-date selection.  review_date if given, else the panel's
-        # max date (reference uses "today" against live data; with batch
-        # inputs the latest row is today's analog, and staleness validation
-        # (base.py:773-775) is the caller's concern).
+        # D19/S8: signal-date resolution (reference base.py:735-830).
+        # review_date > CALENDAR status > TIMEZONE/inferred-tz "now"; batch
+        # inputs with no clock context fall back to the panel's max date.
+        weights_is_intraday = self._is_intraday(df)
+        dt = self._resolve_signal_datetime(review_date, master)
         max_date = df.select(F.max("date")).collect()[0][0]
-        if review_date is not None:
-            import datetime
-            signal_date = datetime.date.fromisoformat(review_date)
+        if dt is not None:
+            signal_date = dt.date()
+            trade_time = dt.strftime("%H:%M:%S")
             if (max_date is None or signal_date > max_date
-                    or df.where(F.col("date") == signal_date).isEmpty()):
-                # staleness validation — reference base.py:790-830: the
+                    or df.where(F.col("date") == F.lit(signal_date)).isEmpty()):
+                # staleness validation — reference base.py:773-787: the
                 # signal date must actually exist in the weights frame
                 # (a date inside the range but absent — e.g. a holiday —
                 # must error, not silently emit no orders)
-                raise MoonshotError(
-                    "expected signal date {0} not found in target weights "
-                    "DataFrame, is the underlying data up-to-date? "
-                    "(max date is {1})".format(signal_date, max_date))
+                msg = ("expected signal date {0} not found in target weights "
+                       "DataFrame, is the underlying data up-to-date? "
+                       "(max date is {1})")
+                if (not self.CALENDAR and not weights_is_intraday
+                        and max_date is not None
+                        and (signal_date - max_date).days == 1):
+                    # reference base.py:780-783: a one-day gap usually means
+                    # trading before the open without a calendar
+                    msg += (" If your strategy trades before the open and "
+                            "{0} data is not expected, try setting "
+                            "CALENDAR = <exchange>")
+                raise MoonshotError(msg.format(signal_date.isoformat(),
+                                               max_date.isoformat()
+                                               if max_date else None))
         else:
             signal_date = max_date
+            trade_time = None
         self._signal_date = signal_date
-        today = df.where(F.col("date") == signal_date)
-        if self._is_intraday(df):
-            # as-of pick: latest time ≤ now/review time (J7, base.py:790-795);
-            # with batch inputs, use the last time of the signal date
-            w = Window.partitionBy("sid").orderBy(F.desc("time"))
-            today = (today.withColumn("__rn", F.row_number().over(w))
-                     .where(F.col("__rn") == 1).drop("__rn"))
+        today = df.where(F.col("date") == F.lit(signal_date))
+        if weights_is_intraday:
+            if trade_time is not None:
+                # reference base.py:790-795: one global signal time — the
+                # latest time in the whole weights frame strictly earlier
+                # than the trade time.  distinct-times collect is bounded
+                # by the bar schedule, never data scale.
+                times = sorted(r[0] for r in df.select("time")
+                               .where(F.col("time") < trade_time)
+                               .distinct().collect())
+                if not times:
+                    msg = ("cannot determine which target weights to use "
+                           "for orders because target weights DataFrame "
+                           "contains no times earlier than trade time {0} "
+                           "for signal date {1}".format(
+                               trade_time, signal_date.isoformat()))
+                    if review_date:
+                        msg += ", please adjust the review_date"
+                    raise MoonshotError(msg)
+                signal_time = times[-1]
+                self._signal_time = signal_time
+                # stale-time validation (reference base.py:807-830): at
+                # least one non-null price field must exist at the signal
+                # time on the signal date — the weights frame alone can't
+                # show staleness because get_prices spine-fills all times
+                from functools import reduce
+                notnull_any = reduce(
+                    lambda a, b: a | b,
+                    [F.col(c).isNotNull() for c in raw_price_fields],
+                    F.lit(False))
+                today_prices = (prices
+                                .where(F.col("date") == F.lit(signal_date))
+                                .where(notnull_any))
+                if (today_prices.where(F.col("time") == signal_time)
+                        .isEmpty()):
+                    max_time = today_prices.select(F.max("time")) \
+                        .collect()[0][0]
+                    raise MoonshotError(
+                        "no {0} data found in prices DataFrame for signal "
+                        "date {1}, is the underlying data up-to-date? "
+                        "(max time for {1} is {2})".format(
+                            signal_time, signal_date.isoformat(), max_time))
+                today = today.where(F.col("time") == signal_time)
+            else:
+                # batch fallback: latest time per sid (J7 as-of analog)
+                w = Window.partitionBy("sid").orderBy(F.desc("time"))
+                today = (today.withColumn("__rn", F.row_number().over(w))
+                         .where(F.col("__rn") == 1).drop("__rn"))
 
         # contract values as-of signal date, ffilled (base.py:1622-1624);
         # intraday: the latest time's value via max_by (F.last in a groupBy
@@ -481,8 +595,14 @@ class Moonshot:
         w_sid = self._sid_window(df)
         cv = F.last(self._contract_value_expr(df), ignorenulls=True).over(
             w_sid.rowsBetween(Window.unboundedPreceding, 0))
-        cv_rows = df.withColumn("__cv", cv).where(F.col("date") == signal_date)
+        cv_rows = df.withColumn("__cv", cv).where(
+            F.col("date") == F.lit(signal_date))
         if self._is_intraday(df):
+            # the ffilled value AT the signal time (reference
+            # base.py:1622-1627 .loc[signal_time]); batch fallback (no
+            # trade time): the day's last bar (.iloc[-1])
+            if trade_time is not None:
+                cv_rows = cv_rows.where(F.col("time") <= self._signal_time)
             cv_agg = F.max_by("__cv", "time")
         else:
             cv_agg = F.first("__cv")   # one row per (sid, date) in daily panels

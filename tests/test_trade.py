@@ -16,6 +16,13 @@ DATES = [datetime.date(2024, 6, d) for d in (3, 4, 5)]
 class BuyBelow10(Moonshot):
     CODE = "buy-below-10"
 
+    # pin the clock: the master fixture carries a timezone, so without a
+    # review_date the signal date resolves from "now" in that tz
+    # (reference mocks pd.Timestamp.now the same way)
+    def _now(self, tz):
+        import pandas as pd
+        return pd.Timestamp("2024-06-05 16:00:00", tz=tz)
+
     def prices_to_signals(self, prices):
         return prices.withColumn("signal", (F.col("close") < 10).cast("int"))
 
