@@ -23,6 +23,90 @@ from pyspark.sql.types import DoubleType
 from moonshot_spark.strategies.base import Moonshot, MoonshotParameterError
 
 
+class KerasModelHandle:
+    """Executor-safe wrapper for Keras/HDF5 models (reference ml.py:219-221).
+
+    Keras models generally don't pickle, but Spark broadcast requires
+    pickling.  The handle serializes as the model *path* and lazily
+    re-loads once per executor process (at scale the .h5 lives on shared
+    storage, so a per-executor load is the standard pattern).  When the
+    underlying model DOES pickle (e.g. a test fake), it rides along in the
+    broadcast and no executor-side reload happens.
+    """
+
+    def __init__(self, path: str):
+        self._path = path
+        self._model = None
+
+    @staticmethod
+    def _load_keras_model(path):
+        try:
+            from keras.models import load_model
+        except ImportError:
+            try:
+                from tensorflow.keras.models import load_model
+            except ImportError:
+                raise MoonshotParameterError(
+                    "loading {0!r} requires keras (or tensorflow); install "
+                    "it or register a custom loader via "
+                    "register_model_loader".format(path))
+        return load_model(path)
+
+    def _ensure(self):
+        if self._model is None:
+            self._model = self._load_keras_model(self._path)
+        return self._model
+
+    def predict(self, X):
+        return self._ensure().predict(X)
+
+    def __getstate__(self):
+        model = self._model
+        try:
+            pickle.dumps(model)
+        except Exception:
+            model = None    # unpicklable (real TF) → reload from path
+        return {"_path": self._path, "_model": model}
+
+
+def _load_joblib(path):
+    import joblib
+    return joblib.load(path)
+
+
+def _load_keras(path):
+    handle = KerasModelHandle(path)
+    handle._ensure()    # fail fast on the driver (missing backend / bad file)
+    return handle
+
+
+def _load_pickle(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+#: ordered (name, matcher, loader) registry — reference ml.py:211-225
+#: dispatch: "joblib" in path → joblib, "keras.h5" in path → keras,
+#: else pickle.  Extensible for other frameworks via register_model_loader.
+MODEL_LOADERS: list[tuple] = [
+    ("joblib", lambda p: "joblib" in p, _load_joblib),
+    ("keras", lambda p: "keras.h5" in p or p.endswith((".h5", ".keras")),
+     _load_keras),
+    ("pickle", lambda p: True, _load_pickle),
+]
+
+
+def register_model_loader(name: str, matches, load, prepend: bool = True):
+    """Register a custom model loader: ``matches(path) -> bool``,
+    ``load(path) -> model``.  Prepended by default so custom loaders win
+    over the built-in dispatch."""
+    entry = (name, matches, load)
+    if prepend:
+        MODEL_LOADERS.insert(0, entry)
+    else:
+        MODEL_LOADERS.append(entry)
+
+
 class MoonshotML(Moonshot):
     """Template-method ML strategy (reference ml.py:36).
 
@@ -31,7 +115,9 @@ class MoonshotML(Moonshot):
     ``predictions_to_signals``.
     """
 
-    MODEL: str | None = None   # path to pickled/joblib model (ml.py:211-225)
+    #: model file path; dispatched through MODEL_LOADERS (reference
+    #: ml.py:211-225: joblib / keras .h5 / pickle)
+    MODEL: str | None = None
 
     def __init__(self):
         super().__init__()
@@ -56,12 +142,12 @@ class MoonshotML(Moonshot):
         if not self.MODEL:
             raise MoonshotParameterError("please specify a model file or object")
         path = self.MODEL
-        if path.endswith((".joblib",)):
-            import joblib
-            self.model = joblib.load(path)
-        else:
-            with open(path, "rb") as f:
-                self.model = pickle.load(f)
+        for _name, matches, load in MODEL_LOADERS:
+            if matches(path):
+                self.model = load(path)
+                return
+        raise MoonshotParameterError(
+            f"no model loader matches {path!r}")   # unreachable: pickle is a catch-all
 
     # -- scoring (reference ml.py:444-517) ----------------------------- #
 

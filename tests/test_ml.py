@@ -146,3 +146,96 @@ def test_ml_feature_cache(spark, prices, tmp_path, monkeypatch):
     sig2 = {(r["sid"], r["date"]): r["value"]
             for r in r2.where(F.col("field") == "Signal").collect()}
     assert sig1 == sig2
+
+
+class FakeKerasModel:
+    """Picklable stand-in for a loaded Keras model (predict only)."""
+
+    def __init__(self, coefs):
+        self.coefs = coefs
+
+    def predict(self, X):
+        import numpy as np
+        return np.asarray(X, dtype="float64") @ np.asarray(self.coefs)
+
+
+def test_keras_h5_loader_seam(prices, tmp_path, monkeypatch):
+    """S12: .h5 models dispatch to the keras loader (reference ml.py:219-221,
+    fixture _tests/fixtures/test_model.keras.h5).  TF isn't in this
+    container, so a fake keras backend exercises the seam; the scoring path
+    (broadcast handle → pandas_udf) is the real one."""
+    import sys
+    import types
+
+    fake_models = types.ModuleType("keras.models")
+
+    def load_model(path):
+        assert path.endswith("test_model.keras.h5")
+        return LinearModel([1.0, 0.5])   # importable in executor workers
+
+    fake_models.load_model = load_model
+    fake_keras = types.ModuleType("keras")
+    fake_keras.models = fake_models
+    monkeypatch.setitem(sys.modules, "keras", fake_keras)
+    monkeypatch.setitem(sys.modules, "keras.models", fake_models)
+
+    path = tmp_path / "test_model.keras.h5"
+    path.write_bytes(b"\x89HDF\r\n")
+
+    class KerasStrategy(TwoFeatureStrategy):
+        MODEL = str(path)
+
+    results = KerasStrategy().backtest(prices)
+    sig = {(r["sid"], r["date"]): r["value"]
+           for r in results.where(F.col("field") == "Signal").collect()}
+    # same linear model as test_ml_predict_pipeline
+    assert sig[("FI12345", DATES[1])] == 1.0
+    assert sig[("FI12345", DATES[0])] == 0.0
+
+
+def test_keras_handle_path_reload_when_unpicklable(tmp_path):
+    """An unpicklable model drops out of the handle's pickle state and
+    re-loads from the path on the other side (the real-TF broadcast path)."""
+    import pickle as pkl
+
+    from moonshot_spark.strategies.ml import KerasModelHandle
+
+    handle = KerasModelHandle(str(tmp_path / "m.keras.h5"))
+    handle._model = lambda X: X        # lambdas don't pickle
+    state = handle.__getstate__()
+    assert state["_model"] is None and state["_path"] == handle._path
+
+    handle._model = FakeKerasModel([2.0])    # picklable → rides along
+    clone = pkl.loads(pkl.dumps(handle))
+    assert clone.predict([[3.0]]) == [6.0]
+
+
+def test_missing_keras_backend_errors(tmp_path):
+    """Without any keras/tensorflow the loader fails fast on the driver
+    with an actionable message (register_model_loader escape hatch)."""
+    from moonshot_spark.strategies.base import MoonshotParameterError
+
+    class KerasStrategy(TwoFeatureStrategy):
+        MODEL = str(tmp_path / "model.keras.h5")
+
+    with pytest.raises(MoonshotParameterError, match="requires keras"):
+        KerasStrategy()._load_model()
+
+
+def test_register_model_loader_wins(tmp_path):
+    """Custom loaders are consulted before the built-in dispatch."""
+    from moonshot_spark.strategies.ml import MODEL_LOADERS, register_model_loader
+
+    n_before = len(MODEL_LOADERS)
+    register_model_loader("custom-npz", lambda p: p.endswith(".npz"),
+                          lambda p: FakeKerasModel([9.9]))
+    try:
+        class NpzStrategy(TwoFeatureStrategy):
+            MODEL = str(tmp_path / "weights.npz")
+
+        s = NpzStrategy()
+        s._load_model()
+        assert s.model.coefs == [9.9]
+    finally:
+        del MODEL_LOADERS[0]
+        assert len(MODEL_LOADERS) == n_before
