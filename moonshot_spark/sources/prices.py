@@ -21,19 +21,58 @@ def get_prices(spark: SparkSession, path: str,
                start_date: str | None = None,
                end_date: str | None = None,
                times: list[str] | None = None,
-               fields: list[str] | None = None) -> DataFrame:
+               fields: list[str] | None = None,
+               strategy=None,
+               lookback_window: int | None = None,
+               no_cache: bool = False,
+               cache_dir: str | None = None) -> DataFrame:
     """Load the price panel with source-level filters (S1).
 
     ``fields`` selects panel columns (projection pruning); the other
     arguments become pushed-down predicates.
+
+    Lookback (D24 — reference base.py:1217-1218): when ``strategy`` (or an
+    explicit ``lookback_window``) is given alongside ``start_date``, the
+    scan starts ``lookback`` trading days earlier so rolling windows have
+    history — the pruned range is a pushed-down predicate, i.e. partition
+    pruning / row-group skipping at 100 TB, not a post-scan filter.
+
+    Cache (S11 — reference base.py:1258-1278): unless ``no_cache``, the
+    filtered panel is checkpointed to Parquet keyed by these kwargs and
+    invalidated when the source was modified after the checkpoint; a hit
+    replaces the scan+filter subtree with one columnar read of exactly the
+    needed rows ("backtest twice, the second fetch is free").
     """
+    from moonshot_spark.plans.lookback import (
+        get_lookback_window, lookback_start_date)
+    from moonshot_spark.sources.cache import Cache
+
+    prune_start = start_date
+    if start_date:
+        if lookback_window is None and strategy is not None:
+            lookback_window = get_lookback_window(strategy)
+        if lookback_window is not None:
+            prune_start = lookback_start_date(
+                start_date, lookback_window).isoformat()
+
+    cache = None
+    cache_key = None
+    if not no_cache:
+        cache = Cache(cache_dir)
+        cache_key = {"path": path, "sids": sids, "exclude_sids": exclude_sids,
+                     "prune_start": prune_start, "end_date": end_date,
+                     "times": times, "fields": fields}
+        cached = cache.get(spark, "prices", cache_key, unless_modified=[path])
+        if cached is not None:
+            return cached
+
     df = spark.read.parquet(path)
     if sids:
         df = df.where(F.col("sid").isin(sids))
     if exclude_sids:
         df = df.where(~F.col("sid").isin(exclude_sids))
-    if start_date:
-        df = df.where(F.col("date") >= F.lit(start_date).cast("date"))
+    if prune_start:
+        df = df.where(F.col("date") >= F.lit(prune_start).cast("date"))
     if end_date:
         df = df.where(F.col("date") <= F.lit(end_date).cast("date"))
     if times and "time" in df.columns:
@@ -45,6 +84,12 @@ def get_prices(spark: SparkSession, path: str,
             raise MoonshotParameterError(
                 f"fields not in panel: {sorted(missing)}")
         df = df.select(*keys, *fields)
+
+    if cache is not None:
+        cache.set("prices", cache_key, df)
+        hit = cache.get(spark, "prices", cache_key, unless_modified=[path])
+        if hit is not None:    # mtime race (source touched mid-write): fall
+            return hit         # through to the live plan rather than recurse
     return df
 
 

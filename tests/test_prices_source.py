@@ -18,7 +18,7 @@ def panel_path(spark, tmp_path_factory):
 
 
 def test_sid_and_date_filters(spark, panel_path):
-    df = get_prices(spark, panel_path, sids=["1", "2"],
+    df = get_prices(spark, panel_path, sids=["1", "2"], no_cache=True,
                     start_date="2024-01-10", end_date="2024-01-20")
     rows = df.collect()
     assert {r["sid"] for r in rows} <= {"1", "2"}
@@ -26,12 +26,12 @@ def test_sid_and_date_filters(spark, panel_path):
 
 
 def test_exclude_sids(spark, panel_path):
-    df = get_prices(spark, panel_path, exclude_sids=["1"])
+    df = get_prices(spark, panel_path, exclude_sids=["1"], no_cache=True)
     assert "1" not in {r["sid"] for r in df.select("sid").distinct().collect()}
 
 
 def test_field_projection_prunes_scan(spark, panel_path):
-    df = get_prices(spark, panel_path, fields=["close"])
+    df = get_prices(spark, panel_path, fields=["close"], no_cache=True)
     assert set(df.columns) == {"sid", "date", "close"}
     plan = df._jdf.queryExecution().executedPlan().toString()
     read_schema = plan.split("ReadSchema:")[-1].split("\n")[0]
@@ -39,7 +39,8 @@ def test_field_projection_prunes_scan(spark, panel_path):
 
 
 def test_filters_push_into_scan(spark, panel_path):
-    df = get_prices(spark, panel_path, sids=["1"], start_date="2024-01-10")
+    df = get_prices(spark, panel_path, sids=["1"], start_date="2024-01-10",
+                    no_cache=True)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters:")[-1].split("]")[0]
@@ -48,7 +49,7 @@ def test_filters_push_into_scan(spark, panel_path):
 
 def test_unknown_field_raises(spark, panel_path):
     with pytest.raises(MoonshotParameterError, match="not in panel"):
-        get_prices(spark, panel_path, fields=["nope"])
+        get_prices(spark, panel_path, fields=["nope"], no_cache=True)
 
 
 def test_timezone_validation(spark):
@@ -61,3 +62,42 @@ def test_timezone_validation(spark):
         "sid string, timezone string")
     with pytest.raises(MoonshotParameterError, match="multiple timezones"):
         validate_timezones(mixed)
+
+
+def test_lookback_pruned_range_is_pushed_down(spark, panel_path):
+    """D24 wiring: strategy *_WINDOW attrs expand the scan range and the
+    pruned start lands in PushedFilters (partition pruning at scale)."""
+    from moonshot_spark.plans.lookback import lookback_start_date
+
+    class Windowed:
+        MAVG_WINDOW = 50
+
+    df = get_prices(spark, panel_path, start_date="2024-03-01",
+                    strategy=Windowed(), no_cache=True)
+    prune_start = lookback_start_date("2024-03-01", 50)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:")[-1].split("]")[0]
+    assert "GreaterThanOrEqual(date" in pushed, plan
+    assert str(prune_start) in pushed, plan
+    # and the panel really does include the lookback history
+    min_date = df.agg(F.min("date")).collect()[0][0]
+    assert str(min_date) < "2024-03-01"
+
+
+def test_second_get_prices_reads_checkpoint(spark, panel_path, tmp_path):
+    """S11 wiring: the second identical get_prices call reads the Parquet
+    checkpoint instead of re-deriving (reference base.py:1258-1278)."""
+    kwargs = dict(sids=["1", "2"], start_date="2024-01-10",
+                  cache_dir=str(tmp_path))
+    df1 = get_prices(spark, panel_path, **kwargs)
+    df2 = get_prices(spark, panel_path, **kwargs)
+    files = df2.inputFiles()
+    assert files and all(str(tmp_path) in f for f in files)
+    assert sorted(map(tuple, df1.collect())) == sorted(map(tuple, df2.collect()))
+
+
+def test_no_cache_bypasses_checkpoint(spark, panel_path, tmp_path):
+    df = get_prices(spark, panel_path, sids=["1"], cache_dir=str(tmp_path),
+                    no_cache=True)
+    assert all(panel_path in f for f in df.inputFiles())
+    assert not list(tmp_path.iterdir())
