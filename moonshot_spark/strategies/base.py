@@ -352,9 +352,34 @@ class Moonshot:
         nlv = nlv or self.NLV
         if nlv is not None and "currency" in prices.columns:
             spark = prices.sparkSession
+            # FX: NLV keys on the QUOTE currency extracted from the CASH
+            # pair's symbol, not the settlement currency — 100 EUR.USD is
+            # 100 EUR, not 100 USD (reference base.py:1129-1134)
+            has_cash_split = ("sec_type" in master.columns
+                              and "symbol" in master.columns)
+            if has_cash_split:
+                nlv_ccy = F.when(
+                    F.col("sec_type") == "CASH",
+                    F.split(F.col("symbol"), "\\.")[0]
+                ).otherwise(F.col("currency"))
+            else:
+                nlv_ccy = F.col("currency")
+            # missing-currency validation on the broadcast-sized master,
+            # never the panel (reference base.py:1136-1140)
+            if "currency" in master.columns:
+                required = {r[0] for r in master.select(nlv_ccy.alias("c"))
+                            .distinct().collect() if r[0]}
+                missing = required - set(nlv)
+                if missing:
+                    raise MoonshotParameterError(
+                        "NLV dict is missing values for required "
+                        "currencies: {0}".format(", ".join(sorted(missing))))
             nlv_df = spark.createDataFrame(
-                [(k, float(v)) for k, v in nlv.items()], ["currency", "nlv"])
-            prices = prices.join(F.broadcast(nlv_df), "currency", "left")
+                [(k, float(v)) for k, v in nlv.items()],
+                ["__nlv_ccy", "nlv"])
+            prices = (prices.withColumn("__nlv_ccy", nlv_ccy)
+                      .join(F.broadcast(nlv_df), "__nlv_ccy", "left")
+                      .drop("__nlv_ccy"))
         return prices
 
     # ------------------------------------------------------------------ #

@@ -159,3 +159,40 @@ def test_end_date_truncation(prices):
     results = BuyBelow10().backtest(prices, end_date="2018-05-02")
     dates = {r["date"] for r in results.select("date").distinct().collect()}
     assert dates == {datetime.date(2018, 5, 1), datetime.date(2018, 5, 2)}
+
+
+def test_append_fx_nlv_based_on_symbol(spark, prices):
+    """FX NLV keys on the quote currency from the CASH symbol, not the
+    settlement currency (reference _tests/test_prices.py:1086+: CASH
+    'EUR'/USD gets the EUR NLV, the STK sibling gets USD)."""
+    master = spark.createDataFrame(
+        [("FI12345", "EUR", "CASH", "USD", "America/New_York", None, None),
+         ("FI23456", "EUR", "STK", "USD", "America/New_York", None, None)],
+        "sid string, symbol string, sec_type string, currency string, "
+        "timezone string, price_magnifier double, multiplier double")
+
+    class SaveNlv(BuyBelow10):
+        def prices_to_signals(self, p):
+            self.save_to_results("Nlv", "nlv")
+            return super().prices_to_signals(p)
+
+    results = SaveNlv().backtest(
+        prices, master=master, nlv={"USD": 50000, "EUR": 40000})
+    nlvs = field_dict(results, "Nlv")
+    assert nlvs["FI12345"] == [40000.0] * 4      # CASH → EUR
+    assert nlvs["FI23456"] == [50000.0] * 4      # STK → USD
+
+
+def test_nlv_missing_currency_raises(spark, prices):
+    """reference base.py:1136-1140: every required (quote) currency must
+    have an NLV entry."""
+    from moonshot_spark.strategies.base import MoonshotParameterError
+
+    master = spark.createDataFrame(
+        [("FI12345", "EUR", "CASH", "USD", "America/New_York", None, None),
+         ("FI23456", "EUR", "STK", "USD", "America/New_York", None, None)],
+        "sid string, symbol string, sec_type string, currency string, "
+        "timezone string, price_magnifier double, multiplier double")
+    with pytest.raises(MoonshotParameterError,
+                       match="missing values for required currencies: EUR"):
+        BuyBelow10().backtest(prices, master=master, nlv={"USD": 50000})
