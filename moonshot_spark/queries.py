@@ -1259,16 +1259,18 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join bounds the pair blowup to Σ cell², and the hot-cell guard
     (cells over 100k vectors are excluded, mirrored in the oracle's QUALIFY)
     bounds the worst cell — a degenerate cell holding most of the corpus
-    would otherwise make one join task quadratic.  The cell count is a
-    window over the join key, so it reuses the pair join's own exchange."""
+    would otherwise make one join task quadratic.  Cell cardinality is
+    bounded (it's the IVF codebook), so the guard is a map-side-combined
+    groupBy count broadcast back as a semi-filter — unlike a window, it
+    never shuffles the fact table."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
                               lambda acc, x: acc + x))
-    cell_n = F.count("*").over(Window.partitionBy("label"))
-    normed = (emb.select("vec_id", "label", v.alias("__v"), norm.alias("__n"),
-                         cell_n.alias("__cell_n"))
-              .where(F.col("__cell_n") <= 100000).drop("__cell_n"))
+    small_cells = (emb.groupBy("label").agg(F.count("*").alias("__cell_n"))
+                   .where(F.col("__cell_n") <= 100000).select("label"))
+    normed = (emb.join(F.broadcast(small_cells), "label")
+              .select("vec_id", "label", v.alias("__v"), norm.alias("__n")))
     a = normed.select(F.col("vec_id").alias("vec_a"), "label",
                       F.col("__v").alias("__va"), F.col("__n").alias("__na"))
     b = normed.select(F.col("vec_id").alias("vec_b"), "label",
