@@ -88,3 +88,46 @@ def fingerprint_expr(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     return F.md5(F.encode(normalized, "UTF-8"))
+
+
+def winnowing_fingerprint_expr(col: Column | str, k: int = 8,
+                               w: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003): hash every character ``k``-gram of the normalized text, then
+    keep the minimum hash of each window of ``w`` consecutive k-gram
+    hashes.  The selected set is position-insensitive enough to survive
+    local edits yet guarantees any shared substring of length ``k+w-1``
+    contributes at least one common fingerprint — the standard
+    plagiarism/near-dup local fingerprinting scheme.
+
+    Engine-portable: hashes are md5-hex prefixes and the window minimum is
+    a lexicographic string min, bit-identical across Spark and DuckDB
+    (same discipline as the MinHash family in datapipe/dedup.py).  Pure
+    array higher-order functions — O(n·w) comparisons per doc, no UDF.
+    Documents shorter than ``k + w - 1`` chars yield an empty array.
+
+    The normalized string and the hash array are bound as single-element
+    array lambda variables ("let" bindings): without them CollapseProject
+    inlines the normalization into every k-gram lambda and the regex runs
+    once per k-gram instead of once per document (the same duplication
+    trap minhash_signatures avoids by exploding).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s_expr = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+    def with_s(s):
+        n = F.length(s)
+        hashes = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.encode(F.substr(s, i, F.lit(k)), "UTF-8")))
+
+        def with_h(hs):
+            return F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size(hs) - (w - 1)),
+                lambda j: F.array_min(F.slice(hs, j, w))))
+
+        return F.when(n >= k + w - 1,
+                      F.transform(F.array(hashes), with_h)[0]) \
+            .otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(s_expr), with_s)[0]

@@ -1284,6 +1284,57 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# document fingerprinting: winnowing (rolling k-gram hash windows)      #
+# --------------------------------------------------------------------- #
+
+@register("winnowing_fingerprints", """
+WITH norm AS (
+    SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+    FROM documents
+), h AS (
+    SELECT doc_id, length(s) AS n,
+           list_transform(range(1, greatest(length(s) - 8 + 2, 1)),
+                          i -> md5(substr(s, i, 8))) AS hashes
+    FROM norm
+), m AS (
+    SELECT doc_id, n, len(hashes) AS n_kgrams,
+           CASE WHEN n >= 11 THEN
+               list_distinct(list_transform(range(1, len(hashes) - 4 + 2),
+                   j -> list_min(hashes[j:j+3])))
+           ELSE [] END AS fp
+    FROM h
+)
+SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+       CAST(len(fp) AS BIGINT) AS n_selected,
+       md5(array_to_string(list_sort(fp), ',')) AS fp_digest
+FROM m
+""")
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (Schleimer et al., SIGMOD 2003) over
+    the corpus: per-doc count of k-gram hashes, count of selected window
+    minima, and a digest of the sorted fingerprint set.  All md5/string
+    primitives — bit-identical across engines, no UDF, no shuffle (pure
+    per-row projection, embarrassingly parallel at any scale)."""
+    from moonshot_spark.datapipe.text import winnowing_fingerprint_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    fp = winnowing_fingerprint_expr("text", 8, 4)
+    # two-step select: __fp is referenced twice below, and CollapseProject
+    # keeps the boundary rather than duplicate a non-cheap expression
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.length(s) - 7, F.lit(0)).cast("bigint")
+        .alias("n_kgrams"),
+        fp.alias("__fp"))
+    return base.select(
+        "doc_id", "n_kgrams",
+        F.size("__fp").cast("bigint").alias("n_selected"),
+        F.md5(F.encode(F.concat_ws(",", F.array_sort("__fp")), "UTF-8"))
+        .alias("fp_digest"))
+
+
+# --------------------------------------------------------------------- #
 # BPE-ish subword token counting                                        #
 # --------------------------------------------------------------------- #
 

@@ -231,3 +231,25 @@ def test_shingles_short_docs_yield_empty(spark):
     # minhash over an empty shingle set: NULL hashes, no crash
     sigs = minhash_signatures(short)
     assert sigs.count() <= 3
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): any shared substring of
+    length >= k + w - 1 contributes at least one common fingerprint."""
+    from moonshot_spark.datapipe.text import winnowing_fingerprint_expr
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [(0, "PREFIX AAA " + shared + " SUFFIX BBB"),
+            (1, "zzz 123 " + shared + " qqq 456"),
+            (2, "completely unrelated content with no overlap at all here"),
+            (3, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["fp"]) for r in df.select(
+        "doc_id", winnowing_fingerprint_expr("text", 8, 4).alias("fp")).collect()}
+    assert fps[0] & fps[1]                   # shared substring → common print
+    assert not (fps[0] & fps[2] & fps[1])    # unrelated docs don't all agree
+    assert fps[3] == set()                   # shorter than k+w-1 → empty
+    # determinism: same text, same fingerprints
+    again = {r["doc_id"]: set(r["fp"]) for r in df.select(
+        "doc_id", winnowing_fingerprint_expr("text", 8, 4).alias("fp")).collect()}
+    assert again == fps
