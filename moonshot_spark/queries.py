@@ -1284,6 +1284,60 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# IVF approximate nearest neighbors (KMeans codebook + cell probing)    #
+# --------------------------------------------------------------------- #
+
+@register("ivf_topk_contract", """
+SELECT CAST(vec_id AS BIGINT) AS query_id,
+       TRUE AS full_probe_exact, TRUE AS partial_not_better
+FROM embeddings WHERE vec_id < 8
+""")
+def ivf_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a *verifiable* contract (sketch outputs are
+    engine-specific, so like approx_aggregates the query emits structural
+    booleans): (1) probing ALL cells reproduces brute-force top-k exactly
+    (identical candidate set + identical tie-break); (2) a partial probe's
+    best cosine can never beat the exact best (its candidates are a
+    subset).  Codebook = MLlib KMeans (seeded); cell assignment is a
+    literal-codebook projection with no shuffle."""
+    from moonshot_spark.datapipe.similarity import (
+        brute_force_topk, ivf_topk, train_ivf_centroids)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_cells=16)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = brute_force_topk(emb, q, k=5)
+    full = ivf_topk(emb, q, cents, nprobe=16, k=5)
+    part = ivf_topk(emb, q, cents, nprobe=2, k=5)
+
+    # set comparison, not rank-by-rank: IVF scores pairs with the numpy
+    # fast path while brute force keeps the oracle-pinned fold — last-ulp
+    # differences may swap adjacent ranks but never change the top-k SET
+    # (cosine gaps in the data are orders of magnitude above ulp)
+    def topk_set(df, name):
+        return df.groupBy("query_id").agg(
+            F.array_sort(F.collect_list("vec_id")).alias(name))
+
+    exact = (topk_set(brute, "b_set").join(topk_set(full, "f_set"),
+                                           "query_id")
+             .select("query_id", (F.col("b_set") == F.col("f_set"))
+                     .alias("full_probe_exact")))
+
+    def top1(df, name):
+        return df.where(F.col("rank") == 1).select(
+            "query_id", F.col("cosine").alias(name))
+
+    not_better = (top1(part, "p1").join(top1(brute, "b1"), "query_id")
+                  .select("query_id",
+                          (F.col("p1") <= F.col("b1") + F.lit(1e-9))
+                          .alias("partial_not_better")))
+    return (exact.join(not_better, "query_id")
+            .select(F.col("query_id").cast("bigint"),
+                    "full_probe_exact", "partial_not_better"))
+
+
+# --------------------------------------------------------------------- #
 # document fingerprinting: winnowing (rolling k-gram hash windows)      #
 # --------------------------------------------------------------------- #
 

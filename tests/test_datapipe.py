@@ -253,3 +253,30 @@ def test_winnowing_shared_substring_guarantee(spark):
     again = {r["doc_id"]: set(r["fp"]) for r in df.select(
         "doc_id", winnowing_fingerprint_expr("text", 8, 4).alias("fp")).collect()}
     assert again == fps
+
+
+def test_ivf_full_probe_equals_brute_force(embeddings):
+    from moonshot_spark.datapipe.similarity import (
+        brute_force_topk, ivf_topk, train_ivf_centroids)
+
+    cents = train_ivf_centroids(embeddings, n_cells=4)
+    assert len(cents) == 4 and len(cents[0]) == 16
+    q = embeddings.where(F.col("vec_id").isin(0, 5)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    full = sorted((r["query_id"], r["rank"], r["vec_id"])
+                  for r in ivf_topk(embeddings, q, cents, nprobe=4, k=3).collect())
+    brute = sorted((r["query_id"], r["rank"], r["vec_id"])
+                   for r in brute_force_topk(embeddings, q, k=3).collect())
+    assert full == brute
+
+
+def test_ivf_partial_probe_finds_same_cell_neighbors(embeddings):
+    from moonshot_spark.datapipe.similarity import ivf_topk, train_ivf_centroids
+
+    cents = train_ivf_centroids(embeddings, n_cells=4)
+    q = embeddings.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    # vec 50 is a scaled copy of vec 0: identical cosine to every centroid
+    # → identical cell → found even with nprobe=1
+    top = ivf_topk(embeddings, q, cents, nprobe=1, k=3).collect()
+    assert [r["vec_id"] for r in top][:2] == [0, 50]
