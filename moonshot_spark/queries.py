@@ -650,22 +650,47 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       "content_md5")
 
 
-@register("multimodal_features")  # mapInPandas decode stub — rows-only check
+@register("multimodal_features", """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       coalesce(list_avg(list_transform(range(1, length(text) + 1, 8),
+           p -> ord(substr(text, p, 1)))), 0.0) AS f0,
+       coalesce(list_avg(list_transform(range(2, length(text) + 1, 8),
+           p -> ord(substr(text, p, 1)))), 0.0) AS f1,
+       coalesce(list_avg(list_transform(range(3, length(text) + 1, 8),
+           p -> ord(substr(text, p, 1)))), 0.0) AS f2,
+       coalesce(list_avg(list_transform(range(4, length(text) + 1, 8),
+           p -> ord(substr(text, p, 1)))), 0.0) AS f3,
+       coalesce(list_avg(list_transform(range(5, length(text) + 1, 8),
+           p -> ord(substr(text, p, 1)))), 0.0) AS f4,
+       coalesce(list_avg(list_transform(range(6, length(text) + 1, 8),
+           p -> ord(substr(text, p, 1)))), 0.0) AS f5,
+       coalesce(list_avg(list_transform(range(7, length(text) + 1, 8),
+           p -> ord(substr(text, p, 1)))), 0.0) AS f6,
+       coalesce(list_avg(list_transform(range(8, length(text) + 1, 8),
+           p -> ord(substr(text, p, 1)))), 0.0) AS f7
+FROM documents
+""")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode→featurize pipeline over binary media payloads (stubbed codec).
 
-    The feature vector (array<double>) is serialized to a deterministic
-    fixed-precision CSV string so the driver's rows-only canonicalization
-    can sort/hash the output (raw array columns are unhashable in pandas).
+    Now FULLY oracle-checked (was rows-only): the stub feature is a
+    per-bucket byte-value mean, and byte values are integers, so the
+    float64 sums are EXACT under any association order — numpy's pairwise
+    mean and DuckDB's list_avg produce bit-identical doubles (the corpus
+    is ASCII, so DuckDB's codepoints are the payload bytes).  Each bucket
+    mean is emitted as a scalar double column; the mapInPandas Arrow
+    plumbing being verified is unchanged.
     """
     from moonshot_spark.datapipe.multimodal import docs_to_media, extract_features
 
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(docs_to_media(docs))
-    feature_csv = F.array_join(
-        F.transform("feature", lambda x: F.format_string("%.4f", x)), ",")
     return feats.select("media_id", "media_type", "byte_len",
-                        feature_csv.alias("feature_csv"))
+                        *[F.col("feature").getItem(i).alias(f"f{i}")
+                          for i in range(8)])
 
 
 # --------------------------------------------------------------------- #
