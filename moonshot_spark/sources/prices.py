@@ -23,6 +23,7 @@ def get_prices(spark: SparkSession, path: str,
                times: list[str] | None = None,
                fields: list[str] | None = None,
                strategy=None,
+               universes: DataFrame | None = None,
                lookback_window: int | None = None,
                no_cache: bool = False,
                cache_dir: str | None = None) -> DataFrame:
@@ -30,6 +31,13 @@ def get_prices(spark: SparkSession, path: str,
 
     ``fields`` selects panel columns (projection pruning); the other
     arguments become pushed-down predicates.
+
+    Strategy sid selection (reference base.py:1224-1245): when
+    ``strategy`` is given, its SIDS / EXCLUDE_SIDS attributes fill in any
+    unset ``sids`` / ``exclude_sids``, and its UNIVERSES /
+    EXCLUDE_UNIVERSES resolve through the ``universes`` mapping table
+    (columns ``universe, sid`` — the Spark-native stand-in for the
+    master service's named universes) as broadcast semi/anti joins on sid.
 
     Lookback (D24 — reference base.py:1217-1218): when ``strategy`` (or an
     explicit ``lookback_window``) is given alongside ``start_date``, the
@@ -47,6 +55,21 @@ def get_prices(spark: SparkSession, path: str,
         get_lookback_window, lookback_start_date)
     from moonshot_spark.sources.cache import Cache
 
+    def _listify(v):
+        return [v] if isinstance(v, str) else list(v) if v else []
+
+    incl_universes = excl_universes = []
+    if strategy is not None:
+        sids = sids or _listify(getattr(strategy, "SIDS", None))
+        exclude_sids = (_listify(exclude_sids)
+                        + _listify(getattr(strategy, "EXCLUDE_SIDS", None)))
+        incl_universes = _listify(getattr(strategy, "UNIVERSES", None))
+        excl_universes = _listify(getattr(strategy, "EXCLUDE_UNIVERSES", None))
+        if (incl_universes or excl_universes) and universes is None:
+            raise MoonshotParameterError(
+                "strategy selects universes {0} but no universes mapping "
+                "table was provided".format(incl_universes + excl_universes))
+
     prune_start = start_date
     if start_date:
         if lookback_window is None and strategy is not None:
@@ -61,7 +84,9 @@ def get_prices(spark: SparkSession, path: str,
         cache = Cache(cache_dir)
         cache_key = {"path": path, "sids": sids, "exclude_sids": exclude_sids,
                      "prune_start": prune_start, "end_date": end_date,
-                     "times": times, "fields": fields}
+                     "times": times, "fields": fields,
+                     "universes": incl_universes,
+                     "exclude_universes": excl_universes}
         cached = cache.get(spark, "prices", cache_key, unless_modified=[path])
         if cached is not None:
             return cached
@@ -71,6 +96,14 @@ def get_prices(spark: SparkSession, path: str,
         df = df.where(F.col("sid").isin(sids))
     if exclude_sids:
         df = df.where(~F.col("sid").isin(exclude_sids))
+    if incl_universes:
+        members = (universes.where(F.col("universe").isin(incl_universes))
+                   .select("sid").distinct())
+        df = df.join(F.broadcast(members), "sid", "semi")
+    if excl_universes:
+        members = (universes.where(F.col("universe").isin(excl_universes))
+                   .select("sid").distinct())
+        df = df.join(F.broadcast(members), "sid", "anti")
     if prune_start:
         df = df.where(F.col("date") >= F.lit(prune_start).cast("date"))
     if end_date:

@@ -67,6 +67,10 @@ class Moonshot:
     CODE: str | None = None
     DB: str | None = None
     DB_FIELDS: list[str] = ["Open", "Close", "Volume"]
+    SIDS: str | list[str] | None = None
+    UNIVERSES: str | list[str] | None = None
+    EXCLUDE_SIDS: str | list[str] | None = None
+    EXCLUDE_UNIVERSES: str | list[str] | None = None
     LOOKBACK_WINDOW: int | None = None
     COMMISSION_CLASS = None          # Commission subclass or dict[sec-group → cls]
     SLIPPAGE_CLASSES = ()

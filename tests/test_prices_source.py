@@ -101,3 +101,42 @@ def test_no_cache_bypasses_checkpoint(spark, panel_path, tmp_path):
                     no_cache=True)
     assert all(panel_path in f for f in df.inputFiles())
     assert not list(tmp_path.iterdir())
+
+
+def test_strategy_sid_and_universe_selection(spark, panel_path):
+    """SIDS/UNIVERSES/EXCLUDE_* strategy attrs drive the source filters
+    (reference base.py:1224-1245); universes resolve through a mapping
+    table as broadcast semi/anti joins."""
+    universes = spark.createDataFrame(
+        [("tech", "1"), ("tech", "2"), ("fin", "3"), ("fin", "4")],
+        "universe string, sid string")
+
+    class InUniverse:
+        UNIVERSES = "tech"
+
+    df = get_prices(spark, panel_path, strategy=InUniverse(),
+                    universes=universes, no_cache=True)
+    assert {r["sid"] for r in df.select("sid").distinct().collect()} <= {"1", "2"}
+
+    class Excluded:
+        UNIVERSES = ["tech", "fin"]
+        EXCLUDE_SIDS = ["2"]
+        EXCLUDE_UNIVERSES = "fin"
+
+    df = get_prices(spark, panel_path, strategy=Excluded(),
+                    universes=universes, no_cache=True)
+    assert {r["sid"] for r in df.select("sid").distinct().collect()} <= {"1"}
+
+    class NoTable:
+        UNIVERSES = "tech"
+
+    with pytest.raises(MoonshotParameterError, match="universes mapping"):
+        get_prices(spark, panel_path, strategy=NoTable(), no_cache=True)
+
+
+def test_strategy_sids_attr(spark, panel_path):
+    class Pinned:
+        SIDS = ["1"]
+
+    df = get_prices(spark, panel_path, strategy=Pinned(), no_cache=True)
+    assert {r["sid"] for r in df.select("sid").distinct().collect()} == {"1"}
