@@ -93,6 +93,8 @@ class Moonshot:
         self._backtest_results: dict[str, str] = {}   # field name → column name
         self._securities_master: DataFrame | None = None
         self._benchmark_prices: DataFrame | None = None
+        self._signal_date = None
+        self._signal_time = None
 
     # ------------------------------------------------------------------ #
     # window helpers                                                     #
@@ -786,13 +788,33 @@ class Moonshot:
                                  + F.coalesce("ord_qty", F.lit(0))).alias("quantity")))
         return combined.withColumnRenamed("quantity", "existing")
 
-    @staticmethod
-    def reindex_like_orders(orders: DataFrame, panel_row: DataFrame,
+    def reindex_like_orders(self, orders: DataFrame, panel_row: DataFrame,
                             value_cols: list[str] | None = None) -> DataFrame:
         """Align panel values onto the orders frame by sid (J1 — reference
-        base.py:603 ``orders.join(series, on="Sid")``): used by
+        base.py:547-604 ``orders.join(series, on="Sid")``): used by
         ``order_stubs_to_orders`` overrides to attach prices/limits to
-        orders.  Broadcast left join."""
+        orders.  Broadcast left join.
+
+        Reference parity: a ``date`` column is sliced to the signal date
+        automatically; a ``time`` column is sliced to the signal time for
+        continuous intraday strategies, and errors for once-a-day intraday
+        strategies (no signal time exists — the caller must take a
+        cross-section first, ref base.py:593-598).
+        """
+        if "date" in panel_row.columns:
+            panel_row = (panel_row
+                         .where(F.col("date") == F.lit(self._signal_date))
+                         .drop("date"))
+        if "time" in panel_row.columns:
+            signal_time = getattr(self, "_signal_time", None)
+            if not signal_time:
+                raise MoonshotError(
+                    "cannot reindex DataFrame like orders because DataFrame "
+                    "contains 'time' column, please take a cross-section "
+                    "first, for example: "
+                    "df.where(F.col('time') == '15:45:00')")
+            panel_row = (panel_row.where(F.col("time") == signal_time)
+                         .drop("time"))
         value_cols = value_cols or [c for c in panel_row.columns if c != "sid"]
         return orders.join(F.broadcast(panel_row.select("sid", *value_cols)),
                            "sid", "left")

@@ -307,3 +307,48 @@ def test_account_balance_field_least(spark, prices, master):
                                   master=master)
     got = orders_list(orders)
     assert got[0]["total_quantity"] == round(48000 / 8.50)
+
+
+def test_reindex_like_orders_slices_date_automatically(spark, prices, master,
+                                                       balances):
+    """Reference base.py:592: reindex_like_orders slices a date-indexed
+    frame to the signal date itself — no pre-filtering required."""
+    class WithLimits(BuyBelow10):
+        def order_stubs_to_orders(self, orders, prices_df):
+            latest = prices_df.select("sid", "date",
+                                      F.col("close").alias("lmt_price"))
+            return (self.reindex_like_orders(orders, latest)
+                    .withColumn("order_type", F.lit("LMT")))
+
+    orders = WithLimits().trade(prices, {"U123": 1.0}, balances, master=master)
+    got = orders_list(orders)
+    assert got[0]["lmt_price"] == 8.50          # the 2024-06-05 close
+
+
+def test_reindex_like_orders_time_col_once_a_day_raises(spark, master,
+                                                        balances):
+    """Reference test_orders.py:213: passing a time-level frame on a
+    once-a-day (batch-fallback) intraday strategy errors — there is no
+    signal time to slice by."""
+    from moonshot_spark.strategies.base import MoonshotError
+
+    rows = [(sid, datetime.date(2024, 6, 5), t, c)
+            for sid in ("FI12345", "FI23456")
+            for t, c in (("10:00:00", 9.0), ("15:00:00", 8.0))]
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, time string, close double")
+
+    class Bad(BuyBelow10):
+        def _now(self, tz):      # batch fallback: no trade time
+            raise AssertionError("unused")
+
+        def order_stubs_to_orders(self, orders, prices_df):
+            timed = prices_df.select("sid", "time",
+                                     F.col("close").alias("lmt_price"))
+            return self.reindex_like_orders(orders, timed)
+
+    class NoTz(Bad):
+        pass
+
+    with pytest.raises(MoonshotError, match="take a cross-section"):
+        NoTz().trade(prices, {"U123": 1.0}, balances)
