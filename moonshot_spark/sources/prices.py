@@ -26,7 +26,9 @@ def get_prices(spark: SparkSession, path: str,
                universes: DataFrame | None = None,
                lookback_window: int | None = None,
                no_cache: bool = False,
-               cache_dir: str | None = None) -> DataFrame:
+               cache_dir: str | None = None,
+               fmt: str = "parquet",
+               schema: str | None = None) -> DataFrame:
     """Load the price panel with source-level filters (S1).
 
     ``fields`` selects panel columns (projection pruning); the other
@@ -86,12 +88,29 @@ def get_prices(spark: SparkSession, path: str,
                      "prune_start": prune_start, "end_date": end_date,
                      "times": times, "fields": fields,
                      "universes": incl_universes,
-                     "exclude_universes": excl_universes}
+                     "exclude_universes": excl_universes,
+                     "fmt": fmt, "schema": schema}
         cached = cache.get(spark, "prices", cache_key, unless_modified=[path])
         if cached is not None:
             return cached
 
-    df = spark.read.parquet(path)
+    # fmt: parquet is the scale path (row-group skipping, column pruning);
+    # csv/json cover the reference's service-export files — predicates
+    # still push as far as the format allows (csv gets column pruning at
+    # parse time, but no row skipping: convert to parquet for 100 TB).
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt == "csv":
+        reader = spark.read.option("header", "true")
+        df = (reader.schema(schema).csv(path) if schema
+              else reader.option("inferSchema", "true").csv(path))
+    elif fmt == "json":
+        reader = spark.read
+        df = (reader.schema(schema).json(path) if schema
+              else reader.json(path))
+    else:
+        raise MoonshotParameterError(
+            f"unsupported format {fmt!r} (parquet, csv, json)")
     if sids:
         df = df.where(F.col("sid").isin(sids))
     if exclude_sids:

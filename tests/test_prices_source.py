@@ -140,3 +140,38 @@ def test_strategy_sids_attr(spark, panel_path):
 
     df = get_prices(spark, panel_path, strategy=Pinned(), no_cache=True)
     assert {r["sid"] for r in df.select("sid").distinct().collect()} == {"1"}
+
+
+def test_csv_and_json_formats(spark, tmp_path):
+    """S1 format coverage: csv/json service exports load through the same
+    filter surface; a cached csv panel re-reads as parquet."""
+    rows = [("1", "2024-01-10", 5.0), ("2", "2024-01-11", 6.0)]
+    df = spark.createDataFrame(rows, "sid string, date string, close double") \
+        .withColumn("date", F.col("date").cast("date"))
+    csv_path = str(tmp_path / "prices_csv")
+    json_path = str(tmp_path / "prices_json")
+    df.write.option("header", "true").csv(csv_path)
+    df.write.json(json_path)
+
+    got = get_prices(spark, csv_path, fmt="csv",
+                     schema="sid string, date date, close double",
+                     sids=["1"], no_cache=True).collect()
+    assert len(got) == 1 and got[0]["close"] == 5.0
+
+    got = get_prices(spark, json_path, fmt="json",
+                     schema="sid string, date date, close double",
+                     start_date="2024-01-11", no_cache=True).collect()
+    assert len(got) == 1 and got[0]["sid"] == "2"
+
+    with pytest.raises(MoonshotParameterError, match="unsupported format"):
+        get_prices(spark, csv_path, fmt="orc", no_cache=True)
+
+    # cached csv read lands in the parquet checkpoint on the second call
+    cache_dir = str(tmp_path / "cache")
+    get_prices(spark, csv_path, fmt="csv",
+               schema="sid string, date date, close double",
+               cache_dir=cache_dir)
+    df2 = get_prices(spark, csv_path, fmt="csv",
+                     schema="sid string, date date, close double",
+                     cache_dir=cache_dir)
+    assert all(cache_dir in f for f in df2.inputFiles())
