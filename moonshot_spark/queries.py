@@ -577,6 +577,60 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
 
 
+@register("jaccard_verified_pairs", """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        list_distinct(list_transform(range(0, len(t) - 2),
+            i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))
+        ELSE [] END AS shingles
+    FROM toks
+), sl AS (
+    SELECT doc_id, shingles, list_transform(shingles,
+        s -> flatten(list_transform(
+        [md5(s), md5('a|' || s), md5('b|' || s), md5('c|' || s)],
+        h -> [substr(h, 1, 8), substr(h, 9, 8), substr(h, 17, 8),
+              substr(h, 25, 8)]))) AS slices
+    FROM sh
+), sigs AS (
+    SELECT doc_id, shingles, list_transform(range(1, 17),
+        i -> list_min(list_transform(slices, a -> a[i]))) AS sig
+    FROM sl
+), bands AS (
+    SELECT doc_id, shingles, b.band_id,
+           md5(array_to_string(list_slice(sig, b.band_id * 4 + 1,
+                                          b.band_id * 4 + 4), '|')) AS band_hash
+    FROM sigs, (SELECT unnest(range(0, 4)) AS band_id) b
+), pairs AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           l.shingles AS sh_a, r.shingles AS sh_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+           / len(list_distinct(sh_a || sh_b)) AS jaccard
+FROM pairs
+WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+          / len(list_distinct(sh_a || sh_b)) >= 0.5
+""")
+def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH→exact-verify pipeline end to end (dedup's verification
+    stage): candidate pairs from MinHash banding, then EXACT n-gram
+    Jaccard on just those candidates, kept at >= 0.5.  The expensive exact
+    set intersection runs only on the LSH-bounded candidate set — the
+    scale shape of every production near-dup pipeline."""
+    from moonshot_spark.datapipe.dedup import (
+        lsh_candidate_pairs, ngram_jaccard_pairs)
+
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    return (ngram_jaccard_pairs(docs, candidates)
+            .where(F.col("jaccard") >= 0.5))
+
+
 @register("simhash_signatures", """
 WITH toks AS (
     SELECT doc_id, list_transform(string_split(text, ' '), x -> md5(x)) AS hs
@@ -1306,6 +1360,54 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("cosine", dot / (F.col("__na") * F.col("__nb")))
             .where(F.col("cosine") > 0.35)
             .select("vec_a", "vec_b", "label", "cosine"))
+
+
+# --------------------------------------------------------------------- #
+# Structured Streaming: tick stream → OHLCV panel (oracle-checked)      #
+# --------------------------------------------------------------------- #
+
+_STREAM_QUERY_SEQ = [0]
+
+
+@register("streaming_ohlcv_panel", f"""
+WITH panel AS ({PANEL_SQL})
+SELECT sid, date, open, close, high, low, volume FROM panel
+""")
+def streaming_ohlcv_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OHLCV rollup as an actual Structured Streaming job: file
+    source → stateful min_by/max_by aggregation → memory sink, run to
+    completion with trigger(availableNow).  The final state must equal
+    the batch rollup bit-for-bit (same PANEL_SQL oracle as panel_ohlcv) —
+    proving the incremental state-store aggregation implements A2
+    first/last-of-day semantics, not just approximating them.  In
+    production the source is Kafka and the trigger continuous; the plan
+    is identical."""
+    import os
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(path).schema       # ts already long ns here
+    # the file stream source watches a DIRECTORY of arriving files; stage
+    # the (possibly single-file) table behind a symlink dir
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(os.path.abspath(path), os.path.join(stage, "part-0.parquet"))
+    stream = spark.readStream.schema(sch).parquet(stage)
+    panel = (stream
+             .withColumn("sid", F.col("user_id").cast("string"))
+             .withColumn("date", F.to_date(F.timestamp_micros(
+                 F.expr("ts div 1000"))))
+             .groupBy("sid", "date")
+             .agg(F.min_by("value", "ts").alias("open"),
+                  F.max_by("value", "ts").alias("close"),
+                  F.max("value").alias("high"),
+                  F.min("value").alias("low"),
+                  F.count("*").cast("double").alias("volume")))
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"__streaming_ohlcv_{_STREAM_QUERY_SEQ[0]}"
+    q = (panel.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
 
 
 # --------------------------------------------------------------------- #
