@@ -57,3 +57,33 @@ def test_window_chain_single_exchange():
 def test_ann_broadcasts_queries():
     plan = plan_of("ann_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_winnowing_is_pure_projection():
+    """Winnowing fingerprints must stay a per-row projection: no exchange,
+    one scan — embarrassingly parallel at any corpus size."""
+    plan = plan_of("winnowing_fingerprints")
+    assert "Exchange" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_embedding_near_dups_broadcasts_cell_guard():
+    """The hot-cell guard must be a broadcast semi-filter, not a window
+    shuffle of the fact table (PERF.md round-3 note 1)."""
+    plan = plan_of("embedding_near_dups")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_ivf_probe_set_broadcasts():
+    """IVF candidate join: the (queries × nprobe) probe side broadcasts;
+    the corpus side never shuffles for the join itself."""
+    plan = plan_of("ivf_topk_contract")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lsh_jaccard_verify_no_cartesian():
+    """LSH → exact-verify must never degrade to a cartesian product."""
+    plan = plan_of("jaccard_verified_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
