@@ -631,6 +631,59 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("jaccard") >= 0.5))
 
 
+@register("dedup_corpus_minhash", """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        list_distinct(list_transform(range(0, len(t) - 2),
+            i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))
+        ELSE [] END AS shingles
+    FROM toks
+), sl AS (
+    SELECT doc_id, shingles, list_transform(shingles,
+        s -> flatten(list_transform(
+        [md5(s), md5('a|' || s), md5('b|' || s), md5('c|' || s)],
+        h -> [substr(h, 1, 8), substr(h, 9, 8), substr(h, 17, 8),
+              substr(h, 25, 8)]))) AS slices
+    FROM sh
+), sigs AS (
+    SELECT doc_id, shingles, list_transform(range(1, 17),
+        i -> list_min(list_transform(slices, a -> a[i]))) AS sig
+    FROM sl
+), bands AS (
+    SELECT doc_id, shingles, b.band_id,
+           md5(array_to_string(list_slice(sig, b.band_id * 4 + 1,
+                                          b.band_id * 4 + 4), '|')) AS band_hash
+    FROM sigs, (SELECT unnest(range(0, 4)) AS band_id) b
+), pairs AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           l.shingles AS sh_a, r.shingles AS sh_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+), removable AS (
+    SELECT DISTINCT doc_b AS doc_id FROM pairs
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              / len(list_distinct(sh_a || sh_b)) >= 0.8
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d ANTI JOIN removable r ON d.doc_id = r.doc_id
+""")
+def dedup_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus near-deduplication (the flagship LLM-datapipe
+    pipeline): MinHash-LSH candidates → exact Jaccard >= 0.8 → drop the
+    higher-id member of each verified pair → surviving corpus.  Every
+    stage is bounded: candidates by bucket, verification by candidates,
+    removal by anti-join."""
+    from moonshot_spark.datapipe.dedup import dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = dedup_corpus(docs, method="minhash", threshold=0.8)
+    return survivors.select("doc_id", "lang",
+                            F.col("n_chars").cast("bigint"))
+
+
 @register("simhash_signatures", """
 WITH toks AS (
     SELECT doc_id, list_transform(string_split(text, ' '), x -> md5(x)) AS hs
