@@ -330,3 +330,57 @@ def test_external_benchmark_prices(spark, prices):
     bench = field_map(results, "Benchmark")
     assert bench[("SPY", DATES[1])] == round(1 / 100, 9)
     assert bench[("SPY", DATES[0])] is None
+
+
+class RefStockCommission(PerShareCommission):
+    """reference _tests/commission/test_commissions.py:54-62 fixture."""
+    BROKER_COMMISSION_PER_SHARE = 0.0035
+    EXCHANGE_FEE_PER_SHARE = 0.0003
+    MAKER_FEE_PER_SHARE = -0.002
+    TAKER_FEE_PER_SHARE = 0.00118
+    MAKER_RATIO = 0.4
+    MIN_COMMISSION = 0.35
+    COMMISSION_PERCENTAGE_FEE_RATE = 0.056
+    PERCENTAGE_FEE_RATE = 0.00002
+
+
+def _eval_commission(spark, cls, cv, turnover, nlv):
+    df = spark.createDataFrame([(float(cv), float(turnover), float(nlv))],
+                               "cv double, t double, nlv double")
+    return df.select(cls.commission_expr(
+        F.col("cv"), F.col("t"), F.col("nlv")).alias("c")).first()["c"]
+
+
+def test_maker_commissions(spark):
+    """reference test_maker_commissions golden: 0.000004218."""
+    class Maker(RefStockCommission):
+        MAKER_RATIO = 1
+
+    c = _eval_commission(spark, Maker, 90, 0.1, 500000)
+    assert round(c, 9) == 0.000004218
+
+
+def test_taker_commissions(spark):
+    """reference test_taker_commissions golden: 0.000007751."""
+    class Taker(RefStockCommission):
+        MAKER_RATIO = 0
+
+    c = _eval_commission(spark, Taker, 90, 0.1, 500000)
+    assert round(c, 9) == 0.000007751
+
+
+def test_maker_taker_commissions(spark):
+    """reference test_maker_taker_commissions golden: 0.000005631."""
+    class MakerTaker(RefStockCommission):
+        MAKER_RATIO = 0.60
+
+    c = _eval_commission(spark, MakerTaker, 90, 0.1, 500000)
+    assert round(c, 9) == 0.000005631
+
+
+def test_per_share_min_commission_with_fees(spark):
+    """reference test_min_commission golden: broker min floor plus
+    exchange/percentage/commission-based fees = 0.000002864."""
+    turnover = 50 * 250 / 220000
+    c = _eval_commission(spark, RefStockCommission, 250.0, turnover, 220000)
+    assert round(c, 9) == 0.000002864
