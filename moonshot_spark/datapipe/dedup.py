@@ -105,10 +105,17 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     # interpreted AND CollapseProject would duplicate the md5 per hash), and
     # the k mins aggregate with map-side partial aggregation — the shuffle
     # carries one k-slice row per doc, not the shingle set.
-    exploded = (docs
-                .repartition(F.col(id_col))
-                .select(F.col(id_col),
-                        F.explode(shingles_expr(text_col, shingle_n)).alias("__s")))
+    #
+    # repartition ONLY when the source is under-parallel (a single file /
+    # few row-groups): shuffling a well-partitioned 100 TB corpus before a
+    # map-side projection would be pure overhead.
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, F.col(id_col))
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(shingles_expr(text_col, shingle_n)).alias("__s"))
     digests = [F.md5(F.encode(F.col("__s"), "UTF-8"))] + [
         F.md5(F.encode(F.concat(F.lit(f"{chr(96 + j)}|"), F.col("__s")),
                        "UTF-8"))
@@ -219,7 +226,8 @@ def ngram_jaccard_pairs(docs: DataFrame, candidate_pairs: DataFrame,
 
 def dedup_corpus(docs: DataFrame, method: str = "exact",
                  text_col: str = "text", id_col: str = "doc_id",
-                 threshold: float = 0.8) -> DataFrame:
+                 threshold: float = 0.8,
+                 max_bucket_size: int | None = 100_000) -> DataFrame:
     """End-to-end corpus deduplication: return ``docs`` minus duplicates.
 
     - ``exact``: drop all but the min-id doc of each identical-text group.
@@ -234,7 +242,11 @@ def dedup_corpus(docs: DataFrame, method: str = "exact",
                      .select(F.col("dup_id").alias(id_col)))
         return docs.join(removable, id_col, "left_anti")
     if method == "minhash":
-        candidates = lsh_candidate_pairs(docs, text_col, id_col)
+        # hot-bucket guard ON by default for the E2E path: an uncapped
+        # boilerplate bucket is the one thing that makes this quadratic
+        # at corpus scale (cap warns, never silently)
+        candidates = lsh_candidate_pairs(docs, text_col, id_col,
+                                         max_bucket_size=max_bucket_size)
         verified = (ngram_jaccard_pairs(docs, candidates, text_col, id_col)
                     .where(F.col("jaccard") >= threshold))
         removable = verified.select(F.col("doc_b").alias(id_col)).distinct()
