@@ -321,17 +321,42 @@ class Moonshot:
     # benchmark (D17, reference base.py:1402-1500)                       #
     # ------------------------------------------------------------------ #
 
+    BENCHMARK_TIME: str | None = None
+
     def _benchmark_returns(self, prices: DataFrame) -> DataFrame | None:
         if not self.BENCHMARK:
             return None
         date_cols = list(self._date_cols(prices))
-        w = Window.partitionBy(F.lit(1)).orderBy(*date_cols)
         # benchmark from a separate source (reference BENCHMARK_DB,
         # base.py:1402-1500) or extracted from the panel itself
         source = (self._benchmark_prices
                   if self._benchmark_prices is not None else prices)
+        if (self._benchmark_prices is not None
+                and "time" in self._benchmark_prices.columns):
+            raise MoonshotParameterError(
+                "only end-of-day databases are supported for BENCHMARK_DB "
+                "but the provided benchmark prices are intraday")
+        src_date_cols = [c for c in date_cols if c in source.columns] or ["date"]
         bench = (source.where(F.col("sid") == self.BENCHMARK)
-                 .select(*date_cols, "close"))
+                 .select(*src_date_cols, "close"))
+        if bench.isEmpty():
+            # validation parity (ref base.py:1480-1484); bounded action —
+            # one filter on the (usually benchmark-only) source
+            raise MoonshotError(
+                "BENCHMARK Sid {0} is not in data".format(self.BENCHMARK))
+        if "time" in bench.columns and self.BENCHMARK_TIME:
+            # once-a-day intraday: extract the daily benchmark at
+            # BENCHMARK_TIME (ref base.py:1491-1499)
+            sliced = bench.where(F.col("time") == self.BENCHMARK_TIME)
+            if sliced.isEmpty():
+                raise MoonshotError(
+                    "BENCHMARK_TIME {0} is not in data"
+                    .format(self.BENCHMARK_TIME))
+            bench = sliced.drop("time")
+            date_cols = ["date"]
+        else:
+            date_cols = src_date_cols
+        w = Window.partitionBy(F.lit(1)).orderBy(*date_cols)
         ffilled = F.last("close", ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, 0))
         bench = bench.withColumn("__close", ffilled)
@@ -861,9 +886,13 @@ class Moonshot:
 
         bench = self._benchmark_returns(prices)
         if bench is not None:
+            # a BENCHMARK_TIME-sliced benchmark is daily even when the
+            # panel is intraday; missing date cols (time) union as NULL
+            bench_cols = [c for c in date_cols if c in bench.columns]
             bench_long = bench.select(
-                F.lit(self.BENCHMARK).alias("sid"), *date_cols,
+                F.lit(self.BENCHMARK).alias("sid"), *bench_cols,
                 F.lit("Benchmark").alias("field"),
                 F.col("benchmark").cast("double").alias("value"))
-            results = results.unionByName(bench_long)
+            results = results.unionByName(bench_long,
+                                          allowMissingColumns=True)
         return results.select("field", "sid", *date_cols, "value")

@@ -384,3 +384,57 @@ def test_per_share_min_commission_with_fees(spark):
     turnover = 50 * 250 / 220000
     c = _eval_commission(spark, RefStockCommission, 250.0, turnover, 220000)
     assert round(c, 9) == 0.000002864
+
+
+def test_benchmark_sid_missing_raises(prices):
+    """reference base.py:1480-1484: unknown BENCHMARK sid errors."""
+    from moonshot_spark.strategies.base import MoonshotError
+
+    class Bad(BuyBelow10):
+        BENCHMARK = "NOPE"
+
+    with pytest.raises(MoonshotError, match="BENCHMARK Sid NOPE is not in"):
+        Bad().backtest(prices).collect()
+
+
+def test_benchmark_time_slices_intraday(spark):
+    """reference base.py:1491-1499: BENCHMARK_TIME extracts the daily
+    benchmark from an intraday panel; missing time errors."""
+    from moonshot_spark.strategies.base import MoonshotError
+
+    rows = [("FI1", datetime.date(2018, 5, d), t, float(c))
+            for d, cs in ((1, (10.0, 12.0)), (2, (13.0, 11.0)))
+            for t, c in zip(("10:00:00", "15:00:00"), cs, strict=True)]
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, time string, close double")
+
+    class WithBench(BuyBelow10):
+        BENCHMARK = "FI1"
+        BENCHMARK_TIME = "15:00:00"
+
+    results = WithBench().backtest(prices)
+    bench = {str(r["date"]): r["value"] for r in
+             results.where(F.col("field") == "Benchmark").collect()}
+    # daily benchmark from the 15:00 closes: 12 → 11
+    assert bench["2018-05-02"] == pytest.approx((11.0 - 12.0) / 12.0)
+
+    class BadTime(WithBench):
+        BENCHMARK_TIME = "11:11:11"
+
+    with pytest.raises(MoonshotError, match="BENCHMARK_TIME 11:11:11"):
+        BadTime().backtest(prices).collect()
+
+
+def test_benchmark_db_must_be_eod(spark, prices):
+    """reference base.py:1440-1443: intraday BENCHMARK_DB rejected."""
+    from moonshot_spark.strategies.base import MoonshotParameterError
+
+    intraday = spark.createDataFrame(
+        [("SPY", datetime.date(2018, 5, 1), "10:00:00", 100.0)],
+        "sid string, date date, time string, close double")
+
+    class WithDb(BuyBelow10):
+        BENCHMARK = "SPY"
+
+    with pytest.raises(MoonshotParameterError, match="end-of-day"):
+        WithDb().backtest(prices, benchmark_prices=intraday).collect()
