@@ -2146,6 +2146,63 @@ def performance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         mdd.alias("max_drawdown"))
 
 
+@register("sharpe_per_sid", """
+WITH panel AS (
+    SELECT CAST(user_id AS VARCHAR) AS sid, CAST(ts AS DATE) AS date,
+           arg_max(value, ts) AS close
+    FROM events GROUP BY 1, 2
+), rets AS (
+    SELECT sid, date,
+           coalesce((close - lag(close) OVER w) / lag(close) OVER w, 0) AS r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+), series AS (
+    SELECT sid, list(r ORDER BY date) AS rs FROM rets GROUP BY sid
+), moments AS (
+    SELECT sid, len(rs) AS n,
+           list_reduce(rs, (a, b) -> a + b) AS s1,
+           list_reduce(list_transform(rs, x -> x * x),
+                       (a, b) -> a + b) AS s2
+    FROM series
+)
+SELECT sid, CAST(n AS BIGINT) AS n_periods,
+       CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+            THEN ((s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)))
+                 * sqrt(252.0)
+       END AS sharpe_ann
+FROM moments
+""")
+def sharpe_per_sid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe per sid over daily close-to-close returns, EXACT
+    cross-engine: mean and variance come from left-to-right folds of the
+    date-ordered return array (association order pinned — a windowed
+    sum/stddev would diverge at the last ulp), and every remaining op
+    (+ * / sqrt) is IEEE-correctly-rounded and identical in Spark and
+    DuckDB.  This is the portability recipe for any moment-based metric
+    (PERF.md float rule 5); CAGR stays pytest-only because pow/exp are
+    libm-dependent."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    prev = F.lag("close").over(w)
+    rets = panel.select(
+        "sid", "date",
+        F.coalesce((F.col("close") - prev) / prev, F.lit(0.0)).alias("r"))
+    series = (rets.groupBy("sid")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("date", "r"))),
+                  lambda s: s["r"]).alias("rs")))
+    n = F.size("rs")
+    s1 = F.aggregate("rs", F.lit(0.0), lambda a, b: a + b)
+    s2 = F.aggregate(F.transform("rs", lambda x: x * x), F.lit(0.0),
+                     lambda a, b: a + b)
+    moments = series.select("sid", n.alias("n"), s1.alias("s1"),
+                            s2.alias("s2"))
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    sharpe = F.when(var > 0, (mean / F.sqrt(var)) * F.sqrt(F.lit(252.0)))
+    return moments.select("sid", F.col("n").cast("bigint").alias("n_periods"),
+                          sharpe.alias("sharpe_ann"))
+
+
 # --------------------------------------------------------------------- #
 # F3 — business-day calendar arithmetic                                 #
 # --------------------------------------------------------------------- #
