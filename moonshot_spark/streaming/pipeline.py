@@ -37,6 +37,38 @@ EVENT_SCHEMA = StructType([
 ])
 
 
+def parse_event_payload(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode a Kafka-style binary JSON payload column into EVENT_SCHEMA
+    rows.
+
+    Shared by ``read_kafka_stream`` and batch backfills of the same topic
+    dump — which is also what makes the parse logic testable without a
+    broker (feed it a batch DataFrame of (key, value) pairs).  Malformed
+    payloads yield NULL fields rather than failing the stream
+    (from_json's PERMISSIVE default) — dead-letter them downstream with
+    ``where(col("event_id").isNull())``.
+    """
+    parsed = F.from_json(F.col(value_col).cast("string"), EVENT_SCHEMA)
+    return raw.select(parsed.alias("__e")).select("__e.*")
+
+
+def read_kafka_stream(spark: SparkSession, brokers: str, topic: str,
+                      starting_offsets: str = "latest") -> DataFrame:
+    """Kafka event source: same downstream plan as ``read_event_stream``.
+
+    Requires the spark-sql-kafka connector on the classpath (not bundled
+    with pyspark; ship it via ``spark.jars.packages`` on a real cluster).
+    The parse stage is ``parse_event_payload`` — identical for streaming
+    and batch, so correctness is pinned by the batch tests.
+    """
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", brokers)
+           .option("subscribe", topic)
+           .option("startingOffsets", starting_offsets)
+           .load())
+    return parse_event_payload(raw)
+
+
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
     """File-based event stream (each new parquet file in ``path`` is a

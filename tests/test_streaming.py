@@ -165,3 +165,25 @@ def test_stream_dedup(spark, tmp_path):
     q.awaitTermination()
     got = spark.table("dedup_stream").collect()
     assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
+def test_parse_event_payload_batch_equivalence(spark):
+    """The Kafka parse stage is a plain DataFrame transform — verified on
+    batch (key, value) pairs, identical in the stream."""
+    import json
+
+    from moonshot_spark.streaming.pipeline import parse_event_payload
+
+    payloads = [
+        json.dumps({"event_id": 1, "ts": "2024-06-03T10:00:00",
+                    "user_id": 7, "event_type": "click", "value": 1.5,
+                    "props": "{}"}),
+        "not json at all",
+    ]
+    raw = spark.createDataFrame(
+        [(b"k1", p.encode()) for p in payloads], "key binary, value binary")
+    rows = parse_event_payload(raw).collect()
+    assert rows[0]["event_id"] == 1 and rows[0]["user_id"] == 7
+    assert rows[0]["value"] == 1.5
+    # malformed payload → NULL fields (dead-letter downstream), not a crash
+    assert rows[1]["event_id"] is None
