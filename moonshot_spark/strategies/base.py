@@ -727,17 +727,30 @@ class Moonshot:
             "target_quantity",
             F.coalesce(F.bround(qty), F.lit(0.0)).cast("long"))
 
-        # position-size caps at signal date (base.py:1738-1758)
+        # position-size caps at signal date (base.py:1738-1758); intraday
+        # cap frames slice to the signal time like the reference's
+        # .loc[self._signal_time] (batch fallback: the day's last time)
+        def caps_at_signal(caps: DataFrame) -> DataFrame:
+            caps = caps.where(F.col("date") == F.lit(signal_date))
+            if "time" in caps.columns:
+                if self._signal_time is not None:
+                    caps = caps.where(F.col("time") == self._signal_time)
+                else:
+                    wt = Window.partitionBy("sid").orderBy(F.desc("time"))
+                    caps = (caps.withColumn("__rn", F.row_number().over(wt))
+                            .where(F.col("__rn") == 1).drop("__rn"))
+            return caps
+
         max_longs, max_shorts = self.limit_position_sizes(prices)
         q = F.col("target_quantity")
         if max_longs is not None:
-            ml = (max_longs.where(F.col("date") == signal_date)
+            ml = (caps_at_signal(max_longs)
                   .select("sid", F.abs("max_quantity").alias("__max_long")))
             today = today.join(F.broadcast(ml), "sid", "left")
             cap = F.col("__max_long")
             q = F.when(cap.isNotNull() & (q > cap), cap.cast("long")).otherwise(q)
         if max_shorts is not None:
-            ms = (max_shorts.where(F.col("date") == signal_date)
+            ms = (caps_at_signal(max_shorts)
                   .select("sid", (-F.abs("max_quantity")).alias("__max_short")))
             today = today.join(F.broadcast(ms), "sid", "left")
             cap = F.col("__max_short")

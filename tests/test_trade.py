@@ -352,3 +352,32 @@ def test_reindex_like_orders_time_col_once_a_day_raises(spark, master,
 
     with pytest.raises(MoonshotError, match="take a cross-section"):
         NoTz().trade(prices, {"U123": 1.0}, balances)
+
+
+def test_intraday_position_caps_slice_signal_time(spark, master, balances):
+    """reference test_limit_position_sizes.py:2221+: intraday cap frames
+    slice to the signal time, not the whole day."""
+    rows = [(sid, datetime.date(2024, 6, 5), t, c)
+            for sid, closes in {"FI23456": [9.5, 8.0]}.items()
+            for t, c in zip(["10:00:00", "15:00:00"], closes, strict=True)]
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, time string, close double")
+
+    class Capped(BuyBelow10):
+        def limit_position_sizes(self, p):
+            spark_ = p.sparkSession
+            # cap 100 at 10:00, 500 at 15:00 — the 12:06 trade must pick
+            # the 10:00 cap
+            ml = spark_.createDataFrame(
+                [("FI23456", datetime.date(2024, 6, 5), "10:00:00", 100),
+                 ("FI23456", datetime.date(2024, 6, 5), "15:00:00", 500)],
+                "sid string, date date, time string, max_quantity long")
+            return ml, None
+
+        def _now(self, tz):
+            import pandas as pd
+            return pd.Timestamp("2024-06-05 12:06:00", tz=tz)
+
+    orders = Capped().trade(prices, {"U123": 1.0}, balances, master=master)
+    got = orders_list(orders)
+    assert got[0]["total_quantity"] == 100    # 10:00 cap, not 500
