@@ -2062,6 +2062,86 @@ def backtest_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("Turnover").alias("turnover"))
 
 
+@register("backtest_once_a_day_intraday", f"""
+WITH panel AS ({INTRADAY_PANEL_SQL}),
+daily AS (
+    SELECT e.sid, e.date, e.close AS entry_close, x.close AS exit_close
+    FROM (SELECT * FROM panel WHERE time = '06:00:00') e
+    JOIN (SELECT * FROM panel WHERE time = '18:00:00') x
+      ON e.sid = x.sid AND e.date = x.date
+),
+sig AS (
+    SELECT *, CASE WHEN entry_close <= 100 THEN 1.0 ELSE -1.0 END AS signal
+    FROM daily
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+)
+SELECT sid, date, signal, weight, weight AS position,
+       (exit_close - entry_close) / entry_close * weight AS ret,
+       abs(weight) * 2 AS turnover
+FROM wts
+""")
+def backtest_once_a_day_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Once-a-day intraday backtest (the reference's ShortAbove10Intraday
+    pattern, _tests/test_orders.py:219-261): signals from the morning bar,
+    positions entered the same day and closed at the afternoon bar, gross
+    return = entry→exit move × position.  The hooks reduce the intraday
+    panel to DAILY frames (the reference's ``.xs(time, level="Time")``),
+    so the engine runs its daily pipeline; POSITIONS_CLOSED_DAILY turnover
+    = 2×|position| (open + close each day)."""
+    from moonshot_spark.operators.weights import allocate_equal_weights
+    from moonshot_spark.strategies.base import Moonshot
+
+    class OnceADayIntraday(Moonshot):
+        POSITIONS_CLOSED_DAILY = True
+
+        def prices_to_signals(self, prices):
+            entry = (prices.where(F.col("time") == "06:00:00")
+                     .select("sid", "date",
+                             F.col("close").alias("entry_close")))
+            exit_ = (prices.where(F.col("time") == "18:00:00")
+                     .select("sid", "date",
+                             F.col("close").alias("exit_close")))
+            daily = entry.join(exit_, ["sid", "date"])
+            return daily.withColumn(
+                "signal",
+                F.when(F.col("entry_close") <= 100, 1.0).otherwise(-1.0))
+
+        def target_weights_to_positions(self, weights):
+            # enter on the same day (reference: positions = weights.copy())
+            return weights.withColumn("position", F.col("weight"))
+
+        def positions_to_gross_returns(self, positions):
+            return positions.withColumn(
+                "gross_return",
+                (F.col("exit_close") - F.col("entry_close"))
+                / F.col("entry_close") * F.col("position"))
+
+    events = load_table(spark, sf_dir, "events")
+    hour_slot = (F.hour("ts") - F.hour("ts") % 6).cast("int")
+    panel = (events
+             .withColumn("sid", F.col("user_id").cast("string"))
+             .withColumn("date", F.to_date("ts"))
+             .withColumn("time", F.concat(
+                 F.lpad(hour_slot.cast("string"), 2, "0"), F.lit(":00:00")))
+             .groupBy("sid", "date", "time")
+             .agg(F.max_by("value", "ts_ns").alias("close")))
+    results = OnceADayIntraday().backtest(panel)
+    pivoted = (results.groupBy("sid", "date")
+               .pivot("field", ["Signal", "Weight", "NetExposure", "Return",
+                                "Turnover"])
+               .agg(F.first("value")))
+    return pivoted.select(
+        "sid", "date",
+        F.col("Signal").alias("signal"), F.col("Weight").alias("weight"),
+        F.col("NetExposure").alias("position"), F.col("Return").alias("ret"),
+        F.col("Turnover").alias("turnover"))
+
+
 # --------------------------------------------------------------------- #
 # performance metrics over backtest returns (moonchart analog)           #
 # --------------------------------------------------------------------- #
