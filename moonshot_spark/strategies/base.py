@@ -887,6 +887,13 @@ class Moonshot:
             "Weight": F.col("weight"),
         }
         for name, colname in self._backtest_results.items():
+            if colname not in df.columns:
+                # reference test_save_custom_dataframe: a saved frame that
+                # doesn't align with the results index errors clearly
+                raise MoonshotParameterError(
+                    "cannot save {0} to results because column {1!r} is "
+                    "not in the final pipeline DataFrame (columns: {2})"
+                    .format(name, colname, ", ".join(df.columns)))
             metric_exprs[name] = F.col(colname).cast("double")
 
         stack_args = []

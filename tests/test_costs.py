@@ -438,3 +438,18 @@ def test_benchmark_db_must_be_eod(spark, prices):
 
     with pytest.raises(MoonshotParameterError, match="end-of-day"):
         WithDb().backtest(prices, benchmark_prices=intraday).collect()
+
+
+def test_save_to_results_missing_column_raises(prices):
+    """reference test_save_custom_dataframe: a saved name that doesn't
+    align with the results frame errors clearly, not with an opaque
+    analysis exception."""
+    from moonshot_spark.strategies.base import MoonshotParameterError
+
+    class Strategy(BuyBelow10):
+        def prices_to_signals(self, p):
+            self.save_to_results("Custom", "nonexistent_col")
+            return p.withColumn("signal", (F.col("close") < 10).cast("int"))
+
+    with pytest.raises(MoonshotParameterError, match="nonexistent_col"):
+        Strategy().backtest(prices)
