@@ -90,7 +90,11 @@ def get_prices(spark: SparkSession, path: str,
                      "universes": incl_universes,
                      "exclude_universes": excl_universes,
                      "fmt": fmt, "schema": schema}
-        cached = cache.get(spark, "prices", cache_key, unless_modified=[path])
+        # no end_date means "latest history": a modified source invalidates.
+        # With an explicit end_date the requested range is immutable, so a
+        # newer source file does NOT invalidate (reference base.py:1260-1269)
+        unless = [path] if not end_date else None
+        cached = cache.get(spark, "prices", cache_key, unless_modified=unless)
         if cached is not None:
             return cached
 
@@ -139,7 +143,7 @@ def get_prices(spark: SparkSession, path: str,
 
     if cache is not None:
         cache.set("prices", cache_key, df)
-        hit = cache.get(spark, "prices", cache_key, unless_modified=[path])
+        hit = cache.get(spark, "prices", cache_key, unless_modified=unless)
         if hit is not None:    # mtime race (source touched mid-write): fall
             return hit         # through to the live plan rather than recurse
     return df

@@ -175,3 +175,35 @@ def test_csv_and_json_formats(spark, tmp_path):
                      schema="sid string, date date, close double",
                      cache_dir=cache_dir)
     assert all(cache_dir in f for f in df2.inputFiles())
+
+
+def test_cache_survives_source_update_with_end_date(spark, tmp_path):
+    """reference base.py:1260-1269: an explicit end_date bounds an
+    immutable range, so new data collection does NOT invalidate the
+    cache; without end_date (latest history) it does."""
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    cache_dir = str(tmp_path / "cache")
+    spark.createDataFrame(
+        [("1", "2024-01-10", 5.0)],
+        "sid string, date string, close double") \
+        .withColumn("date", F.col("date").cast("date")).write.parquet(src)
+
+    bounded = dict(end_date="2024-01-31", cache_dir=cache_dir)
+    get_prices(spark, src, **bounded)
+    latest = dict(cache_dir=cache_dir)
+    get_prices(spark, src, **latest)
+
+    # touch the source forward in time (new data collected)
+    time.sleep(0.05)
+    future = time.time() + 60
+    for root, _, files in os.walk(src):
+        for f in files:
+            os.utime(os.path.join(root, f), (future, future))
+
+    assert all(cache_dir in f for f in
+               get_prices(spark, src, **bounded).inputFiles())   # still cached
+    assert all(src in f for f in
+               get_prices(spark, src, **latest).inputFiles())    # re-derived
