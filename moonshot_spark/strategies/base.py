@@ -337,8 +337,15 @@ class Moonshot:
                 "only end-of-day databases are supported for BENCHMARK_DB "
                 "but the provided benchmark prices are intraday")
         src_date_cols = [c for c in date_cols if c in source.columns] or ["date"]
+        # benchmark field: first candidate present (ref base.py:1466-1477)
+        candidates = ("close", "open", "bid", "ask", "high", "low")
+        field = next((c for c in candidates if c in source.columns), None)
+        if field is None:
+            raise MoonshotParameterError(
+                "Cannot extract BENCHMARK {0} from data without one of "
+                "{1}".format(self.BENCHMARK, ", ".join(candidates)))
         bench = (source.where(F.col("sid") == self.BENCHMARK)
-                 .select(*src_date_cols, "close"))
+                 .select(*src_date_cols, F.col(field).alias("close")))
         if bench.isEmpty():
             # validation parity (ref base.py:1480-1484); bounded action —
             # one filter on the (usually benchmark-only) source
@@ -354,6 +361,15 @@ class Moonshot:
                     .format(self.BENCHMARK_TIME))
             bench = sliced.drop("time")
             date_cols = ["date"]
+        elif "time" in date_cols and "time" not in bench.columns:
+            # continuous intraday panel + daily benchmark source: broadcast
+            # the daily price across the day's bars (reference
+            # ``reindex(..., level="Date")``, base.py:1453-1455) — within-day
+            # bars then show 0 benchmark return and the first bar of each
+            # day carries the daily move, matching the reference's
+            # ffill().pct_change() over the intraday index
+            spine = prices.select("date", "time").distinct()
+            bench = bench.join(spine, "date")
         else:
             date_cols = src_date_cols
         w = Window.partitionBy(F.lit(1)).orderBy(*date_cols)

@@ -453,3 +453,27 @@ def test_save_to_results_missing_column_raises(prices):
 
     with pytest.raises(MoonshotParameterError, match="nonexistent_col"):
         Strategy().backtest(prices)
+
+
+def test_daily_benchmark_broadcasts_across_intraday_bars(spark, prices):
+    """reference base.py:1453-1455: a daily BENCHMARK_DB reindexes across
+    the intraday bars — 0 within-day benchmark return, the daily move on
+    each day's first bar."""
+    intraday = spark.createDataFrame(
+        [("FI12345", datetime.date(2018, 5, d), t, 9.0)
+         for d in (1, 2) for t in ("10:00:00", "15:00:00")],
+        "sid string, date date, time string, close double")
+    daily_bench = spark.createDataFrame(
+        [("SPY", datetime.date(2018, 5, 1), 100.0),
+         ("SPY", datetime.date(2018, 5, 2), 110.0)],
+        "sid string, date date, close double")
+
+    class WithBench(BuyBelow10):
+        BENCHMARK = "SPY"
+
+    results = WithBench().backtest(intraday, benchmark_prices=daily_bench)
+    bench = {(str(r["date"]), r["time"]): r["value"] for r in
+             results.where(F.col("field") == "Benchmark").collect()}
+    assert bench[("2018-05-01", "15:00:00")] == 0.0          # within day
+    assert bench[("2018-05-02", "10:00:00")] == pytest.approx(0.10)
+    assert bench[("2018-05-02", "15:00:00")] == 0.0
