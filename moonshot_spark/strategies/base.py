@@ -166,6 +166,42 @@ class Moonshot:
         self._backtest_results[name] = column
 
     # ------------------------------------------------------------------ #
+    # weight-allocation mixin surface (D1-D5 — reference mixins/weight.py;
+    # thin method delegates so reference-style strategies can call
+    # ``self.allocate_*`` exactly as they do today)                      #
+    # ------------------------------------------------------------------ #
+
+    def allocate_equal_weights(self, signals: DataFrame,
+                               cap: float = 1.0) -> DataFrame:
+        from moonshot_spark.operators import weights as _w
+        return _w.allocate_equal_weights(
+            signals, cap=cap, date_cols=self._date_cols(signals))
+
+    def allocate_fixed_weights(self, signals: DataFrame,
+                               weight: float) -> DataFrame:
+        from moonshot_spark.operators import weights as _w
+        return _w.allocate_fixed_weights(signals, weight)
+
+    def allocate_fixed_weights_capped(self, signals: DataFrame, weight: float,
+                                      cap: float = 1.0) -> DataFrame:
+        from moonshot_spark.operators import weights as _w
+        return _w.allocate_fixed_weights_capped(
+            signals, weight, cap=cap, date_cols=self._date_cols(signals))
+
+    def allocate_market_neutral_fixed_weights_capped(
+            self, signals: DataFrame, weight: float, cap: float = 1.0,
+            neutralize_weights: bool = True) -> DataFrame:
+        from moonshot_spark.operators import weights as _w
+        return _w.allocate_market_neutral_fixed_weights_capped(
+            signals, weight, cap=cap, neutralize=neutralize_weights,
+            date_cols=self._date_cols(signals))
+
+    def neutralize_weights(self, weights: DataFrame) -> DataFrame:
+        from moonshot_spark.operators import weights as _w
+        return _w.neutralize_weights(
+            weights, date_cols=self._date_cols(weights))
+
+    # ------------------------------------------------------------------ #
     # contract values (D7, reference base.py:1857-1913)                  #
     # ------------------------------------------------------------------ #
 

@@ -114,3 +114,41 @@ def test_market_neutral_fixed_capped(signals_sdf, signals_pdf):
     assert_matches(
         allocate_market_neutral_fixed_weights_capped(signals_sdf, 0.6, cap=1.0),
         ref_market_neutral(signals_pdf, 0.6, 1.0))
+
+
+def test_mixin_methods_on_strategy(spark):
+    """Reference-style strategies call self.allocate_* / self.neutralize_
+    weights as methods (mixins/weight.py surface) — delegates must match
+    the module functions."""
+    from moonshot_spark import Moonshot
+    from pyspark.sql import functions as F
+
+    class S(Moonshot):
+        def prices_to_signals(self, prices):
+            return prices
+
+        def signals_to_target_weights(self, signals):
+            w = self.allocate_fixed_weights_capped(signals, 0.6, cap=1.0)
+            return self.neutralize_weights(w)
+
+    import datetime
+    d = datetime.date(2024, 6, 3)
+    df = spark.createDataFrame(
+        [("A", d, 1.0), ("B", d, 1.0), ("C", d, -1.0)],
+        "sid string, date date, signal double")
+    s = S()
+    got = {r["sid"]: r["weight"]
+           for r in s.signals_to_target_weights(df).collect()}
+    # fixed 0.6 each → |sum| 1.8 > cap → equal weights (1/3 each), then
+    # neutralized: long side 2/3 scaled to short side 1/3
+    assert got["C"] == pytest.approx(-1 / 3)
+    assert got["A"] == pytest.approx((1 / 3) * (1 / 3) / (2 / 3))
+    assert got["A"] + got["B"] + got["C"] == pytest.approx(0.0)
+
+    eq = s.allocate_equal_weights(df, cap=0.5)
+    got_eq = {r["sid"]: r["weight"] for r in eq.collect()}
+    assert got_eq["A"] == pytest.approx(0.5 / 3)
+
+    mn = s.allocate_market_neutral_fixed_weights_capped(df, 0.25, cap=1.0)
+    got_mn = {r["sid"]: r["weight"] for r in mn.collect()}
+    assert sum(got_mn.values()) == pytest.approx(0.0)
