@@ -62,6 +62,7 @@ def get_prices(spark: SparkSession, path: str,
 
     incl_universes = excl_universes = []
     if strategy is not None:
+        times = times or _listify(getattr(strategy, "DB_TIMES", None)) or None
         sids = sids or _listify(getattr(strategy, "SIDS", None))
         exclude_sids = (_listify(exclude_sids)
                         + _listify(getattr(strategy, "EXCLUDE_SIDS", None)))

@@ -67,6 +67,13 @@ class Moonshot:
     CODE: str | None = None
     DB: str | None = None
     DB_FIELDS: list[str] = ["Open", "Close", "Volume"]
+    DB_TIMES: str | list[str] | None = None   # intraday bar filter (S1)
+    #: service-level options with no parquet-side meaning, declared for
+    #: API parity: continuous-futures stitching and Zipline-bundle bar
+    #: frequency happen upstream of the panel in the reference
+    #: (base.py:1246-1250)
+    DB_DATA_FREQUENCY: str | None = None
+    CONT_FUT: str | None = None
     SIDS: str | list[str] | None = None
     UNIVERSES: str | list[str] | None = None
     EXCLUDE_SIDS: str | list[str] | None = None

@@ -207,3 +207,20 @@ def test_cache_survives_source_update_with_end_date(spark, tmp_path):
                get_prices(spark, src, **bounded).inputFiles())   # still cached
     assert all(src in f for f in
                get_prices(spark, src, **latest).inputFiles())    # re-derived
+
+
+def test_db_times_attr_filters_bars(spark, tmp_path):
+    """DB_TIMES (reference base.py:1246) filters intraday bars at the
+    source."""
+    path = str(tmp_path / "intraday")
+    spark.createDataFrame(
+        [("1", "2024-01-10", t, float(i))
+         for i, t in enumerate(("09:30:00", "12:00:00", "15:45:00"))],
+        "sid string, date string, time string, close double") \
+        .withColumn("date", F.col("date").cast("date")).write.parquet(path)
+
+    class Timed:
+        DB_TIMES = ["09:30:00", "15:45:00"]
+
+    rows = get_prices(spark, path, strategy=Timed(), no_cache=True).collect()
+    assert sorted(r["time"] for r in rows) == ["09:30:00", "15:45:00"]
