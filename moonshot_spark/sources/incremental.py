@@ -64,3 +64,41 @@ def merge_panels(existing: DataFrame, delta: DataFrame) -> DataFrame:
          + F.coalesce("d.volume", F.lit(0.0))).alias("volume"),
         F.least(e_first, d_first).alias("first_ts"),
         F.greatest(e_last, d_last).alias("last_ts"))
+
+
+def write_panel(panel: DataFrame, path: str) -> None:
+    """Initial write of a mergeable panel, partitioned by date — the layout
+    ``upsert_panel_partitions`` expects (each ingestion day maps to a
+    partition directory, so incremental rewrites touch only those dirs)."""
+    panel.write.mode("overwrite").partitionBy("date").parquet(path)
+
+
+def upsert_panel_partitions(spark, path: str, new_events: DataFrame) -> list:
+    """Ingest new ticks into a stored date-partitioned panel: aggregate the
+    delta, merge with the stored partials for the TOUCHED dates only, and
+    rewrite just those date partitions via dynamic partition overwrite.
+
+    The 100 TB shape: the shuffle is one ingestion batch of ticks; the
+    stored-side read is partition-pruned to the touched dates; the write
+    replaces only those partition directories (``partitionOverwriteMode=
+    dynamic``), leaving years of history untouched — the plain-parquet
+    equivalent of a Delta/Iceberg MERGE for this workload.  Late ticks for
+    an old date merge correctly because the stored row is a mergeable
+    partial (first_ts/last_ts decide open/close).  Returns the touched
+    dates (driver-side, bounded by dates-per-batch).
+    """
+    delta = aggregate_ticks(new_events)
+    touched = [r["date"] for r in delta.select("date").distinct().collect()]
+    existing = (spark.read.parquet(path)
+                .where(F.col("date").isin(touched)))
+    merged = merge_panels(existing, delta)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # repartition by date so each rewritten partition is one task's
+        # output (avoids small-file spray across the touched dirs)
+        (merged.repartition("date")
+         .write.mode("overwrite").partitionBy("date").parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return touched

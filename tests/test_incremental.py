@@ -47,3 +47,44 @@ def test_merge_is_associative(events):
     left = panel_dict(merge_panels(merge_panels(a, b), c))
     right = panel_dict(merge_panels(a, merge_panels(b, c)))
     assert left == right
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic-partition upsert: late ticks for day 1 and a new day 3
+    rewrite those two partitions; day 2's files are untouched on disk."""
+    import datetime
+    import glob
+    import os
+
+    from moonshot_spark.sources.incremental import (
+        aggregate_ticks, upsert_panel_partitions, write_panel)
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts_ns long, value double") \
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+
+    day = 86_400_000_000_000
+    base = ev([(1, 1 * day + 1000, 10.0), (1, 1 * day + 2000, 11.0),
+               (1, 2 * day + 1000, 20.0)])
+    path = str(tmp_path / "panel")
+    write_panel(aggregate_ticks(base), path)
+
+    day2_files = {f: os.path.getmtime(f) for f in
+                  glob.glob(f"{path}/date=1970-01-03/*.parquet")}
+    assert day2_files
+
+    # late tick for day 1 (earlier than the stored open) + a new day 3
+    touched = upsert_panel_partitions(spark, path, ev(
+        [(1, 1 * day + 500, 9.0), (1, 3 * day + 1000, 30.0)]))
+    assert sorted(str(d) for d in touched) == ["1970-01-02", "1970-01-04"]
+
+    panel = {str(r["date"]): r for r in spark.read.parquet(path).collect()}
+    assert panel["1970-01-02"]["open"] == 9.0       # late tick won the open
+    assert panel["1970-01-02"]["close"] == 11.0
+    assert panel["1970-01-02"]["volume"] == 3.0
+    assert panel["1970-01-04"]["close"] == 30.0
+    assert panel["1970-01-03"]["open"] == 20.0      # untouched day intact
+    # day 2's partition files were not rewritten
+    assert {f: os.path.getmtime(f) for f in
+            glob.glob(f"{path}/date=1970-01-03/*.parquet")} == day2_files
