@@ -91,7 +91,8 @@ def fingerprint_expr(col: Column | str) -> Column:
 
 
 def winnowing_fingerprint_expr(col: Column | str, k: int = 8,
-                               w: int = 4) -> Column:
+                               w: int = 4,
+                               max_chars: int = 100_000) -> Column:
     """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD
     2003): hash every character ``k``-gram of the normalized text, then
     keep the minimum hash of each window of ``w`` consecutive k-gram
@@ -111,9 +112,16 @@ def winnowing_fingerprint_expr(col: Column | str, k: int = 8,
     inlines the normalization into every k-gram lambda and the regex runs
     once per k-gram instead of once per document (the same duplication
     trap minhash_signatures avoids by exploding).
+
+    ``max_chars`` bounds the per-ROW hash array: a pathological 1 GB
+    document would otherwise materialize a 1-billion-element array in one
+    task.  Fingerprinting the first ``max_chars`` chars is the standard
+    practice (near-dup detection doesn't need the tail; chunk upstream if
+    full-document coverage matters).
     """
     c = F.col(col) if isinstance(col, str) else col
-    s_expr = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    s_expr = F.substring(
+        F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")), 1, max_chars)
 
     def with_s(s):
         n = F.length(s)

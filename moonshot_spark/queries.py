@@ -1523,7 +1523,9 @@ def ivf_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("winnowing_fingerprints", """
 WITH norm AS (
-    SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+    SELECT doc_id,
+           substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                  1, 100000) AS s
     FROM documents
 ), h AS (
     SELECT doc_id, length(s) AS n,
@@ -1552,7 +1554,8 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moonshot_spark.datapipe.text import winnowing_fingerprint_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    s = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    s = F.substring(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")),
+                    1, 100_000)
     fp = winnowing_fingerprint_expr("text", 8, 4)
     # two-step select: __fp is referenced twice below, and CollapseProject
     # keeps the boundary rather than duplicate a non-cheap expression
