@@ -196,3 +196,9 @@ def test_nlv_missing_currency_raises(spark, prices):
     with pytest.raises(MoonshotParameterError,
                        match="missing values for required currencies: EUR"):
         BuyBelow10().backtest(prices, master=master, nlv={"USD": 50000})
+
+
+def test_complain_if_prices_to_signals_not_implemented(prices):
+    """reference test_backtest.py:34: the abstract hook errors clearly."""
+    with pytest.raises(NotImplementedError, match="prices_to_signals"):
+        Moonshot().backtest(prices)
