@@ -149,6 +149,8 @@ def ivf_probe_col(vec_col, centroids: list[list[float]], nprobe: int = 1):
 
     @F.pandas_udf("array<int>")
     def probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:      # empty Arrow batch: np.stack([]) would raise
+            return pd.Series([], dtype=object)
         X = np.stack(v.to_numpy()).astype("float64")
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
         order = np.argsort(-(Xn @ Cn.T), axis=1, kind="stable")[:, :take]
@@ -171,6 +173,8 @@ def _cosine_udf(a_col, b_col):
     """
     @F.pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:      # empty Arrow batch: np.stack([]) would raise
+            return pd.Series([], dtype="float64")
         A = np.stack(a.to_numpy()).astype("float64")
         B = np.stack(b.to_numpy()).astype("float64")
         num = (A * B).sum(axis=1)

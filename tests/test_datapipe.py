@@ -280,3 +280,17 @@ def test_ivf_partial_probe_finds_same_cell_neighbors(embeddings):
     # → identical cell → found even with nprobe=1
     top = ivf_topk(embeddings, q, cents, nprobe=1, k=3).collect()
     assert [r["vec_id"] for r in top][:2] == [0, 50]
+
+
+def test_ivf_handles_empty_partitions(spark, embeddings):
+    """Arrow batches can be empty (empty partitions are routine at scale);
+    the vectorized UDFs must not choke on np.stack of nothing."""
+    from moonshot_spark.datapipe.similarity import ivf_topk, train_ivf_centroids
+
+    cents = train_ivf_centroids(embeddings, n_cells=4)
+    sparse = embeddings.repartition(64)        # more partitions than rows
+    q = (embeddings.where(F.col("vec_id") == 0)
+         .repartition(16)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    top = ivf_topk(sparse, q, cents, nprobe=4, k=3).collect()
+    assert [r["vec_id"] for r in top][:2] == [0, 50]
