@@ -172,6 +172,10 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     banded = banded.persist()
 
     if max_bucket_size is not None:
+        if on_oversized not in ("warn", "error", "ignore"):
+            raise ValueError(
+                f"on_oversized must be 'warn', 'error', or 'ignore', "
+                f"got {on_oversized!r}")
         from pyspark.sql import Window
         bucket_n = F.count("*").over(
             Window.partitionBy("band_id", "band_hash"))

@@ -1445,6 +1445,11 @@ def streaming_ohlcv_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="stream_events_")
     os.symlink(os.path.abspath(path), os.path.join(stage, "part-0.parquet"))
     stream = spark.readStream.schema(sch).parquet(stage)
+    # a prior invocation's memory-sink table holds a full panel copy in
+    # driver memory — drop it (its DataFrame was consumed by then)
+    prev = f"__streaming_ohlcv_{_STREAM_QUERY_SEQ[0]}"
+    if _STREAM_QUERY_SEQ[0] and spark.catalog.tableExists(prev):
+        spark.catalog.dropTempView(prev)
     panel = (stream
              .withColumn("sid", F.col("user_id").cast("string"))
              .withColumn("date", F.to_date(F.timestamp_micros(
@@ -1460,6 +1465,9 @@ def streaming_ohlcv_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (panel.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
+    # the staged symlink dir is fully consumed once the stream terminates
+    import shutil
+    shutil.rmtree(stage, ignore_errors=True)
     return spark.table(name)
 
 
@@ -2096,7 +2104,6 @@ def backtest_once_a_day_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel to DAILY frames (the reference's ``.xs(time, level="Time")``),
     so the engine runs its daily pipeline; POSITIONS_CLOSED_DAILY turnover
     = 2×|position| (open + close each day)."""
-    from moonshot_spark.operators.weights import allocate_equal_weights
     from moonshot_spark.strategies.base import Moonshot
 
     class OnceADayIntraday(Moonshot):

@@ -61,6 +61,7 @@ def get_prices(spark: SparkSession, path: str,
         return [v] if isinstance(v, str) else list(v) if v else []
 
     incl_universes = excl_universes = []
+    benchmark_sid = None
     if strategy is not None:
         times = times or _listify(getattr(strategy, "DB_TIMES", None)) or None
         sids = sids or _listify(getattr(strategy, "SIDS", None))
@@ -72,6 +73,11 @@ def get_prices(spark: SparkSession, path: str,
             raise MoonshotParameterError(
                 "strategy selects universes {0} but no universes mapping "
                 "table was provided".format(incl_universes + excl_universes))
+        # the BENCHMARK sid rides along even when SIDS/UNIVERSES restrict
+        # the panel (reference base.py:1228-1236 appends it to the query)
+        benchmark_sid = getattr(strategy, "BENCHMARK", None)
+        if benchmark_sid and sids and benchmark_sid not in sids:
+            sids = [*sids, benchmark_sid]
 
     prune_start = start_date
     if start_date:
@@ -85,11 +91,22 @@ def get_prices(spark: SparkSession, path: str,
     cache_key = None
     if not no_cache:
         cache = Cache(cache_dir)
+        # universes are keyed by CONTENT, not name: membership edits must
+        # miss the cache.  Order-insensitive sum of per-row hashes — one
+        # small job over the (broadcast-sized) mapping, only when in play.
+        uni_fp = None
+        if incl_universes or excl_universes:
+            relevant = universes.where(
+                F.col("universe").isin(incl_universes + excl_universes))
+            uni_fp = relevant.agg(
+                F.sum(F.xxhash64("universe", "sid"))).collect()[0][0]
         cache_key = {"path": path, "sids": sids, "exclude_sids": exclude_sids,
                      "prune_start": prune_start, "end_date": end_date,
                      "times": times, "fields": fields,
                      "universes": incl_universes,
                      "exclude_universes": excl_universes,
+                     "universes_fp": uni_fp,
+                     "benchmark_sid": benchmark_sid,
                      "fmt": fmt, "schema": schema}
         # no end_date means "latest history": a modified source invalidates.
         # With an explicit end_date the requested range is immutable, so a
@@ -116,14 +133,24 @@ def get_prices(spark: SparkSession, path: str,
     else:
         raise MoonshotParameterError(
             f"unsupported format {fmt!r} (parquet, csv, json)")
-    if sids:
-        df = df.where(F.col("sid").isin(sids))
-    if exclude_sids:
-        df = df.where(~F.col("sid").isin(exclude_sids))
+    # sids and universes are ADDITIVE (union) like the reference's history
+    # query — a pinned SID outside the universe still loads (the reference
+    # even appends the benchmark sid alongside UNIVERSES, which only works
+    # under union semantics, base.py:1228-1245)
     if incl_universes:
         members = (universes.where(F.col("universe").isin(incl_universes))
                    .select("sid").distinct())
+        if sids:
+            lits = spark.createDataFrame([(s,) for s in sids], "sid string")
+            members = members.union(lits).distinct()
+        if benchmark_sid:
+            lits = spark.createDataFrame([(benchmark_sid,)], "sid string")
+            members = members.union(lits).distinct()
         df = df.join(F.broadcast(members), "sid", "semi")
+    elif sids:
+        df = df.where(F.col("sid").isin(sids))
+    if exclude_sids:
+        df = df.where(~F.col("sid").isin(exclude_sids))
     if excl_universes:
         members = (universes.where(F.col("universe").isin(excl_universes))
                    .select("sid").distinct())

@@ -410,9 +410,13 @@ class Moonshot:
             # ``reindex(..., level="Date")``, base.py:1453-1455) — within-day
             # bars then show 0 benchmark return and the first bar of each
             # day carries the daily move, matching the reference's
-            # ffill().pct_change() over the intraday index
+            # ffill().pct_change() over the intraday index.  LEFT join from
+            # the panel spine: a date the benchmark source lacks (its
+            # exchange's holiday) keeps its bars with a NULL price, which
+            # the downstream ffill turns into a 0 return — the reference's
+            # reindex+ffill, not a silent gap.
             spine = prices.select("date", "time").distinct()
-            bench = bench.join(spine, "date")
+            bench = spine.join(F.broadcast(bench), "date", "left")
         else:
             date_cols = src_date_cols
         w = Window.partitionBy(F.lit(1)).orderBy(*date_cols)
@@ -613,6 +617,11 @@ class Moonshot:
         """
         self.is_trade = True
         self.review_date = review_date
+        # reset per call: a reused instance must not inherit the previous
+        # trade's signal time (caps_at_signal / reindex_like_orders would
+        # silently slice to a stale bar)
+        self._signal_date = None
+        self._signal_time = None
         spark = prices.sparkSession
         raw_price_fields = [c for c in prices.columns
                             if c not in ("sid", "date", "time")]

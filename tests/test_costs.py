@@ -477,3 +477,27 @@ def test_daily_benchmark_broadcasts_across_intraday_bars(spark, prices):
     assert bench[("2018-05-01", "15:00:00")] == 0.0          # within day
     assert bench[("2018-05-02", "10:00:00")] == pytest.approx(0.10)
     assert bench[("2018-05-02", "15:00:00")] == 0.0
+
+
+def test_daily_benchmark_gap_date_keeps_bars(spark):
+    """A panel date the daily benchmark source lacks (its exchange's
+    holiday) keeps its bars with a 0 benchmark return — reindex+ffill,
+    not a silent gap."""
+    intraday = spark.createDataFrame(
+        [("FI12345", datetime.date(2018, 5, d), t, 9.0)
+         for d in (1, 2, 3) for t in ("10:00:00", "15:00:00")],
+        "sid string, date date, time string, close double")
+    daily_bench = spark.createDataFrame(
+        [("SPY", datetime.date(2018, 5, 1), 100.0),
+         ("SPY", datetime.date(2018, 5, 3), 110.0)],   # May 2 missing
+        "sid string, date date, close double")
+
+    class WithBench(BuyBelow10):
+        BENCHMARK = "SPY"
+
+    results = WithBench().backtest(intraday, benchmark_prices=daily_bench)
+    bench = {(str(r["date"]), r["time"]): r["value"] for r in
+             results.where(F.col("field") == "Benchmark").collect()}
+    assert bench[("2018-05-02", "10:00:00")] == 0.0    # ffilled holiday
+    assert bench[("2018-05-02", "15:00:00")] == 0.0
+    assert bench[("2018-05-03", "10:00:00")] == pytest.approx(0.10)

@@ -224,3 +224,40 @@ def test_db_times_attr_filters_bars(spark, tmp_path):
 
     rows = get_prices(spark, path, strategy=Timed(), no_cache=True).collect()
     assert sorted(r["time"] for r in rows) == ["09:30:00", "15:45:00"]
+
+
+def test_sids_and_universes_are_additive(spark, panel_path):
+    """Union semantics (reference base.py:1228-1245): a pinned SID outside
+    the universe still loads, and the BENCHMARK sid rides along."""
+    universes = spark.createDataFrame(
+        [("tech", "1")], "universe string, sid string")
+
+    class Pinned:
+        SIDS = ["3"]                    # NOT in the tech universe
+        UNIVERSES = "tech"
+        BENCHMARK = "4"
+
+    got = {r["sid"] for r in
+           get_prices(spark, panel_path, strategy=Pinned(),
+                      universes=universes, no_cache=True)
+           .select("sid").distinct().collect()}
+    assert {"1", "3", "4"} <= got
+    assert "2" not in got
+
+
+def test_universe_membership_change_invalidates_cache(spark, panel_path,
+                                                      tmp_path):
+    """The cache keys universes by CONTENT: a membership edit must miss."""
+    class InUniverse:
+        UNIVERSES = "tech"
+
+    u1 = spark.createDataFrame([("tech", "1")], "universe string, sid string")
+    u2 = spark.createDataFrame([("tech", "1"), ("tech", "2")],
+                               "universe string, sid string")
+    kwargs = dict(strategy=InUniverse(), cache_dir=str(tmp_path),
+                  end_date="2099-01-01")      # bounded: mtime never invalidates
+    first = {r["sid"] for r in get_prices(spark, panel_path, universes=u1,
+                                          **kwargs).select("sid").distinct().collect()}
+    second = {r["sid"] for r in get_prices(spark, panel_path, universes=u2,
+                                           **kwargs).select("sid").distinct().collect()}
+    assert first == {"1"} and second == {"1", "2"}

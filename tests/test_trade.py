@@ -381,3 +381,25 @@ def test_intraday_position_caps_slice_signal_time(spark, master, balances):
     orders = Capped().trade(prices, {"U123": 1.0}, balances, master=master)
     got = orders_list(orders)
     assert got[0]["total_quantity"] == 100    # 10:00 cap, not 500
+
+
+def test_instance_reuse_resets_signal_time(spark, master, balances):
+    """A reused strategy instance must not inherit the previous trade's
+    signal time (stale-state regression from the round-3 review)."""
+    rows = [(sid, datetime.date(2024, 6, 5), t, c)
+            for sid, closes in {"FI23456": [9.5, 8.0]}.items()
+            for t, c in zip(["10:00:00", "15:00:00"], closes, strict=True)]
+    intraday = spark.createDataFrame(
+        rows, "sid string, date date, time string, close double")
+
+    strat = BuyBelow10()
+    strat.trade(intraday, {"U123": 1.0}, balances, master=master,
+                review_date="2024-06-05 12:06:00")
+    assert strat._signal_time == "10:00:00"
+    # second call on the SAME instance, daily panel: no signal time at all
+    daily = spark.createDataFrame(
+        [("FI23456", datetime.date(2024, 6, 5), 8.5)],
+        "sid string, date date, close double")
+    strat.trade(daily, {"U123": 1.0}, balances, master=master,
+                review_date="2024-06-05")
+    assert strat._signal_time is None
