@@ -294,3 +294,15 @@ def test_ivf_handles_empty_partitions(spark, embeddings):
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     top = ivf_topk(sparse, q, cents, nprobe=4, k=3).collect()
     assert [r["vec_id"] for r in top][:2] == [0, 50]
+
+
+def test_dedup_corpus_idempotent(docs):
+    """Dedup is a projection: running it twice changes nothing (survivor
+    set is already duplicate-free under both methods)."""
+    from moonshot_spark.datapipe.dedup import dedup_corpus
+
+    for method in ("exact", "minhash"):
+        once = dedup_corpus(docs, method=method)
+        twice = dedup_corpus(once, method=method)
+        assert (sorted(r["doc_id"] for r in once.collect())
+                == sorted(r["doc_id"] for r in twice.collect())), method
