@@ -239,3 +239,20 @@ def test_register_model_loader_wins(tmp_path):
     finally:
         del MODEL_LOADERS[0]
         assert len(MODEL_LOADERS) == n_before
+
+
+def test_ml_model_file_joblib_roundtrip(tmp_path, prices):
+    """reference test_backtest_from_joblib: .joblib files dispatch to the
+    joblib loader and score through the pipeline."""
+    joblib = pytest.importorskip("joblib")
+
+    path = tmp_path / "model.joblib"
+    joblib.dump(LinearModel([1.0, 0.5]), str(path))
+
+    class JoblibStrategy(TwoFeatureStrategy):
+        MODEL = str(path)
+
+    results = JoblibStrategy().backtest(prices)
+    sig = {(r["sid"], r["date"]): r["value"]
+           for r in results.where(F.col("field") == "Signal").collect()}
+    assert sig[("FI12345", DATES[1])] == 1.0
