@@ -520,20 +520,31 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 
 @register("dedup_exact", """
-WITH fp AS (
+WITH all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25
+), fp AS (
     SELECT doc_id,
            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
-    FROM documents
+    FROM all_docs
 )
 SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
        min(doc_id) AS keep_id
 FROM fp GROUP BY fingerprint HAVING count(*) > 1
 """)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic corpus has no exact duplicates at small SFs, which
+    # would make this query 0-row (vacuously green).  Union an id-shifted
+    # clone of the first 25 docs so the fingerprint→groupBy→survivor path
+    # is exercised on real duplicate groups and value-checked.
     from moonshot_spark.datapipe.dedup import exact_duplicates
 
     docs = load_table(spark, sf_dir, "documents")
-    return exact_duplicates(docs)
+    clones = (docs.where(F.col("doc_id") < 25)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    return exact_duplicates(docs.select("doc_id", "text")
+                            .unionByName(clones.select("doc_id", "text")))
 
 
 @register("minhash_lsh_pairs", """
