@@ -13,7 +13,7 @@ path stays in whole-stage codegen; Pandas UDFs only where genuinely needed
 
 from moonshot_spark.datapipe.text import (
     tokens_expr, token_count_expr, quality_exprs, lang_scores_expr,
-    fingerprint_expr, winnowing_fingerprint_expr,
+    fingerprint_expr, winnowing_fingerprint_expr, repetition_struct_expr,
 )
 from moonshot_spark.datapipe.dedup import (
     exact_duplicates, exact_duplicate_mapping, minhash_signatures,
@@ -26,7 +26,7 @@ from moonshot_spark.datapipe.similarity import (
 
 __all__ = [
     "tokens_expr", "token_count_expr", "quality_exprs", "lang_scores_expr",
-    "fingerprint_expr", "winnowing_fingerprint_expr",
+    "fingerprint_expr", "winnowing_fingerprint_expr", "repetition_struct_expr",
     "exact_duplicates", "exact_duplicate_mapping", "minhash_signatures",
     "lsh_candidate_pairs", "simhash_expr",
     "cosine_expr", "brute_force_topk", "lsh_bucketed_topk",

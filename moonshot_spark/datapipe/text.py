@@ -90,6 +90,63 @@ def fingerprint_expr(col: Column | str) -> Column:
     return F.md5(F.encode(normalized, "UTF-8"))
 
 
+def repetition_struct_expr(col: Column | str,
+                           max_tokens: int = 10_000) -> Column:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A1.1) at
+    token granularity — the standard "too repetitive to train on" filters:
+
+    - ``n_tokens``: token count (after the ``max_tokens`` cap).
+    - ``dup_token_frac``: fraction of token occurrences that repeat an
+      earlier token (1 - distinct/total).
+    - ``top_token_frac``: occurrences of the single most frequent token
+      over total tokens.
+    - ``dup_bigram_frac`` / ``top_bigram_frac``: same two signals over
+      word bigrams (NULL for sub-2-token docs).
+
+    Pure array higher-order functions — no UDF, no shuffle; a corpus scan
+    computes these inside whole-stage codegen.  Per-row cost is
+    O(tokens x distinct) bounded by ``max_tokens`` (same per-row guard
+    discipline as ``winnowing_fingerprint_expr``), which keeps a
+    pathological 1 GB single document from owning a task at 100 TB.
+
+    The token and bigram arrays are bound once as single-element array
+    lambda variables ("let" bindings) so CollapseProject can't inline the
+    split/slice into every counting lambda.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks0 = F.slice(F.split(c, " "), 1, max_tokens)
+
+    def with_toks(t):
+        n = F.size(t)
+        bg0 = F.when(
+            n >= 2,
+            F.transform(F.sequence(F.lit(1), n - 1),
+                        lambda i: F.concat_ws(" ", F.slice(t, i, 2)))
+        ).otherwise(F.array().cast("array<string>"))
+
+        def with_bg(bg):
+            nb = F.size(bg)
+            dis = F.array_distinct(t)
+            disb = F.array_distinct(bg)
+            topc = F.array_max(
+                F.transform(dis, lambda d: F.size(F.filter(t, lambda x: x == d))))
+            topb = F.array_max(
+                F.transform(disb, lambda d: F.size(F.filter(bg, lambda x: x == d))))
+            return F.struct(
+                n.cast("bigint").alias("n_tokens"),
+                ((n - F.size(dis)).cast("double") / n).alias("dup_token_frac"),
+                (topc.cast("double") / n).alias("top_token_frac"),
+                F.when(nb > 0, (nb - F.size(disb)).cast("double") / nb)
+                 .alias("dup_bigram_frac"),
+                F.when(nb > 0, topb.cast("double") / nb)
+                 .alias("top_bigram_frac"),
+            )
+
+        return F.transform(F.array(bg0), with_bg)[0]
+
+    return F.transform(F.array(toks0), with_toks)[0]
+
+
 def winnowing_fingerprint_expr(col: Column | str, k: int = 8,
                                w: int = 4,
                                max_chars: int = 100_000) -> Column:

@@ -482,6 +482,48 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "stopword_ratio", "punct_ratio", "upper_ratio")])
 
 
+@register("repetition_signals", """
+WITH t AS (
+    SELECT doc_id, list_slice(string_split(text, ' '), 1, 10000) AS toks
+    FROM documents
+), s AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           list_distinct(toks) AS dis,
+           CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])
+           ELSE [] END AS bg
+    FROM t
+), s2 AS (
+    SELECT doc_id, toks, n, dis, bg, len(bg) AS nb,
+           len(dis) AS nd, len(list_distinct(bg)) AS nbd,
+           list_max(list_transform(dis,
+               d -> len(list_filter(toks, x -> x = d)))) AS topc,
+           CASE WHEN len(bg) > 0 THEN
+               list_max(list_transform(list_distinct(bg),
+                   d -> len(list_filter(bg, x -> x = d))))
+           END AS topb
+    FROM s
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(n - nd AS DOUBLE) / n AS dup_token_frac,
+       CAST(topc AS DOUBLE) / n AS top_token_frac,
+       CASE WHEN nb > 0 THEN CAST(nb - nbd AS DOUBLE) / nb END AS dup_bigram_frac,
+       CASE WHEN nb > 0 THEN CAST(topb AS DOUBLE) / nb END AS top_bigram_frac
+FROM s2
+""")
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (beyond-reference LLM datapipe op):
+    duplicate-token / top-token / bigram repetition fractions per doc."""
+    from moonshot_spark.datapipe.text import repetition_struct_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        repetition_struct_expr("text").alias("rep"))
+            .select("doc_id", "rep.*"))
+
+
 @register("lang_id", """
 WITH toks AS (
     SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents

@@ -306,3 +306,38 @@ def test_dedup_corpus_idempotent(docs):
         twice = dedup_corpus(once, method=method)
         assert (sorted(r["doc_id"] for r in once.collect())
                 == sorted(r["doc_id"] for r in twice.collect())), method
+
+
+def test_repetition_signals_golden(spark):
+    """Hand-computed Gopher repetition fractions on a tiny doc."""
+    from moonshot_spark.datapipe.text import repetition_struct_expr
+
+    # tokens: a b a b a  -> n=5, distinct=2, top token 'a' x3
+    # bigrams: "a b","b a","a b","b a" -> nb=4, distinct=2, top x2
+    df = spark.createDataFrame([(0, "a b a b a"), (1, "x")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            df.select("doc_id", repetition_struct_expr("text").alias("rep"))
+              .select("doc_id", "rep.*").collect()}
+    r0 = rows[0]
+    assert r0["n_tokens"] == 5
+    assert r0["dup_token_frac"] == pytest.approx(3 / 5)
+    assert r0["top_token_frac"] == pytest.approx(3 / 5)
+    assert r0["dup_bigram_frac"] == pytest.approx(2 / 4)
+    assert r0["top_bigram_frac"] == pytest.approx(2 / 4)
+    # single-token doc: bigram signals are NULL, token signals defined
+    r1 = rows[1]
+    assert r1["n_tokens"] == 1 and r1["dup_token_frac"] == 0.0
+    assert r1["dup_bigram_frac"] is None and r1["top_bigram_frac"] is None
+
+
+def test_repetition_signals_max_tokens_cap(spark):
+    """The per-row cap bounds work on pathological giant docs."""
+    from moonshot_spark.datapipe.text import repetition_struct_expr
+
+    df = spark.createDataFrame([(0, " ".join(["w"] * 500))],
+                               "doc_id long, text string")
+    row = df.select(repetition_struct_expr("text", max_tokens=100)
+                    .alias("rep")).select("rep.*").collect()[0]
+    assert row["n_tokens"] == 100
+    assert row["dup_token_frac"] == pytest.approx(99 / 100)
