@@ -19,6 +19,9 @@ from moonshot_spark.datapipe.dedup import (
     exact_duplicates, exact_duplicate_mapping, minhash_signatures,
     lsh_candidate_pairs, simhash_expr,
 )
+from moonshot_spark.datapipe.decontam import (
+    eval_ngrams, ngram_overlap, decontaminate,
+)
 from moonshot_spark.datapipe.similarity import (
     cosine_expr, brute_force_topk, lsh_bucketed_topk,
     train_ivf_centroids, ivf_assign_col, ivf_probe_col, ivf_topk,
@@ -29,6 +32,7 @@ __all__ = [
     "fingerprint_expr", "winnowing_fingerprint_expr", "repetition_struct_expr",
     "exact_duplicates", "exact_duplicate_mapping", "minhash_signatures",
     "lsh_candidate_pairs", "simhash_expr",
+    "eval_ngrams", "ngram_overlap", "decontaminate",
     "cosine_expr", "brute_force_topk", "lsh_bucketed_topk",
     "train_ivf_centroids", "ivf_assign_col", "ivf_probe_col", "ivf_topk",
 ]

@@ -482,6 +482,35 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "stopword_ratio", "punct_ratio", "upper_ratio")])
 
 
+@register("decontaminate_overlap", """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2),
+        i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS shingles
+    FROM toks
+), ev AS (
+    SELECT DISTINCT unnest(shingles) AS ngram FROM sh WHERE doc_id % 50 = 0
+), tr AS (
+    SELECT doc_id, unnest(shingles) AS ngram FROM sh WHERE doc_id % 50 <> 0
+)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM tr JOIN ev ON tr.ngram = ev.ngram
+GROUP BY tr.doc_id
+HAVING count(*) >= 1
+""")
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (beyond-reference LLM datapipe op): eval
+    set = every 50th doc; count shared 3-grams per training doc via a
+    broadcast probe of the eval n-gram set."""
+    from moonshot_spark.datapipe.decontam import ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return ngram_overlap(train, ev)
+
+
 @register("repetition_signals", """
 WITH t AS (
     SELECT doc_id, list_slice(string_split(text, ' '), 1, 10000) AS toks

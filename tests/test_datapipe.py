@@ -341,3 +341,36 @@ def test_repetition_signals_max_tokens_cap(spark):
                     .alias("rep")).select("rep.*").collect()[0]
     assert row["n_tokens"] == 100
     assert row["dup_token_frac"] == pytest.approx(99 / 100)
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from moonshot_spark.datapipe.decontam import decontaminate, ngram_overlap
+
+    ev = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(0, "we know the capital of france is paris"),   # shares 3-grams
+         (1, "spark shuffles data between executor stages"),
+         (2, "capital of france topics")],                # one shared 3-gram
+        "doc_id long, text string")
+    overlap = {r["doc_id"]: r["n_shared_ngrams"]
+               for r in ngram_overlap(train, ev).collect()}
+    assert overlap[0] >= 3 and overlap[2] == 1 and 1 not in overlap
+    clean = sorted(r["doc_id"] for r in decontaminate(train, ev).collect())
+    assert clean == [1]
+    # min_overlap raises the bar: doc 2's single shared 3-gram survives
+    clean2 = sorted(r["doc_id"] for r in
+                    decontaminate(train, ev, min_overlap=2).collect())
+    assert clean2 == [1, 2]
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval n-gram probe must be a broadcast join: the 100 TB corpus
+    side never shuffles before the contamination filter."""
+    from moonshot_spark.datapipe.decontam import ngram_overlap
+
+    ev = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    train = spark.createDataFrame([(1, "b c d e")], "doc_id long, text string")
+    plan = ngram_overlap(train, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
