@@ -22,6 +22,12 @@ from moonshot_spark.datapipe.dedup import (
 from moonshot_spark.datapipe.decontam import (
     eval_ngrams, ngram_overlap, decontaminate,
 )
+from moonshot_spark.datapipe.pii import (
+    pii_count_exprs, pii_redact_expr, scrub_pii,
+)
+from moonshot_spark.datapipe.sampling import (
+    hash_bucket_expr, split_expr, train_test_split, stratified_sample,
+)
 from moonshot_spark.datapipe.similarity import (
     cosine_expr, brute_force_topk, lsh_bucketed_topk,
     train_ivf_centroids, ivf_assign_col, ivf_probe_col, ivf_topk,
@@ -33,6 +39,8 @@ __all__ = [
     "exact_duplicates", "exact_duplicate_mapping", "minhash_signatures",
     "lsh_candidate_pairs", "simhash_expr",
     "eval_ngrams", "ngram_overlap", "decontaminate",
+    "pii_count_exprs", "pii_redact_expr", "scrub_pii",
+    "hash_bucket_expr", "split_expr", "train_test_split", "stratified_sample",
     "cosine_expr", "brute_force_topk", "lsh_bucketed_topk",
     "train_ivf_centroids", "ivf_assign_col", "ivf_probe_col", "ivf_topk",
 ]

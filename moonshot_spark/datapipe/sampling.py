@@ -1,0 +1,75 @@
+"""Deterministic hash-based sampling and train/val/test splitting.
+
+`df.sample()` is seed-dependent *per partition layout* — repartition the
+input and the sample changes, which is unacceptable for dataset releases.
+These operators key every decision off ``md5(id)`` instead: the split is
+a pure function of the row's identity, reproducible across runs, engines,
+partitionings, and cluster sizes, and documentable in a datasheet
+("doc X is in val because md5('X') mod 100 = 83").
+
+Scale: pure projections + one filter — no shuffle, no driver state; the
+bucket expression whole-stage-codegens next to the scan, so splitting a
+100 TB corpus is a single map-only pass (write each split with
+``partitionBy("split")`` to get per-split output directories).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket_expr(col: Column | str, num_buckets: int = 100,
+                     salt: str = "") -> Column:
+    """Deterministic bucket in [0, num_buckets): first 32 bits of
+    ``md5(salt || id)`` mod ``num_buckets``.  md5-based, so bit-identical
+    in any engine (same discipline as the MinHash family); ``salt`` yields
+    independent bucketings (resampling without correlation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.encode(F.concat(F.lit(salt), c.cast("string")), "UTF-8"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+            % num_buckets)
+
+
+def split_expr(col: Column | str,
+               fractions: dict[str, float] | None = None,
+               num_buckets: int = 100, salt: str = "") -> Column:
+    """Split label column from cumulative fraction thresholds, e.g.
+    ``{"train": .8, "val": .1, "test": .1}`` → bucket<80 → train,
+    bucket<90 → val, else test.  Fractions are applied in dict order and
+    must sum to 1 (the final class absorbs any rounding remainder)."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = hash_bucket_expr(col, num_buckets, salt)
+    names = list(fractions)
+    expr, cum = None, 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(round(cum * num_buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (expr.otherwise(names[-1]) if expr is not None
+            else F.lit(names[-1]))
+
+
+def train_test_split(df: DataFrame, id_col: str = "doc_id",
+                     fractions: dict[str, float] | None = None,
+                     salt: str = "") -> DataFrame:
+    """``df`` plus a deterministic ``split`` column."""
+    return df.withColumn("split", split_expr(id_col, fractions, salt=salt))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str, id_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      num_buckets: int = 100, salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sample: keep a row iff its hash bucket is
+    under ``rates[stratum] * num_buckets`` (unlisted strata use
+    ``default_rate``).  The standard corpus-mixing primitive (e.g. keep
+    100% of books, 30% of common-crawl)."""
+    bucket = hash_bucket_expr(id_col, num_buckets, salt)
+    rate = None
+    for stratum, r in rates.items():
+        cond = F.col(strata_col) == stratum
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = rate.otherwise(default_rate) if rate is not None \
+        else F.lit(default_rate)
+    return df.where(bucket < rate * num_buckets)

@@ -482,6 +482,115 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "stopword_ratio", "punct_ratio", "upper_ratio")])
 
 
+@register("pii_scrub", """
+WITH pii AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST(doc_id % 100 AS VARCHAR) AS text
+    FROM documents
+), redacted AS (
+    SELECT doc_id, text,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
+               '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS clean
+    FROM pii
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+           '\\b\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+       md5(clean) AS clean_md5
+FROM redacted
+""")
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (beyond-reference LLM datapipe op).  The synthetic corpus
+    carries no PII, so deterministic synthetic email/IP/phone strings are
+    appended per doc before scrubbing; the oracle checks both the counts
+    and the md5 of the redacted text."""
+    from moonshot_spark.datapipe.pii import pii_count_exprs, pii_redact_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), (F.col("doc_id") % 100).cast("string"),
+        ).alias("text"))
+    counts = pii_count_exprs("text")
+    return pii.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        F.md5(F.encode(pii_redact_expr("text"), "UTF-8")).alias("clean_md5"))
+
+
+@register("train_test_split_hash", """
+WITH b AS (
+    SELECT lang, n_chars,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+    FROM documents
+), s AS (
+    SELECT lang, n_chars,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+    FROM b
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM s GROUP BY lang, split
+""")
+def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test split (beyond-reference LLM
+    datapipe op): reproducible across runs, engines, and partitionings —
+    unlike df.sample(), whose output depends on partition layout."""
+    from moonshot_spark.datapipe.sampling import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = train_test_split(docs, "doc_id")
+    return (split.groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 (F.sum("n_chars").cast("double") / F.count("*"))
+                 .alias("avg_chars")))
+
+
+@register("stratified_sample_hash", """
+WITH b AS (
+    SELECT lang,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+    FROM documents
+), kept AS (
+    SELECT lang FROM b
+    WHERE bucket < 100 * (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                                    WHEN 'es' THEN 0.25 ELSE 0.0 END)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY lang
+""")
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus mixing: keep 100% of de,
+    50% of en, 25% of es, drop the rest), value-checked by per-language
+    kept counts."""
+    from moonshot_spark.datapipe.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, {"en": 0.5, "de": 1.0, "es": 0.25},
+                             strata_col="lang")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
 @register("decontaminate_overlap", """
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -374,3 +374,57 @@ def test_decontaminate_broadcasts_eval_side(spark):
     train = spark.createDataFrame([(1, "b c d e")], "doc_id long, text string")
     plan = ngram_overlap(train, ev)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from moonshot_spark.datapipe.pii import scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail a@b.com and c.d@e.org ip 10.0.0.1 call 555-1234"),
+         (1, "no pii here at all")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    r0 = rows[0]
+    assert (r0["n_email"], r0["n_ipv4"], r0["n_phone"]) == (2, 1, 1)
+    assert r0["text"] == "mail <EMAIL> and <EMAIL> ip <IPV4> call <PHONE>"
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (0, 0, 0)
+    assert r1["text"] == "no pii here at all"
+
+
+def test_train_test_split_deterministic_and_partition_invariant(spark):
+    from moonshot_spark.datapipe.sampling import train_test_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in train_test_split(df).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in train_test_split(df.repartition(17)).collect()}
+    assert a == b                      # split is partition-layout-invariant
+    from collections import Counter
+    frac = Counter(a.values())
+    assert 0.7 < frac["train"] / 500 < 0.9       # ~80/10/10
+    assert frac["train"] + frac["val"] + frac["test"] == 500
+
+
+def test_stratified_sample_rates(spark):
+    from moonshot_spark.datapipe.sampling import stratified_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = stratified_sample(df, {"a": 1.0, "b": 0.5}, strata_col="lang")
+    from collections import Counter
+    c = Counter(r["lang"] for r in kept.collect())
+    assert c["a"] == 200               # rate 1.0 keeps everything
+    assert 60 < c["b"] < 140           # rate 0.5 approximately
+    assert c["c"] == 0                 # default_rate drops unlisted strata
+
+
+def test_hash_split_salt_independence(spark):
+    from moonshot_spark.datapipe.sampling import hash_bucket_expr
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    both = df.select(
+        hash_bucket_expr("doc_id").alias("b0"),
+        hash_bucket_expr("doc_id", salt="s1").alias("b1")).collect()
+    # salted bucketing is a different (roughly independent) assignment
+    assert any(r["b0"] != r["b1"] for r in both)
