@@ -17,6 +17,7 @@ from moonshot_spark.datapipe.text import (
 )
 from moonshot_spark.datapipe.dedup import (
     exact_duplicates, exact_duplicate_mapping, minhash_signatures,
+    minhash_signatures_from_shingles, shingle_frame,
     lsh_candidate_pairs, simhash_expr,
 )
 from moonshot_spark.datapipe.decontam import (
@@ -37,6 +38,7 @@ __all__ = [
     "tokens_expr", "token_count_expr", "quality_exprs", "lang_scores_expr",
     "fingerprint_expr", "winnowing_fingerprint_expr", "repetition_struct_expr",
     "exact_duplicates", "exact_duplicate_mapping", "minhash_signatures",
+    "minhash_signatures_from_shingles", "shingle_frame",
     "lsh_candidate_pairs", "simhash_expr",
     "eval_ngrams", "ngram_overlap", "decontaminate",
     "pii_count_exprs", "pii_redact_expr", "scrub_pii",

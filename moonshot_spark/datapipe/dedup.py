@@ -81,6 +81,33 @@ def exact_duplicate_mapping(docs: DataFrame, text_col: str = "text",
                     F.col(id_col).alias("dup_id")))
 
 
+def shingle_frame(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3,
+                  repartition: bool = True) -> DataFrame:
+    """(id, __shingles) — the shared input of the MinHash/LSH/verify
+    stages.  Computing this ONCE and passing it to each stage (see
+    ``dedup_corpus``) halves the dominant cost of the near-dup pipeline:
+    without sharing, signature building and Jaccard verification each
+    re-shingle the full corpus.
+
+    Persisting the returned frame is the caller's call: at bench scale
+    ``.persist()`` wins outright; at 100 TB the materialized shingle set
+    is ~10x the corpus, so prefer ``StorageLevel.DISK_ONLY`` or accept the
+    recompute — the lineage stays a map-only projection either way.
+
+    ``repartition``: widen under-parallel sources (single file / few
+    row-groups) before the CPU-heavy hashing; skipped when the source is
+    already well-partitioned, because shuffling a 100 TB corpus ahead of a
+    map-side projection is pure overhead.
+    """
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if repartition and docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, F.col(id_col))
+    return docs.select(F.col(id_col),
+                       shingles_expr(text_col, shingle_n).alias("__shingles"))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16,
                        shingle_n: int = 3) -> DataFrame:
@@ -97,25 +124,25 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     column so the per-shingle md5 work runs once, not once per hash
     function.  Output: (id, minhash_sig array<string> length k).
     """
-    assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
-    n_md5 = num_hashes // 4
-
     # explode shingles to rows: each shingle's md5s are computed exactly once
     # in a flat whole-stage-codegen projection (array-lambda nesting would be
     # interpreted AND CollapseProject would duplicate the md5 per hash), and
     # the k mins aggregate with map-side partial aggregation — the shuffle
     # carries one k-slice row per doc, not the shingle set.
-    #
-    # repartition ONLY when the source is under-parallel (a single file /
-    # few row-groups): shuffling a well-partitioned 100 TB corpus before a
-    # map-side projection would be pure overhead.
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target, F.col(id_col))
-    exploded = docs.select(
-        F.col(id_col),
-        F.explode(shingles_expr(text_col, shingle_n)).alias("__s"))
+    sh = shingle_frame(docs, text_col, id_col, shingle_n)
+    return minhash_signatures_from_shingles(sh, id_col, num_hashes)
+
+
+def minhash_signatures_from_shingles(shingles: DataFrame,
+                                     id_col: str = "doc_id",
+                                     num_hashes: int = 16) -> DataFrame:
+    """MinHash signatures from a precomputed ``shingle_frame`` — lets the
+    dedup pipeline share one shingle pass across signature building and
+    Jaccard verification."""
+    assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
+    n_md5 = num_hashes // 4
+    exploded = shingles.select(
+        F.col(id_col), F.explode("__shingles").alias("__s"))
     digests = [F.md5(F.encode(F.col("__s"), "UTF-8"))] + [
         F.md5(F.encode(F.concat(F.lit(f"{chr(96 + j)}|"), F.col("__s")),
                        "UTF-8"))
@@ -135,7 +162,9 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 16,
                         bands: int = 4, shingle_n: int = 3,
                         max_bucket_size: int | None = None,
-                        on_oversized: str = "warn") -> DataFrame:
+                        on_oversized: str = "warn",
+                        shingles: DataFrame | None = None,
+                        include_est_jaccard: bool = True) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
 
     banding: signature split into ``bands`` bands of k/bands rows; docs
@@ -154,22 +183,23 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     join key, so its shuffle is the same exchange the self-join needs — the
     guard adds no extra shuffle to the pair path.
 
-    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, distinct.
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, distinct;
+    with ``include_est_jaccard=False`` just (doc_a, doc_b) — the pair
+    distinct then shuffles ids only, not signatures.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    if shingles is None:
+        shingles = shingle_frame(docs, text_col, id_col, shingle_n)
+    sigs = minhash_signatures_from_shingles(shingles, id_col, num_hashes)
 
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.md5(F.encode(F.concat_ws(
             "|", F.slice(F.col("minhash_sig"), b * rows_per_band + 1,
                          rows_per_band)), "UTF-8")))
-    banded = (sigs.select(id_col, "minhash_sig",
+    sig_cols = ["minhash_sig"] if include_est_jaccard else []
+    banded = (sigs.select(id_col, *sig_cols,
                           F.posexplode(band_arr).alias("band_id", "band_hash")))
-    # both legs of the self-join (and the pair distinct) would otherwise
-    # recompute the whole shingle→md5 pipeline; the banded signatures are
-    # tiny (k hashes/doc) so cache them for the join
-    banded = banded.persist()
 
     if max_bucket_size is not None:
         if on_oversized not in ("warn", "error", "ignore"):
@@ -180,6 +210,15 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
         bucket_n = F.count("*").over(
             Window.partitionBy("band_id", "band_hash"))
         banded = banded.withColumn("__bucket_n", bucket_n)
+
+    # both legs of the self-join (and the pair distinct) would otherwise
+    # recompute the whole shingle→md5 pipeline; the banded signatures are
+    # tiny (k hashes/doc) so cache them for the join.  Persist AFTER the
+    # bucket-count window so the guard's diagnostic job and the pair join
+    # share one materialization of the window shuffle, not two.
+    banded = banded.persist()
+
+    if max_bucket_size is not None:
         if on_oversized in ("warn", "error"):
             over = (banded.where(F.col("__bucket_n") > max_bucket_size)
                     .agg(F.countDistinct("band_id", "band_hash").alias("b"),
@@ -195,6 +234,20 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                 warnings.warn(msg)
         banded = (banded.where(F.col("__bucket_n") <= max_bucket_size)
                   .drop("__bucket_n"))
+
+    if not include_est_jaccard:
+        # candidate ids only: the pair distinct shuffles two longs per
+        # row instead of two longs + two k-string signatures — the right
+        # shape when a downstream exact-verify stage recomputes the real
+        # similarity anyway (dedup_corpus, LSH→Jaccard pipelines)
+        left = banded.select(F.col(id_col).alias("doc_a"),
+                             "band_id", "band_hash")
+        right = banded.select(F.col(id_col).alias("doc_b"),
+                              "band_id", "band_hash")
+        return (left.join(right, ["band_id", "band_hash"])
+                .where(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
+                .distinct())
 
     left = banded.select(F.col(id_col).alias("id_a"),
                          F.col("minhash_sig").alias("sig_a"),
@@ -215,12 +268,20 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, candidate_pairs: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
-                        shingle_n: int = 3) -> DataFrame:
+                        shingle_n: int = 3,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard for given candidate pairs (verification stage
-    after LSH): |A∩B| / |A∪B| over shingle sets."""
-    sh = docs.select(F.col(id_col), shingles_expr(text_col, shingle_n).alias("sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    after LSH): |A∩B| / |A∪B| over shingle sets.  Pass the pipeline's
+    shared ``shingle_frame`` via ``shingles`` to avoid re-shingling the
+    corpus (repartitioning is pointless here — the candidate join
+    reshuffles on the pair keys anyway)."""
+    if shingles is None:
+        shingles = shingle_frame(docs, text_col, id_col, shingle_n,
+                                 repartition=False)
+    a = shingles.select(F.col(id_col).alias("doc_a"),
+                        F.col("__shingles").alias("sh_a"))
+    b = shingles.select(F.col(id_col).alias("doc_b"),
+                        F.col("__shingles").alias("sh_b"))
     joined = candidate_pairs.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -246,12 +307,19 @@ def dedup_corpus(docs: DataFrame, method: str = "exact",
                      .select(F.col("dup_id").alias(id_col)))
         return docs.join(removable, id_col, "left_anti")
     if method == "minhash":
-        # hot-bucket guard ON by default for the E2E path: an uncapped
-        # boilerplate bucket is the one thing that makes this quadratic
-        # at corpus scale (cap warns, never silently)
+        # ONE shingle pass shared by signature building and verification
+        # (persisted: tiny vs the corpus at bench scale; at 100 TB switch
+        # to DISK_ONLY or drop the persist and eat the recompute — see
+        # shingle_frame).  Hot-bucket guard ON by default for the E2E
+        # path: an uncapped boilerplate bucket is the one thing that makes
+        # this quadratic at corpus scale (cap warns, never silently).
+        sh = shingle_frame(docs, text_col, id_col).persist()
         candidates = lsh_candidate_pairs(docs, text_col, id_col,
-                                         max_bucket_size=max_bucket_size)
-        verified = (ngram_jaccard_pairs(docs, candidates, text_col, id_col)
+                                         max_bucket_size=max_bucket_size,
+                                         shingles=sh,
+                                         include_est_jaccard=False)
+        verified = (ngram_jaccard_pairs(docs, candidates, text_col, id_col,
+                                        shingles=sh)
                     .where(F.col("jaccard") >= threshold))
         removable = verified.select(F.col("doc_b").alias(id_col)).distinct()
         return docs.join(removable, id_col, "left_anti")

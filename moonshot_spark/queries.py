@@ -814,11 +814,13 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set intersection runs only on the LSH-bounded candidate set — the
     scale shape of every production near-dup pipeline."""
     from moonshot_spark.datapipe.dedup import (
-        lsh_candidate_pairs, ngram_jaccard_pairs)
+        lsh_candidate_pairs, ngram_jaccard_pairs, shingle_frame)
 
     docs = load_table(spark, sf_dir, "documents")
-    candidates = lsh_candidate_pairs(docs).select("doc_a", "doc_b")
-    return (ngram_jaccard_pairs(docs, candidates)
+    sh = shingle_frame(docs).persist()
+    candidates = lsh_candidate_pairs(docs, shingles=sh,
+                                     include_est_jaccard=False)
+    return (ngram_jaccard_pairs(docs, candidates, shingles=sh)
             .where(F.col("jaccard") >= 0.5))
 
 
