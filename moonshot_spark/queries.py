@@ -1632,12 +1632,17 @@ def streaming_ohlcv_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     path = os.path.join(sf_dir, "events.parquet")
-    sch = spark.read.parquet(path).schema       # ts already long ns here
+    sch = spark.read.parquet(path).schema       # ts: long ns OR timestamp[us]
     # the file stream source watches a DIRECTORY of arriving files; stage
     # the (possibly single-file) table behind a symlink dir
     stage = tempfile.mkdtemp(prefix="stream_events_")
     os.symlink(os.path.abspath(path), os.path.join(stage, "part-0.parquet"))
     stream = spark.readStream.schema(sch).parquet(stage)
+    if sch["ts"].dataType.simpleString() != "bigint":
+        # µs-timestamp schema: normalize to epoch-ns long so the rollup
+        # below is source-schema-agnostic (NTZ→TZ cast exact, tz=UTC)
+        stream = stream.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
     # a prior invocation's memory-sink table holds a full panel copy in
     # driver memory — drop it (its DataFrame was consumed by then)
     prev = f"__streaming_ohlcv_{_STREAM_QUERY_SEQ[0]}"

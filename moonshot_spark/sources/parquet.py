@@ -20,13 +20,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) read as long ns (nanosAsLong); keep
-        # the exact ns value for ordering/tie-breaks (bit-identical to
-        # DuckDB's ns precision) and add a µs timestamp for calendar ops.
-        df = (df.withColumnRenamed("ts", "ts_ns")
-              .withColumn("ts", F.timestamp_micros(
-                  F.expr("ts_ns div 1000"))))  # integer div — double division
-                                               # rounds and shifts µs by one
+        # events.ts arrives as either TIMESTAMP(NANOS) — which Spark reads
+        # as long ns under nanosAsLong — or plain timestamp[us] (NTZ when
+        # isAdjustedToUTC=false).  Normalize to two columns regardless:
+        # ts     TIMESTAMP (µs, session tz is UTC) for calendar ops, and
+        # ts_ns  BIGINT epoch-ns for ordering/tie-breaks (bit-identical to
+        # DuckDB's epoch_ns on the same instants).
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            df = (df.withColumnRenamed("ts", "ts_ns")
+                  .withColumn("ts", F.timestamp_micros(
+                      F.expr("ts_ns div 1000"))))  # integer div — double
+                                                   # division rounds µs
+        else:
+            # NTZ→TZ cast is exact because the session tz is pinned to UTC
+            # (session.py / queries.ensure_session_confs).
+            df = (df.withColumn("ts", F.col("ts").cast("timestamp"))
+                  .withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)))
     return df
 
 
