@@ -877,6 +877,83 @@ def dedup_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("n_chars").cast("bigint"))
 
 
+@register("dedup_clusters", """
+WITH RECURSIVE all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25
+), toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM all_docs
+), sh AS (
+    SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        list_distinct(list_transform(range(0, len(t) - 2),
+            i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))
+        ELSE [] END AS shingles
+    FROM toks
+), sl AS (
+    SELECT doc_id, shingles, list_transform(shingles,
+        s -> flatten(list_transform(
+        [md5(s), md5('a|' || s), md5('b|' || s), md5('c|' || s)],
+        h -> [substr(h, 1, 8), substr(h, 9, 8), substr(h, 17, 8),
+              substr(h, 25, 8)]))) AS slices
+    FROM sh
+), sigs AS (
+    SELECT doc_id, shingles, list_transform(range(1, 17),
+        i -> list_min(list_transform(slices, a -> a[i]))) AS sig
+    FROM sl
+), bands AS (
+    SELECT doc_id, shingles, b.band_id,
+           md5(array_to_string(list_slice(sig, b.band_id * 4 + 1,
+                                          b.band_id * 4 + 4), '|')) AS band_hash
+    FROM sigs, (SELECT unnest(range(0, 4)) AS band_id) b
+), vpairs AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+    WHERE CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
+              / len(list_distinct(l.shingles || r.shingles)) >= 0.5
+), edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM vpairs
+    UNION
+    SELECT doc_b, doc_a FROM vpairs
+), walk(node, comp) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+), cc AS (
+    SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+)
+SELECT cc.doc_id, cc.cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM cc
+""")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into duplicate CLUSTERS via distributed
+    connected components (iterative hash-min label propagation,
+    datapipe/graph.py) — the step that turns pairwise A~B, B~C evidence
+    into one A,B,C group.  The DuckDB oracle computes the same components
+    with a recursive CTE (min reachable id), pinning the fixpoint of the
+    iterative Spark algorithm, not just its row count.  Clone-seeded like
+    dedup_exact so clusters of size 3 (requiring actual multi-hop
+    propagation) exist at small SFs."""
+    from moonshot_spark.datapipe.dedup import (
+        lsh_candidate_pairs, ngram_jaccard_pairs, shingle_frame)
+    from moonshot_spark.datapipe.graph import duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = (docs.where(F.col("doc_id") < 25)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    corpus = docs.unionByName(clones)
+    sh = shingle_frame(corpus).persist()
+    cand = lsh_candidate_pairs(corpus, shingles=sh,
+                               include_est_jaccard=False)
+    verified = (ngram_jaccard_pairs(corpus, cand, shingles=sh)
+                .where(F.col("jaccard") >= 0.5)
+                .select("doc_a", "doc_b"))
+    return duplicate_clusters(verified)
+
+
 @register("simhash_signatures", """
 WITH toks AS (
     SELECT doc_id, list_transform(string_split(text, ' '), x -> md5(x)) AS hs

@@ -428,3 +428,42 @@ def test_hash_split_salt_independence(spark):
         hash_bucket_expr("doc_id", salt="s1").alias("b1")).collect()
     # salted bucketing is a different (roughly independent) assignment
     assert any(r["b0"] != r["b1"] for r in both)
+
+
+# --------------------------------------------------------------------- #
+# connected components (datapipe/graph.py)                              #
+# --------------------------------------------------------------------- #
+
+def test_connected_components_chain(spark):
+    # a 10-node path graph: worst-case diameter, forces true multi-hop
+    # label propagation (a single join round can NOT solve this)
+    from moonshot_spark.datapipe.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long")
+    got = {(r["node"], r["comp"])
+           for r in connected_components(edges).collect()}
+    assert got == {(i, 0) for i in range(10)}
+
+
+def test_connected_components_disjoint(spark):
+    from moonshot_spark.datapipe.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "src long, dst long")
+    comp = {r["node"]: r["comp"]
+            for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+
+def test_duplicate_clusters_sizes(spark):
+    from moonshot_spark.datapipe.graph import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(0, 5), (5, 9), (3, 7)], "doc_a long, doc_b long")
+    rows = duplicate_clusters(pairs).collect()
+    by_doc = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in rows}
+    assert by_doc == {0: (0, 3), 5: (0, 3), 9: (0, 3),
+                      3: (3, 2), 7: (3, 2)}
