@@ -73,3 +73,40 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     rate = rate.otherwise(default_rate) if rate is not None \
         else F.lit(default_rate)
     return df.where(bucket < rate * num_buckets)
+
+
+def parity_upsample(df: DataFrame, strata_col: str, id_col: str = "doc_id",
+                    num_buckets: int = 1000, salt: str = "") -> DataFrame:
+    """Temperature-style corpus rebalancing: upsample each stratum toward
+    the largest one with repetition factor r = sqrt(max_n / n) (i.e.
+    temperature alpha = 0.5 on the stratum distribution — the standard
+    knob for boosting low-resource languages without letting them dominate).
+
+    Every document is emitted floor(r) times, plus one extra copy for the
+    deterministic hash-fraction of docs that rounds the stratum to its
+    exact target: docs whose md5 bucket < floor(frac(r) * num_buckets).
+    Like everything in this module the result is a pure function of row
+    identity — independent of partitioning, cluster size, and engine
+    (sqrt/floor/divide are single correctly-rounded IEEE ops, so the copy
+    counts are bit-identical across engines).
+
+    Scale: the per-stratum counts are a tiny aggregate (one row per
+    stratum) broadcast back onto the corpus; the emit is a map-side
+    explode — no corpus shuffle at all.  Output order within a doc is
+    copy_id 1..k for downstream epoch slicing.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    mx = counts.agg(F.max("__n").alias("__mx"))
+    rates = (counts.crossJoin(F.broadcast(mx))
+             .withColumn("__r", F.sqrt(F.col("__mx").cast("double")
+                                       / F.col("__n"))))
+    joined = df.join(F.broadcast(rates.select(strata_col, "__r")), strata_col)
+    frac_buckets = F.floor(
+        (F.col("__r") - F.floor("__r")) * num_buckets).cast("bigint")
+    copies = (F.floor("__r").cast("bigint")
+              + (hash_bucket_expr(id_col, num_buckets, salt)
+                 < frac_buckets).cast("bigint"))
+    return (joined
+            .withColumn("copy_id", F.explode(
+                F.sequence(F.lit(1).cast("bigint"), copies)))
+            .drop("__r"))

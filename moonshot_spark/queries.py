@@ -591,6 +591,90 @@ def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+@register("corpus_mix_parity", """
+WITH counts AS (
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), mx AS (
+    SELECT max(n) AS mxn FROM counts
+), rates AS (
+    SELECT lang, sqrt(CAST(mxn AS DOUBLE) / n) AS r FROM counts, mx
+), wc AS (
+    SELECT d.doc_id, d.lang,
+           CAST(floor(r) AS BIGINT) +
+           CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 1000
+                     < CAST(floor((r - floor(r)) * 1000) AS BIGINT)
+                THEN 1 ELSE 0 END AS copies
+    FROM documents d JOIN rates USING (lang)
+)
+SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_id
+FROM wc
+""")
+def corpus_mix_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) corpus rebalancing: each language is
+    upsampled toward the largest one with repetition factor
+    sqrt(max_n / n_lang), fractional copies resolved by deterministic doc
+    hash.  Value-checked per emitted copy — the oracle reproduces the
+    exact copy multiset, pinning engine-independent repetition."""
+    from moonshot_spark.datapipe.sampling import parity_upsample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return parity_upsample(docs, "lang").select("doc_id", "lang", "copy_id")
+
+
+@register("context_chunks", """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+    SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS start FROM t
+)
+SELECT doc_id,
+       start // 32 AS chunk_id,
+       CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT)
+           AS n_tokens,
+       md5(array_to_string(list_slice(toks, start + 1, start + 64), ' '))
+           AS chunk_md5
+FROM s
+""")
+def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows (size 64, stride 32) per document — the
+    map-side explode that lays long documents out as overlapping model
+    contexts.  Chunk text crosses the plan as an md5, never as bytes."""
+    from moonshot_spark.datapipe.packing import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, size=64, stride=32)
+
+
+@register("pack_bins_report", """
+WITH n AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+    FROM documents
+), c AS (
+    SELECT doc_id, lang, n_tok,
+           COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM n
+)
+SELECT lang, cum_before // 256 AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN (cum_before % 256) + n_tok > 256 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_straddle
+FROM c GROUP BY lang, cum_before // 256
+""")
+def pack_bins_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-style sequence packing into 256-token bins per language
+    shard (window cumsum → floor-div bin id) with per-bin fill and
+    boundary-straddle counts.  Integer arithmetic end to end, so the
+    report hash-matches the SQL oracle exactly."""
+    from moonshot_spark.datapipe.packing import pack_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_stats(docs, budget=256)
+
+
 @register("decontaminate_overlap", """
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents

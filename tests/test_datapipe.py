@@ -467,3 +467,51 @@ def test_duplicate_clusters_sizes(spark):
     by_doc = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in rows}
     assert by_doc == {0: (0, 3), 5: (0, 3), 9: (0, 3),
                       3: (3, 2), 7: (3, 2)}
+
+
+# --------------------------------------------------------------------- #
+# chunking / packing / parity mixing                                    #
+# --------------------------------------------------------------------- #
+
+def test_chunk_tokens_layout(spark):
+    from moonshot_spark.datapipe.packing import chunk_tokens
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(chunk_tokens(df, size=4, stride=3).collect(),
+                  key=lambda r: r["chunk_id"])
+    # starts 0,3,6,9 -> lengths 4,4,4,1
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 1]
+    import hashlib
+    assert rows[0]["chunk_md5"] == hashlib.md5(b"w0 w1 w2 w3").hexdigest()
+
+
+def test_pack_bins_budget_and_straddle(spark):
+    from moonshot_spark.datapipe.packing import pack_bins
+
+    # tokens per doc: 100, 100, 100 -> budget 256: doc2 straddles (200+100)
+    rows = [(i, "en", " ".join(["t"] * 100)) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: (r["bin_id"], r["straddles"])
+           for r in pack_bins(df, budget=256).collect()}
+    assert got == {0: (0, False), 1: (0, False), 2: (0, True)}
+
+
+def test_parity_upsample_deterministic(spark):
+    from moonshot_spark.datapipe.sampling import parity_upsample
+
+    rows = ([(i, "big", "x") for i in range(100)]
+            + [(1000 + i, "small", "x") for i in range(25)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = parity_upsample(df, "lang")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # big stratum: r = 1.0 -> exactly one copy each
+    assert counts["big"] == 100
+    # small: r = 2.0 -> exactly two copies each
+    assert counts["small"] == 50
+    # repartition invariance: identical copy multiset
+    out2 = parity_upsample(df.repartition(13), "lang")
+    assert (sorted(map(tuple, out.select("doc_id", "copy_id").collect()))
+            == sorted(map(tuple, out2.select("doc_id", "copy_id").collect())))
