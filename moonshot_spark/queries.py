@@ -2269,6 +2269,86 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "word", "n", F.col("rn").cast("int")))
 
 
+@register("tfidf_top_terms", """
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+), df AS (
+    SELECT word, count(*) AS df FROM tf GROUP BY word
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.word, tf.tf, df.df,
+           tf.tf * ((n.n_docs * 1000) // df.df) AS w
+    FROM tf JOIN df USING (word), n
+)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(w AS BIGINT) AS w, CAST(rn AS INT) AS rn
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY w DESC, word) AS rn
+    FROM scored
+) WHERE rn <= 3
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF-weighted top terms: term frequency × an
+    integer-scaled inverse document frequency (tf * (N*1000 div df)).
+    The weight is a monotone transform of tf/df — identical ranking to
+    float ln-IDF — kept in exact integer arithmetic because ln() is not
+    guaranteed bit-identical across engines (the module's cross-engine
+    float discipline, see header).  Two shuffles with map-side combine
+    (doc,word then word); the document-count N is a broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(df_counts, "word")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("w", F.col("tf")
+                          * F.floor((F.col("n_docs") * 1000) / F.col("df"))))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("word"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("doc_id", "word", "tf", "df",
+                    F.col("w").cast("bigint"), F.col("rn").cast("int")))
+
+
+@register("retention_cohorts", """
+WITH weeks AS (
+    SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+), cohorts AS (
+    SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id, week FROM weeks
+)
+SELECT c.cohort_week,
+       date_diff('day', c.cohort_week, a.week) // 7 AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM cohorts c JOIN active a USING (user_id)
+GROUP BY c.cohort_week, date_diff('day', c.cohort_week, a.week) // 7
+""")
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-active
+    week, counted in each subsequent week they appear.  Date/integer
+    arithmetic only (exact cross-engine); the (user, week) distinct and
+    the cohort min are the only two shuffles, both with map-side
+    combine, and the cohort table joins back on the already-shuffled
+    user_id key."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select("user_id",
+                      F.date_trunc("week", F.col("ts")).cast("date")
+                      .alias("week"))
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = weeks.distinct()
+    return (active.join(cohorts, "user_id")
+            .groupBy("cohort_week",
+                     F.floor(F.datediff(F.col("week"), F.col("cohort_week"))
+                             / 7).alias("week_offset"))
+            .agg(F.count("*").alias("n_active")))
+
+
 # --------------------------------------------------------------------- #
 # funnel: signup → first subsequent purchase per user                   #
 # --------------------------------------------------------------------- #
