@@ -38,9 +38,13 @@ def main():
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         df.count()  # warm-up: JIT, parquet footer cache, broadcast build
-        start = time.perf_counter()
-        df.count()
-        elapsed = time.perf_counter() - start
+        # min of two timed runs: the steady-state cost of the plan, robust
+        # to one-off GC pauses / CPU contention on a shared box
+        elapsed = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df.count()
+            elapsed = min(elapsed, time.perf_counter() - start)
         timings[name] = round(elapsed, 4)
         total += elapsed
 
