@@ -2080,6 +2080,128 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_lines")))
 
 
+@register("q7_nation_volume", """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+   OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""")
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral trade volume by year): fact ⋈ fact
+    (lineitem⋈orders) plus four broadcast dims.  The nation filter
+    reaches the dim scans (pushed down pre-broadcast), so the only real
+    shuffle is the lineitem⋈orders key exchange — and AQE converts even
+    that to broadcast when the filtered orders side is small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_name").alias("cust_nation"))
+    cdim = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+    sdim = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cdim), F.col("o_custkey") == cdim.c_custkey)
+         .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+         .where(((F.col("supp_nation") == "NATION_0")
+                 & (F.col("cust_nation") == "NATION_1"))
+                | ((F.col("supp_nation") == "NATION_1")
+                   & (F.col("cust_nation") == "NATION_0"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                       * (1 - F.col("l_discount").cast("decimal(18,2)")))
+                 .cast("double").alias("revenue")))
+
+
+@register("q10_returned_revenue", """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (top customers by returned-item revenue in a
+    quarter): both filters are pushed to the scans (date range on orders,
+    returnflag on lineitem), the quarter's orders broadcast into the
+    lineitem join, and the top-k is a deterministic total order
+    (revenue DESC, custkey) so both engines pick the same 20 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    lr = li.where(F.col("l_returnflag") == "R")
+    cdim = cust.join(F.broadcast(nation),
+                     cust.c_nationkey == nation.n_nationkey)
+    j = (lr.join(F.broadcast(o), lr.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(cdim), F.col("o_custkey") == cdim.c_custkey))
+    return (j.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                       * (1 - F.col("l_discount").cast("decimal(18,2)")))
+                 .cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+@register("q18_large_orders", """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): the HAVING aggregate runs
+    first with map-side partial sums, and only the surviving order keys
+    join back to orders/customer — the orders side of that join is
+    broadcast-size because big orders are rare."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .alias("__q"))
+           .where(F.col("__q") > 250)
+           .select("l_orderkey", F.col("__q").cast("double")
+                   .alias("total_qty")))
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "total_qty"))
+
+
 # --------------------------------------------------------------------- #
 # correlated / scalar subquery                                          #
 # --------------------------------------------------------------------- #

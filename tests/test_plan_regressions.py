@@ -87,3 +87,33 @@ def test_lsh_jaccard_verify_no_cartesian():
     plan = plan_of("jaccard_verified_pairs")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q10_pushdown_and_broadcast():
+    plan = plan_of("q10_returned_revenue")
+    # both filters reach their scans; no sort-merge join anywhere
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("l_returnflag" in l and "= R)" in l for l in scan_lines), plan
+    assert any("o_orderdate" in l and ">= 1996-01-01" in l
+               for l in scan_lines), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q18_partial_agg_before_join():
+    plan = plan_of("q18_large_orders")
+    # the HAVING aggregate runs with map-side partial sums
+    assert "partial_sum" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_chunking_is_map_side_only():
+    plan = plan_of("context_chunks")
+    assert "Exchange" not in plan, plan
+
+
+def test_parity_upsample_no_corpus_shuffle():
+    plan = plan_of("corpus_mix_parity")
+    # only the per-stratum count aggregates shuffle (tiny); the corpus
+    # side joins the broadcast rates and explodes map-side
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
