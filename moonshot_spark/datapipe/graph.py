@@ -76,6 +76,76 @@ def connected_components(edges: DataFrame, src: str = "src",
     return labels
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to its minimum neighbor (min over N(u) ∪ {u}).  Expressed
+    as groupBy-min + join — no per-node neighborhood arrays, so a
+    celebrity node with 10^8 neighbors is a hot GROUP BY key (handled by
+    partial aggregation + AQE), never a 10^8-element array in one task."""
+    sym = edges.union(edges.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    mins = (sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("u", "__mn").alias("__m")))
+    return (sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge toward the smaller
+    endpoint, then connect each node's smaller neighbors (and itself) to
+    the minimum of that set."""
+    oriented = edges.select(F.greatest("u", "v").alias("u"),
+                            F.least("u", "v").alias("v"))
+    mins = (oriented.groupBy("u")
+            .agg(F.min("v").alias("__m")))
+    nbrs = (oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("__m").alias("v")))
+    selfs = mins.select("u", F.col("__m").alias("v"))
+    return (nbrs.union(selfs)
+            .where(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def connected_components_star(edges: DataFrame, src: str = "src",
+                              dst: str = "dst",
+                              max_iter: int = 25) -> DataFrame:
+    """(node, comp) via alternating large-star/small-star (Kiveris et
+    al., SoCC'14) — O(log n) rounds on ANY graph topology, vs
+    O(diameter) for ``connected_components``.  Same output contract.
+
+    Use this variant when the duplicate graph may contain long chains
+    (e.g. transitive near-dup edges at a loose threshold: A~B~C~...~Z
+    where only adjacent pairs collide).  For the near-clique topology
+    LSH actually emits, plain hash-min converges in fewer total shuffles.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("node"))
+             .union(e.select(F.col("v").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # converged when the edge set is stable (symmetric difference 0)
+        diff = (e2.exceptAll(e).limit(1).count()
+                + e.exceptAll(e2).limit(1).count())
+        e = e2
+        if diff == 0:
+            break
+    # at the fixpoint every edge is (member, root); roots map to themselves
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = nodes.join(labels.select(F.col("node").alias("__n")),
+                       nodes["node"] == F.col("__n"), "left_anti") \
+        .select("node", F.col("node").alias("comp"))
+    return labels.union(roots)
+
+
 def duplicate_clusters(pairs: DataFrame, src: str = "doc_a",
                        dst: str = "doc_b", id_out: str = "doc_id",
                        max_iter: int = 25) -> DataFrame:

@@ -515,3 +515,50 @@ def test_parity_upsample_deterministic(spark):
     out2 = parity_upsample(df.repartition(13), "lang")
     assert (sorted(map(tuple, out.select("doc_id", "copy_id").collect()))
             == sorted(map(tuple, out2.select("doc_id", "copy_id").collect())))
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_cc_star_matches_hashmin_and_unionfind(spark, seed):
+    import random
+    from moonshot_spark.datapipe.graph import (
+        connected_components, connected_components_star)
+
+    rng = random.Random(seed)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(25)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    expect = _uf_components(edges)
+    got_hm = {r["node"]: r["comp"]
+              for r in connected_components(df).collect()}
+    got_st = {r["node"]: r["comp"]
+              for r in connected_components_star(df).collect()}
+    assert got_hm == expect
+    assert got_st == expect
+
+
+def test_cc_star_long_chain(spark):
+    # the topology hash-min is worst at: O(log n) rounds must still solve it
+    from moonshot_spark.datapipe.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "src long, dst long")
+    got = {(r["node"], r["comp"])
+           for r in connected_components_star(edges).collect()}
+    assert got == {(i, 0) for i in range(20)}
