@@ -675,6 +675,60 @@ def pack_bins_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(docs, budget=256)
 
 
+@register("shared_chunks", """
+WITH all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25
+), t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+), s AS (
+    SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS start FROM t
+), chunks AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(toks, start + 1, start + 32), ' '))
+               AS chunk_md5
+    FROM s
+), freq AS (
+    SELECT chunk_md5 FROM chunks GROUP BY chunk_md5
+    HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+), hits AS (
+    SELECT c.doc_id, c.chunk_md5 FROM chunks c JOIN freq USING (chunk_md5)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_chunks
+FROM hits a JOIN hits b
+  ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""")
+def shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document verbatim overlap via shared 32-token chunks —
+    the chunk-level contamination/plagiarism detector.  Chunks travel as
+    md5 (32 bytes, never text); chunk hashes seen in more than 50
+    documents are dropped BEFORE the self-join (boilerplate chunks are
+    uninformative, and one 10M-doc boilerplate chunk would otherwise be a
+    10^14-pair blowup — the same hot-key guard as the LSH bucket cap).
+    Clone-seeded so genuine shared chunks exist at small SFs."""
+    from moonshot_spark.datapipe.packing import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = (docs.where(F.col("doc_id") < 25)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    chunks = (chunk_tokens(docs.unionByName(clones), size=32, stride=32)
+              .select("doc_id", "chunk_md5"))
+    freq = (chunks.groupBy("chunk_md5")
+            .agg(F.countDistinct("doc_id").alias("__nd"))
+            .where(F.col("__nd").between(2, 50))
+            .select("chunk_md5"))
+    hits = chunks.join(freq, "chunk_md5")
+    a = hits.select(F.col("doc_id").alias("doc_a"), "chunk_md5")
+    b = hits.select(F.col("doc_id").alias("doc_b"), "chunk_md5")
+    return (a.join(b, "chunk_md5")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared_chunks")))
+
+
 @register("decontaminate_overlap", """
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1769,6 +1823,67 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_a", "vec_b", "label", "cosine"))
 
 
+@register("embedding_quantize_sq8", """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), st AS (
+    SELECT vec_id, e, list_min(e) AS mn,
+           (list_max(e) - list_min(e)) / 255 AS scale
+    FROM v
+), q AS (
+    SELECT vec_id, e, mn, scale,
+           list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+               ELSE least(CAST(floor((x - mn) / scale) AS INT), 255)
+               END) AS codes
+    FROM st
+)
+SELECT vec_id, mn, scale,
+       md5(array_to_string(list_transform(codes,
+           c -> CAST(c AS VARCHAR)), ',')) AS codes_md5,
+       list_max(list_transform(range(1, len(e) + 1),
+           i -> abs(e[i] - (mn + codes[i] * scale)))) AS max_abs_err,
+       list_max(list_transform(range(1, len(e) + 1),
+           i -> abs(e[i] - (mn + codes[i] * scale)))) <= scale
+           AS within_bound
+FROM q
+""")
+def embedding_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (the storage format for
+    billion-vector ANN corpora: 4x smaller than float32, decode = one
+    fused multiply-add).  Emits the code stream (as md5 — 32 bytes per
+    vector through the shuffle, codes never leave the stage), the exact
+    reconstruction max-error, and the analytic bound check
+    (err <= scale).  Pure array expressions — zero shuffle, zero UDF;
+    every arithmetic step is a single IEEE op in the same order as the
+    oracle, so even the doubles hash-match bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    df = emb.select("vec_id", e.alias("e"))
+    df = df.select(
+        "vec_id", "e", F.array_min("e").alias("mn"),
+        ((F.array_max("e") - F.array_min("e")) / 255).alias("scale"))
+    codes = F.transform(
+        F.col("e"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+            F.least(F.floor((x - F.col("mn")) / F.col("scale"))
+                    .cast("int"), F.lit(255))))
+    df = df.withColumn("codes", codes)
+    idx = F.sequence(F.lit(1), F.size("e"))
+    err = F.array_max(F.transform(
+        idx, lambda i: F.abs(F.element_at("e", i)
+                             - (F.col("mn")
+                                + F.element_at("codes", i)
+                                * F.col("scale")))))
+    return df.select(
+        "vec_id", "mn", "scale",
+        F.md5(F.encode(F.concat_ws(",", F.transform(
+            F.col("codes"), lambda c: c.cast("string"))), "UTF-8"))
+        .alias("codes_md5"),
+        err.alias("max_abs_err"),
+        (err <= F.col("scale")).alias("within_bound"))
+
+
 # --------------------------------------------------------------------- #
 # Structured Streaming: tick stream → OHLCV panel (oracle-checked)      #
 # --------------------------------------------------------------------- #
@@ -2559,6 +2674,92 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") >= 20)
         & F.col("mean_token_len").between(2.0, 12.0)
         & (F.col("punct_ratio") < 0.1))
+
+
+@register("prepare_corpus", """
+WITH toks0 AS (
+    SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents
+), q AS (
+    SELECT doc_id, lang, text, t FROM toks0
+    WHERE len(t) >= 20
+      AND CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+          / len(t) BETWEEN 2.0 AND 12.0
+      AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+          AS DOUBLE) / length(text) < 0.1
+), fp AS (
+    SELECT doc_id, lang, text, t,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+    FROM q
+), keep AS (
+    SELECT min(doc_id) AS doc_id FROM fp GROUP BY f
+), surv AS (
+    SELECT fp.* FROM fp JOIN keep USING (doc_id)
+), sh AS (
+    SELECT doc_id, lang, t, CASE WHEN len(t) >= 3 THEN
+        list_distinct(list_transform(range(0, len(t) - 2),
+            i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))
+        ELSE [] END AS shingles
+    FROM surv
+), ev AS (
+    SELECT DISTINCT unnest(s2.shingles) AS ngram FROM (
+        SELECT CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(range(0, len(t) - 2),
+                i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))
+            ELSE [] END AS shingles
+        FROM toks0 WHERE doc_id % 50 = 0
+    ) s2
+), contaminated AS (
+    SELECT DISTINCT s.doc_id FROM (
+        SELECT doc_id, unnest(shingles) AS ngram FROM sh
+        WHERE doc_id % 50 <> 0
+    ) s JOIN ev USING (ngram)
+), clean AS (
+    SELECT doc_id, lang, len(t) AS n_tok FROM sh
+    WHERE doc_id % 50 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), binned AS (
+    SELECT lang, n_tok,
+           COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 256 AS bin_id
+    FROM clean
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(max(bin_id) + 1 AS BIGINT) AS n_bins
+FROM binned GROUP BY lang
+""")
+def prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus preparation pipeline in one DAG:
+    quality gate → exact dedup (min-id survivor per fingerprint) →
+    benchmark decontamination (3-gram overlap vs the eval slice,
+    broadcast probe) → per-language sequence packing, reported as
+    per-language (docs, tokens, bins).  Every stage is the already
+    oracle-checked operator, composed: the value of a declarative
+    engine is that this composition is ONE Catalyst plan — filters
+    reach the scan, the dedup min-id survivor map and the eval n-gram
+    set broadcast, and nothing materializes between stages."""
+    from moonshot_spark.datapipe.decontam import decontaminate
+    from moonshot_spark.datapipe.packing import pack_bins, token_count_expr
+    from moonshot_spark.datapipe.text import fingerprint_expr, quality_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_exprs("text")
+    passed = docs.where(
+        (q["n_tokens"] >= 20)
+        & q["mean_token_len"].between(2.0, 12.0)
+        & (q["punct_ratio"] < 0.1))
+    fp = passed.withColumn("__f", fingerprint_expr("text"))
+    keep = fp.groupBy("__f").agg(F.min("doc_id").alias("doc_id"))
+    surv = fp.join(F.broadcast(keep.select("doc_id")), "doc_id")
+    ev_docs = docs.where(F.col("doc_id") % 50 == 0)
+    train = surv.where(F.col("doc_id") % 50 != 0)
+    clean = decontaminate(train, ev_docs)
+    packed = pack_bins(clean, budget=256)
+    return (packed.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 (F.max("bin_id") + 1).alias("n_bins")))
 
 
 # --------------------------------------------------------------------- #
