@@ -2317,6 +2317,46 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "o_totalprice", "total_qty"))
 
 
+def _zorder_oracle_sql() -> str:
+    from moonshot_spark.plans.zorder import z_value_sql
+
+    z = z_value_sql("l_partkey", "l_suppkey", bits=16)
+    return f"""
+WITH z AS (
+    SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+           {z} AS zv
+    FROM lineitem
+), b AS (
+    SELECT l_partkey, l_suppkey,
+           ntile(16) OVER (ORDER BY zv, l_orderkey, l_linenumber) AS bucket
+    FROM z
+)
+SELECT bucket, min(l_partkey) AS min_l_partkey,
+       max(l_partkey) AS max_l_partkey,
+       min(l_suppkey) AS min_l_suppkey,
+       max(l_suppkey) AS max_l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM b GROUP BY bucket
+"""
+
+
+@register("zorder_layout_stats", _zorder_oracle_sql())
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout of lineitem on (l_partkey, l_suppkey):
+    interleave the key bits (pure codegen'd shift/mask expression, no
+    UDF), cut the z-sorted order into 16 equal files, and report each
+    file's min/max range of BOTH keys — the row-group metadata a
+    selective scan prunes on.  The oracle SQL is generated from the same
+    unrolled-bit loop as the Spark expression, so the layouts are
+    bit-identical across engines.  In production the ntile is
+    ``repartitionByRange(z).sortWithinPartitions(z)`` + write."""
+    from moonshot_spark.plans.zorder import zorder_bucket_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return zorder_bucket_stats(li, "l_partkey", "l_suppkey", n_buckets=16,
+                               tiebreak=["l_orderkey", "l_linenumber"])
+
+
 # --------------------------------------------------------------------- #
 # correlated / scalar subquery                                          #
 # --------------------------------------------------------------------- #
