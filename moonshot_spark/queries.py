@@ -386,6 +386,64 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - F.min(F.col("ts").cast("long"))).alias("duration_sec")))
 
 
+@register("purchases_in_sessions", """
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess_rows AS (
+    SELECT user_id, ts,
+           sum(is_new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM gaps
+), sessions AS (
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           min(epoch_ns(ts)) AS start_ns, max(epoch_ns(ts)) AS end_ns
+    FROM sess_rows GROUP BY user_id, session_id
+), purchases AS (
+    SELECT user_id, epoch_ns(ts) AS p_ns FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT s.user_id, s.session_id, CAST(count(*) AS BIGINT) AS n_purchases
+FROM sessions s JOIN purchases p
+  ON p.user_id = s.user_id AND p.p_ns BETWEEN s.start_ns AND s.end_ns
+GROUP BY s.user_id, s.session_id
+""")
+def purchases_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-containment join via the bucketized interval-join operator:
+    assign purchase events to their containing activity session by
+    (user, hour-bucket) equi-join + residual BETWEEN — the scale-safe
+    plan for a join Spark has no native operator for (a naive range
+    join degrades to per-user cross products).  The oracle runs the
+    same containment as a plain SQL range join."""
+    from moonshot_spark.operators.interval_join import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800),
+        1).otherwise(0)
+    sessions = (ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_ns").alias("start_ns"),
+             F.max("ts_ns").alias("end_ns")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts_ns"))
+    joined = interval_join(purchases, sessions, on=["user_id"],
+                           point_ts="ts_ns")
+    return (joined.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_purchases")))
+
+
 # --------------------------------------------------------------------- #
 # the flagship: full backtest pipeline (D18) vs SQL oracle              #
 # --------------------------------------------------------------------- #

@@ -562,3 +562,49 @@ def test_cc_star_long_chain(spark):
     got = {(r["node"], r["comp"])
            for r in connected_components_star(edges).collect()}
     assert got == {(i, 0) for i in range(20)}
+
+
+# --------------------------------------------------------------------- #
+# bucketized interval join (operators/interval_join.py)                 #
+# --------------------------------------------------------------------- #
+
+def test_interval_join_containment(spark):
+    from moonshot_spark.operators.interval_join import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 150), (1, 250), (1, 999), (2, 150)],
+        "user_id long, ts_ns long")
+    ivs = spark.createDataFrame(
+        [(1, 100, 200, "a"), (1, 240, 260, "b"), (2, 0, 100, "c")],
+        "user_id long, start_ns long, end_ns long, name string")
+    got = sorted((r["ts_ns"], r["name"]) for r in
+                 interval_join(pts, ivs, on=["user_id"],
+                               bucket_width=50).collect())
+    # (1,150)->a; (1,250)->b; (1,999) and (2,150) match nothing
+    assert got == [(150, "a"), (250, "b")]
+
+
+def test_interval_join_exactly_once_across_buckets(spark):
+    from moonshot_spark.operators.interval_join import interval_join
+
+    # interval spans many buckets; each contained point matches ONCE
+    pts = spark.createDataFrame([(1, i * 10) for i in range(50)],
+                                "k long, ts_ns long")
+    ivs = spark.createDataFrame([(1, 0, 1000)],
+                                "k long, start_ns long, end_ns long")
+    out = interval_join(pts, ivs, on=["k"], bucket_width=7)
+    assert out.count() == 50
+    assert out.select("ts_ns").distinct().count() == 50
+
+
+def test_interval_join_oversized_guard(spark):
+    import pytest as _pytest
+    from moonshot_spark.operators.interval_join import interval_join
+
+    pts = spark.createDataFrame([(1, 5)], "k long, ts_ns long")
+    ivs = spark.createDataFrame([(1, 0, 10_000_000)],
+                                "k long, start_ns long, end_ns long")
+    with _pytest.raises(ValueError, match="span more than"):
+        interval_join(pts, ivs, on=["k"], bucket_width=10,
+                      max_buckets_per_interval=100,
+                      on_oversized="error")
