@@ -3434,6 +3434,89 @@ def portfolio_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_sids")))
 
 
+@register("backtest_param_sweep", f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN (CASE WHEN count(close) OVER w5 >= 5
+                      THEN avg(close) OVER w5 END)
+                   > (CASE WHEN count(close) OVER w10 >= 10
+                      THEN avg(close) OVER w10 END)
+                THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+    WINDOW w5 AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w10 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
+),
+rets AS (
+    SELECT sid, date,
+           coalesce((close - lag(close) OVER w) / lag(close) OVER w
+               * lag(position) OVER w, 0) AS r,
+           abs(coalesce(position, 0)
+               - lag(coalesce(position, 0)) OVER w) AS turnover
+    FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+params AS (
+    SELECT unnest([0, 10, 25, 50]) AS cost_bps
+),
+net AS (
+    SELECT p.cost_bps, rets.sid, rets.date,
+           rets.r - coalesce(rets.turnover, 0) * p.cost_bps / 10000 AS net_r
+    FROM rets, params p
+)
+SELECT CAST(cost_bps AS INT) AS cost_bps, date,
+       list_reduce(list(coalesce(net_r, 0) ORDER BY sid), (a, b) -> a + b)
+           AS portfolio_return,
+       CAST(count(*) AS BIGINT) AS n_sids
+FROM net GROUP BY cost_bps, date
+""")
+def backtest_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-search backtest as ONE plan: the DMA pipeline runs once, a
+    4-row cost-parameter dim cross-joins in (broadcast, map-side), and
+    every parameter variant's net portfolio-return series aggregates in
+    the same job.  The pandas reference re-runs the whole backtest per
+    parameter; here the panel scan, signal windows, and weight windows
+    are shared across the sweep — at 100 TB the sweep costs one backtest
+    plus K cheap projections, not K backtests.  Per-date sums use the
+    sid-ordered fold (pinned accumulation order, see portfolio_returns)."""
+    from moonshot_spark.strategies.demo import DualMovingAverage
+
+    panel = events_to_panel(spark, sf_dir)
+    results = DualMovingAverage().backtest(panel)
+    # un-melt Return/Turnover by conditional aggregation — one lineage,
+    # one pass; a filter+self-join here would recompute the whole
+    # backtest DAG on both sides (verified: 2 scans → 1)
+    base = (results.where(F.col("field").isin("Return", "Turnover"))
+            .groupBy("sid", "date")
+            .agg(F.max(F.when(F.col("field") == "Return",
+                              F.col("value"))).alias("r"),
+                 F.max(F.when(F.col("field") == "Turnover",
+                              F.col("value"))).alias("tv")))
+    params = spark.createDataFrame([(0,), (10,), (25,), (50,)],
+                                   "cost_bps int")
+    net = (base.crossJoin(F.broadcast(params))
+           .withColumn("net_r",
+                       F.col("r") - F.coalesce(F.col("tv"), F.lit(0.0))
+                       * F.col("cost_bps") / 10000))
+    folded = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("sid", "net_r"))),
+                    lambda s: F.coalesce(s["net_r"], F.lit(0.0))),
+        F.lit(0.0), lambda a, b: a + b)
+    return (net.groupBy("cost_bps", "date")
+            .agg(folded.alias("portfolio_return"),
+                 F.count("*").alias("n_sids")))
+
+
 # --------------------------------------------------------------------- #
 # D8 min-commission floor + S2 NLV append, through the oracle            #
 # --------------------------------------------------------------------- #

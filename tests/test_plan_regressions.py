@@ -117,3 +117,11 @@ def test_parity_upsample_no_corpus_shuffle():
     # side joins the broadcast rates and explodes map-side
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_param_sweep_single_backtest():
+    # the sweep must run ONE backtest DAG (1 scan) with the param dim
+    # joined in — not K pipelines and not a self-join re-computation
+    plan = plan_of("backtest_param_sweep")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
