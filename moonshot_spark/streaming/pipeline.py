@@ -156,3 +156,14 @@ def stream_trade_orders(panel_stream: DataFrame, strategy_factory,
             .foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("complete"))
+
+
+def stream_enrich(events: DataFrame, dim: DataFrame,
+                  on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment: join a streaming fact to a batch
+    dimension.  Spark plans the static side as a broadcast rebuilt per
+    micro-batch, so dim updates between batches are picked up without
+    restarting the query — the standard pattern for joining a stream to
+    a slowly-changing reference table (securities master, user attrs).
+    No watermark needed: stream-static inner/left joins are stateless."""
+    return events.join(F.broadcast(dim), on, "left")

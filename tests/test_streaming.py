@@ -187,3 +187,37 @@ def test_parse_event_payload_batch_equivalence(spark):
     assert rows[0]["value"] == 1.5
     # malformed payload → NULL fields (dead-letter downstream), not a crash
     assert rows[1]["event_id"] is None
+
+
+def test_stream_enrich_static_dim(spark, tmp_path):
+    import os
+    from moonshot_spark.streaming.pipeline import (
+        EVENT_SCHEMA, stream_enrich)
+
+    src = str(tmp_path / "events_in")
+    os.makedirs(src)
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),
+         (2, "2024-01-01 00:01:00", 20, "click", 2.0, "{}"),
+         (3, "2024-01-01 00:02:00", 99, "click", 3.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    # the file source watches a flat dir: surface the part files directly
+    staging = str(tmp_path / "staging")
+    batch.coalesce(1).write.parquet(staging)
+    import glob
+    import shutil
+    for i, f in enumerate(glob.glob(staging + "/part-*.parquet")):
+        shutil.move(f, os.path.join(src, f"b{i}.parquet"))
+    dim = spark.createDataFrame([(10, "gold"), (20, "silver")],
+                                "user_id long, tier string")
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (stream_enrich(stream, dim)
+         .writeStream.format("memory").queryName("enriched")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {r["user_id"]: r["tier"]
+            for r in spark.table("enriched").collect()}
+    # left join: known users enriched, unknown user kept with NULL tier
+    assert rows == {10: "gold", 20: "silver", 99: None}
