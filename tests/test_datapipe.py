@@ -608,3 +608,51 @@ def test_interval_join_oversized_guard(spark):
         interval_join(pts, ivs, on=["k"], bucket_width=10,
                       max_buckets_per_interval=100,
                       on_oversized="error")
+
+
+def test_chunk_tokens_properties(spark):
+    # property over deterministic random docs: (1) non-overlapping chunks
+    # partition the token stream exactly; (2) chunk count = ceil(n/stride)
+    import math
+    import random
+
+    from moonshot_spark.datapipe.packing import chunk_tokens
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(f"t{rng.randrange(50)}"
+                         for _ in range(rng.randrange(1, 120))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_tokens(df, size=16, stride=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        n = len(text.split(" "))
+        chunks = by_doc[doc_id]
+        assert len(chunks) == math.ceil(n / 16)
+        assert sum(c["n_tokens"] for c in chunks) == n
+
+
+def test_pack_bins_partition_invariants(spark):
+    # every doc's bin is non-decreasing in id order and bins are
+    # contiguous from 0 within each shard
+    import random
+
+    from moonshot_spark.datapipe.packing import pack_bins
+
+    rng = random.Random(11)
+    rows = [(i, rng.choice(["en", "de"]),
+             " ".join(["w"] * rng.randrange(1, 300))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = sorted(pack_bins(df, budget=512).collect(),
+                 key=lambda r: (r["lang"], r["doc_id"]))
+    for lang in ("en", "de"):
+        bins = [r["bin_id"] for r in out if r["lang"] == lang]
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) or b2 > b1
+                   for b1, b2 in zip(bins, bins[1:]))
+        assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+    # token conservation
+    assert (sum(r["n_tokens"] for r in out)
+            == sum(len(t.split(" ")) for _, _, t in rows))
