@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Side-by-side Spark vs DuckDB-oracle timings for every catalog query.
+
+Evidence companion to bench.py: runs each oracle-checked query on both
+engines over the same parquet (warm + min-of-two timed) and prints a
+markdown table sorted by Spark time, plus totals.  Usage:
+
+    python tools/bench_compare.py [sf_dir]    # default /root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def timed(fn) -> float:
+    fn()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    import __spark_entry__ as entry_mod
+    from moonshot_spark.session import get_spark
+
+    spark = get_spark("bench_compare")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    rows = []
+    for name, fn in queries.items():
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        df = fn(spark, sf_dir)
+        s = timed(df.count)
+        d = timed(lambda: con.execute(sql).fetchall())
+        rows.append((name, s, d))
+
+    rows.sort(key=lambda r: -r[1])
+    print("| query | spark s | duckdb s | ratio |")
+    print("|---|---|---|---|")
+    for name, s, d in rows:
+        ratio = s / d if d else float("inf")
+        print(f"| {name} | {s:.3f} | {d:.3f} | {ratio:.2f} |")
+    ts, td = sum(r[1] for r in rows), sum(r[2] for r in rows)
+    print(f"| **total ({len(rows)} queries)** | **{ts:.1f}** "
+          f"| **{td:.1f}** | **{ts / td:.2f}** |")
+
+
+if __name__ == "__main__":
+    main()
