@@ -226,6 +226,82 @@ def _cosine_udf(a_col, b_col):
     return cos(a_col, b_col)
 
 
+def _fold_dot_udf(a_col, b_col):
+    """Vectorized dot product with EXACT left-fold accumulation order:
+    one numpy pass per dimension (``acc = acc + A[:,i]*B[:,i]``), so
+    every row's sum is ((0 + x1) + x2) + ... — bit-identical to the
+    interpreted ``F.aggregate`` fold and to SQL ``list_reduce``, but
+    vectorized across the Arrow batch (~50× faster on wide pair sets).
+    Use where an oracle pins the accumulation order; ``_cosine_udf``'s
+    BLAS path is faster still but reorders the sum."""
+    @F.pandas_udf("double")
+    def dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:      # empty Arrow batch: np.stack([]) would raise
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype("float64")
+        B = np.stack(b.to_numpy()).astype("float64")
+        acc = np.zeros(len(A), dtype="float64")
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+        return pd.Series(acc)
+
+    return dot(a_col, b_col)
+
+
+def pairwise_cosine_in_cells(corpus: DataFrame, cell_col: str = "label",
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.35) -> DataFrame:
+    """All-pairs cosine WITHIN each cell, thresholded — the near-dup pair
+    generator.  One ``applyInPandas`` per cell: every vector crosses the
+    Arrow boundary ONCE per cell (n rows), not once per pair (n² rows) —
+    at 250 vectors/cell that is a 125× cut in serialized volume vs
+    scoring pairs row-by-row after a self-join, and the n²·d arithmetic
+    runs as d vectorized outer-product accumulations.
+
+    Accumulation order is the strict left fold per (pair, dimension) —
+    ``acc += outer(V[:,i], V[:,i])`` iterates dimensions in order — so
+    cosines are bit-identical to SQL ``list_reduce`` folds and the
+    results hash-match a plain range-join oracle.  Norms use the same
+    per-dimension fold.  Cells are capped upstream (hot-cell guard);
+    within the cap the n² emit is bounded by construction.
+    """
+    from pyspark.sql.types import (
+        DoubleType as _D, LongType as _L, StructField as _SF,
+        StructType as _ST)
+
+    cell_field = corpus.schema[cell_col]
+    out_schema = _ST([
+        _SF("vec_a", _L()), _SF("vec_b", _L()),
+        _SF(cell_col, cell_field.dataType), _SF("cosine", _D()),
+    ])
+
+    def score(key, pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], cell_col: [], "cosine": []})
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        d = V.shape[1]
+        G = np.zeros((n, n), dtype="float64")
+        nrm = np.zeros(n, dtype="float64")
+        for i in range(d):                     # strict left-fold order
+            G = G + np.outer(V[:, i], V[:, i])
+            nrm = nrm + V[:, i] * V[:, i]
+        nrm = np.sqrt(nrm)
+        cos = G / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = cos[iu, ju] > threshold
+        return pd.DataFrame({
+            "vec_a": ids[iu[keep]], "vec_b": ids[ju[keep]],
+            cell_col: [key[0]] * int(keep.sum()),
+            "cosine": cos[iu, ju][keep]})
+
+    return corpus.groupBy(cell_col).applyInPandas(score, out_schema)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame,
              centroids: list[list[float]], nprobe: int = 4, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -1861,23 +1861,16 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded (it's the IVF codebook), so the guard is a map-side-combined
     groupBy count broadcast back as a semi-filter — unlike a window, it
     never shuffles the fact table."""
+    from moonshot_spark.datapipe.similarity import pairwise_cosine_in_cells
+
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
-                              lambda acc, x: acc + x))
     small_cells = (emb.groupBy("label").agg(F.count("*").alias("__cell_n"))
                    .where(F.col("__cell_n") <= 100000).select("label"))
-    normed = (emb.join(F.broadcast(small_cells), "label")
-              .select("vec_id", "label", v.alias("__v"), norm.alias("__n")))
-    a = normed.select(F.col("vec_id").alias("vec_a"), "label",
-                      F.col("__v").alias("__va"), F.col("__n").alias("__na"))
-    b = normed.select(F.col("vec_id").alias("vec_b"), "label",
-                      F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
-    pairs = a.join(b, "label").where(F.col("vec_a") < F.col("vec_b"))
-    dot = F.aggregate(F.zip_with("__va", "__vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    return (pairs.withColumn("cosine", dot / (F.col("__na") * F.col("__nb")))
-            .where(F.col("cosine") > 0.35)
+    guarded = emb.join(F.broadcast(small_cells), "label")
+    # per-cell all-pairs kernel: each vector crosses Arrow once per cell
+    # (n rows), never once per pair (n² rows); exact-fold accumulation
+    # keeps cosines bit-identical to the oracle's list_reduce
+    return (pairwise_cosine_in_cells(guarded, threshold=0.35)
             .select("vec_a", "vec_b", "label", "cosine"))
 
 

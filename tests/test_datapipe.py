@@ -656,3 +656,54 @@ def test_pack_bins_partition_invariants(spark):
     # token conservation
     assert (sum(r["n_tokens"] for r in out)
             == sum(len(t.split(" ")) for _, _, t in rows))
+
+
+def test_fold_dot_udf_bit_exact_vs_expression(spark):
+    # the vectorized fold must be BIT-identical to the interpreted
+    # F.aggregate fold (same accumulation order), not merely close
+    import random
+
+    from moonshot_spark.datapipe.similarity import _fold_dot_udf
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(33)],
+             [rng.uniform(-1, 1) for _ in range(33)]) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>")
+    expr = F.aggregate(F.zip_with("a", "b", lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    out = df.select("id", expr.alias("e"),
+                    _fold_dot_udf(F.col("a"), F.col("b")).alias("u")).collect()
+    assert all(r["e"] == r["u"] for r in out)
+
+
+def test_pairwise_cosine_in_cells_matches_bruteforce(spark):
+    import random
+
+    from moonshot_spark.datapipe.similarity import pairwise_cosine_in_cells
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 2)
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in pairwise_cosine_in_cells(df, threshold=-2.0).collect()}
+    # reference: plain python fold per pair
+    import math
+    by_id = {i: (v, lab) for i, v, lab in rows}
+    for (a, b), cos in got.items():
+        va, la = by_id[a]
+        vb, lb = by_id[b]
+        assert la == lb and a < b
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(va, vb):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        assert cos == dot / (math.sqrt(na) * math.sqrt(nb))
+    n_even = sum(1 for _, _, lab in rows if lab == 0)
+    n_odd = len(rows) - n_even
+    assert len(got) == n_even * (n_even - 1) // 2 + n_odd * (n_odd - 1) // 2
