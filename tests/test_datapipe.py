@@ -658,25 +658,6 @@ def test_pack_bins_partition_invariants(spark):
             == sum(len(t.split(" ")) for _, _, t in rows))
 
 
-def test_fold_dot_udf_bit_exact_vs_expression(spark):
-    # the vectorized fold must be BIT-identical to the interpreted
-    # F.aggregate fold (same accumulation order), not merely close
-    import random
-
-    from moonshot_spark.datapipe.similarity import _fold_dot_udf
-
-    rng = random.Random(3)
-    rows = [(i, [rng.uniform(-1, 1) for _ in range(33)],
-             [rng.uniform(-1, 1) for _ in range(33)]) for i in range(200)]
-    df = spark.createDataFrame(
-        rows, "id long, a array<double>, b array<double>")
-    expr = F.aggregate(F.zip_with("a", "b", lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
-    out = df.select("id", expr.alias("e"),
-                    _fold_dot_udf(F.col("a"), F.col("b")).alias("u")).collect()
-    assert all(r["e"] == r["u"] for r in out)
-
-
 def test_pairwise_cosine_in_cells_matches_bruteforce(spark):
     import random
 
