@@ -2408,6 +2408,112 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                tiebreak=["l_orderkey", "l_linenumber"])
 
 
+@register("cube_revenue", """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS grouping_id,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 2^k grouping-set combinations in one pass):
+    Spark expands the cube map-side and partially aggregates every
+    grouping set before the single shuffle.  grouping_id disambiguates
+    natural NULL keys from subtotal rows — standard-SQL bit encoding,
+    identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("revenue"),
+                 F.count("*").alias("n_lines"),
+                 F.grouping_id().cast("int").alias("grouping_id"))
+            .select(F.coalesce("l_returnflag", F.lit("<all>"))
+                    .alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("<all>"))
+                    .alias("linestatus"),
+                    "grouping_id", "revenue", "n_lines"))
+
+
+@register("rolling_median", """
+WITH panel AS (
+    SELECT CAST(user_id AS VARCHAR) AS sid, CAST(ts AS DATE) AS date,
+           arg_max(value, ts) AS close
+    FROM events GROUP BY sid, CAST(ts AS DATE)
+)
+SELECT sid, date,
+       CASE WHEN count(close) OVER w >= 5 THEN median(close) OVER w END
+           AS med5
+FROM panel
+WINDOW w AS (PARTITION BY sid ORDER BY date
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""")
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over a 5-row trailing frame with
+    min_periods=5 (pandas rolling(5).median() semantics, SURVEY §2.5
+    W1 family).  Medians are order statistics — no accumulation, so
+    doubles match bit-for-bit across engines (the even-count case is
+    one add + one halving, identical in both)."""
+    ev = load_table(spark, sf_dir, "events")
+    panel = (ev.withColumn("sid", F.col("user_id").cast("string"))
+             .withColumn("date", F.to_date("ts"))
+             .groupBy("sid", "date")
+             .agg(F.max_by("value", "ts_ns").alias("close")))
+    w = (Window.partitionBy("sid").orderBy("date")
+         .rowsBetween(-4, Window.currentRow))
+    # Spark bars median() from framed windows; for a 5-row frame the
+    # median IS the 3rd order statistic of the sorted frame — identical
+    # to the oracle's odd-count median, no interpolation involved
+    frame = F.array_sort(F.collect_list("close").over(w))
+    return panel.select(
+        "sid", "date",
+        F.when(F.size(frame) >= 5, F.element_at(frame, 3)).alias("med5"))
+
+
+@register("twap_daily", """
+WITH ticks AS (
+    SELECT CAST(user_id AS VARCHAR) AS sid, CAST(ts AS DATE) AS date,
+           epoch_us(ts) AS t_us,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS px_c
+    FROM events
+), spans AS (
+    SELECT sid, date, px_c,
+           lead(t_us) OVER (PARTITION BY sid, date ORDER BY t_us) - t_us
+               AS dt_us
+    FROM ticks
+)
+SELECT sid, date,
+       CAST(CAST(sum(px_c * dt_us) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(sum(dt_us) AS BIGINT) * 100 AS DOUBLE) AS twap,
+       CAST(count(*) AS BIGINT) AS n_spans
+FROM spans WHERE dt_us IS NOT NULL AND dt_us > 0
+GROUP BY sid, date
+""")
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (sid, day): each tick's price is
+    weighted by its holding span to the next tick.  The whole
+    accumulation is int64 (price in cents × span in µs — prices are
+    2-decimal money, spans integer) so sums are EXACT in any engine and
+    partitioning; int64→double conversion is IEEE-defined (unlike
+    decimal→double, which drifted 1e-14 between engines — see PERF.md),
+    and the one division happens once at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("sid", "date").orderBy("t_us")
+    ticks = (ev.select(F.col("user_id").cast("string").alias("sid"),
+                       F.to_date("ts").alias("date"),
+                       F.expr("ts_ns div 1000").alias("t_us"),
+                       (F.col("value").cast("decimal(18,2)") * 100)
+                       .cast("bigint").alias("px_c")))
+    spans = ticks.withColumn("dt_us", F.lead("t_us").over(w) - F.col("t_us"))
+    return (spans.where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+            .groupBy("sid", "date")
+            .agg((F.sum(F.col("px_c") * F.col("dt_us")).cast("double")
+                  / (F.sum("dt_us") * 100).cast("double")).alias("twap"),
+                 F.count("*").alias("n_spans")))
+
+
 # --------------------------------------------------------------------- #
 # correlated / scalar subquery                                          #
 # --------------------------------------------------------------------- #
