@@ -27,7 +27,11 @@ Design (see SURVEY.md §7):
 
 from moonshot_spark.strategies.base import Moonshot
 from moonshot_spark.strategies.ml import MoonshotML
+from moonshot_spark import commission, exceptions, slippage
 
 __version__ = "0.1.0"
 
-__all__ = ["Moonshot", "MoonshotML", "__version__"]
+# same top-level surface as the reference package (__init__.py:36-44:
+# Moonshot, MoonshotML, slippage, commission), plus exceptions
+__all__ = ["Moonshot", "MoonshotML", "commission", "exceptions",
+           "slippage", "__version__"]

@@ -202,3 +202,18 @@ def test_complain_if_prices_to_signals_not_implemented(prices):
     """reference test_backtest.py:34: the abstract hook errors clearly."""
     with pytest.raises(NotImplementedError, match="prices_to_signals"):
         Moonshot().backtest(prices)
+
+
+def test_reference_import_surface():
+    # a user switching from the reference keeps their imports:
+    # Moonshot/MoonshotML at top level, commission/slippage modules,
+    # exceptions at moonshot.exceptions (ref __init__.py:36-44)
+    import moonshot_spark
+    from moonshot_spark.exceptions import (
+        MoonshotError, MoonshotParameterError)
+
+    assert issubclass(MoonshotParameterError, MoonshotError)
+    assert {"Moonshot", "MoonshotML", "commission", "slippage",
+            "exceptions"} <= set(moonshot_spark.__all__)
+    assert hasattr(moonshot_spark.commission, "PerShareCommission")
+    assert hasattr(moonshot_spark.slippage, "FixedSlippage")
