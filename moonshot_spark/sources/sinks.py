@@ -36,3 +36,39 @@ def write_orders(orders: DataFrame, path: str, trade_date=None,
         orders.write.mode(mode).partitionBy("trade_date").parquet(path)
     else:
         orders.write.mode(mode).parquet(path)
+
+
+RESULT_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_results_as(results: DataFrame, path: str, fmt: str = "parquet",
+                     mode: str = "overwrite") -> None:
+    """Format-parameterized results sink: parquet (default) and orc are
+    the columnar scale formats (field-partitioned, codec'd, min/max
+    pruned); csv/json are interchange escapes for small extracts.  One
+    writer API so pipelines choose per destination, same partition
+    layout everywhere."""
+    if fmt not in RESULT_FORMATS:
+        raise ValueError(
+            f"unknown results format {fmt!r}: choose from {RESULT_FORMATS}")
+    w = results.write.mode(mode).partitionBy("field")
+    if fmt == "csv":
+        w.option("header", True).csv(path)
+    else:
+        getattr(w, fmt)(path)
+
+
+def read_results_as(spark: SparkSession, path: str, fmt: str = "parquet",
+                    fields: list[str] | None = None) -> DataFrame:
+    """Counterpart reader; the field filter partition-prunes in every
+    format (it's a directory key, not a data column)."""
+    if fmt not in RESULT_FORMATS:
+        raise ValueError(
+            f"unknown results format {fmt!r}: choose from {RESULT_FORMATS}")
+    r = spark.read
+    if fmt == "csv":
+        r = r.option("header", True).option("inferSchema", True)
+    df = getattr(r, fmt)(path)
+    if fields:
+        df = df.where(F.col("field").isin(fields))
+    return df
