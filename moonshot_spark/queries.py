@@ -715,12 +715,12 @@ WITH n AS (
                AS cum_before
     FROM n
 )
-SELECT lang, cum_before // 256 AS bin_id,
+SELECT lang, CAST(cum_before // 256 AS BIGINT) AS bin_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN (cum_before % 256) + n_tok > 256 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_straddle
-FROM c GROUP BY lang, cum_before // 256
+FROM c GROUP BY lang, CAST(cum_before // 256 AS BIGINT)
 """)
 def pack_bins_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-style sequence packing into 256-token bins per language
@@ -2948,7 +2948,11 @@ def prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (q["punct_ratio"] < 0.1))
     fp = passed.withColumn("__f", fingerprint_expr("text"))
     keep = fp.groupBy("__f").agg(F.min("doc_id").alias("doc_id"))
-    surv = fp.join(F.broadcast(keep.select("doc_id")), "doc_id")
+    # The survivor id set is corpus-cardinality (~one row per unique doc):
+    # never force-broadcast it.  A left-semi join lets AQE pick the
+    # strategy (shuffled hash at 100 TB, broadcast only if it measures
+    # small at runtime).
+    surv = fp.join(keep.select("doc_id"), "doc_id", "left_semi")
     ev_docs = docs.where(F.col("doc_id") % 50 == 0)
     train = surv.where(F.col("doc_id") % 50 != 0)
     clean = decontaminate(train, ev_docs)
