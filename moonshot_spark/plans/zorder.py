@@ -48,25 +48,132 @@ def z_value_sql(col_a: str, col_b: str, bits: int = 16) -> str:
     return " | ".join(parts)
 
 
+def _check_bits_guard(col: Column, bits: int, name: str) -> Column:
+    """Per-row overflow guard: keys with bits above ``bits`` would silently
+    collide in z-space (the interleave masks them off), degrading layout
+    quality with no signal.  A codegen'd conditional ``raise_error`` turns
+    that silent degradation into a loud failure at execution time — no
+    extra pass over the data."""
+    return F.when(
+        col >= F.lit(1 << bits),
+        F.raise_error(F.lit(
+            f"z-order key '{name}' has values >= 2^{bits}; widen bits= or "
+            "pre-scale the key (values above the bit budget collide in "
+            "z-space and destroy pruning)"))
+    ).otherwise(col)
+
+
 def zorder_bucket_stats(df: DataFrame, col_a: str, col_b: str,
                         n_buckets: int = 16, bits: int = 16,
-                        tiebreak: list[str] | None = None) -> DataFrame:
-    """Lay rows out in z-order, cut into ``n_buckets`` equal files, and
-    report each file's (min, max) range of both keys — the exact
-    metadata a scan would prune on.  Narrow ranges on both columns =
-    both predicates skip files.
+                        tiebreak: list[str] | None = None,
+                        check_bits: bool = True) -> DataFrame:
+    """Lay rows out in z-order, cut into ``n_buckets`` equal files with
+    EXACT ``ntile`` semantics, and report each file's (min, max) range of
+    both keys — the exact metadata a scan would prune on.  Narrow ranges
+    on both columns = both predicates skip files.
 
-    The ntile over a deterministic total order (z, then ``tiebreak``)
-    is the layout write's range partitioner; in production this is
-    ``df.repartitionByRange(n, z).sortWithinPartitions(z)`` +
-    ``write.parquet`` — same shuffle, file-granularity output.
+    Scale design — this is the TeraSort two-phase rank, NOT a global
+    window (an un-partitioned ``Window.orderBy`` funnels the whole table
+    through one task and dies at 100 TB):
+
+    1. ``repartitionByRange(n_buckets, z, *tiebreak)`` — the one total-
+       order shuffle, sample-based range cuts, fully parallel.
+    2. ``localCheckpoint`` pins the partitioning: the range partitioner's
+       reservoir sample is seeded per-RDD-instance, so the per-partition
+       count job and the stats job must read the SAME materialized
+       partitions or their offsets would disagree.
+    3. A tiny per-partition count job (``n_buckets`` rows to the driver)
+       gives cumulative offsets; global rank = offset[pid] + local
+       row_number (a PARTITIONED window — each task ranks its own sorted
+       range).  The (z, tiebreak) tuple is unique, so ranks are exact.
+    4. ``ntile`` arithmetic on the global rank: the first ``N % k``
+       buckets get ``ceil(N/k)`` rows, the rest ``floor(N/k)`` — bit-
+       identical to the SQL ``ntile(k) OVER (ORDER BY ...)`` oracle.
+
+    For a layout *write* (no exact-equal-files contract) use
+    ``zorder_write`` / ``zorder_partition_stats`` — pure streaming, no
+    checkpoint, sampled cuts are fine for file sizing.
     """
-    order = [F.col("__z")] + [F.col(c) for c in (tiebreak or [])]
-    w = Window.orderBy(*order)
+    keys = ["__z"] + list(tiebreak or [])
+    a_in = _check_bits_guard(F.col(col_a).cast("bigint"), bits, col_a) \
+        if check_bits else F.col(col_a)
+    b_in = _check_bits_guard(F.col(col_b).cast("bigint"), bits, col_b) \
+        if check_bits else F.col(col_b)
+    zdf = (df
+           .withColumn("__z", z_value_expr(a_in, b_in, bits))
+           .select("__z", col_a, col_b, *(tiebreak or []))
+           .repartitionByRange(n_buckets, *[F.col(k) for k in keys])
+           .localCheckpoint()
+           .withColumn("__pid", F.spark_partition_id()))
+    counts = sorted((r["__pid"], r["cnt"]) for r in
+                    zdf.groupBy("__pid").agg(F.count("*").alias("cnt"))
+                    .collect())
+    total = sum(c for _, c in counts)
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    q, rem = divmod(total, n_buckets)
+    off_col = F.coalesce(
+        *[F.when(F.col("__pid") == pid, F.lit(off))
+          for pid, off in offsets.items()], F.lit(0)) \
+        if offsets else F.lit(0)
+    rank = (off_col
+            + F.row_number().over(
+                Window.partitionBy("__pid").orderBy(*keys))).alias("__r")
+    cut = rem * (q + 1)
+    bucket = F.when(F.col("__r") <= F.lit(cut),
+                    (F.col("__r") - 1) / F.lit(max(q + 1, 1)) + 1) \
+        .otherwise(F.lit(rem) + (F.col("__r") - 1 - F.lit(cut))
+                   / F.lit(max(q, 1)) + 1)
+    return (zdf
+            .select("__pid", rank, col_a, col_b, *keys)
+            .withColumn("__bucket", F.floor(bucket).cast("int"))
+            .groupBy(F.col("__bucket").alias("bucket"))
+            .agg(F.min(col_a).alias(f"min_{col_a}"),
+                 F.max(col_a).alias(f"max_{col_a}"),
+                 F.min(col_b).alias(f"min_{col_b}"),
+                 F.max(col_b).alias(f"max_{col_b}"),
+                 F.count("*").alias("n_rows")))
+
+
+def zorder_write(df: DataFrame, col_a: str, col_b: str, path: str,
+                 n_files: int = 16, bits: int = 16,
+                 tiebreak: list[str] | None = None,
+                 check_bits: bool = True, format: str = "parquet") -> None:
+    """The production layout write: one range-partitioned total-order
+    shuffle on the z-value, an in-partition sort (so row groups inside a
+    file are also z-clustered), and a file-per-partition write.  No
+    window, no checkpoint, no driver materialization — pure streaming at
+    any scale.  File sizes are approximately equal (sampled range cuts),
+    which is what a layout write wants; the exact-ntile contract is only
+    for the verifiable ``zorder_bucket_stats`` report."""
+    a_in = _check_bits_guard(F.col(col_a).cast("bigint"), bits, col_a) \
+        if check_bits else F.col(col_a)
+    b_in = _check_bits_guard(F.col(col_b).cast("bigint"), bits, col_b) \
+        if check_bits else F.col(col_b)
+    keys = ["__z"] + list(tiebreak or [])
+    (df.withColumn("__z", z_value_expr(a_in, b_in, bits))
+       .repartitionByRange(n_files, *[F.col(k) for k in keys])
+       .sortWithinPartitions(*keys)
+       .drop("__z")
+       .write.format(format).mode("overwrite").save(path))
+
+
+def zorder_partition_stats(df: DataFrame, col_a: str, col_b: str,
+                           n_files: int = 16, bits: int = 16,
+                           tiebreak: list[str] | None = None) -> DataFrame:
+    """Per-file (min, max, rows) for the layout ``zorder_write`` would
+    produce — grouped on ``spark_partition_id()`` after the same range
+    shuffle, so it is a single streaming job: no window, no checkpoint,
+    no second pass.  Files are approximately (not exactly) equal-sized;
+    use this to audit pruning quality on real layouts."""
+    keys = ["__z"] + list(tiebreak or [])
     return (df
             .withColumn("__z", z_value_expr(col_a, col_b, bits))
-            .withColumn("__bucket", F.ntile(n_buckets).over(w))
-            .groupBy(F.col("__bucket").alias("bucket"))
+            .select("__z", col_a, col_b, *(tiebreak or []))
+            .repartitionByRange(n_files, *[F.col(k) for k in keys])
+            .groupBy(F.spark_partition_id().alias("file_id"))
             .agg(F.min(col_a).alias(f"min_{col_a}"),
                  F.max(col_a).alias(f"max_{col_a}"),
                  F.min(col_b).alias(f"min_{col_b}"),

@@ -2399,8 +2399,10 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     file's min/max range of BOTH keys — the row-group metadata a
     selective scan prunes on.  The oracle SQL is generated from the same
     unrolled-bit loop as the Spark expression, so the layouts are
-    bit-identical across engines.  In production the ntile is
-    ``repartitionByRange(z).sortWithinPartitions(z)`` + write."""
+    bit-identical across engines.  The cut is the TeraSort two-phase
+    exact rank (range shuffle + per-partition offsets), NOT a global
+    ntile window — no single-task funnel at any scale; see
+    ``plans/zorder.py`` (``zorder_write`` is the streaming write path)."""
     from moonshot_spark.plans.zorder import zorder_bucket_stats
 
     li = load_table(spark, sf_dir, "lineitem")

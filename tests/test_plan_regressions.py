@@ -141,6 +141,15 @@ def test_prepare_corpus_survivor_join_not_forced_broadcast():
             assert "Broadcast" not in line, plan
 
 
+def test_zorder_stats_no_global_window():
+    """The z-order layout cut must be the two-phase range rank: no
+    un-partitioned window (Exchange SinglePartition) and no ntile — a
+    global-order funnel dies at 100 TB."""
+    plan = plan_of("zorder_layout_stats")
+    assert "SinglePartition" not in plan, plan
+    assert "ntile" not in plan, plan
+
+
 def test_param_sweep_single_backtest():
     # the sweep must run ONE backtest DAG (1 scan) with the param dim
     # joined in — not K pipelines and not a self-join re-computation
