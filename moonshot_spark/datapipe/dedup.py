@@ -102,7 +102,14 @@ def shingle_frame(docs: DataFrame, text_col: str = "text",
     """
     spark = docs.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if repartition and docs.rdd.getNumPartitions() < target:
+    # DataFrame-API parallelism estimate: a file-backed scan yields at
+    # least one task per input file (more when files split), so a file
+    # count below the cluster's parallelism flags an under-parallel
+    # source worth widening before the CPU-heavy hashing.  Non-file
+    # sources (in-memory test frames, upstream shuffles) are left alone —
+    # shuffles already run at spark.sql.shuffle.partitions.
+    n_files = len(docs.inputFiles())
+    if repartition and 0 < n_files < target:
         docs = docs.repartition(target, F.col(id_col))
     return docs.select(F.col(id_col),
                        shingles_expr(text_col, shingle_n).alias("__shingles"))

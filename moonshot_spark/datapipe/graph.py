@@ -36,17 +36,14 @@ Scale notes (100 TB corpus, edges from LSH):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 
-def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 25) -> DataFrame:
-    """(node, comp) for every node appearing in ``edges``; ``comp`` is the
-    minimum node id reachable from the node (the canonical cluster id).
-
-    Isolated nodes (no edges) are not emitted — callers that want
-    singleton clusters can union them in with comp = id.
-    """
+def _hash_min(edges: DataFrame, src: str, dst: str,
+              max_iter: int) -> tuple[DataFrame, bool]:
+    """Hash-min label propagation; returns (labels, converged)."""
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
@@ -56,6 +53,7 @@ def connected_components(edges: DataFrame, src: str = "src",
               .withColumn("comp", F.col("node"))
               .localCheckpoint(eager=True))
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (sym.join(labels.withColumnRenamed("node", "v")
                             .withColumnRenamed("comp", "v_comp"), "v")
@@ -72,7 +70,31 @@ def connected_components(edges: DataFrame, src: str = "src",
         changed = stepped.where(F.col("comp") != F.col("old_comp")).count()
         labels = stepped.select("node", "comp")
         if changed == 0:
+            converged = True
             break
+    return labels, converged
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 25) -> DataFrame:
+    """(node, comp) for every node appearing in ``edges``; ``comp`` is the
+    minimum node id reachable from the node (the canonical cluster id).
+
+    Isolated nodes (no edges) are not emitted — callers that want
+    singleton clusters can union them in with comp = id.
+
+    Non-convergence (graph diameter > ``max_iter``) is NEVER silent: the
+    returned labels would under-merge clusters, so it warns loudly —
+    prefer ``connected_components_adaptive`` which falls back to the
+    O(log n) star variant instead.
+    """
+    labels, converged = _hash_min(edges, src, dst, max_iter)
+    if not converged:
+        warnings.warn(
+            f"connected_components did not reach a fixpoint in {max_iter} "
+            "rounds (graph diameter exceeds max_iter); returned components "
+            "are SPLIT. Raise max_iter or use connected_components_adaptive.",
+            RuntimeWarning, stacklevel=2)
     return labels
 
 
@@ -130,6 +152,7 @@ def connected_components_star(edges: DataFrame, src: str = "src",
              .union(e.select(F.col("v").alias("node")))
              .distinct()
              .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # converged when the edge set is stable (symmetric difference 0)
@@ -137,13 +160,58 @@ def connected_components_star(edges: DataFrame, src: str = "src",
                 + e.exceptAll(e2).limit(1).count())
         e = e2
         if diff == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components_star did not reach an edge fixpoint in "
+            f"{max_iter} rounds; returned components may be split or "
+            "contain duplicate (node, comp) rows. Raise max_iter "
+            "(O(log n) rounds suffice for any graph).",
+            RuntimeWarning, stacklevel=2)
     # at the fixpoint every edge is (member, root); roots map to themselves
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     roots = nodes.join(labels.select(F.col("node").alias("__n")),
                        nodes["node"] == F.col("__n"), "left_anti") \
         .select("node", F.col("node").alias("comp"))
     return labels.union(roots)
+
+
+def connected_components_adaptive(edges: DataFrame, src: str = "src",
+                                  dst: str = "dst",
+                                  hashmin_rounds: int = 4,
+                                  max_iter: int = 25) -> DataFrame:
+    """Topology-adaptive connected components: hash-min for the near-
+    clique graphs LSH dedup actually emits (converges in 2–4 cheap
+    rounds), automatic fall-back to large/small-star for long-chain
+    graphs — without the caller having to know the diameter up front.
+
+    Mechanics: run ``hashmin_rounds`` of hash-min.  If that reaches the
+    fixpoint (the common case), done.  Otherwise the partial labels are a
+    valid partition coarsening, so CONTRACT the graph — map every edge to
+    (comp(u), comp(v)), drop loops, dedupe — and finish on the (much
+    smaller) contracted graph with the O(log n) star algorithm, then
+    compose the two label maps.  Worst case pays 4 cheap rounds of rent;
+    the near-clique fast path never touches the star machinery.
+    """
+    labels, converged = _hash_min(edges, src, dst, hashmin_rounds)
+    if converged:
+        return labels
+    lu = labels.select(F.col("node").alias("__u"), F.col("comp").alias("cu"))
+    lv = labels.select(F.col("node").alias("__v"), F.col("comp").alias("cv"))
+    contracted = (edges
+                  .select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+                  .join(lu, "__u").join(lv, "__v")
+                  .where(F.col("cu") != F.col("cv"))
+                  .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+                  .distinct())
+    fin = connected_components_star(contracted, src="u", dst="v",
+                                    max_iter=max_iter)
+    remap = fin.select(F.col("node").alias("comp"),
+                       F.col("comp").alias("__final"))
+    return (labels.join(remap, "comp", "left")
+            .select("node",
+                    F.coalesce("__final", "comp").alias("comp")))
 
 
 def duplicate_clusters(pairs: DataFrame, src: str = "doc_a",
@@ -154,11 +222,14 @@ def duplicate_clusters(pairs: DataFrame, src: str = "doc_a",
 
     The canonical post-processing of a pair-emitting dedup stage: keep one
     document per cluster_id (e.g. the cluster_id row itself) and drop the
-    other cluster_size - 1 members.
+    other cluster_size - 1 members.  Uses the topology-adaptive CC path:
+    near-clique graphs resolve in a few hash-min rounds, pathological
+    chains fall back to the O(log n) star algorithm automatically.
     """
     from pyspark.sql import Window
 
-    cc = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    cc = connected_components_adaptive(pairs, src=src, dst=dst,
+                                       max_iter=max_iter)
     return (cc.select(F.col("node").alias(id_out),
                       F.col("comp").alias("cluster_id"))
             .withColumn("cluster_size",

@@ -146,18 +146,32 @@ def sample_frames(media: DataFrame, num_frames: int = 4,
             "real frame sampling requires pyav/ffmpeg; use decode_stub=True")
 
     def batches(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
         for pdf in it:
             pdf = pdf[pdf["media_type"] == "video"]
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r["payload"] or b""
-                chunk = max(1, len(payload) // num_frames)
-                for i in range(num_frames):
-                    rows.append({"media_id": r["media_id"], "frame_index": i,
-                                 "frame_payload":
-                                     payload[i * chunk:(i + 1) * chunk]})
-            yield pd.DataFrame(rows, columns=["media_id", "frame_index",
-                                              "frame_payload"])
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(columns=["media_id", "frame_index",
+                                            "frame_payload"])
+                continue
+            # vectorized 1:N fan-out: tile ids/frame indices with numpy,
+            # then one zip pass slices payloads (bytes slicing itself is
+            # not vectorizable without a codec, but the per-row Python
+            # work is a single slice, no row-dict building)
+            payloads = [p if p is not None else b""
+                        for p in pdf["payload"].tolist()]
+            ids = np.repeat(pdf["media_id"].to_numpy(), num_frames)
+            idx = np.tile(np.arange(num_frames, dtype=np.int64), n)
+            chunks = np.maximum(
+                1, np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                               count=n) // num_frames)
+            starts = np.repeat(chunks, num_frames) * idx
+            ends = starts + np.repeat(chunks, num_frames)
+            flat = np.repeat(np.arange(n), num_frames)
+            frames = [payloads[j][s:e]
+                      for j, s, e in zip(flat, starts, ends)]
+            yield pd.DataFrame({"media_id": ids, "frame_index": idx,
+                                "frame_payload": frames})
 
     return media.mapInPandas(batches, FRAME_SCHEMA)

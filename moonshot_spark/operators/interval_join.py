@@ -16,9 +16,21 @@ exactly once — no post-join dedup needed.
 
 Scale guard: an interval spanning the whole timeline would replicate
 into every bucket (the same unbounded-edge failure mode as an LSH mega
--bucket).  ``max_buckets_per_interval`` caps the replication; intervals
-over the cap are truncated with a driver-side warning (or raise with
-``on_oversized="error"``) — never silently.
+-bucket).  ``max_buckets_per_interval`` caps the replication.  The guard
+is LAZY — it never runs a separate eager job over the interval lineage
+at plan-construction time (which would recompute the whole upstream DAG
+even when nothing is oversized):
+
+- ``on_oversized="error"`` (default): an inline per-row ``raise_error``
+  fires inside the main job the moment an oversized interval is seen —
+  zero extra cost on the clean path, loud failure on the dirty one.
+- ``on_oversized="truncate"``: matches beyond the cap are dropped, by
+  construction, without any signal — for callers that have already
+  bounded their intervals (e.g. sessionization with an inactivity
+  timeout) and want the cap purely as an abundance-of-caution ceiling.
+- ``on_oversized="warn"``: the legacy eager pre-count with a Python
+  warning.  This RUNS THE INTERVAL LINEAGE TWICE — cache or checkpoint
+  ``intervals`` first; debugging mode only.
 """
 
 from __future__ import annotations
@@ -36,7 +48,7 @@ def interval_join(points: DataFrame, intervals: DataFrame,
                   start_col: str = "start_ns", end_col: str = "end_ns",
                   bucket_width: int = HOUR_NS,
                   max_buckets_per_interval: int = 10_000,
-                  on_oversized: str = "warn") -> DataFrame:
+                  on_oversized: str = "error") -> DataFrame:
     """Rows of ``points`` matched to every interval (same ``on`` keys)
     with ``start_col <= point_ts <= end_col``.  All three time columns
     are integer epochs in the same unit (exact arithmetic)."""
@@ -44,17 +56,30 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     b_end = F.floor(F.col(end_col) / bucket_width).cast("bigint")
     capped_end = F.least(b_end, b_start + (max_buckets_per_interval - 1))
 
-    if on_oversized in ("warn", "error"):
+    if on_oversized == "error":
+        # lazy inline guard: evaluated per interval row inside the main
+        # job — no separate action, no lineage recompute
+        capped_end = F.when(
+            b_end - b_start + 1 > max_buckets_per_interval,
+            F.raise_error(F.lit(
+                f"interval_join: interval(s) span more than "
+                f"{max_buckets_per_interval} buckets of {bucket_width}; "
+                f"widen bucket_width, raise max_buckets_per_interval, or "
+                f"pass on_oversized='truncate'"))
+        ).otherwise(capped_end)
+    elif on_oversized == "warn":
         n_over = (intervals
                   .where(b_end - b_start + 1 > max_buckets_per_interval)
                   .count())
         if n_over:
-            msg = (f"interval_join: {n_over} interval(s) span more than "
-                   f"{max_buckets_per_interval} buckets of {bucket_width}; "
-                   f"matches beyond the cap are dropped")
-            if on_oversized == "error":
-                raise ValueError(msg)
-            warnings.warn(msg)
+            warnings.warn(
+                f"interval_join: {n_over} interval(s) span more than "
+                f"{max_buckets_per_interval} buckets of {bucket_width}; "
+                f"matches beyond the cap are dropped")
+    elif on_oversized != "truncate":
+        raise ValueError(
+            f"on_oversized must be 'error', 'truncate', or 'warn', "
+            f"got {on_oversized!r}")
 
     iv = intervals.withColumn(
         "__bucket", F.explode(F.sequence(b_start, capped_end)))

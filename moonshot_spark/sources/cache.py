@@ -83,13 +83,24 @@ class Cache:
                 return None
         return spark.read.parquet(data_path)
 
-    def set(self, prefix: str, kwargs: dict, df: DataFrame) -> str:
+    def set(self, prefix: str, kwargs: dict, df: DataFrame,
+            extra: dict | None = None) -> str:
         key = _fingerprint(prefix, kwargs)
         data_path, meta_path = self._paths(key)
         df.write.mode("overwrite").parquet(data_path)
         with open(meta_path, "w") as f:
-            json.dump({"written_at": time.time(), "prefix": prefix}, f)
+            json.dump({"written_at": time.time(), "prefix": prefix,
+                       "extra": extra or {}}, f)
         return data_path
+
+    def get_extra(self, prefix: str, kwargs: dict) -> dict:
+        """Sidecar metadata stored with ``set(extra=...)`` (e.g. the ordered
+        feature column list that accompanies a cached feature frame)."""
+        _, meta_path = self._paths(_fingerprint(prefix, kwargs))
+        if not os.path.exists(meta_path):
+            return {}
+        with open(meta_path) as f:
+            return json.load(f).get("extra", {})
 
     def clear(self, prefix: str | None = None) -> None:
         for name in os.listdir(self.cache_dir):

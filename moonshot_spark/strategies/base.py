@@ -97,6 +97,7 @@ class Moonshot:
     def __init__(self):
         self.is_backtest = False
         self.is_trade = False
+        self._no_cache = False
         self._backtest_results: dict[str, str] = {}   # field name → column name
         self._securities_master: DataFrame | None = None
         self._benchmark_prices: DataFrame | None = None
@@ -485,13 +486,17 @@ class Moonshot:
                  nlv: dict[str, float] | None = None,
                  allocation: float = 1.0,
                  label_sids: bool = False,
-                 benchmark_prices: DataFrame | None = None) -> DataFrame:
+                 benchmark_prices: DataFrame | None = None,
+                 no_cache: bool = False) -> DataFrame:
         """Run the backtest DAG and return the long results DataFrame
         ``(field, sid, date[, time], value)``.
 
         Stage order matches reference base.py:1335-1400 exactly.
+        ``no_cache`` bypasses cached intermediates (reference backtest's
+        ``no_cache`` flag — used by the ML feature cache).
         """
         self.is_backtest = True
+        self._no_cache = no_cache
         allocation = allocation or 1.0
         self._benchmark_prices = benchmark_prices
 

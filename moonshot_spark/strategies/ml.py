@@ -180,26 +180,39 @@ class MoonshotML(Moonshot):
 
     # -- pipeline override (reference ml.py:412-517) ------------------- #
 
-    USE_FEATURE_CACHE = False
+    #: feature cache is ON by default in backtests, exactly like the
+    #: reference (ml.py:427: ``if self.is_backtest and not no_cache``);
+    #: disable per-run with ``backtest(no_cache=True)`` or per-class here.
+    USE_FEATURE_CACHE = True
 
     def prices_to_signals(self, prices: DataFrame) -> DataFrame:
-        scored = None
-        cache = key = None
-        if self.USE_FEATURE_CACHE:
-            scored, cache, key = self._cached_predictions(prices)
-        if scored is None:
+        df = feature_cols = None
+        cache = key = unless = None
+        if self.USE_FEATURE_CACHE and self.is_backtest and not self._no_cache:
+            cache, key, unless = self._feature_cache_key(prices)
+            cached = cache.get(prices.sparkSession, "features", key,
+                               unless_modified=unless)
+            if cached is not None:
+                feature_cols = cache.get_extra("features", key) \
+                    .get("feature_cols")
+                df = cached if feature_cols else None
+        if df is None:
             df, feature_cols = self.prices_to_features(prices)
-            scored = self._score(df, feature_cols)
             if cache is not None:
-                cache.set("features", key, scored)
-                scored = cache.get(prices.sparkSession, "features", key)
+                # cache the FEATURES, not the predictions: the model is not
+                # part of the key, and feature extraction is the expensive
+                # subtree (reference ml.py:426-433 caches features too).
+                # A hit replaces it with one parquet scan.
+                cache.set("features", key, df,
+                          extra={"feature_cols": list(feature_cols)})
+                df = cache.get(prices.sparkSession, "features", key)
+        scored = self._score(df, feature_cols)
         return self.predictions_to_signals(scored)
 
-    def _cached_predictions(self, prices: DataFrame):
-        """Feature/prediction cache keyed by (CODE, input plan), invalidated
-        when the strategy source file changes (reference ml.py:426-433 +
-        _cache.py:114-128).  Cache hits replace the feature+scoring subtree
-        with one parquet scan."""
+    def _feature_cache_key(self, prices: DataFrame):
+        """Feature cache keyed by (CODE, input plan), invalidated when the
+        strategy source file changes (reference ml.py:426-433 +
+        _cache.py:114-128)."""
         import inspect
 
         from moonshot_spark.sources.cache import Cache
@@ -212,9 +225,7 @@ class MoonshotML(Moonshot):
         key = {"code": self.CODE or type(self).__name__,
                "plan": prices.semanticHash()}
         unless = [source_file] if source_file else None
-        cached = cache.get(prices.sparkSession, "features", key,
-                           unless_modified=unless)
-        return cached, cache, key
+        return cache, key, unless
 
     def backtest(self, prices: DataFrame, master: DataFrame | None = None,
                  model=None, **kwargs) -> DataFrame:

@@ -553,6 +553,58 @@ def test_cc_star_matches_hashmin_and_unionfind(spark, seed):
     assert got_st == expect
 
 
+@pytest.mark.parametrize("seed", [1, 2])
+def test_cc_adaptive_matches_unionfind(spark, seed):
+    import random
+    from moonshot_spark.datapipe.graph import connected_components_adaptive
+
+    rng = random.Random(seed)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(25)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["comp"]
+           for r in connected_components_adaptive(df).collect()}
+    assert got == _uf_components(edges)
+
+
+def test_cc_adaptive_long_chain_falls_back_to_star(spark):
+    # diameter 39 >> hashmin_rounds=2: the hash-min prefix cannot finish,
+    # so the contracted graph must be handed to the star path and the
+    # composed labels must still be exact
+    from moonshot_spark.datapipe.graph import connected_components_adaptive
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "src long, dst long")
+    got = {(r["node"], r["comp"])
+           for r in connected_components_adaptive(
+               edges, hashmin_rounds=2).collect()}
+    assert got == {(i, 0) for i in range(40)}
+
+
+def test_cc_warns_on_nonconvergence(spark):
+    import warnings as _w
+    from moonshot_spark.datapipe.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "src long, dst long")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        connected_components(edges, max_iter=2)
+    assert any("fixpoint" in str(c.message) for c in caught)
+
+
+def test_duplicate_clusters_long_chain_exact(spark):
+    # duplicate_clusters now rides the adaptive path: a chain longer than
+    # the hash-min round budget must still resolve to ONE cluster
+    from moonshot_spark.datapipe.graph import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "doc_a long, doc_b long")
+    rows = duplicate_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert all(r["cluster_size"] == 40 for r in rows)
+
+
 def test_cc_star_long_chain(spark):
     # the topology hash-min is worst at: O(log n) rounds must still solve it
     from moonshot_spark.datapipe.graph import connected_components_star
@@ -604,10 +656,24 @@ def test_interval_join_oversized_guard(spark):
     pts = spark.createDataFrame([(1, 5)], "k long, ts_ns long")
     ivs = spark.createDataFrame([(1, 0, 10_000_000)],
                                 "k long, start_ns long, end_ns long")
-    with _pytest.raises(ValueError, match="span more than"):
+    # default 'error' mode: the guard is an inline raise_error inside the
+    # main job (no eager pre-count), so it fires at execution time
+    joined = interval_join(pts, ivs, on=["k"], bucket_width=10,
+                           max_buckets_per_interval=100)
+    with _pytest.raises(Exception, match="span more than"):
+        joined.collect()
+    # truncate mode drops matches beyond the cap without a signal
+    ok = interval_join(pts, ivs, on=["k"], bucket_width=10,
+                       max_buckets_per_interval=100,
+                       on_oversized="truncate")
+    assert ok.count() == 1  # point at ts=5 is in bucket 0, within cap
+    # legacy eager 'warn' mode still counts up front
+    import warnings as _w
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
         interval_join(pts, ivs, on=["k"], bucket_width=10,
-                      max_buckets_per_interval=100,
-                      on_oversized="error")
+                      max_buckets_per_interval=100, on_oversized="warn")
+    assert any("span more than" in str(c.message) for c in caught)
 
 
 def test_chunk_tokens_properties(spark):

@@ -117,8 +117,8 @@ def test_ml_trade(spark, prices):
 
 
 def test_ml_feature_cache(spark, prices, tmp_path, monkeypatch):
-    """Feature cache: second backtest reuses cached predictions
-    (reference ml.py:426-433 feature cache semantics)."""
+    """Feature cache: second backtest reuses cached features BY DEFAULT
+    (reference ml.py:426-433: cache on unless no_cache)."""
     monkeypatch.setenv("MOONSHOT_CACHE_DIR", str(tmp_path))
     import moonshot_spark.sources.cache as cache_mod
     monkeypatch.setattr(cache_mod, "DEFAULT_CACHE_DIR", str(tmp_path))
@@ -127,7 +127,7 @@ def test_ml_feature_cache(spark, prices, tmp_path, monkeypatch):
 
     class CachedStrategy(TwoFeatureStrategy):
         CODE = "ml-cached"
-        USE_FEATURE_CACHE = True
+        # no USE_FEATURE_CACHE override: default is on in backtests
 
         def prices_to_features(self, p):
             calls["n"] += 1
@@ -146,6 +146,45 @@ def test_ml_feature_cache(spark, prices, tmp_path, monkeypatch):
     sig2 = {(r["sid"], r["date"]): r["value"]
             for r in r2.where(F.col("field") == "Signal").collect()}
     assert sig1 == sig2
+
+    # the cached artifact is the FEATURES, so a different model scores
+    # fresh predictions from the same cached frame
+    r3 = CachedStrategy().backtest(prices, model=LinearModel([2.0, 0.0]))
+    assert calls["n"] == 1
+    sig3 = {(r["sid"], r["date"]): r["value"]
+            for r in r3.where(F.col("field") == "Signal").collect()}
+    assert sig3 != sig1
+
+    # no_cache=True bypasses (reference backtest's no_cache flag)
+    CachedStrategy().backtest(prices, model=model, no_cache=True)
+    assert calls["n"] == 2
+
+
+def test_ml_trade_never_caches(spark, prices, tmp_path, monkeypatch):
+    """The feature cache is backtest-only (reference ml.py:427 gates on
+    ``self.is_backtest``): trading must never serve stale features."""
+    monkeypatch.setenv("MOONSHOT_CACHE_DIR", str(tmp_path))
+    import moonshot_spark.sources.cache as cache_mod
+    monkeypatch.setattr(cache_mod, "DEFAULT_CACHE_DIR", str(tmp_path))
+
+    balances = spark.createDataFrame(
+        [("U1", "USD", 50000.0)],
+        "account string, currency string, net_liquidation double")
+    calls = {"n": 0}
+
+    class TradeStrategy(TwoFeatureStrategy):
+        CODE = "ml-trade-nocache"
+
+        def prices_to_features(self, p):
+            calls["n"] += 1
+            return super().prices_to_features(p)
+
+    model = LinearModel([1.0, 0.5])
+    TradeStrategy().trade(prices, {"U1": 1.0}, balances, model=model)
+    TradeStrategy().trade(prices, {"U1": 1.0}, balances, model=model)
+    assert calls["n"] == 2
+    import os
+    assert not any(n.startswith("features_") for n in os.listdir(tmp_path))
 
 
 class FakeKerasModel:

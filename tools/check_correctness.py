@@ -11,6 +11,7 @@ new queries:
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -50,6 +51,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> bool:
     max_diff = 0.0
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # the driver's value-hash is dtype-sensitive: an int64 engine column
+        # vs a float64 oracle column mismatches even when values are equal
+        # (the r04 pack_bins_report HUGEINT->float64 trap).  Mirror that.
+        s_float = pd.api.types.is_float_dtype(sv)
+        d_float = pd.api.types.is_float_dtype(dv)
+        s_int = pd.api.types.is_integer_dtype(sv)
+        d_int = pd.api.types.is_integer_dtype(dv)
+        if (s_float and d_int) or (s_int and d_float):
+            print(f"  DTYPE KIND MISMATCH col {c}: spark={sv.dtype} "
+                  f"duck={dv.dtype} (driver value-hash would differ)")
+            ok = False
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
             sv = pd.to_numeric(sv, errors="coerce")
             dv = pd.to_numeric(dv, errors="coerce")
@@ -71,13 +83,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> bool:
     if n_bad:
         print(f"  VALUES MISMATCH: {n_bad} cells differ, max abs diff {max_diff:.3e}")
         return False
-    return True
+    return ok
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) \
         else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    only = [a for a in args if not os.path.isdir(a)]
 
     import __spark_entry__ as entry_mod
     from moonshot_spark.session import get_spark
@@ -93,22 +111,32 @@ def main():
     oracles = entry_mod.oracle_sql()
     names = only or list(queries)
     passed = failed = skipped = 0
+    results = {}
     for name in names:
         fn = queries[name]
         sql = oracles.get(name)
         spark_pdf = fn(spark, sf_dir).toPandas()
         if sql is None:
             print(f"{name}: NO ORACLE (rows-only) — {len(spark_pdf)} rows")
+            results[name] = {"status": "rows_only", "rows": len(spark_pdf)}
             skipped += 1
             continue
         duck_pdf = con.execute(sql).df()
         if compare(name, spark_pdf, duck_pdf):
             print(f"{name}: OK ({len(spark_pdf)} rows)")
+            results[name] = {"status": "pass", "rows": len(spark_pdf)}
             passed += 1
         else:
             print(f"{name}: FAILED")
+            results[name] = {"status": "fail", "rows": len(spark_pdf)}
             failed += 1
     print(f"\n{passed} passed, {failed} failed, {skipped} rows-only")
+    if json_out:
+        import time
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "ts": time.time(),
+                       "passed": passed, "failed": failed,
+                       "rows_only": skipped, "queries": results}, f, indent=1)
     sys.exit(1 if failed else 0)
 
 
