@@ -311,3 +311,67 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, id_col, "cosine", F.col("rank").cast("int")))
+
+
+def centroid_outliers(emb: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id", group_col: str = "label",
+                      scale_bits: int = 20,
+                      outlier_frac: float = 0.1) -> DataFrame:
+    """SemDeDup-style semantic outlier scoring: cosine of every vector to
+    its group's centroid, ranked within the group; the bottom
+    ``outlier_frac`` are flagged (far-from-centroid = semantically atypical
+    for the cluster — prune candidates, or near-1 cosines = semantic
+    duplicates of the centroid's neighborhood).
+
+    Exactness design — the whole computation is integer until two final
+    deterministic float ops, so it hash-matches any SQL engine:
+
+    1. quantize: q[i] = floor(x[i] * 2^scale_bits) (floor, not round —
+       round half-up/half-even differs across engines; floor doesn't).
+    2. centroid: per-dim integer sums (order-independent), then
+       m[i] = floor(sum / n) — the floored MEAN keeps every later product
+       within int64 regardless of group size (a summed centroid would
+       overflow ||c||^2 at ~2^33 members).
+    3. cosine = dot/(sqrt(||q||^2) * sqrt(||m||^2)): exact int64 dot and
+       norms, one sqrt+divide at the end.
+
+    Scale: one posexplode shuffle on (group, dim) for the centroid build
+    (64-256 rows per group), centroid table is group-cardinality →
+    broadcast join back, scoring is map-side fold — no all-pairs anything.
+    """
+    scale = 1 << scale_bits
+    q = emb.select(
+        F.col(id_col), F.col(group_col),
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * scale)
+                    .cast("bigint")).alias("__q"))
+    dims = q.select(group_col, F.posexplode("__q").alias("__dim", "__val"))
+    cent = (dims.groupBy(group_col, "__dim")
+            .agg(F.sum("__val").alias("__s"), F.count("*").alias("__n"))
+            .withColumn("__m", F.floor(F.col("__s").cast("double")
+                                       / F.col("__n")).cast("bigint")))
+    carr = (cent.groupBy(group_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
+                lambda st: st["__m"]).alias("__c")))
+    j = q.join(F.broadcast(carr), group_col)
+    zero = F.lit(0).cast("bigint")
+    dot = F.aggregate(F.zip_with("__q", "__c", lambda a, b: a * b),
+                      zero, lambda acc, x: acc + x)
+    nv = F.aggregate(F.transform("__q", lambda a: a * a),
+                     zero, lambda acc, x: acc + x)
+    nc = F.aggregate(F.transform("__c", lambda a: a * a),
+                     zero, lambda acc, x: acc + x)
+    cos = (dot.cast("double")
+           / (F.sqrt(nv.cast("double")) * F.sqrt(nc.cast("double"))))
+    scored = j.select(id_col, group_col, cos.alias("cosine_to_centroid"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("cosine_to_centroid").asc(), F.col(id_col).asc())
+    n_grp = F.count("*").over(Window.partitionBy(group_col))
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .withColumn(
+                "is_outlier",
+                (F.col("rank") <= F.greatest(
+                    F.lit(1),
+                    F.floor(n_grp * F.lit(outlier_frac)))).cast("int")))

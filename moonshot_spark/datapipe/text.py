@@ -196,3 +196,64 @@ def winnowing_fingerprint_expr(col: Column | str, k: int = 8,
             .otherwise(F.array().cast("array<string>"))
 
     return F.transform(F.array(s_expr), with_s)[0]
+
+
+def token_frequency_table(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide unigram occurrence counts: (token, freq).
+
+    Built from the per-(doc, token) counts so the explode aggregates
+    map-side before the one shuffle on ``token``; the table is
+    vocabulary-sized (Zipf: far smaller than the token stream but NOT
+    broadcastable at corpus scale — consumers must equi-join it, never
+    ``F.broadcast`` it)."""
+    tok = docs.select(F.col(id_col),
+                      F.explode(tokens_expr(text_col)).alias("token"))
+    return (tok.groupBy("token")
+            .agg(F.count("*").alias("freq")))
+
+
+def token_surprisal_stats(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          rare_threshold: int = 2) -> DataFrame:
+    """Per-document corpus-frequency statistics — the integer-exact
+    perplexity proxy used for pretraining quality filtering: documents
+    whose tokens are mostly corpus-rare (typos, boilerplate IDs, OCR
+    noise) score a high ``rare_ratio`` / low ``mean_token_freq`` and get
+    gated, without training an LM.
+
+    Output per doc: ``n_tokens``, ``sum_freq`` (Σ freq(token) over
+    occurrences), ``mean_token_freq``, ``rare_tokens`` (occurrences of
+    tokens appearing ≤ ``rare_threshold`` times corpus-wide) and
+    ``rare_ratio``.  All sums are integers; the two ratios are single
+    divisions at the end — bit-exact against any SQL engine.
+
+    Scale design: explode → groupBy(doc, token) count (map-side combine
+    shrinks the fact stream to distinct-per-doc tokens) → self-aggregated
+    frequency table → equi-join on ``token`` (Zipf-skewed: the stop-word
+    keys are exactly what AQE skew-join splits; never broadcast — the
+    vocabulary of a 100 TB corpus is billions of rows) → one final
+    groupBy(doc).  The per-(doc, token) frame is used twice (facts +
+    frequency build); cache it when the corpus scan dominates.
+    """
+    tc = (docs.select(F.col(id_col),
+                      F.explode(tokens_expr(text_col)).alias("token"))
+          .groupBy(id_col, "token")
+          .agg(F.count("*").alias("n_occ")))
+    freq = tc.groupBy("token").agg(F.sum("n_occ").alias("freq"))
+    joined = tc.join(freq, "token")
+    rare_occ = F.sum(F.when(F.col("freq") <= rare_threshold,
+                            F.col("n_occ")).otherwise(F.lit(0)))
+    return (joined.groupBy(id_col)
+            .agg(F.sum("n_occ").alias("n_tokens"),
+                 F.sum(F.col("n_occ") * F.col("freq")).alias("sum_freq"),
+                 rare_occ.alias("rare_tokens"))
+            .select(F.col(id_col),
+                    "n_tokens", "sum_freq",
+                    (F.col("sum_freq").cast("double")
+                     / F.col("n_tokens").cast("double"))
+                    .alias("mean_token_freq"),
+                    "rare_tokens",
+                    (F.col("rare_tokens").cast("double")
+                     / F.col("n_tokens").cast("double"))
+                    .alias("rare_ratio")))

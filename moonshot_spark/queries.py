@@ -1486,6 +1486,51 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "click_value")
 
 
+@register("asof_forward_tolerance", """
+WITH clicks AS (
+    SELECT user_id, ts, event_id, value, epoch_ns(ts) AS t
+    FROM events WHERE event_type = 'click'
+), purchases AS (
+    SELECT user_id, epoch_ns(ts) AS p_t, value AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id, c.value,
+       CASE WHEN p.p_t - c.t <= 3600000000000 THEN p.purchase_value END
+           AS purchase_value,
+       CASE WHEN p.p_t - c.t <= 3600000000000
+            THEN CAST((p.p_t - c.t) // 1000000000 AS BIGINT) END
+           AS seconds_to_purchase
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.t <= p.p_t
+""")
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (pandas ``merge_asof(direction=
+    'forward', tolerance=...)`` parity): for each click, the user's NEXT
+    purchase at-or-after it, nulled when more than 1 h away.  Same one-
+    shuffle union+fill pass as backward — the direction only flips the
+    sort.  Oracle: DuckDB native ASOF with a ``<=`` inequality plus a
+    tolerance CASE on the carried match time."""
+    from moonshot_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts_ns").alias("t"),
+                      "event_id", "value"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts_ns").alias("t"),
+                         F.col("ts_ns").alias("p_t"),
+                         F.col("value").alias("purchase_value")))
+    hour_ns = 3_600 * 1_000_000_000
+    joined = asof_join(clicks, purchases, on="t", by="user_id",
+                       value_cols=["p_t", "purchase_value"],
+                       direction="forward", tolerance=hour_ns)
+    return joined.select(
+        "user_id", "event_id", "value", "purchase_value",
+        F.floor((F.col("p_t") - F.col("t")) / F.lit(1_000_000_000))
+        .cast("bigint").alias("seconds_to_purchase"))
+
+
 # --------------------------------------------------------------------- #
 # R2 — pivot/unpivot (stack/unstack)                                    #
 # --------------------------------------------------------------------- #
@@ -1720,6 +1765,68 @@ def benchmark_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct aggregation + percentiles                                    #
 # --------------------------------------------------------------------- #
 
+@register("signal_winsorized", f"""
+WITH panel AS ({PANEL_SQL}), pct AS (
+    SELECT date, quantile_cont(close, 0.1) AS p10,
+           quantile_cont(close, 0.9) AS p90
+    FROM panel GROUP BY date
+)
+SELECT sid, p.date, close, p10, p90,
+       least(greatest(close, p10), p90) AS winsorized,
+       CAST(CASE WHEN close < p10 OR close > p90 THEN 1 ELSE 0 END AS INT)
+           AS is_clipped
+FROM panel p JOIN pct USING (date)
+""")
+def signal_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional winsorization: clip each day's closes at that
+    day's exact [p10, p90] — the standard outlier guard before ranking/
+    z-scoring signals.  The per-date percentile table is dates-
+    cardinality (bounded), so it broadcasts; the clip itself is a
+    map-side least/greatest — one small aggregate plus zero extra
+    shuffles of the panel."""
+    panel = events_to_panel(spark, sf_dir)
+    pct = (panel.groupBy("date")
+           .agg(F.expr("percentile(close, 0.1)").alias("p10"),
+                F.expr("percentile(close, 0.9)").alias("p90")))
+    j = panel.join(F.broadcast(pct), "date")
+    winsorized = F.least(F.greatest(F.col("close"), F.col("p10")),
+                         F.col("p90"))
+    return j.select(
+        "sid", "date", "close", "p10", "p90",
+        winsorized.alias("winsorized"),
+        F.when((F.col("close") < F.col("p10"))
+               | (F.col("close") > F.col("p90")), 1).otherwise(0)
+        .cast("int").alias("is_clipped"))
+
+
+@register("sliding_window_counts", """
+WITH w AS (
+    SELECT event_type, value,
+           unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                   date_trunc('hour', ts)]) AS window_start
+    FROM events
+)
+SELECT window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM w GROUP BY window_start, event_type
+""")
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 2h-window / 1h-slide event counts per type — the batch
+    form of ``streaming.stream_sliding_counts`` (same ``F.window`` expr,
+    so the streaming path is regression-pinned against this oracle via
+    ``test_streaming.test_stream_sliding_counts_matches_batch``).  The
+    window Expand is map-side; the only shuffle is the final groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                       "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
 @register("distinct_and_percentiles", """
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -1872,6 +1979,55 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps cosines bit-identical to the oracle's list_reduce
     return (pairwise_cosine_in_cells(guarded, threshold=0.35)
             .select("vec_a", "vec_b", "label", "cosine"))
+
+
+@register("embedding_centroid_outliers", """
+WITH q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+    FROM embeddings
+), d AS (
+    SELECT label, unnest(q) AS val, generate_subscripts(q, 1) AS dim FROM q
+), s AS (
+    SELECT label, dim, CAST(sum(val) AS BIGINT) AS s, count(*) AS n
+    FROM d GROUP BY label, dim
+), c AS (
+    SELECT label,
+           list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim)
+               AS c
+    FROM s GROUP BY label
+), scored AS (
+    SELECT vec_id, q.label,
+           CAST(list_reduce(list_transform(range(1, len(q.q) + 1),
+               i -> q.q[i] * c.c[i]), (x, y) -> x + y) AS DOUBLE)
+           / (sqrt(CAST(list_reduce(list_transform(range(1, len(q.q) + 1),
+                  i -> q.q[i] * q.q[i]), (x, y) -> x + y) AS DOUBLE))
+              * sqrt(CAST(list_reduce(list_transform(range(1, len(c.c) + 1),
+                  i -> c.c[i] * c.c[i]), (x, y) -> x + y) AS DOUBLE)))
+           AS cosine_to_centroid
+    FROM q JOIN c USING (label)
+), ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY label
+               ORDER BY cosine_to_centroid, vec_id) AS INT) AS rank,
+           count(*) OVER (PARTITION BY label) AS n
+    FROM scored
+)
+SELECT vec_id, label, cosine_to_centroid, rank,
+       CAST(CASE WHEN rank <= greatest(1, CAST(floor(n * 0.1) AS BIGINT))
+            THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM ranked
+""")
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: every vector's cosine to its
+    label-group centroid, ranked per group, bottom decile flagged.
+    Integer-exact via floor-quantized vectors and a floored-mean centroid
+    (see ``datapipe.similarity.centroid_outliers`` for the overflow-safe
+    design); one (group, dim) shuffle + a broadcast centroid join."""
+    from moonshot_spark.datapipe.similarity import centroid_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb)
 
 
 @register("embedding_quantize_sq8", """
@@ -2107,6 +2263,39 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 # BPE-ish subword token counting                                        #
 # --------------------------------------------------------------------- #
+
+@register("token_surprisal_stats", """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tc AS (
+    SELECT doc_id, token, count(*) AS n_occ FROM tok GROUP BY doc_id, token
+), freq AS (
+    SELECT token, CAST(sum(n_occ) AS BIGINT) AS freq FROM tc GROUP BY token
+)
+SELECT doc_id,
+       CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+       CAST(sum(n_occ * freq) AS BIGINT) AS sum_freq,
+       CAST(sum(n_occ * freq) AS DOUBLE) / CAST(sum(n_occ) AS DOUBLE)
+           AS mean_token_freq,
+       CAST(sum(CASE WHEN freq <= 2 THEN n_occ ELSE 0 END) AS BIGINT)
+           AS rare_tokens,
+       CAST(sum(CASE WHEN freq <= 2 THEN n_occ ELSE 0 END) AS DOUBLE)
+           / CAST(sum(n_occ) AS DOUBLE) AS rare_ratio
+FROM tc JOIN freq USING (token)
+GROUP BY doc_id
+""")
+def token_surprisal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact perplexity proxy for quality filtering: per-doc corpus
+    -frequency stats (mean token frequency, rare-token ratio) from a self-
+    built unigram table.  The token join is Zipf-skewed by construction —
+    the scale path is AQE skew-join on the equi-key, never a broadcast
+    (the corpus vocabulary is unbounded).  See
+    ``datapipe.text.token_surprisal_stats``."""
+    from moonshot_spark.datapipe.text import token_surprisal_stats as tss
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tss(docs)
+
 
 @register("token_counts", """
 WITH toks AS (

@@ -122,6 +122,52 @@ def stream_dedup_events(events: DataFrame, keys: list[str] | None = None,
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def stream_sliding_counts(events: DataFrame, window: str = "1 hour",
+                          slide: str = "15 minutes",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Sliding-window event counts per type — the always-on dashboard
+    aggregation.  Each event lands in window/slide overlapping windows;
+    the state store holds only windows newer than the watermark, so state
+    is bounded by (horizon / slide) x |event types| regardless of stream
+    volume."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def stream_click_purchase_join(clicks: DataFrame, purchases: DataFrame,
+                               horizon_seconds: int = 3600,
+                               watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: every (click, purchase) pair of the
+    same user with the purchase inside [click.ts, click.ts + horizon] —
+    streaming attribution.  Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark can expire join state
+    (an unbounded stream-stream join would buffer forever)."""
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("click_ts"),
+                 F.col("event_id").alias("click_id")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("purchase_ts"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("value").alias("purchase_value")))
+    cond = ((F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts")
+               + F.expr(f"INTERVAL {horizon_seconds} SECONDS")))
+    return (c.join(p, cond)
+            .select(F.col("c_user").alias("user_id"), "click_id",
+                    "purchase_id", "click_ts", "purchase_ts",
+                    "purchase_value"))
+
+
 def stream_trade_orders(panel_stream: DataFrame, strategy_factory,
                         allocations: dict[str, float], balances_fn,
                         checkpoint_dir: str, output_path: str):

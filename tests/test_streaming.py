@@ -221,3 +221,58 @@ def test_stream_enrich_static_dim(spark, tmp_path):
             for r in spark.table("enriched").collect()}
     # left join: known users enriched, unknown user kept with NULL tier
     assert rows == {10: "gold", 20: "silver", 99: None}
+
+
+def test_stream_sliding_counts_matches_batch(spark, stream_dir):
+    from moonshot_spark.streaming.pipeline import stream_sliding_counts
+
+    stream = read_event_stream(spark, stream_dir)
+    got = run_to_memory(
+        stream_sliding_counts(stream, window="2 hours", slide="1 hour"),
+        spark, "sliding_stream")
+
+    # batch oracle: the same window expr on the static frame
+    batch = (load_table(spark, SF_DIR, "events")
+             .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                      "event_type")
+             .agg(F.count("*").alias("n_events"),
+                  F.sum("value").alias("sum_value"))
+             .select(F.col("w.start").alias("window_start"), "event_type",
+                     "n_events", "sum_value"))
+    g = {(r["window_start"], r["event_type"]): (r["n_events"],
+                                                round(r["sum_value"], 6))
+         for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): (r["n_events"],
+                                                round(r["sum_value"], 6))
+         for r in batch.collect()}
+    assert g == b
+
+
+def test_stream_stream_join_matches_batch(spark, stream_dir):
+    from moonshot_spark.streaming.pipeline import stream_click_purchase_join
+
+    clicks = read_event_stream(spark, stream_dir).where(
+        F.col("event_type") == "click")
+    purchases = read_event_stream(spark, stream_dir).where(
+        F.col("event_type") == "purchase")
+    joined = stream_click_purchase_join(clicks, purchases,
+                                        horizon_seconds=3600)
+    q = (joined.writeStream.format("memory").queryName("ss_join")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["click_id"], r["purchase_id"])
+           for r in spark.table("ss_join").collect()}
+
+    ev = load_table(spark, SF_DIR, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"))
+    expect = {(r["click_id"], r["purchase_id"]) for r in
+              c.join(p, (F.col("cu") == F.col("pu"))
+                     & (F.col("pts") >= F.col("cts"))
+                     & (F.col("pts") <= F.col("cts")
+                        + F.expr("INTERVAL 3600 SECONDS"))).collect()}
+    assert got == expect and len(got) > 0

@@ -173,3 +173,52 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert g is None
         else:
             assert g == row["rv"]
+
+
+def test_asof_join_forward_and_tolerance_match_pandas(spark):
+    """direction='forward' and tolerance vs pandas merge_asof on random
+    data — both directions stay one union+fill pass."""
+    import numpy as np
+    import pandas as pd
+
+    from moonshot_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(41)
+    left_rows, right_rows = [], []
+    for key in ["a", "b"]:
+        for t in sorted(rng.choice(np.arange(0, 500), 20, replace=False)):
+            left_rows.append((key, int(t), float(rng.normal())))
+        for t in sorted(rng.choice(np.arange(0, 500), 12, replace=False)):
+            right_rows.append((key, int(t), float(rng.normal())))
+    left = spark.createDataFrame(left_rows, "k string, t long, lv double")
+    right = spark.createDataFrame(right_rows, "k string, t long, rv double")
+    lpdf = pd.DataFrame(left_rows, columns=["k", "t", "lv"]).sort_values("t")
+    rpdf = pd.DataFrame(right_rows, columns=["k", "t", "rv"]).sort_values("t")
+
+    for direction, tol in [("forward", None), ("forward", 40),
+                           ("backward", 40)]:
+        got = {(r["k"], r["t"]): r["rv"]
+               for r in asof_join(left, right, on="t", by="k",
+                                  value_cols=["rv"], direction=direction,
+                                  tolerance=tol).collect()}
+        expected = pd.merge_asof(lpdf, rpdf, on="t", by="k",
+                                 direction=direction, tolerance=tol)
+        for _, row in expected.iterrows():
+            g = got[(row["k"], row["t"])]
+            if pd.isna(row["rv"]):
+                assert g is None, (direction, tol, row["t"])
+            else:
+                assert g == row["rv"], (direction, tol, row["t"])
+
+
+def test_asof_join_strict_inequality(spark):
+    from moonshot_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 10, 1.0)], "k string, t long, lv double")
+    right = spark.createDataFrame([("a", 10, 5.0), ("a", 9, 4.0)],
+                                  "k string, t long, rv double")
+    exact = asof_join(left, right, on="t", by="k",
+                      value_cols=["rv"]).collect()[0]["rv"]
+    strict = asof_join(left, right, on="t", by="k", value_cols=["rv"],
+                       allow_exact_matches=False).collect()[0]["rv"]
+    assert exact == 5.0 and strict == 4.0
