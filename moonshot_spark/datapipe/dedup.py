@@ -102,15 +102,36 @@ def shingle_frame(docs: DataFrame, text_col: str = "text",
     """
     spark = docs.sparkSession
     target = spark.sparkContext.defaultParallelism
-    # DataFrame-API parallelism estimate: a file-backed scan yields at
-    # least one task per input file (more when files split), so a file
-    # count below the cluster's parallelism flags an under-parallel
-    # source worth widening before the CPU-heavy hashing.  Non-file
-    # sources (in-memory test frames, upstream shuffles) are left alone —
+    # DataFrame-API parallelism estimate: a file scan yields roughly
+    # max(n_files, total_bytes / maxPartitionBytes) tasks (parquet files
+    # split by range).  Only when even that is below the cluster's
+    # parallelism is the source genuinely under-parallel and worth one
+    # widening shuffle before the CPU-heavy hashing.  Non-file sources
+    # (in-memory test frames, upstream shuffles) are left alone —
     # shuffles already run at spark.sql.shuffle.partitions.
-    n_files = len(docs.inputFiles())
-    if repartition and 0 < n_files < target:
-        docs = docs.repartition(target, F.col(id_col))
+    if repartition:
+        files = docs.inputFiles()
+        if files:
+            import os
+            from urllib.parse import urlparse
+            total_bytes = 0
+            for f in files:
+                p = urlparse(f).path or f
+                try:
+                    total_bytes += os.path.getsize(p)
+                except OSError:
+                    total_bytes = -1   # remote/unstattable: trust the scan
+                    break
+            try:
+                max_pb = int(spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes",
+                    "134217728").lower().rstrip("b"))
+            except ValueError:      # "128MB"-style units
+                max_pb = 128 * 1024 * 1024
+            est = max(len(files), -(-total_bytes // max_pb)) \
+                if total_bytes >= 0 else target
+            if est < target:
+                docs = docs.repartition(target, F.col(id_col))
     return docs.select(F.col(id_col),
                        shingles_expr(text_col, shingle_n).alias("__shingles"))
 
