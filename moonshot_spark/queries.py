@@ -2894,6 +2894,104 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "word", "n", F.col("rn").cast("int")))
 
 
+@register("bigram_next_token", """
+WITH t AS (
+    SELECT string_split(text, ' ') AS toks FROM documents
+), b AS (
+    SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS head,
+           unnest(list_slice(toks, 2, len(toks))) AS next
+    FROM t WHERE len(toks) >= 2
+), c AS (
+    SELECT head, next, count(*) AS n FROM b GROUP BY head, next
+), r AS (
+    SELECT head, next, n,
+           sum(n) OVER (PARTITION BY head) AS tot,
+           row_number() OVER (PARTITION BY head
+                              ORDER BY n DESC, next) AS rn
+    FROM c
+)
+SELECT head, next, CAST(n AS BIGINT) AS n_pairs,
+       CAST(tot AS BIGINT) AS head_total,
+       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p_next,
+       CAST(rn AS INT) AS rn
+FROM r WHERE rn <= 3 AND tot >= 10
+""")
+def bigram_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM table: for every head token seen ≥10 times, its
+    top-3 continuations with exact conditional probability — the n-gram
+    statistic behind repetition detection and cheap perplexity scoring.
+    Map-side zip of the token array with its own shift (no self-join),
+    one (head, next) groupBy with partial aggregation, then a per-head
+    window for the top-k.  Integer counts end to end; p_next is one
+    final division."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = (docs.select(toks.alias("toks"))
+             .where(F.size("toks") >= 2)
+             .select(F.explode(F.arrays_zip(
+                 F.slice("toks", 1, F.size("toks") - 1).alias("head"),
+                 F.slice(F.col("toks"), 2, F.size("toks") - 1)
+                 .alias("next"))).alias("p"))
+             .select(F.col("p.head").alias("head"),
+                     F.col("p.next").alias("next")))
+    c = pairs.groupBy("head", "next").agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("head"))
+    rn = F.row_number().over(
+        Window.partitionBy("head").orderBy(F.desc("n"), F.asc("next")))
+    return (c.withColumn("head_total", tot)
+            .withColumn("rn", rn.cast("int"))
+            .where((F.col("rn") <= 3) & (F.col("head_total") >= 10))
+            .select("head", "next", F.col("n").alias("n_pairs"),
+                    "head_total",
+                    (F.col("n").cast("double")
+                     / F.col("head_total").cast("double")).alias("p_next"),
+                    "rn"))
+
+
+@register("scd2_event_type_intervals", """
+WITH e AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(event_type) OVER w AS prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), marks AS (
+    SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                   THEN 1 ELSE 0 END AS is_start
+    FROM e
+), runs AS (
+    SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+    FROM marks
+)
+SELECT user_id, CAST(run_id AS INT) AS run_id,
+       min(event_type) AS event_type,
+       min(ts) AS valid_from, max(ts) AS valid_to,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM runs GROUP BY user_id, run_id
+""")
+def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build: collapse each user's event stream into
+    consecutive same-state runs with [valid_from, valid_to] — the
+    change-capture interval table a warehouse keeps for slowly changing
+    attributes.  lag + cumulative-sum run ids (one shuffle on user_id),
+    the same window algebra as sessionization with a state-change
+    predicate instead of a time gap."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    is_start = F.when(prev.isNull()
+                      | (prev != F.col("event_type")), 1).otherwise(0)
+    runs = ev.withColumn(
+        "run_id",
+        F.sum(is_start).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+    return (runs.groupBy("user_id", "run_id")
+            .agg(F.min("event_type").alias("event_type"),
+                 F.min("ts").alias("valid_from"),
+                 F.max("ts").alias("valid_to"),
+                 F.count("*").alias("n_events")))
+
+
 @register("tfidf_top_terms", """
 WITH words AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
