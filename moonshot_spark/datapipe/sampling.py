@@ -110,3 +110,25 @@ def parity_upsample(df: DataFrame, strata_col: str, id_col: str = "doc_id",
             .withColumn("copy_id", F.explode(
                 F.sequence(F.lit(1).cast("bigint"), copies)))
             .drop("__r"))
+
+
+def cap_per_group(df: DataFrame, group_col: str, cap: int,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by deterministic hash
+    order of the id — the per-domain/per-language cap that stops a single
+    source from dominating a training mix.  Hash order (not arrival
+    order) makes the kept subset stable across runs and partitionings.
+
+    One shuffle on ``group_col``; the per-group top-``cap`` is a
+    windowed row_number, which AQE skew-splits if one group is huge.
+    For extreme skew (one group = half the corpus), pre-filter with an
+    approximate per-group count and sample before the exact window.
+    """
+    from pyspark.sql import Window
+
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order.asc(),
+                                              F.col(id_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cap)
+            .drop("__rn"))

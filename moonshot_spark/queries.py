@@ -623,6 +623,80 @@ def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_chars")))
 
 
+@register("cap_per_lang", """
+WITH ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 50
+""")
+def cap_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cap sampling: keep at most 50 docs per language, selected
+    by deterministic md5-of-id order so the kept subset is stable across
+    runs and partitionings — the anti-domination cap of a training mix.
+    See ``datapipe.sampling.cap_per_group``."""
+    docs = load_table(spark, sf_dir, "documents")
+    order = F.md5(F.col("doc_id").cast("string"))
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(order.asc(), F.col("doc_id").asc()))
+    return (docs.withColumn("rn", rn.cast("int"))
+            .where(F.col("rn") <= 50)      # = cap_per_group(docs,'lang',50)
+            .select("doc_id", "lang", "rn"))
+
+
+@register("table_column_stats", """
+SELECT 'l_quantity' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       CAST(min(l_quantity) AS DOUBLE) AS min_value,
+       CAST(max(l_quantity) AS DOUBLE) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       CAST(count(*) AS BIGINT),
+       CAST(count(l_extendedprice) AS BIGINT),
+       CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+       CAST(min(l_extendedprice) AS DOUBLE),
+       CAST(max(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_partkey',
+       CAST(count(*) AS BIGINT),
+       CAST(count(l_partkey) AS BIGINT),
+       CAST(count(DISTINCT l_partkey) AS BIGINT),
+       CAST(min(l_partkey) AS DOUBLE),
+       CAST(max(l_partkey) AS DOUBLE)
+FROM lineitem
+""")
+def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style exact column statistics (rows, non-null, NDV,
+    min/max) for three lineitem columns in ONE scan — the stats a cost-
+    based optimizer or layout audit feeds on.  Spark computes all three
+    exact count-distincts in a single Aggregate via expand (one pass;
+    at 100 TB swap ``countDistinct`` for ``approx_count_distinct`` and
+    the plan loses the expand entirely)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_partkey"]
+    agg = li.select([F.count("*").alias("n_rows")]
+                    + [x for c in cols for x in
+                       (F.count(c).alias(f"nn_{c}"),
+                        F.countDistinct(c).alias(f"nd_{c}"),
+                        F.min(c).cast("double").alias(f"mn_{c}"),
+                        F.max(c).cast("double").alias(f"mx_{c}"))])
+    rows = [F.struct(F.lit(c).alias("column_name"),
+                     F.col("n_rows").alias("n_rows"),
+                     F.col(f"nn_{c}").alias("n_nonnull"),
+                     F.col(f"nd_{c}").alias("n_distinct"),
+                     F.col(f"mn_{c}").alias("min_value"),
+                     F.col(f"mx_{c}").alias("max_value"))
+            for c in cols]
+    return agg.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
 @register("stratified_sample_hash", """
 WITH b AS (
     SELECT lang,

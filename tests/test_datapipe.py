@@ -754,3 +754,18 @@ def test_pairwise_cosine_in_cells_matches_bruteforce(spark):
     n_even = sum(1 for _, _, lab in rows if lab == 0)
     n_odd = len(rows) - n_even
     assert len(got) == n_even * (n_even - 1) // 2 + n_odd * (n_odd - 1) // 2
+
+
+def test_cap_per_group_deterministic_and_capped(spark):
+    from moonshot_spark.datapipe.sampling import cap_per_group
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept1 = {r["doc_id"] for r in cap_per_group(df, "lang", 20).collect()}
+    # stable under a different partitioning of the same data
+    kept2 = {r["doc_id"]
+             for r in cap_per_group(df.repartition(7), "lang", 20).collect()}
+    assert kept1 == kept2
+    counts = (cap_per_group(df, "lang", 20).groupBy("lang").count()
+              .collect())
+    assert all(r["count"] == 20 for r in counts)
