@@ -388,3 +388,82 @@ def hamming_expr(sig_a, sig_b, bits: int = 32):
         lambda acc, j: acc + F.when(
             a.substr(j, F.lit(1)) == b.substr(j, F.lit(1)), F.lit(0)
         ).otherwise(F.lit(1)))
+
+
+def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                shingle_n: int = 3) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity join via prefix filtering
+    (PPJoin-style; Xiao et al., WWW'08) — the deterministic alternative
+    to MinHash/LSH: no false negatives, no signatures.
+
+    Principle: order every document's distinct tokens by GLOBAL rarity
+    (corpus frequency asc, token asc).  Two token sets with Jaccard >=
+    theta must share at least one token within each other's first
+    ``|T| - ceil(theta*|T|) + 1`` tokens of that order, so the candidate
+    join only keys on those prefix tokens.
+
+    Scale design: the prefix tokens are by construction the RAREST in the
+    corpus — the frequency ordering is itself the skew guard (a stop-word
+    can never become a join key; compare LSH's mega-bucket problem, which
+    needs an explicit cap).  Shuffles: one on token (frequency build +
+    rank join), one on id for the per-doc rank window, one for the
+    candidate equi-join, then verification joins on bounded candidate
+    pairs with ``array_intersect`` on the two full token sets.
+
+    The similarity set is the word ``shingle_n``-gram shingle set (same
+    as the MinHash path), not raw word tokens: unigram Jaccard saturates
+    on templated corpora (most pairs ≥ any threshold → quadratic OUTPUT,
+    which no algorithm can make sub-quadratic), while shingles keep true
+    near-dups sharp.
+    """
+    # shingle_frame widens under-parallel sources before the CPU-heavy
+    # shingling — the explode is the hot projection of this operator
+    tok = (shingle_frame(docs, text_col, id_col, shingle_n)
+           .select(id_col, F.explode("__shingles").alias("token")))
+    freq = tok.groupBy("token").agg(F.count("*").alias("__f"))
+    # ONE groupBy(doc) builds the rarity-sorted shingle array; prefixes
+    # are then a map-side slice — no per-doc rank window, and the same
+    # array serves verification (no third shingle pass).  The per-doc
+    # collect is bounded by document length, never corpus size.
+    # the sorted-set frame feeds FOUR consumers (two candidate-join sides
+    # + two verification sides); materialize it once — its size is one
+    # shingle-array row per doc, the same class as the input corpus
+    sorted_sets = (tok.join(freq, "token")
+                   .groupBy(id_col)
+                   .agg(F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("__f", "token"))),
+                       lambda s: s["token"]).alias("__ts"))
+                   .localCheckpoint())
+    sz = F.size("__ts")
+    prefix_len = sz - F.ceil(sz * F.lit(threshold)) + 1
+    prefix = (sorted_sets
+              .select(F.col(id_col), sz.alias("__sz"),
+                      F.explode(F.slice("__ts", 1, prefix_len))
+                      .alias("token")))
+    # PPJoin length filter: Jaccard >= theta forces
+    # min(|A|,|B|) >= theta * max(|A|,|B|) — prunes candidates before the
+    # expensive set-intersection verification
+    len_ok = (F.least(F.col("a.__sz"), F.col("b.__sz"))
+              >= F.lit(threshold)
+              * F.greatest(F.col("a.__sz"), F.col("b.__sz")))
+    cands = (prefix.alias("a")
+             .join(prefix.alias("b"), "token")
+             .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & len_ok)
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"))
+             .distinct())
+    a_sets = sorted_sets.select(F.col(id_col).alias("doc_a"),
+                                F.col("__ts").alias("__ta"))
+    b_sets = sorted_sets.select(F.col(id_col).alias("doc_b"),
+                                F.col("__ts").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    union = F.size("__ta") + F.size("__tb") - inter
+    return (cands.join(a_sets, "doc_a").join(b_sets, "doc_b")
+            .select("doc_a", "doc_b",
+                    inter.cast("bigint").alias("n_shared"),
+                    (inter.cast("double") / union.cast("double"))
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))

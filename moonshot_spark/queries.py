@@ -1038,6 +1038,59 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
 
 
+@register("ppjoin_jaccard_pairs", """
+WITH t0 AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), toks AS (
+    SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        list_distinct(list_transform(range(0, len(t) - 2),
+            i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))
+        ELSE [] END AS ts
+    FROM t0
+), tok AS (
+    SELECT doc_id, unnest(ts) AS token FROM toks
+), freq AS (
+    SELECT token, count(*) AS f FROM tok GROUP BY token
+), ranked AS (
+    SELECT t.doc_id, t.token,
+           row_number() OVER (PARTITION BY t.doc_id
+                              ORDER BY f.f, t.token) AS rn,
+           count(*) OVER (PARTITION BY t.doc_id) AS sz
+    FROM tok t JOIN freq f USING (token)
+), prefix AS (
+    SELECT doc_id, token FROM ranked
+    WHERE rn <= sz - ceil(0.8 * sz) + 1
+), cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM prefix a JOIN prefix b
+      ON a.token = b.token AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(x.ts, y.ts)) AS inter,
+           len(x.ts) AS sa, len(y.ts) AS sb
+    FROM cands
+    JOIN toks x ON x.doc_id = doc_a
+    JOIN toks y ON y.doc_id = doc_b
+)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS n_shared,
+       CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) >= 0.8
+  AND least(sa, sb) >= 0.8 * greatest(sa, sb)
+""")
+def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard >= 0.8 via PPJoin-style prefix filtering
+    (Xiao et al., WWW'08) — the zero-false-negative dedup path.  The
+    candidate join keys only on each doc's globally-RAREST tokens (the
+    frequency order is itself the skew guard: a stop word can never
+    become a join key), so no LSH bands, no bucket caps, no probabilistic
+    recall.  See ``datapipe.dedup.prefix_filter_jaccard_pairs``."""
+    from moonshot_spark.datapipe.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, threshold=0.8)
+
+
 @register("jaccard_verified_pairs", """
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents

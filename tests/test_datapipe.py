@@ -769,3 +769,41 @@ def test_cap_per_group_deterministic_and_capped(spark):
     counts = (cap_per_group(df, "lang", 20).groupBy("lang").count()
               .collect())
     assert all(r["count"] == 20 for r in counts)
+
+
+def test_prefix_filter_jaccard_matches_brute_force(spark):
+    """PPJoin prefix filtering must emit EXACTLY the brute-force pair set
+    (no false negatives — the filter is lossless by the prefix theorem)."""
+    import itertools
+
+    from moonshot_spark.datapipe.dedup import prefix_filter_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, base),
+            (1, base),                                   # exact dup
+            (2, base.replace("today", "tomorrow")),      # near dup
+            (3, base.replace("quick brown", "slow red")),
+            (4, "completely different text about spark catalyst and joins"),
+            (5, "another unrelated document mentioning parquet row groups")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(text, n=3):
+        t = text.split(" ")
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)} \
+            if len(t) >= n else set()
+
+    theta = 0.5
+    expect = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= theta:
+            expect[(ia, ib)] = j
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in prefix_filter_jaccard_pairs(df, threshold=theta)
+           .collect()}
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k])
