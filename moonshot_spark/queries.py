@@ -3119,6 +3119,76 @@ def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_events")))
 
 
+@register("inverted_index_postings", """
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), agg AS (
+    SELECT token, count(*) AS df,
+           list(doc_id ORDER BY doc_id) AS all_docs
+    FROM tok GROUP BY token
+)
+SELECT token, CAST(df AS BIGINT) AS df,
+       array_to_string(list_slice(all_docs, 1, 8), ',') AS first_postings
+FROM agg WHERE df >= 20
+""")
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per token, document frequency and the first 8
+    postings (sorted doc ids, serialized) for tokens appearing in >= 20
+    docs.  The full posting list of a stop-word is corpus-sized, so the
+    bounded projection (count + capped slice) is what crosses the plan —
+    ``array_sort(collect_list)`` per token is bounded by df, and the
+    shuffle carries distinct (doc, token) pairs after map-side dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", F.explode(F.split("text", " "))
+                       .alias("token"))
+           .distinct())
+    return (tok.groupBy("token")
+            .agg(F.count("*").alias("df"),
+                 F.array_sort(F.collect_list("doc_id")).alias("all_docs"))
+            .where(F.col("df") >= 20)
+            .select("token", "df",
+                    F.array_join(F.slice("all_docs", 1, 8), ",")
+                    .alias("first_postings")))
+
+
+@register("feature_hashing_16", """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), bucketed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 AS b
+    FROM tok
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+       CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+       CAST(sum(CASE WHEN b = 12 THEN 1 ELSE 0 END) AS BIGINT) AS f12,
+       CAST(sum(CASE WHEN b = 15 THEN 1 ELSE 0 END) AS BIGINT) AS f15,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM bucketed GROUP BY doc_id
+""")
+def feature_hashing_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al., ICML'09): 16-bucket
+    token-count vector per document via md5 bucketing — the vocabulary-
+    free featurizer for streaming/sharded training where a fitted
+    vocabulary cannot exist.  Map-side explode + one groupBy; md5 keeps
+    the bucketing engine-portable and seedless (6 of 16 buckets
+    projected for the oracle)."""
+    from moonshot_spark.datapipe.sampling import hash_bucket_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket_expr("token", num_buckets=16)
+    tok = docs.select("doc_id", F.explode(F.split("text", " "))
+                      .alias("token"))
+    flags = [F.sum(F.when(b == i, 1).otherwise(0)).alias(f"f{i}")
+             for i in (0, 1, 2, 3, 12, 15)]
+    return (tok.groupBy("doc_id")
+            .agg(*flags, F.count("*").alias("n_tokens")))
+
+
 @register("tfidf_top_terms", """
 WITH words AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
