@@ -1459,6 +1459,78 @@ def trade_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "total_quantity", "order_type", "tif")
 
 
+@register("trade_orders_fx", f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN close < 100 THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+sd AS (SELECT max(date) AS signal_date FROM panel),
+cvf AS (
+    SELECT sid, date,
+           last_value(close IGNORE NULLS) OVER (
+               PARTITION BY sid ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS contract_value
+    FROM panel
+),
+today AS (
+    SELECT w.sid, w.weight, c.contract_value
+    FROM wts w JOIN sd ON w.date = sd.signal_date
+    JOIN cvf c ON c.sid = w.sid AND c.date = w.date
+),
+qty AS (
+    -- EUR account trading USD securities: NLV converts at the EUR->USD
+    -- rate before sizing (reference base.py FX join; rate = 1.10)
+    SELECT t.sid, 'U900' AS account,
+           CAST(round_even(t.weight * 1.0 * (250000.0 * 1.10)
+                / abs(nullif(t.contract_value, 0)), 0) AS BIGINT) AS q
+    FROM today t
+)
+SELECT sid, account,
+       CASE WHEN q > 0 THEN 'BUY' ELSE 'SELL' END AS action,
+       'buy-below-100-fx' AS order_ref,
+       abs(q) AS total_quantity,
+       'MKT' AS order_type, 'DAY' AS tif
+FROM qty WHERE q <> 0 AND q IS NOT NULL
+""")
+def trade_orders_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade pipeline with cross-currency sizing (S4/J2): a EUR-denominated
+    account buys USD securities, so the account NLV converts through the
+    (base_currency, quote_currency) exchange-rate dim before quantity
+    sizing — the FX 2-key broadcast join exercised through the driver
+    oracle."""
+    from moonshot_spark.strategies.base import Moonshot
+
+    class BuyBelow100FX(Moonshot):
+        CODE = "buy-below-100-fx"
+
+        def prices_to_signals(self, prices):
+            return prices.withColumn(
+                "signal", (F.col("close") < 100).cast("int"))
+
+    panel = events_to_panel(spark, sf_dir)
+    master = (panel.select("sid").distinct()
+              .select("sid", F.lit("STK").alias("sec_type"),
+                      F.lit("USD").alias("currency")))
+    balances = spark.createDataFrame(
+        [("U900", "EUR", 250000.0)],
+        "account string, currency string, net_liquidation double")
+    rates = spark.createDataFrame(
+        [("EUR", "USD", 1.10)],
+        "base_currency string, quote_currency string, rate double")
+    orders = BuyBelow100FX().trade(panel, {"U900": 1.0}, balances,
+                                   exchange_rates=rates, master=master)
+    return orders.select("sid", "account", "action", "order_ref",
+                         "total_quantity", "order_type", "tif")
+
+
 # --------------------------------------------------------------------- #
 # D1–D5 — weight allocation operators                                   #
 # --------------------------------------------------------------------- #
@@ -1557,6 +1629,151 @@ SELECT sid, date,
        commission, slippage
 FROM costed
 """
+
+
+_BACKTEST_BORROW_SQL = f"""
+WITH panel0 AS ({PANEL_SQL}),
+panel AS (
+    SELECT *, CAST(CAST(sid AS BIGINT) % 5 AS DOUBLE) + 1.0 AS borrow_fee
+    FROM panel0
+),
+sig AS (
+    SELECT sid, date, close, borrow_fee,
+           CASE WHEN (CASE WHEN count(close) OVER w5 >= 5
+                      THEN avg(close) OVER w5 END)
+                   > (CASE WHEN count(close) OVER w10 >= 10
+                      THEN avg(close) OVER w10 END)
+                THEN 1.0 ELSE -1.0 END AS signal
+    FROM panel
+    WINDOW w5 AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w10 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
+),
+gross AS (
+    SELECT *,
+           (close - lag(close) OVER w) / lag(close) OVER w
+               * lag(position) OVER w AS gross_return,
+           coalesce(date_diff('day', lag(date) OVER w, date), 1) AS days_held
+    FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+costed AS (
+    SELECT *,
+           abs(CASE WHEN position < 0 THEN position ELSE 0.0 END)
+               * 1.02 * (borrow_fee / 100 / 360) * days_held AS slippage
+    FROM gross
+)
+SELECT sid, date,
+       coalesce(gross_return, 0) - slippage AS net_return,
+       slippage AS borrow_fee_cost
+FROM costed
+"""
+
+
+@register("backtest_borrow_fees", _BACKTEST_BORROW_SQL)
+def backtest_borrow_fees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-short backtest paying IBKR-convention borrow fees on the short
+    book (D13: |short| x 1.02 x annual%/360 x days held, weekends
+    covered by the day count) — the borrow-fee slippage exercised through
+    the driver oracle, with a deterministic per-sid fee panel joined at
+    panel-build time."""
+    from moonshot_spark.slippage.borrowfee import BorrowFees
+    from moonshot_spark.strategies.demo import DualMovingAverage
+
+    class LongShortBorrow(DualMovingAverage):
+        CODE = "dma-borrow"
+        SLIPPAGE_CLASSES = (BorrowFees(),)
+
+        def prices_to_signals(self, prices: DataFrame) -> DataFrame:
+            from moonshot_spark.functions.window import rolling_mean
+            w = self._sid_window(prices)
+            fast = rolling_mean("close", self.SHORT_WINDOW, w)
+            slow = rolling_mean("close", self.LONG_WINDOW, w)
+            return prices.withColumn(
+                "signal", F.when(fast > slow, 1.0).otherwise(-1.0))
+
+    panel = events_to_panel(spark, sf_dir).withColumn(
+        "borrow_fee",
+        (F.col("sid").cast("bigint") % 5).cast("double") + 1.0)
+    results = LongShortBorrow().backtest(panel)
+    pivoted = (results.groupBy("sid", "date")
+               .pivot("field", ["Return", "Slippage"])
+               .agg(F.first("value")))
+    return pivoted.select(
+        "sid", "date",
+        F.col("Return").alias("net_return"),
+        F.col("Slippage").alias("borrow_fee_cost"))
+
+
+_BACKTEST_FIXEDCAP_SQL = f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN (CASE WHEN count(close) OVER w5 >= 5
+                      THEN avg(close) OVER w5 END)
+                   > (CASE WHEN count(close) OVER w10 >= 10
+                      THEN avg(close) OVER w10 END)
+                THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+    WINDOW w5 AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w10 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+wts AS (
+    SELECT *,
+           CASE WHEN sum(abs(signal * 0.3)) OVER wd > 1.0
+                THEN signal / (CASE WHEN coalesce(sum(abs(signal)) OVER wd, 0) <> 0
+                               THEN sum(abs(signal)) OVER wd ELSE 1 END)
+                ELSE signal * 0.3 END AS weight
+    FROM sig WINDOW wd AS (PARTITION BY date)
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
+)
+SELECT sid, date, weight,
+       (close - lag(close) OVER w) / lag(close) OVER w
+           * lag(position) OVER w AS gross_return
+FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+"""
+
+
+@register("backtest_fixed_weights_capped", _BACKTEST_FIXEDCAP_SQL)
+def backtest_fixed_weights_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest with the fixed-weights-capped allocator (D3, reference
+    weight.py:48-66): each active signal gets a fixed 0.3 weight unless
+    the day's absolute fixed sum exceeds the 1.0 cap, in which case that
+    day falls back to equal weights — driver-oracle evidence for the
+    fixed/capped allocator family."""
+    from moonshot_spark.operators.weights import allocate_fixed_weights_capped
+    from moonshot_spark.strategies.demo import DualMovingAverage
+
+    class FixedCapped(DualMovingAverage):
+        CODE = "dma-fixedcap"
+
+        def signals_to_target_weights(self, signals: DataFrame) -> DataFrame:
+            return allocate_fixed_weights_capped(
+                signals, weight=0.3, cap=1.0,
+                date_cols=self._date_cols(signals))
+
+    strat = FixedCapped()
+    panel = events_to_panel(spark, sf_dir)
+    strat.is_backtest = True
+    sigs = strat.prices_to_signals(panel)
+    wts = strat.signals_to_target_weights(sigs)
+    pos = strat.target_weights_to_positions(wts)
+    ret = strat.positions_to_gross_returns(pos)
+    return ret.select("sid", "date", "weight",
+                      F.col("gross_return"))
 
 
 @register("backtest_dma_costs", _BACKTEST_COSTS_SQL)
