@@ -1631,6 +1631,163 @@ FROM costed
 """
 
 
+_BACKTEST_PERSHARE_SQL = f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN (CASE WHEN count(close) OVER w5 >= 5
+                      THEN avg(close) OVER w5 END)
+                   > (CASE WHEN count(close) OVER w10 >= 10
+                      THEN avg(close) OVER w10 END)
+                THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+    WINDOW w5 AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w10 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
+),
+gross AS (
+    SELECT *,
+           (close - lag(close) OVER w) / lag(close) OVER w
+               * lag(position) OVER w AS gross_return,
+           abs(coalesce(position, 0) - lag(coalesce(position, 0)) OVER w) AS turnover
+    FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+costed AS (
+    -- per-share commission as % of trade value: broker 0.005/sh +
+    -- exchange 0.001/sh over |price|, + 0.01 bps value fee, + 10% of the
+    -- broker commission as a commission-based fee (stk.py blend)
+    SELECT *,
+           ((0.005 / abs(close)) * turnover
+               + (0.001 / abs(close)) * turnover
+               + 0.0001 * turnover)
+               + 0.1 * ((0.005 / abs(close)) * turnover) AS commission
+    FROM gross
+)
+SELECT sid, date,
+       coalesce(gross_return, 0) - commission AS net_return,
+       commission
+FROM costed
+"""
+
+
+@register("backtest_per_share_commission", _BACKTEST_PERSHARE_SQL)
+def backtest_per_share_commission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest paying per-share commissions (D9, reference stk.py:18-188):
+    per-share costs convert to a percentage of trade value through the
+    contract value, plus value-based and commission-based fees — the
+    PerShareCommission model exercised through the driver oracle."""
+    from moonshot_spark.commission.stk import PerShareCommission
+    from moonshot_spark.strategies.demo import DualMovingAverage
+
+    class _PerShare(PerShareCommission):
+        BROKER_COMMISSION_PER_SHARE = 0.005
+        EXCHANGE_FEE_PER_SHARE = 0.001
+        PERCENTAGE_FEE_RATE = 0.0001
+        COMMISSION_PERCENTAGE_FEE_RATE = 0.1
+
+    class DMAPerShare(DualMovingAverage):
+        CODE = "dma-pershare"
+        COMMISSION_CLASS = _PerShare
+
+    panel = events_to_panel(spark, sf_dir)
+    results = DMAPerShare().backtest(panel)
+    pivoted = (results.groupBy("sid", "date")
+               .pivot("field", ["Return", "Commission"])
+               .agg(F.first("value")))
+    return pivoted.select(
+        "sid", "date",
+        F.col("Return").alias("net_return"),
+        F.col("Commission").alias("commission"))
+
+
+_BACKTEST_POSLIMIT_SQL = f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN close < 100 THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+cvf AS (
+    SELECT *, last_value(close IGNORE NULLS) OVER (
+        PARTITION BY sid ORDER BY date
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+    FROM wts
+),
+qtys AS (
+    SELECT *, CAST(coalesce(round_even(weight * 100000.0
+               / abs(nullif(cv, 0)), 0), 0) AS BIGINT) AS qty
+    FROM cvf
+),
+capped AS (
+    SELECT *, CASE WHEN qty > 100 THEN 100 ELSE qty END AS cqty FROM qtys
+),
+cw AS (
+    SELECT *, cqty * cv / 100000.0 AS cweight FROM capped
+),
+pos AS (
+    SELECT *, lag(cweight) OVER (PARTITION BY sid ORDER BY date) AS position
+    FROM cw
+)
+SELECT sid, date, cweight AS weight,
+       (close - lag(close) OVER w) / lag(close) OVER w
+           * lag(position) OVER w AS gross_return
+FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+"""
+
+
+@register("backtest_position_limits", _BACKTEST_POSLIMIT_SQL)
+def backtest_position_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest with limit_position_sizes (D16, reference base.py:974-1048):
+    target weights convert to integer share quantities through NLV and the
+    forward-filled contract value, get capped at 100 shares long, and
+    convert back to (smaller) weights — the weight→quantity→weight
+    round-trip with half-even rounding exercised through the driver
+    oracle."""
+    from moonshot_spark.strategies.base import Moonshot
+
+    class Limited(Moonshot):
+        CODE = "limited-100"
+        NLV = {"USD": 100000.0}
+
+        def prices_to_signals(self, prices):
+            return prices.withColumn(
+                "signal", (F.col("close") < 100).cast("int"))
+
+        def limit_position_sizes(self, prices):
+            max_longs = prices.select(
+                "sid", "date", F.lit(100).alias("max_quantity"))
+            return max_longs, None
+
+    panel = events_to_panel(spark, sf_dir)
+    master = (panel.select("sid").distinct()
+              .select("sid", F.lit("USD").alias("currency")))
+    strat = Limited()
+    strat.is_backtest = True
+    prices = strat._join_master(panel, master, None)
+    sigs = strat.prices_to_signals(prices)
+    wts = strat.signals_to_target_weights(sigs)
+    constrained = strat._constrain_weights(wts, prices)
+    pos = strat.target_weights_to_positions(constrained)
+    ret = strat.positions_to_gross_returns(pos)
+    return ret.select("sid", "date", "weight", "gross_return")
+
+
 _BACKTEST_BORROW_SQL = f"""
 WITH panel0 AS ({PANEL_SQL}),
 panel AS (
