@@ -12,8 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType,
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
 )
 
 POSITION_STATE_SCHEMA = StructType([StructField("net_quantity", LongType())])
@@ -55,4 +56,72 @@ def track_positions(order_stream: DataFrame) -> DataFrame:
                 outputStructType=POSITION_OUTPUT_SCHEMA,
                 stateStructType=POSITION_STATE_SCHEMA,
                 outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+ANOMALY_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("s1", DoubleType()),
+    StructField("s2", DoubleType()),
+])
+
+ANOMALY_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("value", DoubleType()),
+    StructField("zscore", DoubleType()),
+    StructField("n_seen", LongType()),
+])
+
+
+def detect_anomalies(events: DataFrame, z_threshold: float = 3.0,
+                     min_history: int = 10) -> DataFrame:
+    """Streaming per-key anomaly detector: flags events whose value is
+    more than ``z_threshold`` running standard deviations from the key's
+    running mean, using Welford-style (n, Σx, Σx²) state — O(1) state per
+    key regardless of stream length, the canonical
+    ``applyInPandasWithState`` pattern for "score each event against
+    history".
+
+    Scoring uses the state as of BEFORE each batch (events inside one
+    batch share a baseline — deterministic for batch-equivalence tests);
+    keys with fewer than ``min_history`` prior events emit nothing.
+    Output: the anomalous events only, with their z-score.
+    """
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        n, s1, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            vals = pdf["value"].to_numpy(dtype="float64")
+            if n >= min_history:
+                mean = s1 / n
+                var = max((s2 - s1 * s1 / n) / (n - 1), 0.0)
+                std = float(np.sqrt(var))
+                if std > 0:
+                    z = (vals - mean) / std
+                    mask = np.abs(z) > z_threshold
+                    if mask.any():
+                        hit = pdf.loc[mask, ["user_id", "ts", "value"]].copy()
+                        hit["zscore"] = z[mask]
+                        hit["n_seen"] = n
+                        out.append(hit)
+            n += len(vals)
+            s1 += float(vals.sum())
+            s2 += float((vals * vals).sum())
+        state.update((n, s1, s2))
+        if out:
+            yield pd.concat(out)
+
+    return (events
+            .select("user_id", "ts", F.col("value").cast("double"))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=ANOMALY_OUTPUT_SCHEMA,
+                stateStructType=ANOMALY_STATE_SCHEMA,
+                outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

@@ -276,3 +276,45 @@ def test_stream_stream_join_matches_batch(spark, stream_dir):
                      & (F.col("pts") <= F.col("cts")
                         + F.expr("INTERVAL 3600 SECONDS"))).collect()}
     assert got == expect and len(got) > 0
+
+
+def test_stream_anomaly_detector_matches_batch_replay(spark, stream_dir):
+    """applyInPandasWithState anomaly detector: the streaming output must
+    equal a pure-pandas replay of the same two micro-batches."""
+    import pandas as pd
+    import pytest as _pt
+
+    from moonshot_spark.streaming.pipeline import read_event_stream
+    from moonshot_spark.streaming.stateful import detect_anomalies
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    res = detect_anomalies(stream, z_threshold=1.5, min_history=10)
+    q = (res.writeStream.format("memory").queryName("anom")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], pd.Timestamp(r["ts"])): r["zscore"]
+           for r in spark.table("anom").collect()}
+
+    ev = (load_table(spark, SF_DIR, "events")
+          .select("event_id", "user_id", "ts", "value").toPandas())
+    batches = [ev[ev.event_id % 2 == 0], ev[ev.event_id % 2 == 1]]
+    state, expect = {}, {}
+    for b in batches:
+        for uid, grp in b.sort_values("ts").groupby("user_id"):
+            n, s1, s2 = state.get(uid, (0, 0.0, 0.0))
+            vals = grp["value"].to_numpy(dtype="float64")
+            if n >= 10:
+                mean = s1 / n
+                var = max((s2 - s1 * s1 / n) / (n - 1), 0.0)
+                std = var ** 0.5
+                if std > 0:
+                    z = (vals - mean) / std
+                    for t, zz in zip(grp["ts"], z):
+                        if abs(zz) > 1.5:
+                            expect[(uid, pd.Timestamp(t))] = zz
+            state[uid] = (n + len(vals), s1 + float(vals.sum()),
+                          s2 + float((vals * vals).sum()))
+    assert len(expect) > 0
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert got[k] == _pt.approx(expect[k])
