@@ -1459,6 +1459,157 @@ def trade_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "total_quantity", "order_type", "tif")
 
 
+@register("trade_orders_children", f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN close < 100 THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+sd AS (SELECT max(date) AS signal_date FROM panel),
+cvf AS (
+    SELECT sid, date,
+           last_value(close IGNORE NULLS) OVER (
+               PARTITION BY sid ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS contract_value
+    FROM panel
+),
+today AS (
+    SELECT w.sid, w.weight, c.contract_value
+    FROM wts w JOIN sd ON w.date = sd.signal_date
+    JOIN cvf c ON c.sid = w.sid AND c.date = w.date
+),
+qty AS (
+    SELECT t.sid, 'U100' AS account,
+           CAST(round_even(t.weight * 1.0 * 1000000.0
+                / abs(nullif(t.contract_value, 0)), 0) AS BIGINT) AS q
+    FROM today t
+),
+parents AS (
+    SELECT sid, account,
+           CASE WHEN q > 0 THEN 'BUY' ELSE 'SELL' END AS action,
+           abs(q) AS total_quantity
+    FROM qty WHERE q <> 0 AND q IS NOT NULL
+)
+SELECT sid, account, action, total_quantity,
+       CAST(NULL AS VARCHAR) AS parent_id, 'parent' AS role
+FROM parents
+UNION ALL
+SELECT sid, account,
+       CASE WHEN action = 'BUY' THEN 'SELL' ELSE 'BUY' END AS action,
+       total_quantity, sid AS parent_id, 'child' AS role
+FROM parents
+""")
+def trade_orders_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bracket (parent/child) orders (D21, reference base.py:607-655):
+    every live order gets an attached exit order with the action
+    reversed, linked by parent_id — the full parent+child order book
+    exercised through the driver oracle (ids are the deterministic sid,
+    not monotonically_increasing_id, so the oracle can reproduce them)."""
+    from moonshot_spark.strategies.base import Moonshot
+
+    class BuyBelow100(Moonshot):
+        CODE = "buy-below-100"
+
+        def prices_to_signals(self, prices):
+            return prices.withColumn(
+                "signal", (F.col("close") < 100).cast("int"))
+
+    panel = events_to_panel(spark, sf_dir)
+    balances = spark.createDataFrame(
+        [("U100", "USD", 1000000.0)],
+        "account string, currency string, net_liquidation double")
+    strat = BuyBelow100()
+    orders = strat.trade(panel, {"U100": 1.0}, balances)
+    parents = orders.withColumn("order_id", F.col("sid"))
+    children = strat.orders_to_child_orders(parents)
+    out_cols = ["sid", "account", "action", "total_quantity"]
+    return (parents.select(*out_cols,
+                           F.lit(None).cast("string").alias("parent_id"),
+                           F.lit("parent").alias("role"))
+            .unionByName(children.select(
+                *out_cols, F.col("parent_id"),
+                F.lit("child").alias("role"))))
+
+
+@register("trade_orders_no_rebalance", f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN close < 100 THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+sd AS (SELECT max(date) AS signal_date FROM panel),
+cvf AS (
+    SELECT sid, date,
+           last_value(close IGNORE NULLS) OVER (
+               PARTITION BY sid ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS contract_value
+    FROM panel
+),
+today AS (
+    SELECT w.sid, w.weight, c.contract_value
+    FROM wts w JOIN sd ON w.date = sd.signal_date
+    JOIN cvf c ON c.sid = w.sid AND c.date = w.date
+),
+qty AS (
+    SELECT t.sid, 'U100' AS account,
+           CAST(round_even(t.weight * 1.0 * 1000000.0
+                / abs(nullif(t.contract_value, 0)), 0) AS BIGINT) AS tq
+    FROM today t
+),
+netted AS (
+    -- every sid already holds 10 shares; same-side rebalances suppressed
+    -- (ALLOW_REBALANCE=False), so only closes/reversals order
+    SELECT sid, account,
+           CASE WHEN (tq > 0 AND 10 > 0) THEN 0
+                ELSE tq - 10 END AS net
+    FROM qty WHERE tq IS NOT NULL
+)
+SELECT sid, account,
+       CASE WHEN net > 0 THEN 'BUY' ELSE 'SELL' END AS action,
+       abs(net) AS total_quantity
+FROM netted WHERE net <> 0
+""")
+def trade_orders_no_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance gating (D26, reference base.py:1760-1798): with existing
+    positions and ALLOW_REBALANCE=False, same-side size adjustments are
+    suppressed — only position closes and reversals generate orders.
+    Positions input: every sid long 10 shares."""
+    from moonshot_spark.strategies.base import Moonshot
+
+    class BuyBelow100NoReb(Moonshot):
+        CODE = "buy-below-100-noreb"
+        ALLOW_REBALANCE = False
+
+        def prices_to_signals(self, prices):
+            return prices.withColumn(
+                "signal", (F.col("close") < 100).cast("int"))
+
+    panel = events_to_panel(spark, sf_dir)
+    balances = spark.createDataFrame(
+        [("U100", "USD", 1000000.0)],
+        "account string, currency string, net_liquidation double")
+    positions = (panel.select("sid").distinct()
+                 .select("sid", F.lit("U100").alias("account"),
+                         F.lit(10).alias("quantity")))
+    orders = BuyBelow100NoReb().trade(panel, {"U100": 1.0}, balances,
+                                      positions=positions)
+    return orders.select("sid", "account", "action", "total_quantity")
+
+
 @register("trade_orders_fx", f"""
 WITH panel AS ({PANEL_SQL}),
 sig AS (
