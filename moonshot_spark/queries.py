@@ -1939,6 +1939,112 @@ def backtest_position_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ret.select("sid", "date", "weight", "gross_return")
 
 
+_BACKTEST_DISPATCH_SQL = f"""
+WITH panel0 AS ({PANEL_SQL}),
+panel AS (
+    SELECT *,
+           CASE WHEN CAST(sid AS BIGINT) % 2 = 0 THEN 'STK' ELSE 'FUT' END
+               AS sec_type,
+           CASE WHEN CAST(sid AS BIGINT) % 2 = 0 THEN 1.0 ELSE 50.0 END
+               AS mult
+    FROM panel0
+),
+sig AS (
+    SELECT sid, date, close, sec_type, mult,
+           CASE WHEN (CASE WHEN count(close) OVER w5 >= 5
+                      THEN avg(close) OVER w5 END)
+                   > (CASE WHEN count(close) OVER w10 >= 10
+                      THEN avg(close) OVER w10 END)
+                THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+    WINDOW w5 AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w10 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
+),
+gross AS (
+    SELECT *,
+           (close - lag(close) OVER w) / lag(close) OVER w
+               * lag(position) OVER w AS gross_return,
+           abs(coalesce(position, 0) - lag(coalesce(position, 0)) OVER w) AS turnover
+    FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+costed AS (
+    -- per-sec-group dispatch: STK pays percentage commission, FUT pays
+    -- per-contract fees over contract value (close x multiplier)
+    SELECT *,
+           CASE WHEN sec_type = 'STK'
+                THEN turnover * 0.001 + turnover * 0.0002
+                ELSE (2.375 / (close / 1.0 * mult)) * turnover END
+               AS commission
+    FROM gross
+)
+SELECT sid, date,
+       coalesce(gross_return, 0) - commission AS net_return,
+       commission
+FROM costed
+"""
+
+
+@register("backtest_commission_dispatch", _BACKTEST_DISPATCH_SQL)
+def backtest_commission_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-security-group commission dispatch (D14, reference
+    base.py:869-901): a mixed STK/FUT universe where each
+    (sec_type, exchange, currency) group pays its own commission model —
+    percentage-of-value for stocks, per-contract fees over the
+    multiplier-scaled contract value for futures — via the broadcast-
+    master CASE chain, exercised through the driver oracle."""
+    from moonshot_spark.commission.base import PercentageCommission
+    from moonshot_spark.commission.fut import FuturesCommission
+    from moonshot_spark.strategies.demo import DualMovingAverage
+
+    class _StkPct(PercentageCommission):
+        BROKER_COMMISSION_RATE = 0.001
+        EXCHANGE_FEE_RATE = 0.0002
+
+    class _FutFees(FuturesCommission):
+        BROKER_COMMISSION_PER_CONTRACT = 2.0
+        EXCHANGE_FEE_PER_CONTRACT = 0.25
+        CARRYING_FEE_PER_CONTRACT = 0.125
+
+    class DMADispatch(DualMovingAverage):
+        CODE = "dma-dispatch"
+        COMMISSION_CLASS = {
+            ("STK", "NYSE", "USD"): _StkPct,
+            ("FUT", "GLOBEX", "USD"): _FutFees,
+        }
+
+    panel = events_to_panel(spark, sf_dir)
+    master = (panel.select("sid").distinct()
+              .select(
+                  "sid",
+                  F.when(F.col("sid").cast("bigint") % 2 == 0, "STK")
+                  .otherwise("FUT").alias("sec_type"),
+                  F.when(F.col("sid").cast("bigint") % 2 == 0, "NYSE")
+                  .otherwise("GLOBEX").alias("exchange"),
+                  F.lit("USD").alias("currency"),
+                  F.lit(1.0).alias("price_magnifier"),
+                  F.when(F.col("sid").cast("bigint") % 2 == 0, 1.0)
+                  .otherwise(50.0).alias("multiplier")))
+    results = DMADispatch().backtest(panel, master=master)
+    pivoted = (results.groupBy("sid", "date")
+               .pivot("field", ["Return", "Commission"])
+               .agg(F.first("value")))
+    return pivoted.select(
+        "sid", "date",
+        F.col("Return").alias("net_return"),
+        F.col("Commission").alias("commission"))
+
+
 _BACKTEST_BORROW_SQL = f"""
 WITH panel0 AS ({PANEL_SQL}),
 panel AS (
