@@ -156,3 +156,52 @@ def test_param_sweep_single_backtest():
     plan = plan_of("backtest_param_sweep")
     assert plan.count("Scan parquet") == 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_no_join():
+    """Bigram pairs come from zipping the token array with its own shift —
+    a self-join here would be a plan regression."""
+    plan = plan_of("bigram_next_token")
+    assert "Join" not in plan, plan
+
+
+def test_feature_hashing_single_shuffle():
+    plan = plan_of("feature_hashing_16")
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_sliding_window_single_shuffle():
+    """The overlapping-window assignment is a map-side Expand; only the
+    final aggregate shuffles."""
+    plan = plan_of("sliding_window_counts")
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_centroid_outliers_broadcasts_centroids():
+    """The per-group centroid table is group-cardinality: it must join
+    back by broadcast, never shuffle the embedding corpus for it."""
+    plan = plan_of("embedding_centroid_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ppjoin_no_cartesian():
+    plan = plan_of("ppjoin_jaccard_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_surprisal_token_join_not_forced_broadcast():
+    """The unigram frequency table is vocabulary-cardinality (unbounded at
+    corpus scale): the token join must carry NO broadcast hint — with the
+    threshold disabled it must plan as a shuffle join."""
+    from moonshot_spark.session import get_spark
+    spark = get_spark("plan_tests")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = QUERIES["token_surprisal_stats"](spark, SF)._jdf \
+            .queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan, plan
