@@ -122,6 +122,9 @@ def get_prices(spark: SparkSession, path: str,
     # parse time, but no row skipping: convert to parquet for 100 TB).
     if fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        # ORC keeps the columnar scale path (stripe skipping + pruning)
+        df = spark.read.orc(path)
     elif fmt == "csv":
         reader = spark.read.option("header", "true")
         df = (reader.schema(schema).csv(path) if schema
@@ -132,7 +135,7 @@ def get_prices(spark: SparkSession, path: str,
               else reader.json(path))
     else:
         raise MoonshotParameterError(
-            f"unsupported format {fmt!r} (parquet, csv, json)")
+            f"unsupported format {fmt!r} (parquet, orc, csv, json)")
     # sids and universes are ADDITIVE (union) like the reference's history
     # query — a pinned SID outside the universe still loads (the reference
     # even appends the benchmark sid alongside UNIVERSES, which only works

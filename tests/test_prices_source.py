@@ -164,7 +164,7 @@ def test_csv_and_json_formats(spark, tmp_path):
     assert len(got) == 1 and got[0]["sid"] == "2"
 
     with pytest.raises(MoonshotParameterError, match="unsupported format"):
-        get_prices(spark, csv_path, fmt="orc", no_cache=True)
+        get_prices(spark, csv_path, fmt="avro", no_cache=True)
 
     # cached csv read lands in the parquet checkpoint on the second call
     cache_dir = str(tmp_path / "cache")
@@ -304,3 +304,22 @@ def test_csv_quarantine_split(spark, tmp_path):
     assert {r["sid"]: r["close"] for r in clean.collect()} == \
         {"A": 10.5, "C": 7.25}
     assert [r["raw_record"] for r in quarantine.collect()] == ["B,garbage"]
+
+
+def test_get_prices_orc_roundtrip(spark, tmp_path):
+    """ORC source parity: the multi-format sink's ORC output reads back
+    through get_prices with identical rows (columnar scale path kept)."""
+    from moonshot_spark.sources.parquet import load_table
+    from moonshot_spark.sources.prices import get_prices
+
+    panel = (load_table(spark, "/root/testdata/sf0.001", "events")
+             .groupBy(F.col("user_id").cast("string").alias("sid"),
+                      F.to_date("ts").alias("date"))
+             .agg(F.avg("value").alias("close")))
+    path = str(tmp_path / "panel_orc")
+    panel.write.orc(path)
+    back = get_prices(spark, path, fmt="orc", no_cache=True)
+    assert back.count() == panel.count()
+    a = {(r["sid"], r["date"]): r["close"] for r in panel.collect()}
+    b = {(r["sid"], r["date"]): r["close"] for r in back.collect()}
+    assert a == b
