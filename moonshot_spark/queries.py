@@ -2557,6 +2557,33 @@ def signal_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int").alias("is_clipped"))
 
 
+@register("incremental_merge_panel", """
+SELECT CAST(user_id AS VARCHAR) AS sid, CAST(ts AS DATE) AS date,
+       arg_min(value, epoch_ns(ts)) AS open,
+       arg_max(value, epoch_ns(ts)) AS close,
+       max(value) AS high, min(value) AS low,
+       CAST(count(*) AS DOUBLE) AS volume
+FROM events GROUP BY 1, 2
+""")
+def incremental_merge_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental panel maintenance (sources/incremental.py): the tick
+    stream is split into two arbitrary interleaved batches, each rolled
+    up to a mergeable partial (open/close carried with first/last tick
+    times), then combined with the column-wise merge — and the result
+    must equal a full recomputation, which is exactly what the oracle
+    computes directly.  This is the daily-ingestion path that turns 100 TB
+    re-aggregation into a one-batch shuffle plus a touched-key merge."""
+    from moonshot_spark.sources.incremental import (aggregate_ticks,
+                                                    merge_panels)
+
+    ev = load_table(spark, sf_dir, "events")
+    part1 = aggregate_ticks(ev.where(F.col("event_id") % 2 == 0))
+    part2 = aggregate_ticks(ev.where(F.col("event_id") % 2 == 1))
+    return (merge_panels(part1, part2)
+            .select("sid", "date", "open", "close", "high", "low",
+                    "volume"))
+
+
 @register("sliding_window_counts", """
 WITH w AS (
     SELECT event_type, value,
