@@ -88,3 +88,79 @@ def test_hypothesis_rolling_mean_matches_pandas(spark):
 def test_salted_agg_rejects_bad_combiner(skewed):
     with pytest.raises(ValueError, match="unsupported combiner"):
         salted_agg(skewed, ["key"], {"a": (F.avg("value"), "avg")})
+
+
+def test_hypothesis_asof_join_matches_merge_asof(spark):
+    """Property: asof_join == pandas merge_asof for random frames across
+    direction x tolerance x exact-match settings."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from moonshot_spark.operators.asof import asof_join
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        lts=st.lists(st.integers(0, 200), min_size=1, max_size=12,
+                     unique=True),
+        rts=st.lists(st.integers(0, 200), min_size=1, max_size=8,
+                     unique=True),
+        direction=st.sampled_from(["backward", "forward"]),
+        tol=st.sampled_from([None, 10, 50]),
+        exact=st.booleans(),
+    )
+    def check(lts, rts, direction, tol, exact):
+        left = spark.createDataFrame([("k", t, float(t)) for t in lts],
+                                     "k string, t long, lv double")
+        right = spark.createDataFrame([("k", t, float(t) * 10) for t in rts],
+                                      "k string, t long, rv double")
+        got = {r["t"]: r["rv"]
+               for r in asof_join(left, right, on="t", by="k",
+                                  value_cols=["rv"], direction=direction,
+                                  tolerance=tol,
+                                  allow_exact_matches=exact).collect()}
+        lpdf = pd.DataFrame({"k": "k", "t": sorted(lts)})
+        lpdf["lv"] = lpdf["t"].astype(float)
+        rpdf = pd.DataFrame({"k": "k", "t": sorted(rts)})
+        rpdf["rv"] = rpdf["t"].astype(float) * 10
+        expect = pd.merge_asof(lpdf, rpdf, on="t", by="k",
+                               direction=direction, tolerance=tol,
+                               allow_exact_matches=exact)
+        for _, row in expect.iterrows():
+            g = got[row["t"]]
+            if pd.isna(row["rv"]):
+                assert g is None, (direction, tol, exact, row["t"])
+            else:
+                assert g == row["rv"], (direction, tol, exact, row["t"])
+
+    check()
+
+
+def test_hypothesis_pack_bins_partition_property(spark):
+    """Property: sequence packing partitions every doc's tokens exactly
+    once per lang — bin token sums equal the corpus token count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from moonshot_spark.datapipe.packing import pack_stats
+
+    @settings(max_examples=6, deadline=None)
+    @given(docs=st.lists(
+        st.tuples(st.sampled_from(["en", "de"]),
+                  st.integers(1, 60)),
+        min_size=1, max_size=25))
+    def check(docs):
+        rows = [(i, lang, " ".join(f"t{j}" for j in range(n)))
+                for i, (lang, n) in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        stats = pack_stats(df, budget=16)
+        got = {r["lang"]: r["total"] for r in
+               stats.groupBy("lang").agg(
+                   F.sum("n_tokens").alias("total")).collect()}
+        expect = {}
+        for lang, n in docs:
+            expect[lang] = expect.get(lang, 0) + n
+        assert got == expect
+
+    check()
