@@ -4537,6 +4537,102 @@ def backtest_xs_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correlation to benchmark (pairs/beta building block, exact folds)     #
 # --------------------------------------------------------------------- #
 
+@register("vwap_rolling", f"""
+WITH panel AS ({PANEL_SQL})
+SELECT sid, date, close, volume,
+       CAST(sum(CAST(close AS DECIMAL(18,2)) * CAST(volume AS DECIMAL(18,2)))
+            OVER w AS DOUBLE)
+       / CAST(sum(CAST(volume AS DECIMAL(18,2))) OVER w AS DOUBLE) AS vwap_5d
+FROM panel
+WINDOW w AS (PARTITION BY sid ORDER BY date
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""")
+def vwap_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-day rolling VWAP per sid: DECIMAL-exact price x volume and volume
+    sums (order-independent), one double division at the end — the
+    execution-quality benchmark price, same framed-window shape as the
+    moving averages."""
+    panel = events_to_panel(spark, sf_dir)
+    w = (Window.partitionBy("sid").orderBy("date")
+         .rowsBetween(-4, 0))
+    pv = F.sum(F.col("close").cast("decimal(18,2)")
+               * F.col("volume").cast("decimal(18,2)")).over(w).cast("double")
+    v = F.sum(F.col("volume").cast("decimal(18,2)")).over(w).cast("double")
+    return panel.select("sid", "date", "close", "volume",
+                        (pv / v).alias("vwap_5d"))
+
+
+@register("return_moments", f"""
+WITH panel AS ({PANEL_SQL}),
+rets AS (
+    SELECT sid, date,
+           (close - lag(close) OVER w) / lag(close) OVER w AS r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+series AS (
+    SELECT sid, count(*) AS n,
+           list_reduce(list(r ORDER BY date), (a, b) -> a + b) AS s1,
+           list_reduce(list(r * r ORDER BY date), (a, b) -> a + b) AS s2,
+           list_reduce(list(r * r * r ORDER BY date), (a, b) -> a + b) AS s3,
+           list_reduce(list(r * r * r * r ORDER BY date), (a, b) -> a + b) AS s4
+    FROM rets WHERE r IS NOT NULL GROUP BY sid HAVING count(*) >= 4
+)
+SELECT sid, CAST(n AS BIGINT) AS n,
+       s1 / n AS mean_r,
+       (s2 - s1 * s1 / n) / (n - 1) AS var_r,
+       (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+       / (sqrt((s2 - s1 * s1 / n) / n) * sqrt((s2 - s1 * s1 / n) / n)
+          * sqrt((s2 - s1 * s1 / n) / n)) AS skew_r,
+       (s4 / n - 4 * (s1 / n) * (s3 / n)
+        + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+       / (((s2 - s1 * s1 / n) / n) * ((s2 - s1 * s1 / n) / n)) - 3
+           AS excess_kurt_r
+FROM series
+""")
+def return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sid higher moments of daily returns (mean, variance, skewness,
+    excess kurtosis) from date-ordered power-sum folds — the fat-tail
+    diagnostics of a return stream, exact across engines because every
+    accumulation is an explicit ordered fold, never an engine-internal
+    aggregate whose summation order differs."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    rets = (panel.select("sid", "date",
+                         pct_change("close", 1, w).alias("r"))
+            .where(F.col("r").isNotNull()))
+
+    def fold(expr):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("date"),
+                                                 expr.alias("v")))),
+            lambda s: s["v"])
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    r = F.col("r")
+    series = (rets.groupBy("sid")
+              .agg(F.count("*").alias("n"),
+                   fold(r).alias("s1"), fold(r * r).alias("s2"),
+                   fold(r * r * r).alias("s3"),
+                   fold(r * r * r * r).alias("s4"))
+              .where(F.col("n") >= 4))
+    n = F.col("n")
+    s1, s2, s3, s4 = (F.col(c) for c in ("s1", "s2", "s3", "s4"))
+    m = s1 / n
+    var_s = (s2 - s1 * s1 / n) / (n - 1)
+    var_p = (s2 - s1 * s1 / n) / n
+    sd = F.sqrt(var_p)
+    # explicit multiplication, not pow(): libm pow differs by 1 ulp
+    # between engines
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) \
+        / (sd * sd * sd)
+    kurt = (s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n)
+            - 3 * m * m * m * m) / (var_p * var_p) - 3
+    return series.select("sid", "n", m.alias("mean_r"),
+                         var_s.alias("var_r"), skew.alias("skew_r"),
+                         kurt.alias("excess_kurt_r"))
+
+
 @register("correlation_to_benchmark", f"""
 WITH panel AS ({PANEL_SQL}),
 rets AS (
