@@ -4936,3 +4936,359 @@ def backtest_commission_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select("sid", "date",
                           F.col("Turnover").alias("turnover"),
                           F.col("Commission").alias("commission"))
+
+
+# --------------------------------------------------------------------- #
+# P7-adjacent — linear interpolation gap-fill on the reindexed spine    #
+# --------------------------------------------------------------------- #
+
+@register("interpolate_linear", f"""
+WITH panel AS ({PANEL_SQL}),
+dates AS (SELECT DISTINCT date FROM panel),
+sids AS (SELECT DISTINCT sid FROM panel),
+spine AS (SELECT sid, date FROM sids CROSS JOIN dates),
+j AS (
+    SELECT s.sid, s.date, p.close,
+           row_number() OVER (PARTITION BY s.sid ORDER BY s.date) AS rn
+    FROM spine s LEFT JOIN panel p ON s.sid = p.sid AND s.date = p.date
+),
+anch AS (
+    SELECT sid, date, close, rn,
+           last_value(close IGNORE NULLS) OVER wb AS prev_val,
+           first_value(close IGNORE NULLS) OVER wf AS next_val,
+           last_value(CASE WHEN close IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER wb AS prev_rn,
+           first_value(CASE WHEN close IS NOT NULL THEN rn END IGNORE NULLS)
+               OVER wf AS next_rn
+    FROM j
+    WINDOW wb AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT sid, date, close,
+       CASE WHEN prev_rn IS NOT NULL AND next_rn IS NOT NULL
+                 AND next_rn > prev_rn
+            THEN prev_val + (next_val - prev_val)
+                 * (CAST(rn - prev_rn AS DOUBLE)
+                    / CAST(next_rn - prev_rn AS DOUBLE))
+            ELSE coalesce(prev_val, next_val) END AS close_interp
+FROM anch
+""")
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill between surviving observations on the full sid×date
+    spine (pandas ``DataFrame.interpolate(method='linear')``; the reference
+    only ships ffill, base.py:935 — interpolation is the natural extension
+    a research pipeline reaches for next).  Anchors are found with
+    IGNORE-NULLS last/first over per-sid ordered frames — two window passes
+    over one shuffle by (sid), no self-join, no Python.  The interpolation
+    arithmetic (``prev + (next-prev) * frac``) is written identically in
+    both engines so every output double is bit-deterministic."""
+    panel = events_to_panel(spark, sf_dir)
+    dates = panel.select("date").distinct()
+    sids = panel.select("sid").distinct()
+    spine = sids.crossJoin(dates)
+    joined = spine.join(panel.select("sid", "date", "close"),
+                        ["sid", "date"], "left")
+    w = Window.partitionBy("sid").orderBy("date")
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    rn = F.row_number().over(w)
+    df = joined.withColumn("rn", rn)
+    prev_val = F.last("close", ignorenulls=True).over(wb)
+    next_val = F.first("close", ignorenulls=True).over(wf)
+    obs_rn = F.when(F.col("close").isNotNull(), F.col("rn"))
+    prev_rn = F.last(obs_rn, ignorenulls=True).over(wb)
+    next_rn = F.first(obs_rn, ignorenulls=True).over(wf)
+    frac = ((F.col("rn") - prev_rn).cast("double")
+            / (next_rn - prev_rn).cast("double"))
+    interp = F.when(
+        prev_rn.isNotNull() & next_rn.isNotNull() & (next_rn > prev_rn),
+        prev_val + (next_val - prev_val) * frac
+    ).otherwise(F.coalesce(prev_val, next_val))
+    return df.select("sid", "date", "close", interp.alias("close_interp"))
+
+
+# --------------------------------------------------------------------- #
+# data-completeness audit: per-sid missing-date report with run lengths #
+# --------------------------------------------------------------------- #
+
+@register("missing_dates_report", f"""
+WITH panel AS ({PANEL_SQL}),
+dates AS (SELECT DISTINCT date FROM panel),
+sids AS (SELECT DISTINCT sid FROM panel),
+spine AS (SELECT sid, date FROM sids CROSS JOIN dates),
+j AS (
+    SELECT s.sid, s.date, p.close,
+           row_number() OVER (PARTITION BY s.sid ORDER BY s.date) AS rn
+    FROM spine s LEFT JOIN panel p ON s.sid = p.sid AND s.date = p.date
+),
+miss AS (
+    SELECT sid, date, rn,
+           rn - row_number() OVER (PARTITION BY sid ORDER BY date) AS grp
+    FROM j WHERE close IS NULL
+),
+runs AS (
+    SELECT sid, grp, CAST(count(*) AS BIGINT) AS run_len FROM miss
+    GROUP BY sid, grp
+)
+SELECT m.sid,
+       CAST(count(*) AS BIGINT) AS n_missing,
+       min(m.date) AS first_missing,
+       max(m.date) AS last_missing,
+       max(r.max_run) AS max_run
+FROM miss m
+JOIN (SELECT sid, max(run_len) AS max_run FROM runs GROUP BY sid) r
+  ON m.sid = r.sid
+GROUP BY m.sid
+""")
+def missing_dates_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness audit: per sid, how many spine dates have no
+    observation, the first/last missing date, and the longest consecutive
+    missing run (gaps-and-islands via the rn - row_number() group key).
+    One shuffle by (sid); the island grouping is a second window over the
+    same partitioning so no extra exchange.  This is the QA report a
+    pipeline runs before trusting ffill/interpolation output."""
+    panel = events_to_panel(spark, sf_dir)
+    dates = panel.select("date").distinct()
+    sids = panel.select("sid").distinct()
+    spine = sids.crossJoin(dates)
+    joined = spine.join(panel.select("sid", "date", "close"),
+                        ["sid", "date"], "left")
+    w = Window.partitionBy("sid").orderBy("date")
+    df = joined.withColumn("rn", F.row_number().over(w))
+    miss = (df.where(F.col("close").isNull())
+            .withColumn("grp", F.col("rn") - F.row_number().over(w)))
+    runs = (miss.groupBy("sid", "grp")
+            .agg(F.count("*").alias("run_len"))
+            .groupBy("sid").agg(F.max("run_len").alias("max_run")))
+    report = miss.groupBy("sid").agg(
+        F.count("*").alias("n_missing"),
+        F.min("date").alias("first_missing"),
+        F.max("date").alias("last_missing"))
+    return report.join(runs, "sid").select(
+        "sid", "n_missing", "first_missing", "last_missing", "max_run")
+
+
+# --------------------------------------------------------------------- #
+# last-touch attribution: purchases credited to the preceding channel   #
+# --------------------------------------------------------------------- #
+
+@register("attribution_last_touch", """
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+                           THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+    FROM events
+)
+SELECT coalesce(channel, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS revenue
+FROM ordered
+WHERE event_type = 'purchase'
+GROUP BY 1
+""")
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase is credited
+    to the user's most recent preceding engagement channel (view / click /
+    signup), 'direct' when none precedes.  A single IGNORE-NULLS last()
+    over the per-user event stream — one shuffle by user_id, then a tiny
+    channel rollup (map-side partial agg).  Revenue is summed through
+    DECIMAL so the cross-engine doubles are exact.  Ordering ties on ts
+    are broken by event_id so the attribution is deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    channel = F.last(
+        F.when(F.col("event_type").isin("view", "click", "signup"),
+               F.col("event_type")),
+        ignorenulls=True).over(w)
+    return (events
+            .withColumn("channel", channel)
+            .where(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce(F.col("channel"),
+                                F.lit("direct")).alias("channel"))
+            .agg(F.count("*").alias("n_purchases"),
+                 F.sum(F.col("value").cast("decimal(18,3)"))
+                  .cast("double").alias("revenue")))
+
+
+# --------------------------------------------------------------------- #
+# market-basket co-occurrence similarity (recsys over lineitem baskets) #
+# --------------------------------------------------------------------- #
+
+@register("item_cooccurrence", """
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+sized AS (
+    SELECT basket FROM items GROUP BY basket HAVING count(*) <= 50
+),
+freq AS (
+    SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM items
+    GROUP BY item HAVING count(*) >= 2
+),
+fi AS (
+    SELECT i.basket, i.item FROM items i
+    JOIN sized USING (basket) JOIN freq USING (item)
+),
+pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(count(*) AS BIGINT) AS n_ab
+    FROM fi a JOIN fi b ON a.basket = b.basket AND a.item < b.item
+    GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_ab,
+       CAST(p.n_ab AS DOUBLE)
+           / sqrt(CAST(fa.cnt AS DOUBLE) * CAST(fb.cnt AS DOUBLE)) AS cosine
+FROM pairs p
+JOIN freq fa ON p.item_a = fa.item
+JOIN freq fb ON p.item_b = fb.item
+WHERE p.n_ab >= 2
+""")
+def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket item-item similarity: parts co-purchased within an
+    order, cosine = n_ab / sqrt(n_a * n_b), support >= 2.  The quadratic
+    edge is guarded twice before the self-join ever runs: baskets larger
+    than 50 items are dropped (per-basket pair count is bounded at
+    50·49/2) and items seen in fewer than 2 baskets are pruned (they
+    cannot form a support-2 pair).  The self-join shuffles both sides by
+    basket once; the item-frequency join is a small dim (broadcast /
+    AQE).  This is the co-occurrence kernel of item-based collaborative
+    filtering and of phrase-mining pipelines — at 100 TB the support
+    pre-filter is what keeps the pair space linear in the basket count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (li.select(F.col("l_orderkey").alias("basket"),
+                       F.col("l_partkey").alias("item"))
+             .distinct())
+    sized = (items.groupBy("basket").agg(F.count("*").alias("bs"))
+             .where(F.col("bs") <= 50).select("basket"))
+    freq = (items.groupBy("item").agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= 2))
+    fi = items.join(sized, "basket").join(freq.select("item"), "item")
+    a = fi.select(F.col("basket"), F.col("item").alias("item_a"))
+    b = fi.select(F.col("basket"), F.col("item").alias("item_b"))
+    pairs = (a.join(b, "basket")
+             .where(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count("*").alias("n_ab"))
+             .where(F.col("n_ab") >= 2))
+    cos = (F.col("n_ab").cast("double")
+           / F.sqrt(F.col("cnt_a").cast("double")
+                    * F.col("cnt_b").cast("double")))
+    return (pairs
+            .join(freq.select(F.col("item").alias("item_a"),
+                              F.col("cnt").alias("cnt_a")), "item_a")
+            .join(freq.select(F.col("item").alias("item_b"),
+                              F.col("cnt").alias("cnt_b")), "item_b")
+            .select("item_a", "item_b", "n_ab", cos.alias("cosine")))
+
+
+# --------------------------------------------------------------------- #
+# purged K-fold time-series CV splits with embargo (ML backtest hygiene)#
+# --------------------------------------------------------------------- #
+
+@register("purged_kfold_splits", f"""
+WITH panel AS ({PANEL_SQL}),
+dates AS (SELECT DISTINCT date FROM panel),
+folded AS (
+    SELECT date, CAST(ntile(5) OVER (ORDER BY date) AS INT) AS fold
+    FROM dates
+),
+bounds AS (
+    SELECT fold, min(date) AS test_start, max(date) AS test_end,
+           CAST(count(*) AS BIGINT) AS n_test
+    FROM folded GROUP BY fold
+)
+SELECT b.fold, b.test_start, b.test_end, b.n_test,
+       CAST(count(CASE WHEN f.date < b.test_start - INTERVAL 1 DAY
+                         OR f.date > b.test_end + INTERVAL 2 DAY
+                       THEN 1 END) AS BIGINT) AS n_train,
+       CAST(count(CASE WHEN f.date >= b.test_start - INTERVAL 1 DAY
+                        AND f.date < b.test_start
+                       THEN 1 END) AS BIGINT) AS n_purged,
+       CAST(count(CASE WHEN f.date > b.test_end
+                        AND f.date <= b.test_end + INTERVAL 2 DAY
+                       THEN 1 END) AS BIGINT) AS n_embargoed
+FROM bounds b CROSS JOIN folded f
+GROUP BY b.fold, b.test_start, b.test_end, b.n_test
+""")
+def purged_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged K-fold splits for time-series model selection (the leakage-
+    safe CV an ML backtest needs; cf. the reference's train/backtest
+    split in ml.py — this generalizes it to K folds): 5 contiguous date
+    folds via ntile, train dates must sit 1 day clear before the test
+    block (purge: labels spanning the boundary leak) and 2 days clear
+    after it (embargo: serial correlation leaks backwards).  The date
+    dimension is tiny after DISTINCT, so the fold×date cross join is a
+    broadcast nested loop over a dim — the heavy input is reduced to its
+    date spine in one map-side-combined aggregate first."""
+    panel = events_to_panel(spark, sf_dir)
+    dates = panel.select("date").distinct()
+    folded = dates.select(
+        "date", F.ntile(5).over(Window.orderBy("date")).alias("fold"))
+    bounds = folded.groupBy("fold").agg(
+        F.min("date").alias("test_start"),
+        F.max("date").alias("test_end"),
+        F.count("*").alias("n_test"))
+    f = folded.select(F.col("date").alias("d"))
+    purge_lo = F.date_sub(F.col("test_start"), 1)
+    emb_hi = F.date_add(F.col("test_end"), 2)
+    return (bounds.crossJoin(F.broadcast(f))
+            .groupBy("fold", "test_start", "test_end", "n_test")
+            .agg(F.count(F.when((F.col("d") < purge_lo)
+                                | (F.col("d") > emb_hi), 1))
+                 .alias("n_train"),
+                 F.count(F.when((F.col("d") >= purge_lo)
+                                & (F.col("d") < F.col("test_start")), 1))
+                 .alias("n_purged"),
+                 F.count(F.when((F.col("d") > F.col("test_end"))
+                                & (F.col("d") <= emb_hi), 1))
+                 .alias("n_embargoed")))
+
+
+# --------------------------------------------------------------------- #
+# per-language length terciles (CCNet-style head/middle/tail bucketing) #
+# --------------------------------------------------------------------- #
+
+@register("ccnet_length_buckets", """
+WITH toks AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+b AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(ntile(3) OVER (PARTITION BY lang
+                               ORDER BY n_tokens, doc_id) AS INT) AS bucket
+    FROM toks
+)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens
+FROM b GROUP BY lang, bucket
+""")
+def ccnet_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus bucketing: within each language, documents are
+    split into head/middle/tail terciles (ntile over a deterministic
+    (n_tokens, doc_id) order — CCNet buckets by LM perplexity; token
+    count is the model-free analog) and each bucket is summarized.  The
+    ntile window shuffles once by lang; ties are broken by doc_id so the
+    bucket assignment — and therefore every output row — is exactly
+    reproducible across engines.  All outputs are integers: no float
+    association-order risk."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint")
+         .alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    b = toks.withColumn("bucket", F.ntile(3).over(w))
+    return (b.groupBy("lang", "bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min("n_tokens").alias("min_tokens"),
+                 F.max("n_tokens").alias("max_tokens")))
