@@ -5292,3 +5292,189 @@ def ccnet_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").alias("total_tokens"),
                  F.min("n_tokens").alias("min_tokens"),
                  F.max("n_tokens").alias("max_tokens")))
+
+
+# --------------------------------------------------------------------- #
+# graph analytics over the co-purchase graph: PageRank + triangles      #
+# --------------------------------------------------------------------- #
+
+# shared oracle fragment: the support-2 co-purchase pair list (same
+# guards as item_cooccurrence) symmetrized into an edge list with
+# per-node degree
+COPURCHASE_GRAPH_SQL = """
+items AS (
+    SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+sized AS (
+    SELECT basket FROM items GROUP BY basket HAVING count(*) <= 50
+),
+freq AS (
+    SELECT item FROM items GROUP BY item HAVING count(*) >= 2
+),
+fi AS (
+    SELECT i.basket, i.item FROM items i
+    JOIN sized USING (basket) JOIN freq USING (item)
+),
+pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b
+    FROM fi a JOIN fi b ON a.basket = b.basket AND a.item < b.item
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (
+    SELECT item_a AS src, item_b AS dst FROM pairs
+    UNION ALL
+    SELECT item_b AS src, item_a AS dst FROM pairs
+),
+deg AS (
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+    FROM edges GROUP BY src
+)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str):
+    """Symmetric support-2 co-purchase edge list + per-node degree
+    (shared by pagerank_copurchase / triangle_count).  Same double guard
+    as item_cooccurrence: basket-size cap before the quadratic self-join,
+    min-support prune on items."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (li.select(F.col("l_orderkey").alias("basket"),
+                       F.col("l_partkey").alias("item"))
+             .distinct())
+    sized = (items.groupBy("basket").agg(F.count("*").alias("bs"))
+             .where(F.col("bs") <= 50).select("basket"))
+    freq = (items.groupBy("item").agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= 2).select("item"))
+    fi = items.join(sized, "basket").join(freq, "item")
+    a = fi.select("basket", F.col("item").alias("item_a"))
+    b = fi.select("basket", F.col("item").alias("item_b"))
+    pairs = (a.join(b, "basket")
+             .where(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count("*").alias("n_ab"))
+             .where(F.col("n_ab") >= 2)
+             .select("item_a", "item_b"))
+    edges = (pairs.select(F.col("item_a").alias("src"),
+                          F.col("item_b").alias("dst"))
+             .unionByName(pairs.select(F.col("item_b").alias("src"),
+                                       F.col("item_a").alias("dst"))))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg"))
+    return edges, deg
+
+
+def _pagerank_sql_iter(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration for the DuckDB oracle: neighbor
+    contributions folded in src order so float addition order matches
+    Spark's sorted-array fold exactly."""
+    return f"""
+{out}_raw AS (
+    SELECT e.dst AS node, nn.n,
+           0.15 / nn.n + 0.85 * list_reduce(
+               list(p.r / CAST(p.deg AS DOUBLE) ORDER BY e.src),
+               (a, b) -> a + b) AS r
+    FROM edges e JOIN {prev} p ON e.src = p.node CROSS JOIN nn
+    GROUP BY e.dst, nn.n
+),
+{out} AS (
+    SELECT i.node, d.deg, i.r FROM {out}_raw i
+    JOIN deg d ON i.node = d.node
+)
+"""
+
+
+@register("pagerank_copurchase", f"""
+WITH {COPURCHASE_GRAPH_SQL},
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT node, deg, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
+{_pagerank_sql_iter('r0', 'r1').strip().rstrip(',')},
+{_pagerank_sql_iter('r1', 'r2').strip()},
+{_pagerank_sql_iter('r2', 'r3').strip()}
+SELECT node, deg, r AS pagerank FROM r3
+""")
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 synchronous iterations) over the
+    symmetric co-purchase graph — the canonical iterative graph workload,
+    expressed as chained DataFrame joins (one shuffle by src per
+    iteration; degrees and ranks ride the same hash partitioning so AQE
+    reuses the exchange).  Every per-node neighbor sum folds contributions
+    in src order (sorted-array fold) so the float accumulation order is
+    pinned across engines — the same discipline as portfolio_returns.  At
+    100 TB scale the iteration count is fixed and each step is a
+    self-contained shuffle: no driver-side graph state, no collect; for
+    long chains localCheckpoint() between iterations truncates lineage
+    (see datapipe/graph.py for the CC analog)."""
+    edges, deg = _copurchase_edges(spark, sf_dir)
+    n_nodes = float(deg.count())
+    ranks = deg.withColumn("r", F.lit(1.0 / n_nodes))
+    folded = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("src", "c"))),
+                    lambda s: s["c"]),
+        F.lit(0.0), lambda a, b: a + b)
+    for _ in range(3):
+        contrib = (edges.join(ranks, edges.src == ranks.node)
+                   .select(F.col("dst"), F.col("src"),
+                           (F.col("r") / F.col("deg").cast("double"))
+                           .alias("c")))
+        new_r = (contrib.groupBy(F.col("dst").alias("node"))
+                 .agg((F.lit(0.15) / F.lit(n_nodes)
+                       + F.lit(0.85) * folded).alias("r")))
+        ranks = new_r.join(deg, "node").select("node", "deg", "r")
+    return ranks.select("node", "deg", F.col("r").alias("pagerank"))
+
+
+@register("triangle_count", f"""
+WITH {COPURCHASE_GRAPH_SQL},
+ori AS (
+    -- orient each undirected edge from the (deg, id)-smaller endpoint to
+    -- the larger: every wedge scan is bounded by the arboricity, the
+    -- standard near-linear triangle orientation
+    SELECT CASE WHEN (da.deg, p.item_a) < (db.deg, p.item_b)
+                THEN p.item_a ELSE p.item_b END AS u,
+           CASE WHEN (da.deg, p.item_a) < (db.deg, p.item_b)
+                THEN p.item_b ELSE p.item_a END AS v
+    FROM pairs p
+    JOIN deg da ON p.item_a = da.node
+    JOIN deg db ON p.item_b = db.node
+),
+tri AS (
+    SELECT o1.u AS a, o1.v AS b, o2.v AS c
+    FROM ori o1 JOIN ori o2 ON o1.v = o2.u
+    JOIN ori o3 ON o3.u = o1.u AND o3.v = o2.v
+)
+SELECT CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes
+""")
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over the co-purchase graph via degree
+    orientation: each undirected edge points from its (deg, id)-smaller
+    endpoint to the larger, wedges are closed with a third join — the
+    classic MapReduce formulation (Suri & Vassilvitskii's 'Counting
+    triangles and the curse of the last reducer'); orientation bounds
+    every node's out-degree by O(sqrt(edges)) on skewed graphs, so no
+    reducer sees a hub's full neighborhood squared.  Three shuffles on
+    node keys, all-integer output (hash-stable by construction)."""
+    edges, deg = _copurchase_edges(spark, sf_dir)
+    pairs = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("item_a"), F.col("dst").alias("item_b"))
+    da = deg.select(F.col("node").alias("item_a"),
+                    F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("item_b"),
+                    F.col("deg").alias("deg_b"))
+    keyed = pairs.join(da, "item_a").join(db, "item_b")
+    a_first = ((F.col("deg_a") < F.col("deg_b"))
+               | ((F.col("deg_a") == F.col("deg_b"))
+                  & (F.col("item_a") < F.col("item_b"))))
+    ori = keyed.select(
+        F.when(a_first, F.col("item_a")).otherwise(F.col("item_b"))
+         .alias("u"),
+        F.when(a_first, F.col("item_b")).otherwise(F.col("item_a"))
+         .alias("v"))
+    o1 = ori.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    o2 = ori.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    o3 = ori.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = o1.join(o2, "b").join(o3, ["a", "c"])
+    return (tri.agg(F.count("*").alias("n_triangles"))
+            .crossJoin(pairs.agg(F.count("*").alias("n_edges")))
+            .crossJoin(deg.agg(F.count("*").alias("n_nodes"))))
