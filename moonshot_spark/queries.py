@@ -5029,25 +5029,25 @@ miss AS (
     FROM j WHERE close IS NULL
 ),
 runs AS (
-    SELECT sid, grp, CAST(count(*) AS BIGINT) AS run_len FROM miss
-    GROUP BY sid, grp
+    SELECT sid, grp, CAST(count(*) AS BIGINT) AS run_len,
+           min(date) AS run_start, max(date) AS run_end
+    FROM miss GROUP BY sid, grp
 )
-SELECT m.sid,
-       CAST(count(*) AS BIGINT) AS n_missing,
-       min(m.date) AS first_missing,
-       max(m.date) AS last_missing,
-       max(r.max_run) AS max_run
-FROM miss m
-JOIN (SELECT sid, max(run_len) AS max_run FROM runs GROUP BY sid) r
-  ON m.sid = r.sid
-GROUP BY m.sid
+SELECT sid,
+       CAST(sum(run_len) AS BIGINT) AS n_missing,
+       min(run_start) AS first_missing,
+       max(run_end) AS last_missing,
+       max(run_len) AS max_run
+FROM runs GROUP BY sid
 """)
 def missing_dates_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-completeness audit: per sid, how many spine dates have no
     observation, the first/last missing date, and the longest consecutive
     missing run (gaps-and-islands via the rn - row_number() group key).
     One shuffle by (sid); the island grouping is a second window over the
-    same partitioning so no extra exchange.  This is the QA report a
+    same partitioning, and the report is two chained aggregations over
+    narrowing keys (sid, grp) → (sid) on ONE lineage — no self-join, so
+    the spine build is never recomputed.  This is the QA report a
     pipeline runs before trusting ffill/interpolation output."""
     panel = events_to_panel(spark, sf_dir)
     dates = panel.select("date").distinct()
@@ -5059,15 +5059,15 @@ def missing_dates_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = joined.withColumn("rn", F.row_number().over(w))
     miss = (df.where(F.col("close").isNull())
             .withColumn("grp", F.col("rn") - F.row_number().over(w)))
-    runs = (miss.groupBy("sid", "grp")
-            .agg(F.count("*").alias("run_len"))
-            .groupBy("sid").agg(F.max("run_len").alias("max_run")))
-    report = miss.groupBy("sid").agg(
-        F.count("*").alias("n_missing"),
-        F.min("date").alias("first_missing"),
-        F.max("date").alias("last_missing"))
-    return report.join(runs, "sid").select(
-        "sid", "n_missing", "first_missing", "last_missing", "max_run")
+    runs = miss.groupBy("sid", "grp").agg(
+        F.count("*").alias("run_len"),
+        F.min("date").alias("run_start"),
+        F.max("date").alias("run_end"))
+    return runs.groupBy("sid").agg(
+        F.sum("run_len").alias("n_missing"),
+        F.min("run_start").alias("first_missing"),
+        F.max("run_end").alias("last_missing"),
+        F.max("run_len").alias("max_run"))
 
 
 # --------------------------------------------------------------------- #
@@ -5158,32 +5158,40 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket once; the item-frequency join is a small dim (broadcast /
     AQE).  This is the co-occurrence kernel of item-based collaborative
     filtering and of phrase-mining pipelines — at 100 TB the support
-    pre-filter is what keeps the pair space linear in the basket count."""
+    pre-filter is what keeps the pair space linear in the basket count.
+
+    Plan shape: ONE scan of lineitem.  Both guards are window counts over
+    the deduped (basket, item) frame — not groupBy+join-back, which would
+    re-scan the fact table once per guard — and the per-item frequency
+    rides through the self-join as a carried column, so no trailing dim
+    joins either.  The item-count window runs first and the basket-count
+    window last, leaving the frame hash-partitioned by basket exactly as
+    the self-join wants it; the join's two inputs are identical subplans,
+    which Spark collapses into a single ReusedExchange."""
     li = load_table(spark, sf_dir, "lineitem")
     items = (li.select(F.col("l_orderkey").alias("basket"),
                        F.col("l_partkey").alias("item"))
              .distinct())
-    sized = (items.groupBy("basket").agg(F.count("*").alias("bs"))
-             .where(F.col("bs") <= 50).select("basket"))
-    freq = (items.groupBy("item").agg(F.count("*").alias("cnt"))
-            .where(F.col("cnt") >= 2))
-    fi = items.join(sized, "basket").join(freq.select("item"), "item")
-    a = fi.select(F.col("basket"), F.col("item").alias("item_a"))
-    b = fi.select(F.col("basket"), F.col("item").alias("item_b"))
+    wi = Window.partitionBy("item")
+    wb = Window.partitionBy("basket")
+    fi = (items
+          .withColumn("cnt", F.count("*").over(wi))
+          .withColumn("bs", F.count("*").over(wb))
+          .where((F.col("bs") <= 50) & (F.col("cnt") >= 2))
+          .select("basket", "item", "cnt"))
+    a = fi.select("basket", F.col("item").alias("item_a"),
+                  F.col("cnt").alias("cnt_a"))
+    b = fi.select("basket", F.col("item").alias("item_b"),
+                  F.col("cnt").alias("cnt_b"))
     pairs = (a.join(b, "basket")
              .where(F.col("item_a") < F.col("item_b"))
-             .groupBy("item_a", "item_b")
+             .groupBy("item_a", "item_b", "cnt_a", "cnt_b")
              .agg(F.count("*").alias("n_ab"))
              .where(F.col("n_ab") >= 2))
     cos = (F.col("n_ab").cast("double")
            / F.sqrt(F.col("cnt_a").cast("double")
                     * F.col("cnt_b").cast("double")))
-    return (pairs
-            .join(freq.select(F.col("item").alias("item_a"),
-                              F.col("cnt").alias("cnt_a")), "item_a")
-            .join(freq.select(F.col("item").alias("item_b"),
-                              F.col("cnt").alias("cnt_b")), "item_b")
-            .select("item_a", "item_b", "n_ab", cos.alias("cosine")))
+    return pairs.select("item_a", "item_b", "n_ab", cos.alias("cosine"))
 
 
 # --------------------------------------------------------------------- #
@@ -5335,17 +5343,17 @@ deg AS (
 def _copurchase_edges(spark: SparkSession, sf_dir: str):
     """Symmetric support-2 co-purchase edge list + per-node degree
     (shared by pagerank_copurchase / triangle_count).  Same double guard
-    as item_cooccurrence: basket-size cap before the quadratic self-join,
-    min-support prune on items."""
+    as item_cooccurrence — window counts over one deduped lineage, not
+    groupBy+join-back — so lineitem is scanned once."""
     li = load_table(spark, sf_dir, "lineitem")
     items = (li.select(F.col("l_orderkey").alias("basket"),
                        F.col("l_partkey").alias("item"))
              .distinct())
-    sized = (items.groupBy("basket").agg(F.count("*").alias("bs"))
-             .where(F.col("bs") <= 50).select("basket"))
-    freq = (items.groupBy("item").agg(F.count("*").alias("cnt"))
-            .where(F.col("cnt") >= 2).select("item"))
-    fi = items.join(sized, "basket").join(freq, "item")
+    fi = (items
+          .withColumn("cnt", F.count("*").over(Window.partitionBy("item")))
+          .withColumn("bs", F.count("*").over(Window.partitionBy("basket")))
+          .where((F.col("bs") <= 50) & (F.col("cnt") >= 2))
+          .select("basket", "item"))
     a = fi.select("basket", F.col("item").alias("item_a"))
     b = fi.select("basket", F.col("item").alias("item_b"))
     pairs = (a.join(b, "basket")

@@ -205,3 +205,37 @@ def test_surprisal_token_join_not_forced_broadcast():
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_item_cooccurrence_single_fact_scan_per_side():
+    """Both co-occurrence guards are window counts over ONE deduped
+    lineage — never groupBy+join-back, which would re-scan lineitem once
+    per guard.  Only the self-join's two (identical) sides may scan."""
+    plan = plan_of("item_cooccurrence")
+    assert plan.count("Scan parquet") <= 2, plan
+    # the trailing per-item frequency joins are gone: cnt rides the join
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
+        + plan.count("ShuffledHashJoin") == 1, plan
+
+
+def test_missing_dates_report_no_self_join():
+    """The completeness report is two chained aggregations on one
+    lineage; a join here would recompute the whole spine build twice."""
+    plan = plan_of("missing_dates_report")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_purged_kfold_broadcasts_date_spine():
+    """The fold×date cross join must be broadcast — both sides are the
+    reduced date dim, never the fact table."""
+    plan = plan_of("purged_kfold_splits")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_pagerank_no_cartesian_no_python():
+    """PageRank iterations are pure hash joins/aggregations: no
+    cartesian products, no Python workers in the loop."""
+    plan = plan_of("pagerank_copurchase")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
