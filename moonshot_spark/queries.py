@@ -5486,3 +5486,280 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tri.agg(F.count("*").alias("n_triangles"))
             .crossJoin(pairs.agg(F.count("*").alias("n_edges")))
             .crossJoin(deg.agg(F.count("*").alias("n_nodes"))))
+
+
+# --------------------------------------------------------------------- #
+# TPC-H shapes: Q4 (exists semi-join), Q14 (conditional ratio),         #
+# Q19 (disjunctive pushdown over a broadcast dim)                       #
+# --------------------------------------------------------------------- #
+
+@register("q4_priority_late", """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority
+""")
+def q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (testdata lacks commit/receipt dates, so 'late' is
+    shipped >60 days after order): orders with at least one late line,
+    counted by priority.  EXISTS compiles to a LEFT SEMI join on
+    l_orderkey — the probe side never duplicates order rows however many
+    late lines an order has, and the lineitem side is pre-filtered by
+    the non-equi condition inside the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+@register("q14_promo_revenue", """
+SELECT CAST(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1 - l.l_discount AS DECIMAL(18,2))
+                ELSE CAST(0 AS DECIMAL(36,4)) END)
+       / sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+       AS promo_revenue_pct,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1995-09-01'
+  AND l.l_shipdate < DATE '1995-10-01'
+""")
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotional revenue share for one ship month.  The part
+    dim broadcasts; the shipdate range prunes at the parquet scan
+    (PushedFilters); both revenue sums run in DECIMAL so the final
+    percentage is one exact division cast to double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev) \
+             .otherwise(F.lit(0).cast("decimal(36,4)"))
+    return (li.where((F.col("l_shipdate") >= F.lit("1995-09-01").cast("date"))
+                     & (F.col("l_shipdate") < F.lit("1995-10-01").cast("date")))
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg((F.lit(100.0) * F.sum(promo) / F.sum(rev)).cast("double")
+                 .alias("promo_revenue_pct"),
+                 F.count("*").alias("n_lines")))
+
+
+@register("q19_disjunctive", """
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicate bands
+    over a broadcast part join.  The single-side conjuncts that Catalyst
+    can factor out (quantity 1..30) push to the lineitem scan; the
+    cross-table disjunction evaluates post-join without materializing
+    non-qualifying rows.  DECIMAL revenue sum → exact double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30)))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    return joined.where(band).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"))
+
+
+# --------------------------------------------------------------------- #
+# Markov transition matrix over per-user event streams                  #
+# --------------------------------------------------------------------- #
+
+@register("event_markov_transitions", """
+WITH seq AS (
+    SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+cnt AS (
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE)
+           / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM cnt
+""")
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: per-user
+    lead() pairs consecutive events (ties broken by event_id), counts per
+    (from, to), row-normalized to probabilities.  One shuffle by user_id
+    for the sequence, one map-side-combined count into a 25-cell matrix,
+    and the normalizing sum is a window over that tiny aggregate — the
+    probability is a single exact BIGINT/BIGINT division, so no float
+    accumulation order exists to drift."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+    cnt = (seq.where(F.col("to_type").isNotNull())
+           .groupBy("from_type", "to_type")
+           .agg(F.count("*").alias("n")))
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return cnt.select(
+        "from_type", "to_type", "n",
+        (F.col("n").cast("double") / tot.cast("double")).alias("p"))
+
+
+# --------------------------------------------------------------------- #
+# integer-exact lexical diversity (log-free entropy analog)             #
+# --------------------------------------------------------------------- #
+
+@register("token_diversity", """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tc AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+    FROM tok GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+       CAST(sum(c * c) AS DOUBLE)
+           / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS simpson,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_ratio
+FROM tc GROUP BY doc_id
+""")
+def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals, deliberately log-free so every
+    output double is one exact integer division (Shannon entropy needs
+    log2, whose last-ulp behavior differs across math libraries — the
+    Simpson concentration index sum(c²)/n² ranks repetitive documents
+    identically and stays bit-deterministic): type-token ratio, Simpson
+    index, top-token share.  Two chained aggregations on narrowing keys
+    (doc, token) → (doc); the explode is map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (docs.select("doc_id",
+                      F.explode(F.split(F.col("text"), " ")).alias("token"))
+          .groupBy("doc_id", "token")
+          .agg(F.count("*").alias("c")))
+    n = F.sum("c").cast("double")
+    return (tc.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.count("*").alias("n_distinct"),
+                 (F.count("*").cast("double") / n).alias("ttr"),
+                 (F.sum(F.col("c") * F.col("c")).cast("double")
+                  / (n * n)).alias("simpson"),
+                 (F.max("c").cast("double") / n).alias("top_token_ratio")))
+
+
+# --------------------------------------------------------------------- #
+# round-trip holding periods: islands of nonzero position, per-trip P&L #
+# --------------------------------------------------------------------- #
+
+@register("holding_period_returns", f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN (CASE WHEN count(close) OVER w5 >= 5
+                      THEN avg(close) OVER w5 END)
+                   > (CASE WHEN count(close) OVER w10 >= 10
+                      THEN avg(close) OVER w10 END)
+                THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+    WINDOW w5 AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w10 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
+),
+rets AS (
+    SELECT sid, date, coalesce(position, 0) AS p,
+           coalesce((close - lag(close) OVER w) / lag(close) OVER w
+               * lag(position) OVER w, 0) AS r
+    FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+base AS (
+    SELECT sid, date, p, r,
+           row_number() OVER (PARTITION BY sid ORDER BY date) AS rn
+    FROM rets
+),
+nz AS (
+    SELECT sid, date, p, r, rn,
+           rn - row_number() OVER (PARTITION BY sid ORDER BY date) AS grp
+    FROM base WHERE p <> 0
+)
+SELECT sid, min(date) AS entry_date, max(date) AS exit_date,
+       CAST(count(*) AS BIGINT) AS n_days,
+       list_reduce(list(r ORDER BY date), (a, b) -> a + b) AS total_return
+FROM nz GROUP BY sid, grp
+""")
+def holding_period_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip trade analysis: consecutive nonzero-position runs
+    (gaps-and-islands on NetExposure) become one row per holding period
+    with entry/exit dates and the period's summed return.  The reference
+    reports daily return series only (moonshot.py results concat) —
+    per-trip attribution is the report a researcher builds on top.
+    Position islands reuse the backtest's own NetExposure/Return fields,
+    un-melted by conditional aggregation in ONE pass of the backtest DAG
+    (a filter+self-join would run the whole pipeline twice); per-trip
+    return sums fold in date order so float addition is pinned."""
+    from moonshot_spark.strategies.demo import DualMovingAverage
+
+    panel = events_to_panel(spark, sf_dir)
+    results = DualMovingAverage().backtest(panel)
+    base = (results.where(F.col("field").isin("NetExposure", "Return"))
+            .groupBy("sid", "date")
+            .agg(F.coalesce(
+                     F.max(F.when(F.col("field") == "NetExposure",
+                                  F.col("value"))),
+                     F.lit(0.0)).alias("p"),
+                 F.coalesce(
+                     F.max(F.when(F.col("field") == "Return",
+                                  F.col("value"))),
+                     F.lit(0.0)).alias("r")))
+    w = Window.partitionBy("sid").orderBy("date")
+    nz = (base.withColumn("rn", F.row_number().over(w))
+          .where(F.col("p") != 0)
+          .withColumn("grp", F.col("rn") - F.row_number().over(w)))
+    folded = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("date", "r"))),
+                    lambda s: s["r"]),
+        F.lit(0.0), lambda a, b: a + b)
+    return (nz.groupBy("sid", "grp")
+            .agg(F.min("date").alias("entry_date"),
+                 F.max("date").alias("exit_date"),
+                 F.count("*").alias("n_days"),
+                 folded.alias("total_return"))
+            .drop("grp"))
