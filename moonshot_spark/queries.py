@@ -5763,3 +5763,149 @@ def holding_period_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_days"),
                  folded.alias("total_return"))
             .drop("grp"))
+
+
+# --------------------------------------------------------------------- #
+# robust anomaly detection: per-user MAD outliers, window-median based  #
+# --------------------------------------------------------------------- #
+
+@register("anomaly_mad_outliers", """
+WITH dev AS (
+    SELECT user_id, value,
+           median(value) OVER (PARTITION BY user_id) AS med
+    FROM events
+),
+mad AS (
+    SELECT user_id, value, med,
+           median(abs(value - med)) OVER (PARTITION BY user_id) AS mad
+    FROM dev
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(med) AS med, max(mad) AS mad,
+       CAST(count(CASE WHEN abs(value - med) > 3 * 1.4826 * mad
+                       THEN 1 END) AS BIGINT) AS n_outliers
+FROM mad GROUP BY user_id
+""")
+def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection: flag events whose value sits
+    more than 3 scaled-MADs (1.4826·MAD ≈ σ under normality) from the
+    user's median.  Both medians are unpartitioned-frame window
+    aggregates over the SAME user_id partitioning — one shuffle total,
+    and the final per-user rollup rides the same hash partitioning, so
+    the whole robust-stats pipeline is a single exchange.  Medians are
+    order statistics (no accumulation) and the threshold is one fused
+    multiply chain — bit-deterministic across engines."""
+    events = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    dev = events.select(
+        "user_id", "value", F.median("value").over(wu).alias("med"))
+    mad = dev.withColumn(
+        "mad", F.median(F.abs(F.col("value") - F.col("med"))).over(wu))
+    is_out = F.abs(F.col("value") - F.col("med")) \
+        > F.lit(3) * F.lit(1.4826) * F.col("mad")
+    return (mad.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.max("med").alias("med"),
+                 F.max("mad").alias("mad"),
+                 F.count(F.when(is_out, 1)).alias("n_outliers")))
+
+
+# --------------------------------------------------------------------- #
+# per-brand retail-price deciles (order-statistic banding)              #
+# --------------------------------------------------------------------- #
+
+@register("price_deciles_per_brand", """
+WITH banded AS (
+    SELECT p_brand, p_retailprice,
+           CAST(ntile(10) OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice, p_partkey)
+                AS INT) AS decile
+    FROM part
+)
+SELECT p_brand, decile,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       min(p_retailprice) AS lo, max(p_retailprice) AS hi
+FROM banded GROUP BY p_brand, decile
+""")
+def price_deciles_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price deciles via ntile with a p_partkey tiebreak
+    (deterministic band assignment), summarized to band boundaries —
+    the banding step a pricing/quantile-feature pipeline uses.  One
+    shuffle by brand; the rollup reuses the partitioning; min/max are
+    order statistics so output doubles carry no accumulation order."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    banded = part.select("p_brand", "p_retailprice",
+                         F.ntile(10).over(w).alias("decile"))
+    return (banded.groupBy("p_brand", "decile")
+            .agg(F.count("*").alias("n_parts"),
+                 F.min("p_retailprice").alias("lo"),
+                 F.max("p_retailprice").alias("hi")))
+
+
+# --------------------------------------------------------------------- #
+# chi-square independence test on the source × lang contingency table   #
+# --------------------------------------------------------------------- #
+
+@register("source_lang_chisq", """
+WITH obs AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+    FROM documents GROUP BY source, lang
+),
+tot AS (
+    SELECT source, lang, o,
+           CAST(sum(o) OVER (PARTITION BY source) AS DOUBLE) AS row_tot,
+           CAST(sum(o) OVER (PARTITION BY lang) AS DOUBLE) AS col_tot,
+           CAST(sum(o) OVER () AS DOUBLE) AS n
+    FROM obs
+),
+cells AS (
+    SELECT source, lang,
+           (CAST(o AS DOUBLE) - row_tot * col_tot / n)
+           * (CAST(o AS DOUBLE) - row_tot * col_tot / n)
+           / (row_tot * col_tot / n) AS cell
+    FROM tot
+)
+SELECT CAST(list_reduce(list(cell ORDER BY source, lang),
+            (a, b) -> a + b) AS DOUBLE) AS chi2,
+       CAST((SELECT (count(DISTINCT source) - 1)
+                    * (count(DISTINCT lang) - 1) FROM documents)
+            AS BIGINT) AS dof,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM cells
+""")
+def source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic for the corpus's
+    source × lang contingency table — the drift/balance check a data
+    pipeline runs when a new crawl snapshot lands (KL divergence needs
+    logs; chi-square ranks the same shifts with pure rational
+    arithmetic).  The contingency table is one map-side-combined
+    aggregate; marginals are windows over that tiny table; the cell sum
+    folds in (source, lang) order so the statistic is bit-deterministic.
+    Nothing heavier than the grouped counts ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    row_tot = F.sum("o").over(Window.partitionBy("source")).cast("double")
+    col_tot = F.sum("o").over(Window.partitionBy("lang")).cast("double")
+    # grand total via a broadcast 1-row aggregate, not an unpartitioned
+    # window (which would warn and single-task even on the tiny table)
+    grand = obs.agg(F.sum("o").cast("double").alias("n"))
+    e = row_tot * col_tot / F.col("n")
+    cells = (obs.crossJoin(F.broadcast(grand))
+             .select("source", "lang",
+                     ((F.col("o").cast("double") - e)
+                      * (F.col("o").cast("double") - e) / e).alias("cell")))
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("source", "lang", "cell"))),
+            lambda s: s["cell"]),
+        F.lit(0.0), lambda a, b: a + b)
+    dims = docs.agg(
+        ((F.countDistinct("source") - F.lit(1))
+         * (F.countDistinct("lang") - F.lit(1))).alias("dof"))
+    return (cells.agg(folded.cast("double").alias("chi2"),
+                      F.count("*").alias("n_cells"))
+            .crossJoin(dims)
+            .select("chi2", F.col("dof").cast("bigint").alias("dof"),
+                    "n_cells"))
