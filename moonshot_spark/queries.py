@@ -5909,3 +5909,137 @@ def source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(dims)
             .select("chi2", F.col("dof").cast("bigint").alias("dof"),
                     "n_cells"))
+
+
+# --------------------------------------------------------------------- #
+# temperature-scaled corpus mixing weights (sqrt temperature, log-free) #
+# --------------------------------------------------------------------- #
+
+@register("temperature_mix_weights", """
+WITH toks AS (
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+scaled AS (
+    SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS s
+    FROM toks
+),
+norm AS (
+    SELECT CAST(list_reduce(list(s ORDER BY source), (a, b) -> a + b)
+                AS DOUBLE) AS z
+    FROM scaled
+)
+SELECT sc.source, sc.n_tokens, sc.s / n.z AS mix_weight,
+       1000000.0 * (sc.s / n.z) AS target_tokens
+FROM scaled sc CROSS JOIN norm n
+""")
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-sampling rule
+    p_i ∝ n_i^α; α = 0.5 is written as sqrt so the scaling stays
+    bit-deterministic — general pow() differs in last-ulp across libm
+    implementations): per-source token mass, α-scaled share, and the
+    token budget each source gets out of a 1M-token mix.  Token counting
+    is one map-side-combined aggregate over the corpus scan; the
+    normalizer folds 20 values in source order and broadcasts back."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.groupBy("source")
+            .agg(F.sum(F.size(F.split(F.col("text"), " ")))
+                 .cast("bigint").alias("n_tokens")))
+    scaled = toks.withColumn("s", F.sqrt(F.col("n_tokens").cast("double")))
+    norm = scaled.agg(
+        F.aggregate(
+            F.transform(F.array_sort(F.collect_list(F.struct("source", "s"))),
+                        lambda r: r["s"]),
+            F.lit(0.0), lambda a, b: a + b).cast("double").alias("z"))
+    return (scaled.crossJoin(F.broadcast(norm))
+            .select("source", "n_tokens",
+                    (F.col("s") / F.col("z")).alias("mix_weight"),
+                    (F.lit(1000000.0) * (F.col("s") / F.col("z")))
+                    .alias("target_tokens")))
+
+
+# --------------------------------------------------------------------- #
+# volatility-targeted (inverse-vol) portfolio weights                   #
+# --------------------------------------------------------------------- #
+
+@register("vol_target_weights", f"""
+WITH panel AS ({PANEL_SQL}),
+rets AS (
+    SELECT sid, date,
+           (close - lag(close) OVER w) / lag(close) OVER w AS r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+mom AS (
+    SELECT sid, date, r,
+           CASE WHEN count(r) OVER w10 >= 10 THEN
+               list_reduce(list(r) OVER w10, (a, b) -> a + b)
+           END AS sx,
+           CASE WHEN count(r) OVER w10 >= 10 THEN
+               list_reduce(list(r * r) OVER w10, (a, b) -> a + b)
+           END AS sxx,
+           CAST(count(r) OVER w10 AS DOUBLE) AS n
+    FROM rets
+    WINDOW w10 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+vol AS (
+    SELECT sid, date,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS vol10
+    FROM mom
+),
+iv AS (
+    SELECT sid, date,
+           CASE WHEN vol10 > 0 THEN 1.0 / vol10 END AS ivol
+    FROM vol
+),
+z AS (
+    SELECT sid, date, ivol,
+           CASE WHEN ivol IS NOT NULL THEN
+               list_reduce(list(ivol) OVER (
+                   PARTITION BY date ORDER BY sid
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING), (a, b) -> a + b)
+           END AS znorm
+    FROM iv
+)
+SELECT sid, date, ivol, ivol / znorm AS weight
+FROM z
+""")
+def vol_target_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-volatility (risk-parity style) weight allocation: rolling
+    10-day return vol per sid, weight ∝ 1/vol normalized cross-
+    sectionally per date — the volatility-targeted variant of the
+    reference's equal-weight allocation (mixins/weight.py).  Every
+    accumulation — the rolling moment sums AND the per-date normalizer —
+    folds in pinned order (date within sid, sid within date) so the
+    doubles are exact across engines; two shuffles total (by sid, then
+    by date), the same budget as any cross-sectional window op."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    rets = panel.select("sid", "date", pct_change("close", 1, w).alias("r"))
+    w10 = w.rowsBetween(-9, 0)
+
+    def fold_window(expr, win):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct("date", expr.alias("v")))
+                         .over(win)),
+            lambda s: s["v"])
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    n = F.count("r").over(w10).cast("double")
+    enough = F.count("r").over(w10) >= 10
+    sx = F.when(enough, fold_window(F.col("r"), w10))
+    sxx = F.when(enough, fold_window(F.col("r") * F.col("r"), w10))
+    vol = F.sqrt((sxx - sx * sx / n) / (n - F.lit(1)))
+    mom = rets.select("sid", "date",
+                    F.when(vol > 0, F.lit(1.0) / vol).alias("ivol"))
+    wd = Window.partitionBy("date")
+    znorm_arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("sid", "ivol")).over(wd)),
+        lambda s: s["ivol"])
+    znorm = F.when(
+        F.col("ivol").isNotNull(),
+        F.aggregate(znorm_arr, F.lit(0.0), lambda a, b: a + b))
+    return mom.select("sid", "date", "ivol",
+                      (F.col("ivol") / znorm).alias("weight"))
