@@ -6043,3 +6043,213 @@ def vol_target_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(znorm_arr, F.lit(0.0), lambda a, b: a + b))
     return mom.select("sid", "date", "ivol",
                       (F.col("ivol") / znorm).alias("weight"))
+
+
+# --------------------------------------------------------------------- #
+# customer RFM segmentation (recency / frequency / monetary quartiles)  #
+# --------------------------------------------------------------------- #
+
+@register("customer_rfm_segments", """
+WITH rfm AS (
+    SELECT o_custkey,
+           max(o_orderdate) AS last_order,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT o_custkey, last_order, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY last_order, o_custkey) AS INT) AS r,
+           CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS INT) AS f,
+           CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS INT) AS m
+    FROM rfm
+)
+SELECT r, f, m,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_value
+FROM scored GROUP BY r, f, m
+""")
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores for recency, frequency,
+    monetary value (ntile with custkey tiebreaks → deterministic), rolled
+    up to the 64-cell segment grid.  The per-customer rollup is one
+    map-side-combined aggregate; the three global ntiles run over that
+    already-reduced table (one row per customer).  Note the global-order
+    windows: fine on a per-customer aggregate (cardinality ~ customers,
+    not orders), and the production path for a truly huge customer dim is
+    the two-phase exact-rank layout in plans/zorder.py.  Monetary sums in
+    DECIMAL both levels — exact doubles out."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = (orders.groupBy("o_custkey")
+           .agg(F.max("o_orderdate").alias("last_order"),
+                F.count("*").alias("frequency"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("monetary")))
+    scored = rfm.select(
+        "o_custkey", "monetary",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m"))
+    return (scored.groupBy("r", "f", "m")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum(F.col("monetary").cast("decimal(18,2)"))
+                  .cast("double").alias("segment_value")))
+
+
+# --------------------------------------------------------------------- #
+# data profiling: width_bucket histogram of order totals                #
+# --------------------------------------------------------------------- #
+
+@register("order_value_histogram", """
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                 WHEN o_totalprice >= 600000 THEN 31
+                 ELSE 1 + floor(o_totalprice * 30.0 / 600000.0) END AS INT)
+           AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM orders GROUP BY 1
+""")
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (width_bucket semantics) —
+    the one-pass profiling sketch a pipeline uses to pick partition
+    bounds and spot skew before a heavy job.  Pure map-side bucketing
+    plus a 30-cell aggregate: no sort, no second pass, and min/max per
+    bucket are order statistics (no float accumulation).  The bucket
+    index is the same explicit expression in both engines (DuckDB has no
+    width_bucket; hand-rolling it on both sides also pins the float
+    expression shape, which builtins don't guarantee)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    bucket = (F.when(p < 0, 0)
+              .when(p >= 600000, 31)
+              .otherwise(F.lit(1) + F.floor(p * 30.0 / 600000.0)))
+    return (orders
+            .select(bucket.cast("int").alias("bucket"), "o_totalprice")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_orders"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi")))
+
+
+# --------------------------------------------------------------------- #
+# universe screening: median-dollar-volume liquidity filter             #
+# --------------------------------------------------------------------- #
+
+@register("sid_liquidity_screen", f"""
+WITH panel AS ({PANEL_SQL}),
+dv AS (
+    SELECT sid, median(close * volume) AS med_dollar_vol,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM panel GROUP BY sid
+),
+ranked AS (
+    SELECT sid, med_dollar_vol, n_days,
+           CAST(rank() OVER (ORDER BY med_dollar_vol DESC, sid) AS INT)
+               AS liq_rank
+    FROM dv
+)
+SELECT sid, med_dollar_vol, n_days, liq_rank,
+       liq_rank <= 75 AS in_universe
+FROM ranked
+""")
+def sid_liquidity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universe selection by liquidity — the screening step the reference
+    delegates to universe filters upstream (get_prices universes
+    parameter): median daily dollar volume per sid, ranked, top-75 flag.
+    The median is an order statistic over the per-sid panel (one grouped
+    aggregate) and the rank runs over the tiny per-sid table.  close ×
+    volume is a single product per row — no accumulation drift."""
+    panel = events_to_panel(spark, sf_dir)
+    dv = (panel.groupBy("sid")
+          .agg(F.median(F.col("close") * F.col("volume"))
+               .alias("med_dollar_vol"),
+               F.count("*").alias("n_days")))
+    rank = F.rank().over(
+        Window.orderBy(F.col("med_dollar_vol").desc(), "sid")).cast("int")
+    return dv.select(
+        "sid", "med_dollar_vol", "n_days", rank.alias("liq_rank")) \
+        .withColumn("in_universe", F.col("liq_rank") <= 75)
+
+
+# --------------------------------------------------------------------- #
+# cohort LTV: cumulative purchase revenue per signup cohort             #
+# --------------------------------------------------------------------- #
+
+@register("cohort_ltv_curve", """
+WITH weeks AS (
+    SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+           event_type, value
+    FROM events
+), cohorts AS (
+    SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+), rev AS (
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, w.week) // 7 AS BIGINT)
+               AS week_offset,
+           CAST(sum(CAST(w.value AS DECIMAL(18,3))) AS DECIMAL(38,3))
+               AS week_rev
+    FROM cohorts c JOIN weeks w USING (user_id)
+    WHERE w.event_type = 'purchase'
+    GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset,
+       CAST(week_rev AS DOUBLE) AS week_revenue,
+       CAST(sum(week_rev) OVER (PARTITION BY cohort_week
+                                ORDER BY week_offset) AS DOUBLE)
+           AS cum_revenue
+FROM rev
+""")
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value curve per signup cohort: weekly purchase revenue by
+    (cohort, week-offset) with a running cumulative — the companion to
+    retention_cohorts.  Revenue accumulates in DECIMAL at every level
+    (weekly cells AND the running sum) so the running totals are exact,
+    not order-dependent doubles; the cumulative window rides the same
+    (cohort_week) partitioning as the cell aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    weeks = events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        "event_type", "value")
+    cohorts = weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"))
+    rev = (weeks.where(F.col("event_type") == "purchase")
+           .join(cohorts, "user_id")
+           .groupBy("cohort_week",
+                    F.floor(F.datediff(F.col("week"), F.col("cohort_week"))
+                            / 7).cast("bigint").alias("week_offset"))
+           .agg(F.sum(F.col("value").cast("decimal(18,3)"))
+                .cast("decimal(38,3)").alias("week_rev")))
+    wc = (Window.partitionBy("cohort_week").orderBy("week_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return rev.select(
+        "cohort_week", "week_offset",
+        F.col("week_rev").cast("double").alias("week_revenue"),
+        F.sum("week_rev").over(wc).cast("double").alias("cum_revenue"))
+
+
+# --------------------------------------------------------------------- #
+# day-of-week seasonality profile (ISO weekday, engine-normalized)      #
+# --------------------------------------------------------------------- #
+
+@register("seasonality_dow", """
+SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type.  Weekday numbering
+    is engine-specific (Spark's dayofweek is Sunday=1, DuckDB's dow is
+    Sunday=0) so both sides are normalized to ISO (Monday=1..Sunday=7) —
+    the cross-engine trap is in the calendar function, not the
+    aggregation.  Map-side-combined rollup into a 35-cell profile;
+    DECIMAL value sums."""
+    events = load_table(spark, sf_dir, "events")
+    iso_dow = (((F.dayofweek(F.col("ts")) + 5) % 7) + 1).cast("int")
+    return (events.groupBy(iso_dow.alias("iso_dow"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,3)"))
+                  .cast("double").alias("total_value")))
