@@ -6253,3 +6253,85 @@ def seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.sum(F.col("value").cast("decimal(18,3)"))
                   .cast("double").alias("total_value")))
+
+
+# --------------------------------------------------------------------- #
+# EWMA (pandas ewm parity) with power-of-two weights — bit-exact        #
+# --------------------------------------------------------------------- #
+
+@register("window_ewma", f"""
+WITH panel AS ({PANEL_SQL}),
+framed AS (
+    SELECT sid, date, close,
+           list(close) OVER (PARTITION BY sid ORDER BY date
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+    FROM panel
+)
+SELECT sid, date, close,
+       list_reduce(list_transform(l, (x, i) ->
+           x / CAST(1 << (len(l) - i) AS DOUBLE)), (a, b) -> a + b)
+       / list_reduce(list_transform(l, (x, i) ->
+           1.0 / CAST(1 << (len(l) - i) AS DOUBLE)), (a, b) -> a + b)
+           AS ewma
+FROM framed
+""")
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average, pandas
+    ``ewm(alpha=0.5, adjust=True)`` semantics over a 10-row trailing
+    frame (min_periods=1).  α = 0.5 is chosen deliberately: every weight
+    is a power of two built by integer shift + one exact division, so —
+    with numerator and denominator folded in frame order — the output is
+    bit-identical across engines, something a libm pow() cannot promise.
+    One shuffle by sid; the frame list is materialized per row (bounded
+    at 10 elements) and reduced JVM-side, no Python."""
+    panel = events_to_panel(spark, sf_dir)
+    w = (Window.partitionBy("sid").orderBy("date").rowsBetween(-9, 0))
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("date", "close")).over(w)),
+        lambda s: s["close"])
+    m = F.size(arr)
+    weighted = F.transform(
+        arr, lambda x, i: x / F.call_function(
+            "shiftleft", F.lit(1), m - 1 - i).cast("double"))
+    wsum = F.transform(
+        arr, lambda x, i: F.lit(1.0) / F.call_function(
+            "shiftleft", F.lit(1), m - 1 - i).cast("double"))
+    num = F.aggregate(weighted, F.lit(0.0), lambda a, b: a + b)
+    den = F.aggregate(wsum, F.lit(0.0), lambda a, b: a + b)
+    return panel.select("sid", "date", "close",
+                        (num / den).alias("ewma"))
+
+
+# --------------------------------------------------------------------- #
+# sketch-accuracy contract: approx_percentile vs exact                  #
+# --------------------------------------------------------------------- #
+
+@register("approx_percentile_contract", f"""
+WITH panel AS ({PANEL_SQL})
+SELECT CAST(count(DISTINCT sid) AS BIGINT) AS n_sids,
+       CAST(count(DISTINCT sid) AS BIGINT) AS n_ok
+FROM panel
+""")
+def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy contract (the ivf_topk_contract pattern): per-sid
+    approx_percentile(close, {{0.5, 0.95}}) must equal the exact
+    nearest-rank order statistic (rank ceil(p·n)) for EVERY sid — the GK
+    sketch is exact while a group fits its buffer, so any drift here
+    means the sketch path broke.  (Beyond the buffer the right check
+    degrades to the sketch's rank-error bound; the catalog SFs stay well
+    inside it.)  At 100 TB the approx sketch (a
+    mergeable KLL-style summary, one pass, map-side combinable) is the
+    only viable path — this query keeps its error bound honest against
+    the exact computation while the small-SF oracle pins the contract."""
+    panel = events_to_panel(spark, sf_dir)
+    stats = panel.groupBy("sid").agg(
+        F.expr("approx_percentile(close, array(0.5, 0.95), 1000)")
+         .alias("ap"),
+        F.array_sort(F.collect_list("close")).alias("arr"),
+        F.count("close").alias("n"))
+    disc = lambda p: F.element_at(
+        F.col("arr"), F.ceil(F.lit(p) * F.col("n")).cast("int"))
+    ok = (F.col("ap")[0] == disc(0.5)) & (F.col("ap")[1] == disc(0.95))
+    return stats.agg(
+        F.count("*").alias("n_sids"),
+        F.count(F.when(ok, 1)).alias("n_ok"))
