@@ -1,0 +1,101 @@
+"""Golden tests for the round-5 analytics additions: EWMA vs pandas,
+interpolation edge behavior, holding-period invariants, PageRank mass
+conservation, MAD outlier semantics."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from moonshot_spark.queries import QUERIES
+
+
+def test_ewma_matches_pandas_for_short_series(spark):
+    """For series of length <= the 10-row frame, the windowed EWMA equals
+    pandas ewm(alpha=0.5, adjust=True).mean() exactly (same power-of-two
+    weights, same fold order)."""
+    df = QUERIES["window_ewma"](spark, SF_DIR).toPandas()
+    # pick one sid, first 10 observations
+    one = (df[df.sid == df.sid.iloc[0]]
+           .sort_values("date").head(10).reset_index(drop=True))
+    expected = pd.Series(one.close).ewm(alpha=0.5, adjust=True).mean()
+    for got, exp in zip(one.ewma, expected):
+        assert got == pytest.approx(exp, rel=0, abs=0), (got, exp)
+
+
+def test_interpolate_linear_edges(spark):
+    """Leading gaps take the next observation (backfill), trailing gaps
+    the previous (ffill), interior gaps the exact linear blend; observed
+    rows pass through unchanged."""
+    pdf = QUERIES["interpolate_linear"](spark, SF_DIR).toPandas()
+    for sid, g in pdf.groupby("sid"):
+        g = g.sort_values("date").reset_index(drop=True)
+        interp = pd.Series(g.close).interpolate(
+            method="linear", limit_direction="both")
+        for got, exp in zip(g.close_interp, interp):
+            assert got == pytest.approx(exp, rel=1e-12), sid
+
+
+def test_interpolate_preserves_observed_values(spark):
+    pdf = QUERIES["interpolate_linear"](spark, SF_DIR).toPandas()
+    obs = pdf[pdf.close.notna()]
+    assert (obs.close == obs.close_interp).all()
+
+
+def test_holding_periods_cover_all_nonzero_days(spark):
+    """Sum of per-trip day counts equals the number of nonzero-position
+    panel rows; trips never overlap within a sid."""
+    trips = QUERIES["holding_period_returns"](spark, SF_DIR).toPandas()
+    from moonshot_spark.sources.parquet import events_to_panel
+    from moonshot_spark.strategies.demo import DualMovingAverage
+
+    panel = events_to_panel(spark, SF_DIR)
+    results = DualMovingAverage().backtest(panel)
+    nz = (results.where((F.col("field") == "NetExposure")
+                        & (F.col("value") != 0)).count())
+    assert trips.n_days.sum() == nz
+    for sid, g in trips.groupby("sid"):
+        g = g.sort_values("entry_date")
+        prev_exit = None
+        for _, row in g.iterrows():
+            assert row.entry_date <= row.exit_date
+            if prev_exit is not None:
+                assert row.entry_date > prev_exit
+            prev_exit = row.exit_date
+
+
+def test_pagerank_conserves_mass(spark):
+    """Ranks stay positive and sum to ~1 (symmetric graph: no dangling
+    mass); 3 iterations from uniform must keep total mass conserved."""
+    pr = QUERIES["pagerank_copurchase"](spark, SF_DIR).toPandas()
+    assert (pr.pagerank > 0).all()
+    assert pr.pagerank.sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_mad_outlier_counts_bounded(spark):
+    """MAD flags are a subset of events; a constant-valued user (MAD 0)
+    flags nothing unless a value differs from the median."""
+    out = QUERIES["anomaly_mad_outliers"](spark, SF_DIR).toPandas()
+    assert (out.n_outliers <= out.n_events).all()
+    assert (out.mad >= 0).all()
+
+
+def test_markov_rows_are_distributions(spark):
+    """Per from-state probabilities sum to 1 exactly in rational terms
+    (n_i / N folds): allow only float-division rounding."""
+    tm = QUERIES["event_markov_transitions"](spark, SF_DIR).toPandas()
+    for _, g in tm.groupby("from_type"):
+        assert g.p.sum() == pytest.approx(1.0, abs=1e-12)
+        assert g.n.sum() == g.n.sum()  # counts well-defined
+
+
+def test_purged_kfold_partitions_dates(spark):
+    """Every date lands in exactly one of test/train/purge/embargo for
+    each fold: the four counts plus n_test must equal the spine size."""
+    folds = QUERIES["purged_kfold_splits"](spark, SF_DIR).toPandas()
+    total = folds.n_test.sum()  # all dates across folds
+    for _, row in folds.iterrows():
+        assert row.n_test + row.n_train + row.n_purged + row.n_embargoed \
+            == total
