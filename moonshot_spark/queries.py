@@ -6335,3 +6335,142 @@ def approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.agg(
         F.count("*").alias("n_sids"),
         F.count(F.when(ok, 1)).alias("n_ok"))
+
+
+# --------------------------------------------------------------------- #
+# execution research: would a resting limit order have filled?          #
+# --------------------------------------------------------------------- #
+
+@register("limit_fill_rates", f"""
+WITH panel AS ({PANEL_SQL}),
+sim AS (
+    SELECT sid, date, close * 0.99 AS limit_px,
+           lead(low)  OVER w AS next_low,
+           lead(high) OVER w AS next_high
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+)
+SELECT sid,
+       CAST(count(next_low) AS BIGINT) AS n_orders,
+       CAST(count(CASE WHEN next_low <= limit_px THEN 1 END) AS BIGINT)
+           AS n_buy_fills,
+       CAST(count(CASE WHEN next_high >= limit_px / 0.99 * 1.01 THEN 1 END)
+            AS BIGINT) AS n_sell_fills
+FROM sim GROUP BY sid
+""")
+def limit_fill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execution research: a buy limit resting 1% below today's close
+    fills tomorrow iff tomorrow's low trades through it (sell side
+    symmetric at +1%) — the fill model behind limit-order backtests the
+    reference's market-order pipeline (trade.py) doesn't cover.  One
+    lead() window per sid, integer fill counts — no float accumulation,
+    and the fill predicate is the same two-operand comparison in both
+    engines."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    sim = panel.select(
+        "sid", "date",
+        (F.col("close") * 0.99).alias("limit_px"),
+        F.lead("low").over(w).alias("next_low"),
+        F.lead("high").over(w).alias("next_high"))
+    return (sim.groupBy("sid")
+            .agg(F.count("next_low").alias("n_orders"),
+                 F.count(F.when(F.col("next_low") <= F.col("limit_px"), 1))
+                 .alias("n_buy_fills"),
+                 F.count(F.when(F.col("next_high")
+                                >= F.col("limit_px") / 0.99 * 1.01, 1))
+                 .alias("n_sell_fills")))
+
+
+# --------------------------------------------------------------------- #
+# overnight gap analysis: open vs prior close                           #
+# --------------------------------------------------------------------- #
+
+@register("gap_open_events", f"""
+WITH panel AS ({PANEL_SQL}),
+g AS (
+    SELECT sid, date,
+           (open - lag(close) OVER w) / lag(close) OVER w AS gap
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+)
+SELECT sid,
+       CAST(count(gap) AS BIGINT) AS n_days,
+       CAST(count(CASE WHEN gap > 0.02 THEN 1 END) AS BIGINT) AS n_gap_up,
+       CAST(count(CASE WHEN gap < -0.02 THEN 1 END) AS BIGINT) AS n_gap_down,
+       max(gap) AS max_gap_up, min(gap) AS max_gap_down
+FROM g GROUP BY sid
+""")
+def gap_open_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overnight gap profile per sid: open-vs-prior-close moves beyond
+    ±2%, with the extreme gaps.  A single lag() per sid then a grouped
+    rollup on the same partitioning; extremes are order statistics and
+    each gap is one two-operand expression — bit-deterministic."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    gap = ((F.col("open") - F.lag("close").over(w))
+           / F.lag("close").over(w))
+    g = panel.select("sid", "date", gap.alias("gap"))
+    return (g.groupBy("sid")
+            .agg(F.count("gap").alias("n_days"),
+                 F.count(F.when(F.col("gap") > 0.02, 1)).alias("n_gap_up"),
+                 F.count(F.when(F.col("gap") < -0.02, 1))
+                 .alias("n_gap_down"),
+                 F.max("gap").alias("max_gap_up"),
+                 F.min("gap").alias("max_gap_down")))
+
+
+# --------------------------------------------------------------------- #
+# pairs trading: rolling z-score of a two-sid spread                    #
+# --------------------------------------------------------------------- #
+
+@register("pairs_spread_zscore", f"""
+WITH panel AS ({PANEL_SQL}),
+a AS (SELECT date, close AS ca FROM panel WHERE sid = '3'),
+b AS (SELECT date, close AS cb FROM panel WHERE sid = '7'),
+sp AS (
+    SELECT a.date, a.ca, b.cb,
+           CAST(a.ca AS DECIMAL(18,2)) - CAST(b.cb AS DECIMAL(18,2))
+               AS spread
+    FROM a JOIN b ON a.date = b.date
+),
+mom AS (
+    SELECT date, ca, cb, CAST(spread AS DOUBLE) AS spread,
+           CAST(sum(spread) OVER w20 AS DOUBLE) AS s1,
+           CAST(sum(spread * spread) OVER w20 AS DOUBLE) AS s2,
+           CAST(count(*) OVER w20 AS DOUBLE) AS n
+    FROM sp
+    WINDOW w20 AS (ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT date, ca, cb, spread,
+       CASE WHEN n >= 20 THEN
+           (spread - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))
+       END AS zscore
+FROM mom
+""")
+def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-arbitrage signal: the price spread between a fixed
+    sid pair with its rolling 20-day z-score (entry/exit thresholds in a
+    pairs strategy).  The spread accumulates in DECIMAL — prices are
+    2-decimal quantities, so the windowed moment sums are EXACT integers
+    scaled by 100, and the z-score is one closed-form expression over
+    them (same discipline as crosssec_stats).  The date-aligned pair
+    join is a tiny per-date equi-join; the rolling window is a single
+    ordered frame over one series."""
+    panel = events_to_panel(spark, sf_dir)
+    a = panel.where(F.col("sid") == "3").select(
+        "date", F.col("close").alias("ca"))
+    b = panel.where(F.col("sid") == "7").select(
+        "date", F.col("close").alias("cb"))
+    sp = a.join(b, "date").select(
+        "date", "ca", "cb",
+        (F.col("ca").cast("decimal(18,2)")
+         - F.col("cb").cast("decimal(18,2)")).alias("spread_dec"))
+    w20 = Window.orderBy("date").rowsBetween(-19, 0)
+    s1 = F.sum("spread_dec").over(w20).cast("double")
+    s2 = F.sum(F.col("spread_dec") * F.col("spread_dec")).over(w20) \
+        .cast("double")
+    n = F.count("*").over(w20).cast("double")
+    spread = F.col("spread_dec").cast("double")
+    z = F.when(F.count("*").over(w20) >= 20,
+               (spread - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1)))
+    return sp.select("date", "ca", "cb", spread.alias("spread"),
+                     z.alias("zscore"))
