@@ -6474,3 +6474,131 @@ def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                (spread - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1)))
     return sp.select("date", "ca", "cb", spread.alias("spread"),
                      z.alias("zscore"))
+
+
+# --------------------------------------------------------------------- #
+# raw-SQL interface demo: language-ID confusion matrix via spark.sql    #
+# --------------------------------------------------------------------- #
+
+@register("lang_confusion_matrix", """
+WITH toks AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), scores AS (
+    SELECT doc_id, lang,
+           len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein','nicht','mit'))) AS s_de,
+           len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','it'))) AS s_en,
+           len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+           len(list_filter(t, x -> x IN ('le','la','et','les','des','un','une','est'))) AS s_fr
+    FROM toks
+), pred AS (
+    SELECT lang AS lang_label,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scores
+)
+SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang_label, lang_pred
+""")
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — and the catalog's raw-SQL surface
+    demo: the whole query is ONE ``spark.sql`` string over the views
+    registered by ``moonshot_spark.sql.register_views``, proving a user
+    can drive the engine with ANSI SQL instead of the DataFrame API and
+    get the identical Catalyst plan (same pushdown, same shuffles; the
+    tie-break precedence de>en>es>fr matches datapipe.text.lang_id_expr).
+    """
+    from moonshot_spark.sql import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH toks AS (
+            SELECT doc_id, lang, split(text, ' ') AS t FROM documents
+        ), scores AS (
+            SELECT doc_id, lang,
+                   size(filter(t, x -> x IN ('der','die','das','und','ist','ein','nicht','mit'))) AS s_de,
+                   size(filter(t, x -> x IN ('the','and','of','to','a','in','is','it'))) AS s_en,
+                   size(filter(t, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+                   size(filter(t, x -> x IN ('le','la','et','les','des','un','une','est'))) AS s_fr
+            FROM toks
+        ), pred AS (
+            SELECT lang AS lang_label,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM scores
+        )
+        SELECT lang_label, lang_pred, count(*) AS n_docs
+        FROM pred GROUP BY lang_label, lang_pred
+    """)
+
+
+# --------------------------------------------------------------------- #
+# index reconstitution: weekly top-30 liquidity universe churn          #
+# --------------------------------------------------------------------- #
+
+@register("universe_churn_weekly", f"""
+WITH panel AS ({PANEL_SQL}),
+wk AS (
+    SELECT CAST(date_trunc('week', date) AS DATE) AS week, sid,
+           median(close * volume) AS med_dv
+    FROM panel GROUP BY 1, 2
+),
+ranked AS (
+    SELECT week, sid,
+           rank() OVER (PARTITION BY week ORDER BY med_dv DESC, sid) AS rk
+    FROM wk
+),
+members AS (
+    SELECT week, list(sid ORDER BY sid) AS universe
+    FROM ranked WHERE rk <= 30 GROUP BY week
+),
+lagged AS (
+    SELECT week, universe,
+           lag(universe) OVER (ORDER BY week) AS prev_universe
+    FROM members
+)
+SELECT week,
+       CAST(len(universe) AS BIGINT) AS n_members,
+       CAST(CASE WHEN prev_universe IS NULL THEN NULL
+            ELSE len(universe) - len(list_intersect(universe, prev_universe))
+            END AS BIGINT) AS n_added,
+       CAST(CASE WHEN prev_universe IS NULL THEN NULL
+            ELSE len(prev_universe)
+                 - len(list_intersect(universe, prev_universe))
+            END AS BIGINT) AS n_dropped
+FROM lagged
+""")
+def universe_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-reconstitution analytics: each week's top-30 sids by median
+    dollar volume, and how many entered/left vs the prior week.  The
+    membership sets are collected as sid-sorted arrays per week (30
+    elements, bounded by construction — never the full panel) and
+    compared with one lag + array intersection; the heavy input reduces
+    to (weeks × sids) medians in one grouped aggregate first.  This is
+    the weekly churn report behind rebalance-cost budgeting."""
+    panel = events_to_panel(spark, sf_dir)
+    wk = (panel.groupBy(
+        F.date_trunc("week", F.col("date")).cast("date").alias("week"),
+        "sid")
+        .agg(F.median(F.col("close") * F.col("volume")).alias("med_dv")))
+    rk = F.rank().over(
+        Window.partitionBy("week").orderBy(F.col("med_dv").desc(), "sid"))
+    members = (wk.withColumn("rk", rk).where(F.col("rk") <= 30)
+               .groupBy("week")
+               .agg(F.array_sort(F.collect_list("sid")).alias("universe")))
+    lagged = members.withColumn(
+        "prev_universe", F.lag("universe").over(Window.orderBy("week")))
+    inter = F.size(F.array_intersect("universe", "prev_universe"))
+    return lagged.select(
+        "week",
+        F.size("universe").cast("bigint").alias("n_members"),
+        F.when(F.col("prev_universe").isNotNull(),
+               (F.size("universe") - inter)).cast("bigint").alias("n_added"),
+        F.when(F.col("prev_universe").isNotNull(),
+               (F.size("prev_universe") - inter)).cast("bigint")
+         .alias("n_dropped"))

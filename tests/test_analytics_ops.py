@@ -99,3 +99,27 @@ def test_purged_kfold_partitions_dates(spark):
     for _, row in folds.iterrows():
         assert row.n_test + row.n_train + row.n_purged + row.n_embargoed \
             == total
+
+
+def test_register_views_sql_surface(spark):
+    """register_views exposes every table + the derived panel; a raw
+    spark.sql join over them runs and agrees with the DataFrame path."""
+    from moonshot_spark.sql import register_views
+
+    names = register_views(spark, SF_DIR)
+    assert "prices_panel" in names and "lineitem" in names
+    n_sql = spark.sql(
+        "SELECT count(*) AS n FROM prices_panel").collect()[0].n
+    from moonshot_spark.sources.parquet import events_to_panel
+    assert n_sql == events_to_panel(spark, SF_DIR).count()
+
+
+def test_universe_churn_is_consistent(spark):
+    """added/dropped are bounded by the membership sizes and the first
+    week has no churn baseline."""
+    churn = QUERIES["universe_churn_weekly"](spark, SF_DIR).toPandas()
+    churn = churn.sort_values("week").reset_index(drop=True)
+    assert pd.isna(churn.n_added.iloc[0]) and pd.isna(churn.n_dropped.iloc[0])
+    rest = churn.iloc[1:]
+    assert (rest.n_added <= rest.n_members).all()
+    assert (rest.n_added >= 0).all() and (rest.n_dropped >= 0).all()
