@@ -6611,3 +6611,139 @@ def universe_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("prev_universe").isNotNull(),
                (F.size("prev_universe") - inter)).cast("bigint")
          .alias("n_dropped"))
+
+
+# --------------------------------------------------------------------- #
+# walk-forward CV: per-fold AR(1) fit + out-of-sample MSE, zero Python  #
+# --------------------------------------------------------------------- #
+
+@register("walkforward_ar1_cv", f"""
+WITH panel AS ({PANEL_SQL}),
+rets0 AS (
+    SELECT sid, date,
+           (close - lag(close) OVER w) / lag(close) OVER w AS r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+rets AS (
+    SELECT sid, date, r AS y, lag(r) OVER (PARTITION BY sid ORDER BY date)
+        AS x
+    FROM rets0
+),
+obs AS (SELECT * FROM rets WHERE x IS NOT NULL AND y IS NOT NULL),
+dates AS (SELECT DISTINCT date FROM panel),
+folded AS (
+    SELECT date, CAST(ntile(5) OVER (ORDER BY date) AS INT) AS fold
+    FROM dates
+),
+bounds AS (
+    SELECT fold, min(date) AS test_start, max(date) AS test_end
+    FROM folded GROUP BY fold
+),
+tagged AS (
+    SELECT b.fold, o.sid, o.date, o.x, o.y,
+           CASE WHEN o.date BETWEEN b.test_start AND b.test_end THEN 'test'
+                WHEN o.date < b.test_start - INTERVAL 1 DAY
+                  OR o.date > b.test_end + INTERVAL 2 DAY THEN 'train'
+           END AS tag
+    FROM obs o CROSS JOIN bounds b
+),
+kept AS (SELECT * FROM tagged WHERE tag IS NOT NULL),
+partials AS (
+    SELECT fold, tag, sid,
+           CAST(count(*) AS BIGINT) AS cnt,
+           list_reduce(list(x * y ORDER BY date), (a, b) -> a + b) AS pxy,
+           list_reduce(list(x * x ORDER BY date), (a, b) -> a + b) AS pxx,
+           list_reduce(list(y * y ORDER BY date), (a, b) -> a + b) AS pyy
+    FROM kept GROUP BY fold, tag, sid
+),
+sums AS (
+    SELECT fold, tag,
+           CAST(sum(cnt) AS BIGINT) AS n,
+           list_reduce(list(pxy ORDER BY sid), (a, b) -> a + b) AS sxy,
+           list_reduce(list(pxx ORDER BY sid), (a, b) -> a + b) AS sxx,
+           list_reduce(list(pyy ORDER BY sid), (a, b) -> a + b) AS syy
+    FROM partials GROUP BY fold, tag
+),
+wide AS (
+    SELECT fold,
+           max(CASE WHEN tag = 'train' THEN n END) AS n_train,
+           max(CASE WHEN tag = 'train' THEN sxy END) AS sxy_tr,
+           max(CASE WHEN tag = 'train' THEN sxx END) AS sxx_tr,
+           max(CASE WHEN tag = 'test' THEN n END) AS n_test,
+           max(CASE WHEN tag = 'test' THEN sxy END) AS sxy_te,
+           max(CASE WHEN tag = 'test' THEN sxx END) AS sxx_te,
+           max(CASE WHEN tag = 'test' THEN syy END) AS syy_te
+    FROM sums GROUP BY fold
+)
+SELECT fold, n_train, n_test,
+       sxy_tr / sxx_tr AS beta,
+       (syy_te - 2 * (sxy_tr / sxx_tr) * sxy_te
+        + (sxy_tr / sxx_tr) * (sxy_tr / sxx_tr) * sxx_te)
+       / CAST(n_test AS DOUBLE) AS test_mse
+FROM wide
+""")
+def walkforward_ar1_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward model selection with purged folds, entirely in the
+    engine (zero Python in the loop): per fold, an AR(1)-through-origin
+    model β = Σxy/Σxx is fit on the purged+embargoed train set and
+    scored out-of-sample via the closed form
+    MSE = (Σy² − 2βΣxy + β²Σxx)/n — no second pass over the data.
+    The float discipline is HIERARCHICAL pinned-order reduction: per
+    (fold, tag, sid) the moment sums fold in date order, then per
+    (fold, tag) the per-sid partials fold in sid order — deterministic
+    like a single sorted fold, but every group stays bounded (days per
+    sid, sids per fold) instead of one unbounded collect_list, which is
+    what makes the pattern survive 100 TB.  The fold-bounds dim (5 rows)
+    broadcasts over the returns frame; two chained aggregations on
+    narrowing keys do the rest."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    rets = panel.select("sid", "date", pct_change("close", 1, w).alias("r"))
+    obs = (rets.select("sid", "date", F.col("r").alias("y"),
+                       F.lag("r").over(w).alias("x"))
+           .where(F.col("x").isNotNull() & F.col("y").isNotNull()))
+    dates = panel.select("date").distinct()
+    folded = dates.select(
+        "date", F.ntile(5).over(Window.orderBy("date")).alias("fold"))
+    bounds = folded.groupBy("fold").agg(
+        F.min("date").alias("test_start"), F.max("date").alias("test_end"))
+    tag = (F.when(F.col("date").between(F.col("test_start"),
+                                        F.col("test_end")), "test")
+           .when((F.col("date") < F.date_sub(F.col("test_start"), 1))
+                 | (F.col("date") > F.date_add(F.col("test_end"), 2)),
+                 "train"))
+    kept = (obs.crossJoin(F.broadcast(bounds))
+            .withColumn("tag", tag)
+            .where(F.col("tag").isNotNull()))
+
+    def fold_by(key_col, expr):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct(key_col, expr.alias("v")))),
+            lambda s: s["v"])
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    partials = kept.groupBy("fold", "tag", "sid").agg(
+        F.count("*").alias("cnt"),
+        fold_by("date", F.col("x") * F.col("y")).alias("pxy"),
+        fold_by("date", F.col("x") * F.col("x")).alias("pxx"),
+        fold_by("date", F.col("y") * F.col("y")).alias("pyy"))
+    sums = partials.groupBy("fold", "tag").agg(
+        F.sum("cnt").alias("n"),
+        fold_by("sid", F.col("pxy")).alias("sxy"),
+        fold_by("sid", F.col("pxx")).alias("sxx"),
+        fold_by("sid", F.col("pyy")).alias("syy"))
+    pick = lambda t, c: F.max(F.when(F.col("tag") == t, F.col(c)))
+    wide = sums.groupBy("fold").agg(
+        pick("train", "n").alias("n_train"),
+        pick("train", "sxy").alias("sxy_tr"),
+        pick("train", "sxx").alias("sxx_tr"),
+        pick("test", "n").alias("n_test"),
+        pick("test", "sxy").alias("sxy_te"),
+        pick("test", "sxx").alias("sxx_te"),
+        pick("test", "syy").alias("syy_te"))
+    beta = F.col("sxy_tr") / F.col("sxx_tr")
+    mse = ((F.col("syy_te") - F.lit(2) * beta * F.col("sxy_te")
+            + beta * beta * F.col("sxx_te"))
+           / F.col("n_test").cast("double"))
+    return wide.select("fold", "n_train", "n_test",
+                       beta.alias("beta"), mse.alias("test_mse"))
