@@ -6747,3 +6747,170 @@ def walkforward_ar1_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
            / F.col("n_test").cast("double"))
     return wide.select("fold", "n_train", "n_test",
                        beta.alias("beta"), mse.alias("test_mse"))
+
+
+# --------------------------------------------------------------------- #
+# intraday volume curve: time-of-day share of daily volume              #
+# --------------------------------------------------------------------- #
+
+@register("intraday_volume_curve", """
+WITH buckets AS (
+    SELECT CAST(user_id AS VARCHAR) AS sid, CAST(ts AS DATE) AS date,
+           lpad(CAST(CAST(date_part('hour', ts) AS INT)
+                     - CAST(date_part('hour', ts) AS INT) % 6 AS VARCHAR),
+                2, '0') || ':00:00' AS time,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM events GROUP BY 1, 2, 3
+),
+tot AS (
+    SELECT time, CAST(sum(n_ticks) AS BIGINT) AS bucket_ticks
+    FROM buckets GROUP BY time
+),
+grand AS (SELECT CAST(sum(n_ticks) AS BIGINT) AS all_ticks FROM buckets)
+SELECT t.time, t.bucket_ticks,
+       CAST(t.bucket_ticks AS DOUBLE) / CAST(g.all_ticks AS DOUBLE)
+           AS volume_share
+FROM tot t CROSS JOIN grand g
+""")
+def intraday_volume_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The intraday volume curve a VWAP execution scheduler slices orders
+    against: share of total tick volume falling in each time-of-day
+    bucket (the reference's intraday Time level, moonshot.py
+    once-a-day/continuous modes).  Two chained integer aggregates and one
+    exact BIGINT/BIGINT division — the curve is a 4-row broadcastable
+    profile whatever the input size."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    tbucket = F.concat(
+        F.lpad((hour - hour % 6).cast("string"), 2, "0"), F.lit(":00:00"))
+    buckets = (ev.groupBy(
+        F.col("user_id").cast("string").alias("sid"),
+        F.col("ts").cast("date").alias("date"),
+        tbucket.alias("time"))
+        .agg(F.count("*").alias("n_ticks")))
+    tot = buckets.groupBy("time").agg(
+        F.sum("n_ticks").alias("bucket_ticks"))
+    grand = buckets.agg(F.sum("n_ticks").alias("all_ticks"))
+    return (tot.crossJoin(F.broadcast(grand))
+            .select("time", "bucket_ticks",
+                    (F.col("bucket_ticks").cast("double")
+                     / F.col("all_ticks").cast("double"))
+                    .alias("volume_share")))
+
+
+# --------------------------------------------------------------------- #
+# event study: forward returns after overnight gaps                     #
+# --------------------------------------------------------------------- #
+
+@register("event_study_gaps", f"""
+WITH panel AS ({PANEL_SQL}),
+g AS (
+    SELECT sid, date, close,
+           (open - lag(close) OVER w) / lag(close) OVER w AS gap,
+           (lead(close, 1) OVER w - close) / close AS fwd1,
+           (lead(close, 2) OVER w - close) / close AS fwd2
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+ev AS (
+    SELECT sid, date,
+           CASE WHEN gap > 0.02 THEN 'gap_up' ELSE 'gap_down' END AS event,
+           fwd1, fwd2
+    FROM g WHERE abs(gap) > 0.02
+),
+partials AS (
+    SELECT event, sid,
+           CAST(count(fwd1) AS BIGINT) AS n1,
+           CAST(count(fwd2) AS BIGINT) AS n2,
+           list_reduce(list(coalesce(fwd1, 0) ORDER BY date),
+                       (a, b) -> a + b) AS p1,
+           list_reduce(list(coalesce(fwd2, 0) ORDER BY date),
+                       (a, b) -> a + b) AS p2
+    FROM ev GROUP BY event, sid
+)
+SELECT event,
+       CAST(sum(n1) AS BIGINT) AS n_fwd1,
+       list_reduce(list(p1 ORDER BY sid), (a, b) -> a + b)
+           / CAST(sum(n1) AS DOUBLE) AS mean_fwd1,
+       CAST(sum(n2) AS BIGINT) AS n_fwd2,
+       list_reduce(list(p2 ORDER BY sid), (a, b) -> a + b)
+           / CAST(sum(n2) AS DOUBLE) AS mean_fwd2
+FROM partials GROUP BY event
+""")
+def event_study_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study: mean 1- and 2-day forward returns after ±2% overnight
+    gaps (does a gap fade or follow through?).  Forward returns come from
+    the same lag/lead window pass that finds the gaps — one shuffle; the
+    event-conditional means use the hierarchical pinned-order reduction
+    (date within sid, sid within event) so the study is bit-deterministic
+    and every fold group stays bounded."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    gap = ((F.col("open") - F.lag("close").over(w))
+           / F.lag("close").over(w))
+    fwd1 = (F.lead("close", 1).over(w) - F.col("close")) / F.col("close")
+    fwd2 = (F.lead("close", 2).over(w) - F.col("close")) / F.col("close")
+    g = panel.select("sid", "date", gap.alias("gap"),
+                     fwd1.alias("fwd1"), fwd2.alias("fwd2"))
+    ev = (g.where(F.abs(F.col("gap")) > 0.02)
+          .withColumn("event", F.when(F.col("gap") > 0.02, "gap_up")
+                      .otherwise("gap_down")))
+
+    def fold_by(key_col, expr):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct(key_col, expr.alias("v")))),
+            lambda s: s["v"])
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    partials = ev.groupBy("event", "sid").agg(
+        F.count("fwd1").alias("n1"),
+        F.count("fwd2").alias("n2"),
+        fold_by("date", F.coalesce(F.col("fwd1"), F.lit(0))).alias("p1"),
+        fold_by("date", F.coalesce(F.col("fwd2"), F.lit(0))).alias("p2"))
+    return partials.groupBy("event").agg(
+        F.sum("n1").alias("n_fwd1"),
+        (fold_by("sid", F.col("p1"))
+         / F.sum("n1").cast("double")).alias("mean_fwd1"),
+        F.sum("n2").alias("n_fwd2"),
+        (fold_by("sid", F.col("p2"))
+         / F.sum("n2").cast("double")).alias("mean_fwd2"))
+
+
+# --------------------------------------------------------------------- #
+# cross-source duplication matrix (who copies whom)                     #
+# --------------------------------------------------------------------- #
+
+@register("cross_source_duplication", """
+WITH fp AS (
+    SELECT DISTINCT source,
+           md5(array_to_string(
+               list_slice(string_split(lower(text), ' '), 1, 8), ' ')) AS f
+    FROM documents
+),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared FROM pairs
+""")
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    8-token prefix fingerprints both carry — the provenance report that
+    tells a corpus curator which feeds share boilerplate or mirror each
+    other (prefix fingerprints catch shared headers where full-text
+    hashes, which this corpus never collides on, would stay empty).  The
+    per-(source, fingerprint) dedup happens BEFORE the self-join, so a
+    fingerprint seen k times within one source contributes once; after
+    that dedup a fingerprint appears at most once per source (≤20 rows
+    per join key), so the self-join cannot go quadratic in the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.md5(F.array_join(
+        F.slice(F.split(F.lower(F.col("text")), " "), 1, 8), " "))
+    fp = docs.select("source", norm.alias("f")).distinct()
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), "f")
+    return (a.join(b, "f")
+            .where(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("n_shared")))
