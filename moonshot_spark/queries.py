@@ -6914,3 +6914,86 @@ def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("source_a") < F.col("source_b"))
             .groupBy("source_a", "source_b")
             .agg(F.count("*").alias("n_shared")))
+
+
+# --------------------------------------------------------------------- #
+# Ljung-Box portmanteau statistic per sid (lags 1..3)                   #
+# --------------------------------------------------------------------- #
+
+@register("ljung_box_q", f"""
+WITH panel AS ({PANEL_SQL}),
+rets AS (
+    SELECT sid, date,
+           (close - lag(close) OVER w) / lag(close) OVER w AS r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+lagged AS (
+    SELECT sid, date, r,
+           lag(r, 1) OVER w AS r1,
+           lag(r, 2) OVER w AS r2,
+           lag(r, 3) OVER w AS r3
+    FROM rets WHERE r IS NOT NULL
+    WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+sums AS (
+    SELECT sid,
+           CAST(count(r) AS BIGINT) AS n,
+           list_reduce(list(r * r ORDER BY date), (a, b) -> a + b) AS s0,
+           list_reduce(list(coalesce(r * r1, 0) ORDER BY date),
+                       (a, b) -> a + b) AS s1,
+           list_reduce(list(coalesce(r * r2, 0) ORDER BY date),
+                       (a, b) -> a + b) AS s2,
+           list_reduce(list(coalesce(r * r3, 0) ORDER BY date),
+                       (a, b) -> a + b) AS s3
+    FROM lagged GROUP BY sid
+)
+SELECT sid, n,
+       s1 / s0 AS rho1, s2 / s0 AS rho2, s3 / s0 AS rho3,
+       n * (n + 2) * ((s1 / s0) * (s1 / s0) / (n - 1)
+                      + (s2 / s0) * (s2 / s0) / (n - 2)
+                      + (s3 / s0) * (s3 / s0) / (n - 3)) AS q_stat
+FROM sums WHERE n > 3
+""")
+def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic (lags 1..3, raw non-demeaned
+    autocorrelations) per sid — the serial-correlation screen run before
+    trusting an IID-returns assumption.  One lag-window pass produces the
+    three lagged columns, the moment sums fold in date order, and
+    Q = n(n+2)·Σ ρ_k²/(n−k) is one closed-form expression over them —
+    the whole hypothesis test is a single shuffle by sid plus arithmetic,
+    bit-deterministic across engines."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    rets = (panel.select("sid", "date",
+                         pct_change("close", 1, w).alias("r"))
+            .where(F.col("r").isNotNull()))
+    lagged = rets.select(
+        "sid", "date", "r",
+        F.lag("r", 1).over(w).alias("r1"),
+        F.lag("r", 2).over(w).alias("r2"),
+        F.lag("r", 3).over(w).alias("r3"))
+
+    def fold_by(expr):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct("date", expr.alias("v")))),
+            lambda s: s["v"])
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    sums = lagged.groupBy("sid").agg(
+        F.count("r").alias("n"),
+        fold_by(F.col("r") * F.col("r")).alias("s0"),
+        fold_by(F.coalesce(F.col("r") * F.col("r1"), F.lit(0))).alias("s1"),
+        fold_by(F.coalesce(F.col("r") * F.col("r2"), F.lit(0))).alias("s2"),
+        fold_by(F.coalesce(F.col("r") * F.col("r3"), F.lit(0))).alias("s3"))
+    rho = lambda s, k: F.col(s) / F.col("s0")
+    n = F.col("n")
+    q = (n * (n + 2)
+         * (rho("s1", 1) * rho("s1", 1) / (n - 1)
+            + rho("s2", 2) * rho("s2", 2) / (n - 2)
+            + rho("s3", 3) * rho("s3", 3) / (n - 3)))
+    return (sums.where(n > 3)
+            .select("sid", "n",
+                    rho("s1", 1).alias("rho1"),
+                    rho("s2", 2).alias("rho2"),
+                    rho("s3", 3).alias("rho3"),
+                    q.alias("q_stat")))
