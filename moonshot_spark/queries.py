@@ -6997,3 +6997,125 @@ def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rho("s2", 2).alias("rho2"),
                     rho("s3", 3).alias("rho3"),
                     q.alias("q_stat")))
+
+
+# --------------------------------------------------------------------- #
+# momentum decile portfolio sort (weekly formation)                     #
+# --------------------------------------------------------------------- #
+
+@register("momentum_decile_sort", f"""
+WITH panel AS ({PANEL_SQL}),
+wk AS (
+    SELECT sid, CAST(date_trunc('week', date) AS DATE) AS week,
+           arg_min(close, date) AS first_close,
+           arg_max(close, date) AS last_close
+    FROM panel GROUP BY 1, 2
+),
+mom AS (
+    SELECT sid, week,
+           (last_close - first_close) / first_close AS wk_ret,
+           lead((last_close - first_close) / first_close)
+               OVER (PARTITION BY sid ORDER BY week) AS fwd_ret
+    FROM wk
+),
+ranked AS (
+    SELECT sid, week, wk_ret, fwd_ret,
+           CAST(ntile(10) OVER (PARTITION BY week
+                                ORDER BY wk_ret, sid) AS INT) AS decile
+    FROM mom
+),
+partials AS (
+    SELECT week, decile,
+           CAST(count(fwd_ret) AS BIGINT) AS n,
+           list_reduce(list(coalesce(fwd_ret, 0) ORDER BY sid),
+                       (a, b) -> a + b) AS p
+    FROM ranked GROUP BY week, decile
+)
+SELECT decile,
+       CAST(sum(n) AS BIGINT) AS n_obs,
+       list_reduce(list(p ORDER BY week), (a, b) -> a + b)
+           / CAST(sum(n) AS DOUBLE) AS mean_fwd_ret
+FROM partials WHERE n > 0 GROUP BY decile
+""")
+def momentum_decile_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portfolio sort — the workhorse of empirical asset pricing: each
+    week, sids are ranked into momentum deciles by that week's return
+    (first→last close), and next week's mean return is computed per
+    decile.  A monotone decile→forward-return profile is the momentum
+    anomaly; flat means none.  ntile ties break on sid, and the mean
+    folds hierarchically (sid within week, week across) — the whole
+    two-pass study is two shuffles (sid-week rollup, week ranking)."""
+    panel = events_to_panel(spark, sf_dir)
+    wk = (panel.groupBy(
+        "sid", F.date_trunc("week", F.col("date")).cast("date").alias("week"))
+        .agg(F.min_by("close", "date").alias("first_close"),
+             F.max_by("close", "date").alias("last_close")))
+    wk_ret = ((F.col("last_close") - F.col("first_close"))
+              / F.col("first_close"))
+    ws = Window.partitionBy("sid").orderBy("week")
+    mom = wk.select("sid", "week", wk_ret.alias("wk_ret")) \
+        .withColumn("fwd_ret", F.lead("wk_ret").over(ws))
+    decile = F.ntile(10).over(
+        Window.partitionBy("week").orderBy("wk_ret", "sid"))
+    ranked = mom.withColumn("decile", decile)
+
+    def fold_by(key_col, expr):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct(key_col, expr.alias("v")))),
+            lambda s: s["v"])
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    partials = ranked.groupBy("week", "decile").agg(
+        F.count("fwd_ret").alias("n"),
+        fold_by("sid", F.coalesce(F.col("fwd_ret"), F.lit(0))).alias("p"))
+    return (partials.where(F.col("n") > 0)
+            .groupBy("decile")
+            .agg(F.sum("n").alias("n_obs"),
+                 (fold_by("week", F.col("p"))
+                  / F.sum("n").cast("double")).alias("mean_fwd_ret")))
+
+
+# --------------------------------------------------------------------- #
+# Amihud illiquidity measure per sid                                    #
+# --------------------------------------------------------------------- #
+
+@register("amihud_illiquidity", f"""
+WITH panel AS ({PANEL_SQL}),
+rets AS (
+    SELECT sid, date, close, volume,
+           (close - lag(close) OVER w) / lag(close) OVER w AS r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+daily AS (
+    SELECT sid, date, abs(r) / (close * volume) AS illiq
+    FROM rets WHERE r IS NOT NULL AND close * volume > 0
+)
+SELECT sid,
+       CAST(count(*) AS BIGINT) AS n_days,
+       1000000.0 * list_reduce(list(illiq ORDER BY date), (a, b) -> a + b)
+           / CAST(count(*) AS DOUBLE) AS amihud_x1m
+FROM daily GROUP BY sid
+""")
+def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002) illiquidity: mean |return| per unit of dollar volume
+    (×1e6), the standard price-impact proxy and the liquidity screen's
+    research-grade sibling.  One lag window for returns, a date-ordered
+    fold for the mean — single shuffle by sid, bit-deterministic."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    rets = panel.select(
+        "sid", "date", "close", "volume",
+        pct_change("close", 1, w).alias("r"))
+    daily = (rets.where(F.col("r").isNotNull()
+                        & (F.col("close") * F.col("volume") > 0))
+             .select("sid", "date",
+                     (F.abs(F.col("r"))
+                      / (F.col("close") * F.col("volume"))).alias("illiq")))
+    folded = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("date", "illiq"))),
+                    lambda s: s["illiq"]),
+        F.lit(0.0), lambda a, b: a + b)
+    return (daily.groupBy("sid")
+            .agg(F.count("*").alias("n_days"),
+                 (F.lit(1000000.0) * folded
+                  / F.count("*").cast("double")).alias("amihud_x1m")))
