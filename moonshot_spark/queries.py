@@ -7119,3 +7119,80 @@ def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_days"),
                  (F.lit(1000000.0) * folded
                   / F.count("*").cast("double")).alias("amihud_x1m")))
+
+
+# --------------------------------------------------------------------- #
+# price-path similarity search: top-5 nearest sids by z-scored SSD      #
+# --------------------------------------------------------------------- #
+
+@register("price_path_similarity", f"""
+WITH panel AS ({PANEL_SQL}),
+stats AS (
+    SELECT sid, date, close,
+           CAST(sum(CAST(close AS DECIMAL(18,2))) OVER ws AS DOUBLE) AS s1,
+           CAST(sum(CAST(close AS DECIMAL(18,2)) * CAST(close AS DECIMAL(18,2)))
+                OVER ws AS DOUBLE) AS s2,
+           CAST(count(close) OVER ws AS DOUBLE) AS n
+    FROM panel WINDOW ws AS (PARTITION BY sid)
+),
+z AS (
+    SELECT sid, date,
+           (close - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zc
+    FROM stats
+),
+pairs AS (
+    SELECT a.sid AS sid_a, b.sid AS sid_b,
+           CAST(count(*) AS BIGINT) AS n_dates,
+           list_reduce(list((a.zc - b.zc) * (a.zc - b.zc) ORDER BY a.date),
+                       (x, y) -> x + y) AS ssd
+    FROM z a JOIN z b ON a.date = b.date AND a.sid <> b.sid
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT sid_a, sid_b, n_dates, ssd,
+           rank() OVER (PARTITION BY sid_a ORDER BY ssd, sid_b) AS rk
+    FROM pairs
+)
+SELECT sid_a, sid_b, n_dates, ssd, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+""")
+def price_path_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over the panel: each sid's 5 nearest
+    neighbors by sum-of-squared-differences between per-sid z-scored
+    close paths (the shape-matching primitive behind pairs screening and
+    regime clustering; the distributed-trajectory-search literature —
+    e.g. REPOSE, ICDE'21 — is this same kernel plus pruning).  Z-scores
+    come from exact DECIMAL moment sums per sid; the all-pairs join is
+    date-aligned (equi-join on date, shuffle both sides once) and
+    quadratic only in the SID COUNT — the panel's width, not its length —
+    with per-pair SSD folded in date order.  For universes too wide for
+    exact all-pairs, the LSH/IVF ANN operators in datapipe/similarity.py
+    are the escape hatch; this exact kernel doubles as their recall
+    oracle."""
+    panel = events_to_panel(spark, sf_dir)
+    ws = Window.partitionBy("sid")
+    c_dec = F.col("close").cast("decimal(18,2)")
+    s1 = F.sum(c_dec).over(ws).cast("double")
+    s2 = F.sum(c_dec * c_dec).over(ws).cast("double")
+    n = F.count("close").over(ws).cast("double")
+    z = panel.select(
+        "sid", "date",
+        ((F.col("close") - s1 / n)
+         / F.sqrt((s2 - s1 * s1 / n) / (n - 1))).alias("zc"))
+    a = z.select(F.col("sid").alias("sid_a"), "date",
+                 F.col("zc").alias("za"))
+    b = z.select(F.col("sid").alias("sid_b"), "date",
+                 F.col("zc").alias("zb"))
+    d2 = (F.col("za") - F.col("zb")) * (F.col("za") - F.col("zb"))
+    folded = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("date",
+                                                         d2.alias("v")))),
+                    lambda s: s["v"]),
+        F.lit(0.0), lambda x, y: x + y)
+    pairs = (a.join(b, "date")
+             .where(F.col("sid_a") != F.col("sid_b"))
+             .groupBy("sid_a", "sid_b")
+             .agg(F.count("*").alias("n_dates"), folded.alias("ssd")))
+    rk = F.rank().over(
+        Window.partitionBy("sid_a").orderBy("ssd", "sid_b")).cast("int")
+    return (pairs.withColumn("rk", rk).where(F.col("rk") <= 5))
