@@ -239,3 +239,28 @@ def test_pagerank_no_cartesian_no_python():
     plan = plan_of("pagerank_copurchase")
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_walkforward_broadcasts_fold_bounds():
+    """The fold-bounds dim (5 rows) must broadcast over the returns
+    frame; a shuffled join here would re-partition the fact side per
+    fold."""
+    plan = plan_of("walkforward_ar1_cv")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, \
+        plan
+
+
+def test_intraday_volume_curve_is_two_aggregates():
+    """The curve is chained integer aggregates + one broadcast of a
+    1-row grand total: no window, no sort of the fact table."""
+    plan = plan_of("intraday_volume_curve")
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_cross_source_dup_dedups_before_join():
+    """The per-(source, fingerprint) distinct must sit below the
+    self-join on both sides (bounds the per-key fanout)."""
+    plan = plan_of("cross_source_duplication")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
