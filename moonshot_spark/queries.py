@@ -7196,3 +7196,179 @@ def price_path_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = F.rank().over(
         Window.partitionBy("sid_a").orderBy("ssd", "sid_b")).cast("int")
     return (pairs.withColumn("rk", rk).where(F.col("rk") <= 5))
+
+
+# --------------------------------------------------------------------- #
+# Lo-MacKinlay variance-ratio test (q = 5)                              #
+# --------------------------------------------------------------------- #
+
+@register("variance_ratio_test", f"""
+WITH panel AS ({PANEL_SQL}),
+rets AS (
+    SELECT sid, date,
+           (close - lag(close) OVER w) / lag(close) OVER w AS r1,
+           (close - lag(close, 5) OVER w) / lag(close, 5) OVER w AS r5
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+sums AS (
+    SELECT sid,
+           CAST(count(r1) AS BIGINT) AS n1,
+           CAST(count(r5) AS BIGINT) AS n5,
+           list_reduce(list(coalesce(r1, 0) ORDER BY date),
+                       (a, b) -> a + b) AS s1,
+           list_reduce(list(coalesce(r1 * r1, 0) ORDER BY date),
+                       (a, b) -> a + b) AS s11,
+           list_reduce(list(coalesce(r5, 0) ORDER BY date),
+                       (a, b) -> a + b) AS s5,
+           list_reduce(list(coalesce(r5 * r5, 0) ORDER BY date),
+                       (a, b) -> a + b) AS s55
+    FROM rets GROUP BY sid
+)
+SELECT sid, n1, n5,
+       (s11 - s1 * s1 / n1) / (n1 - 1) AS var1,
+       (s55 - s5 * s5 / n5) / (n5 - 1) AS var5,
+       ((s55 - s5 * s5 / n5) / (n5 - 1))
+       / (5 * ((s11 - s1 * s1 / n1) / (n1 - 1))) AS vr5
+FROM sums WHERE n1 > 1 AND n5 > 1
+""")
+def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio statistic per sid: VR(5) =
+    Var(5-period returns) / (5 · Var(1-period)) — ≈1 under a random
+    walk, <1 mean-reverting, >1 trending.  Both return horizons come
+    from the same lag window pass; variances use date-ordered moment
+    folds and one closed form.  A complete market-efficiency test in a
+    single shuffle."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    r1 = pct_change("close", 1, w)
+    r5 = ((F.col("close") - F.lag("close", 5).over(w))
+          / F.lag("close", 5).over(w))
+    rets = panel.select("sid", "date", r1.alias("r1"), r5.alias("r5"))
+
+    def fold_by(expr):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct("date", expr.alias("v")))),
+            lambda s: s["v"])
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    sums = rets.groupBy("sid").agg(
+        F.count("r1").alias("n1"), F.count("r5").alias("n5"),
+        fold_by(F.coalesce(F.col("r1"), F.lit(0))).alias("s1"),
+        fold_by(F.coalesce(F.col("r1") * F.col("r1"), F.lit(0)))
+        .alias("s11"),
+        fold_by(F.coalesce(F.col("r5"), F.lit(0))).alias("s5"),
+        fold_by(F.coalesce(F.col("r5") * F.col("r5"), F.lit(0)))
+        .alias("s55"))
+    var1 = ((F.col("s11") - F.col("s1") * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - 1))
+    var5 = ((F.col("s55") - F.col("s5") * F.col("s5") / F.col("n5"))
+            / (F.col("n5") - 1))
+    return (sums.where((F.col("n1") > 1) & (F.col("n5") > 1))
+            .select("sid", "n1", "n5", var1.alias("var1"),
+                    var5.alias("var5"),
+                    (var5 / (F.lit(5) * var1)).alias("vr5")))
+
+
+# --------------------------------------------------------------------- #
+# Donchian channel breakouts                                            #
+# --------------------------------------------------------------------- #
+
+@register("donchian_breakouts", f"""
+WITH panel AS ({PANEL_SQL}),
+ch AS (
+    SELECT sid, date, close,
+           max(high) OVER wp AS ch_high,
+           min(low)  OVER wp AS ch_low,
+           CAST(count(*) OVER wp AS INT) AS n_prior
+    FROM panel
+    WINDOW wp AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT sid,
+       CAST(count(CASE WHEN n_prior >= 10 AND close > ch_high
+                       THEN 1 END) AS BIGINT) AS n_breakout_up,
+       CAST(count(CASE WHEN n_prior >= 10 AND close < ch_low
+                       THEN 1 END) AS BIGINT) AS n_breakout_down,
+       CAST(count(CASE WHEN n_prior >= 10 THEN 1 END) AS BIGINT)
+           AS n_eligible
+FROM ch GROUP BY sid
+""")
+def donchian_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel breakout counts: closes above the prior 10-day
+    high / below the prior 10-day low (the turtle-trader entry rule,
+    min_periods=10).  Channel bounds are order statistics over a
+    trailing frame that EXCLUDES the current row (1 PRECEDING) — the
+    off-by-one that silently inflates breakout counts if the frame
+    includes today.  One shuffle, integer outputs."""
+    panel = events_to_panel(spark, sf_dir)
+    wp = (Window.partitionBy("sid").orderBy("date").rowsBetween(-10, -1))
+    ch = panel.select(
+        "sid", "close",
+        F.max("high").over(wp).alias("ch_high"),
+        F.min("low").over(wp).alias("ch_low"),
+        F.count("*").over(wp).cast("int").alias("n_prior"))
+    elig = F.col("n_prior") >= 10
+    return (ch.groupBy("sid")
+            .agg(F.count(F.when(elig & (F.col("close") > F.col("ch_high")),
+                                1)).alias("n_breakout_up"),
+                 F.count(F.when(elig & (F.col("close") < F.col("ch_low")),
+                                1)).alias("n_breakout_down"),
+                 F.count(F.when(elig, 1)).alias("n_eligible")))
+
+
+# --------------------------------------------------------------------- #
+# underwater periods: price-drawdown islands per sid                    #
+# --------------------------------------------------------------------- #
+
+@register("underwater_periods", f"""
+WITH panel AS ({PANEL_SQL}),
+eq AS (
+    SELECT sid, date, close,
+           max(close) OVER (PARTITION BY sid ORDER BY date
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS runmax,
+           row_number() OVER (PARTITION BY sid ORDER BY date) AS rn
+    FROM panel
+),
+uw AS (
+    SELECT sid, date, close, runmax, rn,
+           rn - row_number() OVER (PARTITION BY sid ORDER BY date) AS grp
+    FROM eq WHERE close < runmax
+),
+runs AS (
+    SELECT sid, grp,
+           CAST(count(*) AS BIGINT) AS days_underwater,
+           min(date) AS start_date, max(date) AS end_date,
+           min(close / runmax - 1) AS max_depth
+    FROM uw GROUP BY sid, grp
+)
+SELECT sid,
+       CAST(count(*) AS BIGINT) AS n_periods,
+       max(days_underwater) AS longest_underwater,
+       min(max_depth) AS deepest_drawdown
+FROM runs GROUP BY sid
+""")
+def underwater_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underwater analysis: consecutive runs where price sits below its
+    running maximum, summarized per sid as period count, longest spell,
+    deepest drawdown.  Everything is order statistics (running max,
+    min ratio) and gaps-and-islands on one (sid)-partitioned lineage —
+    two chained aggregations, no self-join, no float accumulation.
+    Complements performance_metrics' return-based max drawdown with the
+    duration dimension risk reports need."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eq = panel.select(
+        "sid", "date", "close",
+        F.max("close").over(wb).alias("runmax"),
+        F.row_number().over(w).alias("rn"))
+    uw = (eq.where(F.col("close") < F.col("runmax"))
+          .withColumn("grp", F.col("rn") - F.row_number().over(w)))
+    runs = uw.groupBy("sid", "grp").agg(
+        F.count("*").alias("days_underwater"),
+        F.min(F.col("close") / F.col("runmax") - 1).alias("max_depth"))
+    return runs.groupBy("sid").agg(
+        F.count("*").alias("n_periods"),
+        F.max("days_underwater").alias("longest_underwater"),
+        F.min("max_depth").alias("deepest_drawdown"))
