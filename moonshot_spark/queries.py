@@ -7372,3 +7372,96 @@ def underwater_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_periods"),
         F.max("days_underwater").alias("longest_underwater"),
         F.min("max_depth").alias("deepest_drawdown"))
+
+
+# --------------------------------------------------------------------- #
+# sparse-vector cosine similarity join over an inverted index           #
+# --------------------------------------------------------------------- #
+
+@register("tfidf_cosine_pairs", """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+wts AS (
+    -- rational weight tf/df (log-free idf analog); stopword-like terms
+    -- with df > 50 are pruned BEFORE the posting join
+    SELECT t.doc_id, t.term,
+           CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS w
+    FROM tf t JOIN df d USING (term) WHERE d.df <= 50
+),
+norms AS (
+    SELECT doc_id,
+           sqrt(list_reduce(list(w * w ORDER BY term), (a, b) -> a + b))
+               AS nrm
+    FROM wts GROUP BY doc_id
+),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           list_reduce(list(a.w * b.w ORDER BY a.term), (x, y) -> x + y)
+               AS dot,
+           CAST(count(*) AS BIGINT) AS n_shared_terms
+    FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b, d.n_shared_terms,
+       d.dot / (na.nrm * nb.nrm) AS cosine
+FROM dots d
+JOIN norms na ON d.doc_a = na.doc_id
+JOIN norms nb ON d.doc_b = nb.doc_id
+WHERE d.dot / (na.nrm * nb.nrm) >= 0.35
+""")
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector cosine similarity join: documents as tf/df-weighted
+    term vectors (the rational idf analog — log-idf would rank the same
+    pairs but cost cross-engine determinism), joined through the
+    inverted index with a df ≤ 50 prune that drops stopword-like terms
+    BEFORE the posting self-join — the fanout of a term is then bounded
+    by its document frequency, which is what keeps the pair space near-
+    linear (the same prefix-pruning economics as PPJoin, applied to
+    cosine).  Dot products and norms fold in term order; pairs below
+    cosine 0.35 are filtered after two broadcast-friendly norm joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id",
+                      F.explode(F.split(F.lower(F.col("text")), " "))
+                      .alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    wts = (tf.join(df.where(F.col("df") <= 50), "term")
+           .select("doc_id", "term",
+                   (F.col("tf").cast("double")
+                    / F.col("df").cast("double")).alias("w")))
+
+    def fold_by(key_col, expr):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct(key_col, expr.alias("v")))),
+            lambda s: s["v"])
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(fold_by("term", F.col("w") * F.col("w"))).alias("nrm"))
+    a = wts.select(F.col("doc_id").alias("doc_a"), "term",
+                   F.col("w").alias("wa"))
+    b = wts.select(F.col("doc_id").alias("doc_b"), "term",
+                   F.col("w").alias("wb"))
+    dots = (a.join(b, "term")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(fold_by("term", F.col("wa") * F.col("wb")).alias("dot"),
+                 F.count("*").alias("n_shared_terms")))
+    cos = (F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")))
+    return (dots
+            .join(norms.select(F.col("doc_id").alias("doc_a"),
+                               F.col("nrm").alias("nrm_a")), "doc_a")
+            .join(norms.select(F.col("doc_id").alias("doc_b"),
+                               F.col("nrm").alias("nrm_b")), "doc_b")
+            .where(cos >= 0.35)
+            .select("doc_a", "doc_b", "n_shared_terms",
+                    cos.alias("cosine")))
