@@ -7465,3 +7465,71 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(cos >= 0.35)
             .select("doc_a", "doc_b", "n_shared_terms",
                     cos.alias("cosine")))
+
+
+# --------------------------------------------------------------------- #
+# T5-style span corruption planning (deterministic hash-seeded spans)   #
+# --------------------------------------------------------------------- #
+
+@register("span_corruption_plan", """
+WITH toks AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+spans AS (
+    SELECT doc_id, n,
+           list_filter(range(0, n), p ->
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                        || CAST(p AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 7 = 0) AS starts
+    FROM toks
+),
+masked AS (
+    SELECT doc_id, n, starts,
+           list_distinct(list_filter(
+               flatten(list_transform(starts, s -> [s, s + 1, s + 2])),
+               x -> x < n)) AS mask_set
+    FROM spans
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(starts) AS BIGINT) AS n_spans,
+       CAST(len(mask_set) AS BIGINT) AS n_masked,
+       CAST(len(mask_set) AS DOUBLE) / CAST(n AS DOUBLE) AS mask_ratio
+FROM masked
+""")
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption planning: for each document, the
+    token positions opening a 3-token mask span are chosen by a SEEDLESS
+    position hash (md5(doc_id:pos) % 7 — an expected ~15%/~35% start/
+    coverage rate), so the corruption plan is reproducible across runs,
+    engines, and partition layouts — df.sample() or any RNG would be
+    none of those.  Entirely map-side: per-row array construction,
+    filter, flatten, distinct — zero shuffles before the final
+    projection, which is the shape that lets the masking stage ride the
+    tokenizer scan at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    toks = docs.select("doc_id", n.alias("n"))
+    start_pred = lambda p: (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                           p.cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 7 == 0)
+    spans = toks.select(
+        "doc_id", "n",
+        F.filter(F.sequence(F.lit(0), F.col("n") - 1), start_pred)
+        .alias("starts"))
+    mask_set = F.array_distinct(F.filter(
+        F.flatten(F.transform(
+            F.col("starts"),
+            lambda s: F.array(s, s + 1, s + 2))),
+        lambda x: x < F.col("n")))
+    masked = spans.select("doc_id", "n", "starts",
+                          mask_set.alias("mask_set"))
+    return masked.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.size("starts").cast("bigint").alias("n_spans"),
+        F.size("mask_set").cast("bigint").alias("n_masked"),
+        (F.size("mask_set").cast("double")
+         / F.col("n").cast("double")).alias("mask_ratio"))
