@@ -51,3 +51,48 @@ def test_results_roundtrip_all_formats(spark, tmp_path):
         back = read_results_as(spark, p, fmt=fmt, fields=["Return"])
         rows = {(r["sid"], round(r["value"], 6)) for r in back.collect()}
         assert rows == {("A", 0.01), ("B", -0.02)}, fmt
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A source that gains a column mid-history must read back unified
+    under mergeSchema, with the old batch's missing column null — the
+    standing-panel upgrade path (new vendor field) without a rewrite."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [("A", "2024-01-01", 10.0)], "sid string, date string, close double")
+    v1.write.mode("append").parquet(path)
+    v2 = spark.createDataFrame(
+        [("A", "2024-01-02", 11.0, 1000.0)],
+        "sid string, date string, close double, vwap double")
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "vwap" in merged.columns
+    rows = {r["date"]: r for r in merged.collect()}
+    assert rows["2024-01-01"]["vwap"] is None
+    assert rows["2024-01-02"]["vwap"] == 1000.0
+    # filters still push down through the merged scan
+    plan = (merged.where(F.col("close") > 10.5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(close), GreaterThan(close,10.5)]" \
+        in plan, plan
+
+
+def test_dynamic_partition_overwrite_one_day(spark, tmp_path):
+    """Dynamic partitionOverwriteMode must replace ONLY the restated
+    day's partition — the incremental-panel restatement path; static
+    mode would wipe the untouched history."""
+    path = str(tmp_path / "panel")
+    base = spark.createDataFrame(
+        [("A", "2024-01-01", 10.0), ("A", "2024-01-02", 11.0)],
+        "sid string, date string, close double")
+    base.write.partitionBy("date").mode("overwrite").parquet(path)
+
+    restated = spark.createDataFrame(
+        [("A", "2024-01-02", 99.0)], "sid string, date string, close double")
+    (restated.write.partitionBy("date").mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic").parquet(path))
+
+    back = {str(r["date"]): r["close"]
+            for r in spark.read.parquet(path).collect()}
+    assert back == {"2024-01-01": 10.0, "2024-01-02": 99.0}
