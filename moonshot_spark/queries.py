@@ -7533,3 +7533,122 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("mask_set").cast("bigint").alias("n_masked"),
         (F.size("mask_set").cast("double")
          / F.col("n").cast("double")).alias("mask_ratio"))
+
+
+# --------------------------------------------------------------------- #
+# data-quality validation: panel integrity checks (dbt-test style)      #
+# --------------------------------------------------------------------- #
+
+@register("panel_quality_checks", f"""
+WITH panel AS ({PANEL_SQL}),
+flags AS (
+    SELECT sid, date, close, volume,
+           CASE WHEN high < low OR close > high OR close < low
+                  OR open > high OR open < low THEN 1 ELSE 0 END AS ohlc_bad,
+           CASE WHEN volume <= 0 THEN 1 ELSE 0 END AS vol_bad,
+           CASE WHEN close = lag(close) OVER (PARTITION BY sid
+                                              ORDER BY date)
+                THEN 1 ELSE 0 END AS stale
+    FROM panel
+)
+SELECT sid,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(ohlc_bad) AS BIGINT) AS n_ohlc_violations,
+       CAST(sum(vol_bad) AS BIGINT) AS n_volume_violations,
+       CAST(sum(stale) AS BIGINT) AS n_stale_prices
+FROM flags GROUP BY sid
+""")
+def panel_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation over the price panel (the dbt-test /
+    expectation-suite layer a production feed runs before strategies
+    consume it): OHLC ordering violations (high<low, close outside the
+    range, open outside the range), non-positive volume, and stale
+    prices (close identical to the prior day — a frozen-feed symptom).
+    One window pass + one integer rollup per sid; every flag is a
+    comparison, so the report is bit-deterministic and rides the
+    panel's existing sid partitioning."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    ohlc_bad = ((F.col("high") < F.col("low"))
+                | (F.col("close") > F.col("high"))
+                | (F.col("close") < F.col("low"))
+                | (F.col("open") > F.col("high"))
+                | (F.col("open") < F.col("low"))).cast("int")
+    vol_bad = (F.col("volume") <= 0).cast("int")
+    stale = (F.col("close") == F.lag("close").over(w)).cast("int")
+    flags = panel.select("sid", ohlc_bad.alias("ohlc_bad"),
+                         vol_bad.alias("vol_bad"),
+                         F.coalesce(stale, F.lit(0)).alias("stale"))
+    return flags.groupBy("sid").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("ohlc_bad").alias("n_ohlc_violations"),
+        F.sum("vol_bad").alias("n_volume_violations"),
+        F.sum("stale").alias("n_stale_prices"))
+
+
+# --------------------------------------------------------------------- #
+# referential-integrity report across the star schema                   #
+# --------------------------------------------------------------------- #
+
+@register("referential_integrity_report", """
+SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphans,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM customer) AS BIGINT)
+""")
+def referential_integrity_report(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for every FK edge via LEFT ANTI joins (the dbt `relationships` test
+    at warehouse scale).  Each anti-join broadcasts the key projection
+    of its dimension when small and falls back to a shuffled join
+    otherwise — never a driver-side key set; the four edge checks union
+    into one report plan so the fact tables are scanned once per edge,
+    columns pruned to the key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, child_key, parent, parent_key):
+        orphans = child.select(child_key).join(
+            parent.select(parent_key),
+            F.col(child_key) == F.col(parent_key), "left_anti")
+        return (orphans.agg(F.count("*").alias("n_orphans"))
+                .crossJoin(child.agg(F.count("*").alias("n_rows")))
+                .select(F.lit(name).alias("fk_edge"),
+                        "n_orphans", "n_rows"))
+
+    return (edge("lineitem.l_orderkey -> orders",
+                 li, "l_orderkey", orders, "o_orderkey")
+            .unionByName(edge("lineitem.l_partkey -> part",
+                              li, "l_partkey", part, "p_partkey"))
+            .unionByName(edge("orders.o_custkey -> customer",
+                              orders, "o_custkey", customer, "c_custkey"))
+            .unionByName(edge("customer.c_nationkey -> nation",
+                              customer, "c_nationkey", nation,
+                              "n_nationkey")))
