@@ -7652,3 +7652,114 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) \
             .unionByName(edge("customer.c_nationkey -> nation",
                               customer, "c_nationkey", nation,
                               "n_nationkey")))
+
+
+# --------------------------------------------------------------------- #
+# primary-key uniqueness audit across tables                            #
+# --------------------------------------------------------------------- #
+
+@register("primary_key_check", """
+SELECT 'events.event_id' AS pk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dupes
+FROM events
+UNION ALL
+SELECT 'documents.doc_id', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT doc_id) AS BIGINT),
+       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'orders.o_orderkey', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT o_orderkey) AS BIGINT),
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+""")
+def primary_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit (the dbt `unique` test): per claimed
+    key, row count vs distinct count.  Each check is one map-side-
+    combined aggregate with a distinct count — at scale Spark plans
+    count(DISTINCT) as a two-stage expand/aggregate, never a driver
+    collect; the three reports union into one plan."""
+    rows = []
+    for name, table, key in (
+            ("events.event_id", "events", "event_id"),
+            ("documents.doc_id", "documents", "doc_id"),
+            ("orders.o_orderkey", "orders", "o_orderkey")):
+        t = load_table(spark, sf_dir, table)
+        rows.append(t.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct"),
+            (F.count("*") - F.countDistinct(key)).alias("n_dupes"))
+            .select(F.lit(name).alias("pk"), "n_rows", "n_distinct",
+                    "n_dupes"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --------------------------------------------------------------------- #
+# top session paths: 3-event sequences within 30-minute sessions        #
+# --------------------------------------------------------------------- #
+
+@register("session_path_trigrams", """
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS session_id
+    FROM seq
+),
+tri AS (
+    SELECT event_type || '>' || lead(event_type, 1) OVER ws
+               || '>' || lead(event_type, 2) OVER ws AS path
+    FROM sess
+    WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+),
+counted AS (
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM tri WHERE path IS NOT NULL GROUP BY path
+)
+SELECT path, n, CAST(rank() OVER (ORDER BY n DESC, path) AS INT) AS rk
+FROM counted
+QUALIFY rk <= 20
+""")
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-event navigation paths within 30-minute sessions —
+    the path-analysis report behind funnel design.  Sessionization is
+    the standard lag-gap + running-sum pair over (user, ts); the trigram
+    is two leads within the session window (same partitioning — one
+    shuffle covers all three window passes), and the final top-k ranks a
+    25³-bounded path vocabulary."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        (F.col("ts").cast("long")
+         - F.lag(F.col("ts").cast("long")).over(w) > 1800)
+        | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    sess = (events
+            .withColumn("new_sess", new_sess)
+            .withColumn("session_id",
+                        F.sum("new_sess").over(
+                            w.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow))))
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id")
+    path = F.concat_ws(">", F.col("event_type"),
+                       F.lead("event_type", 1).over(ws),
+                       F.lead("event_type", 2).over(ws))
+    # concat_ws skips nulls, so guard: require both leads present
+    full = (F.lead("event_type", 1).over(ws).isNotNull()
+            & F.lead("event_type", 2).over(ws).isNotNull())
+    tri = sess.select(F.when(full, path).alias("path"))
+    counted = (tri.where(F.col("path").isNotNull())
+               .groupBy("path").agg(F.count("*").alias("n")))
+    rk = F.rank().over(Window.orderBy(F.col("n").desc(), "path")).cast("int")
+    return counted.withColumn("rk", rk).where(F.col("rk") <= 20)
