@@ -1,0 +1,65 @@
+"""Scale-safe global ranking: exact ntile over a total order WITHOUT an
+unpartitioned window.
+
+``Window.orderBy(...)`` (no partitionBy) funnels every row through one
+task — fine on a dim table at small SF, fatal at 100 TB.  The two-phase
+TeraSort rank (same design as plans/zorder.py's bucket layout, factored
+here for reuse):
+
+1. ``repartitionByRange(k, *order_cols)`` — the only total-order shuffle,
+   sample-based range cuts, fully parallel.
+2. ``localCheckpoint`` pins the partitioning (the range partitioner's
+   reservoir sample is per-instance; the offsets job and the ranking job
+   must see identical partitions).
+3. A per-partition count job returns k rows to the driver → cumulative
+   offsets; global rank = offset[pid] + per-partition ``row_number`` (a
+   PARTITIONED window — each task ranks only its own sorted range).
+4. ntile arithmetic on the exact rank reproduces SQL ``ntile(n) OVER
+   (ORDER BY ...)`` bit-for-bit: first ``N % n`` tiles get
+   ``ceil(N/n)`` rows, the rest ``floor(N/n)``.
+
+The (order_cols) tuple must be a total order (add a unique tiebreak
+column); otherwise ranks — and therefore tile assignment — would be
+partition-dependent."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["exact_ntile"]
+
+
+def exact_ntile(df: DataFrame, n: int, order_cols: list[str | Column],
+                out_col: str = "ntile",
+                n_partitions: int | None = None) -> DataFrame:
+    """Append ``out_col`` = exact ntile(n) over the global order given by
+    ``order_cols`` (must include a unique tiebreak).  Two-phase rank —
+    no unpartitioned window anywhere in the plan."""
+    n_partitions = n_partitions or max(n, 8)
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = (df.repartitionByRange(n_partitions, *cols)
+            .localCheckpoint()
+            .withColumn("__pid", F.spark_partition_id()))
+    counts = sorted((r["__pid"], r["cnt"]) for r in
+                    part.groupBy("__pid").agg(F.count("*").alias("cnt"))
+                    .collect())
+    total = sum(c for _, c in counts)
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    off_col = F.coalesce(
+        *[F.when(F.col("__pid") == pid, F.lit(off))
+          for pid, off in offsets.items()], F.lit(0)) \
+        if offsets else F.lit(0)
+    rank = off_col + F.row_number().over(
+        Window.partitionBy("__pid").orderBy(*cols))
+    q, rem = divmod(total, n)
+    cut = rem * (q + 1)
+    tile = F.when(rank <= F.lit(cut),
+                  (rank - 1) / F.lit(max(q + 1, 1)) + 1) \
+        .otherwise(F.lit(rem) + (rank - 1 - F.lit(cut))
+                   / F.lit(max(q, 1)) + 1)
+    return (part.withColumn(out_col, F.floor(tile).cast("int"))
+            .drop("__pid"))

@@ -6083,23 +6083,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: quartile scores for recency, frequency,
     monetary value (ntile with custkey tiebreaks → deterministic), rolled
     up to the 64-cell segment grid.  The per-customer rollup is one
-    map-side-combined aggregate; the three global ntiles run over that
-    already-reduced table (one row per customer).  Note the global-order
-    windows: fine on a per-customer aggregate (cardinality ~ customers,
-    not orders), and the production path for a truly huge customer dim is
-    the two-phase exact-rank layout in plans/zorder.py.  Monetary sums in
-    DECIMAL both levels — exact doubles out."""
+    map-side-combined aggregate; each global quartile uses the TWO-PHASE
+    exact rank (operators/ranking.py::exact_ntile — repartitionByRange +
+    per-partition row_number + offset arithmetic), NOT an unpartitioned
+    window, so a billion-customer dim never funnels through one task and
+    the tile assignment still matches SQL ntile bit-for-bit.  Monetary
+    sums in DECIMAL both levels — exact doubles out."""
+    from moonshot_spark.operators.ranking import exact_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     rfm = (orders.groupBy("o_custkey")
            .agg(F.max("o_orderdate").alias("last_order"),
                 F.count("*").alias("frequency"),
                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .cast("double").alias("monetary")))
-    scored = rfm.select(
-        "o_custkey", "monetary",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m"))
+    scored = exact_ntile(rfm, 4, ["last_order", "o_custkey"], "r")
+    scored = exact_ntile(scored, 4, ["frequency", "o_custkey"], "f")
+    scored = exact_ntile(scored, 4, ["monetary", "o_custkey"], "m")
     return (scored.groupBy("r", "f", "m")
             .agg(F.count("*").alias("n_customers"),
                  F.sum(F.col("monetary").cast("decimal(18,2)"))

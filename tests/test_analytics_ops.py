@@ -123,3 +123,19 @@ def test_universe_churn_is_consistent(spark):
     rest = churn.iloc[1:]
     assert (rest.n_added <= rest.n_members).all()
     assert (rest.n_added >= 0).all() and (rest.n_dropped >= 0).all()
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """The two-phase exact rank must reproduce SQL ntile bit-for-bit on
+    an arbitrary frame, including the N % k remainder distribution."""
+    from moonshot_spark.operators.ranking import exact_ntile
+    from pyspark.sql import Window
+
+    df = spark.range(103).select(
+        (F.col("id") * 37 % 103).alias("k"), "id")
+    got = {r["id"]: r["t"] for r in
+           exact_ntile(df, 7, ["k", "id"], "t").collect()}
+    want = {r["id"]: r["t"] for r in
+            df.select("id", F.ntile(7).over(
+                Window.orderBy("k", "id")).alias("t")).collect()}
+    assert got == want

@@ -264,3 +264,11 @@ def test_cross_source_dup_dedups_before_join():
     plan = plan_of("cross_source_duplication")
     assert plan.count("HashAggregate") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rfm_has_no_unpartitioned_window():
+    """RFM quartiles must use the two-phase exact rank — any
+    SinglePartition window over the customer dim is the 100 TB
+    scale-killer this pin guards against."""
+    plan = plan_of("customer_rfm_segments")
+    assert "SinglePartition" not in plan, plan
