@@ -7763,3 +7763,82 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("path").agg(F.count("*").alias("n")))
     rk = F.rank().over(Window.orderBy(F.col("n").desc(), "path")).cast("int")
     return counted.withColumn("rk", rk).where(F.col("rk") <= 20)
+
+
+# --------------------------------------------------------------------- #
+# GROUPING SETS with grouping_id (completes rollup/cube family)         #
+# --------------------------------------------------------------------- #
+
+@register("grouping_sets_revenue", """
+SELECT n.n_name AS nation,
+       CAST(date_part('year', o.o_orderdate) AS INT) AS order_year,
+       CAST(grouping(n.n_name) * 2 + grouping(date_part('year', o.o_orderdate))
+            AS INT) AS gid,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (date_part('year', o.o_orderdate)), ())
+""")
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third member of the rollup/cube
+    family (SURVEY A4 extensions): revenue by nation, by year, and grand
+    total in ONE aggregation pass (Spark plans an Expand over the three
+    sets — each input row is replicated once per set, partial-aggregated
+    map-side, so the fact side is still scanned once).  grouping_id
+    disambiguates the null dimension values; DECIMAL revenue sums."""
+    from moonshot_spark.sql import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS order_year,
+               CAST(grouping(n.n_name) * 2 + grouping(year(o.o_orderdate))
+                    AS INT) AS gid,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name), (year(o.o_orderdate)), ())
+    """)
+
+
+# --------------------------------------------------------------------- #
+# pivot with multiple aggregates per cell                               #
+# --------------------------------------------------------------------- #
+
+@register("pivot_multi_agg", """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+           AS view_n,
+       CAST(sum(CASE WHEN event_type = 'view'
+                THEN CAST(value AS DECIMAL(18,3)) END) AS DOUBLE) AS view_sum,
+       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+           AS purchase_n,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(18,3)) END) AS DOUBLE)
+           AS purchase_sum
+FROM events GROUP BY user_id
+""")
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with TWO aggregates per spread column (count + DECIMAL sum)
+    — pandas pivot_table(aggfunc=[...]) parity, the shape the single-agg
+    pivot_event_type query doesn't cover.  Spark's pivot(values=[...])
+    with multiple aggs compiles to one pass of conditional aggregates —
+    same plan as the hand-written CASE form, one shuffle by user."""
+    events = load_table(spark, sf_dir, "events")
+    piv = (events.groupBy("user_id")
+           .pivot("event_type", ["view", "purchase"])
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,3)"))
+                 .cast("double").alias("sum")))
+    return piv.select(
+        "user_id",
+        F.coalesce(F.col("view_n"), F.lit(0)).alias("view_n"),
+        F.col("view_sum"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).alias("purchase_n"),
+        F.col("purchase_sum"))
