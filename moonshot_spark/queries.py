@@ -7842,3 +7842,51 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_sum"),
         F.coalesce(F.col("purchase_n"), F.lit(0)).alias("purchase_n"),
         F.col("purchase_sum"))
+
+
+# --------------------------------------------------------------------- #
+# embedding drift monitoring: per-dimension distribution stats          #
+# --------------------------------------------------------------------- #
+
+@register("embedding_dimension_stats", """
+WITH ex AS (
+    SELECT vec_id,
+           unnest(list_transform(embedding,
+                                 (x, i) -> {'dim': i - 1, 'val': x})) AS s
+    FROM embeddings
+),
+flat AS (
+    SELECT vec_id, CAST(s.dim AS INT) AS dim,
+           CAST(s.val AS DOUBLE) AS val
+    FROM ex
+)
+SELECT dim,
+       CAST(count(*) AS BIGINT) AS n,
+       list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+           / CAST(count(*) AS DOUBLE) AS mean_val,
+       min(val) AS min_val, max(val) AS max_val
+FROM flat GROUP BY dim
+""")
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution report — the drift monitor an
+    embedding pipeline runs when a new encoder version lands (a shifted
+    dimension mean flags a silent model change before any downstream
+    metric moves).  posexplode keeps the dimension index (normalized to
+    0-based on both engines); float32 values widen to double exactly, so
+    the vec_id-ordered mean folds are bit-deterministic; min/max are
+    order statistics.  One map-side explode + one 64-group aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "val0")) \
+        .select("vec_id", F.col("dim").cast("int").alias("dim"),
+                F.col("val0").cast("double").alias("val"))
+    folded = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                    lambda s: s["val"]),
+        F.lit(0.0), lambda a, b: a + b)
+    return (flat.groupBy("dim")
+            .agg(F.count("*").alias("n"),
+                 (folded / F.count("*").cast("double")).alias("mean_val"),
+                 F.min("val").alias("min_val"),
+                 F.max("val").alias("max_val")))
