@@ -295,3 +295,49 @@ def test_ml_model_file_joblib_roundtrip(tmp_path, prices):
     sig = {(r["sid"], r["date"]): r["value"]
            for r in results.where(F.col("field") == "Signal").collect()}
     assert sig[("FI12345", DATES[1])] == 1.0
+
+
+def test_fit_ols_matches_numpy(spark):
+    """Distributed normal-equation OLS equals numpy lstsq on the same
+    data (tolerance: conditioning of a small synthetic problem)."""
+    import numpy as np
+    from moonshot_spark.operators.ols import fit_ols
+
+    rng = [(float(i), float(i % 7), 3.0 + 2.0 * i - 0.5 * (i % 7)
+            + (0.01 * ((i * 37) % 11 - 5)))
+           for i in range(200)]
+    df = spark.createDataFrame(rng, "x1 double, x2 double, y double")
+    m = fit_ols(df, ["x1", "x2"], "y")
+
+    X = np.array([[1.0, r[0], r[1]] for r in rng])
+    y = np.array([r[2] for r in rng])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(m.bias - beta[0]) < 1e-6
+    assert abs(m.weights[0] - beta[1]) < 1e-8
+    assert abs(m.weights[1] - beta[2]) < 1e-7
+
+
+def test_fit_ols_ridge_shrinks(spark):
+    from moonshot_spark.operators.ols import fit_ols
+
+    rows = [(float(i), 1.0 + 0.5 * i) for i in range(50)]
+    df = spark.createDataFrame(rows, "x1 double, y double")
+    free = fit_ols(df, ["x1"], "y")
+    ridge = fit_ols(df, ["x1"], "y", l2=1000.0)
+    assert abs(ridge.weights[0]) < abs(free.weights[0])
+
+
+def test_fit_logistic_irls_separates(spark):
+    """IRLS logistic must put weight of the right sign on a separating
+    feature and classify the training extremes correctly."""
+    import numpy as np
+    from moonshot_spark.operators.ols import fit_logistic_irls
+
+    rows = [(float(i - 50) / 10.0, 1.0 if i >= 50 else 0.0)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "x1 double, y double")
+    m = fit_logistic_irls(df, ["x1"], "y", n_iter=8)
+    assert m.weights[0] > 0
+    lo = m.predict_proba(np.array([[-4.0]]))[0, 1]
+    hi = m.predict_proba(np.array([[4.0]]))[0, 1]
+    assert lo < 0.05 and hi > 0.95
