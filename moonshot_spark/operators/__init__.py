@@ -8,8 +8,13 @@ from moonshot_spark.operators.weights import (
     neutralize_weights,
 )
 from moonshot_spark.operators.turnover import positions_to_turnover
+from moonshot_spark.operators.ranking import exact_ntile
+from moonshot_spark.operators.ols import fit_ols, fit_logistic_irls
 
 __all__ = [
+    "exact_ntile",
+    "fit_ols",
+    "fit_logistic_irls",
     "allocate_equal_weights",
     "allocate_fixed_weights",
     "allocate_fixed_weights_capped",
