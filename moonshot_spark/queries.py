@@ -7890,3 +7890,144 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (folded / F.count("*").cast("double")).alias("mean_val"),
                  F.min("val").alias("min_val"),
                  F.max("val").alias("max_val")))
+
+
+# --------------------------------------------------------------------- #
+# record linkage with blocking: edit-distance near-dup part names       #
+# --------------------------------------------------------------------- #
+
+@register("part_name_linkage", """
+WITH p AS (
+    SELECT p_partkey, p_brand, p_name,
+           string_split(p_name, ' ')[2] AS blk
+    FROM part
+)
+SELECT a.p_brand,
+       a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM p a JOIN p b
+  ON a.p_brand = b.p_brand AND a.blk = b.blk
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""")
+def part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with blocking — the entity-resolution pattern: an
+    edit-distance (Levenshtein ≤ 3) self-match over part names, but ONLY
+    within (brand, head-noun) blocks, so the quadratic comparison runs
+    per block instead of across the whole catalog (the blocking-key
+    discipline of Fellegi-Sunter pipelines; at 100 TB the block key IS
+    the shuffle key and no executor ever sees a cross-block pair).
+    Levenshtein is integer-valued — no float drift."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey", "p_brand", "p_name",
+        F.split(F.col("p_name"), " ")[1].alias("blk"))
+    a = p.select(F.col("p_brand"), F.col("blk"),
+                 F.col("p_partkey").alias("key_a"),
+                 F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_brand"), F.col("blk"),
+                 F.col("p_partkey").alias("key_b"),
+                 F.col("p_name").alias("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (a.join(b, ["p_brand", "blk"])
+            .where(F.col("key_a") < F.col("key_b"))
+            .where(dist <= 3)
+            .select("p_brand", "key_a", "key_b", "name_a", "name_b",
+                    dist.cast("int").alias("edit_dist")))
+
+
+# --------------------------------------------------------------------- #
+# two-sample t statistic: do gap-ups fade differently from gap-downs?  #
+# --------------------------------------------------------------------- #
+
+@register("gap_fade_tstat", f"""
+WITH panel AS ({PANEL_SQL}),
+g AS (
+    SELECT sid, date,
+           (open - lag(close) OVER w) / lag(close) OVER w AS gap,
+           (lead(close, 1) OVER w - close) / close AS fwd1
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+ev AS (
+    SELECT sid, date,
+           CASE WHEN gap > 0.02 THEN 'up' ELSE 'down' END AS grp, fwd1
+    FROM g WHERE abs(gap) > 0.02 AND fwd1 IS NOT NULL
+),
+partials AS (
+    SELECT grp, sid,
+           CAST(count(*) AS BIGINT) AS cnt,
+           list_reduce(list(fwd1 ORDER BY date), (a, b) -> a + b) AS px,
+           list_reduce(list(fwd1 * fwd1 ORDER BY date), (a, b) -> a + b)
+               AS pxx
+    FROM ev GROUP BY grp, sid
+),
+sums AS (
+    SELECT grp, CAST(sum(cnt) AS BIGINT) AS n,
+           list_reduce(list(px ORDER BY sid), (a, b) -> a + b) AS sx,
+           list_reduce(list(pxx ORDER BY sid), (a, b) -> a + b) AS sxx
+    FROM partials GROUP BY grp
+),
+wide AS (
+    SELECT max(CASE WHEN grp = 'up' THEN n END) AS n1,
+           max(CASE WHEN grp = 'up' THEN sx END) AS sx1,
+           max(CASE WHEN grp = 'up' THEN sxx END) AS sxx1,
+           max(CASE WHEN grp = 'down' THEN n END) AS n2,
+           max(CASE WHEN grp = 'down' THEN sx END) AS sx2,
+           max(CASE WHEN grp = 'down' THEN sxx END) AS sxx2
+    FROM sums
+)
+SELECT n1, n2,
+       sx1 / n1 AS mean_up, sx2 / n2 AS mean_down,
+       (sx1 / n1 - sx2 / n2)
+       / sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+              + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) AS t_stat
+FROM wide
+""")
+def gap_fade_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic comparing next-day returns after gap-
+    ups vs gap-downs — the inference layer on top of the event study
+    (joins chi-square, Ljung-Box, and the variance-ratio in the engine's
+    hypothesis-testing family).  Hierarchical pinned-order folds (date
+    within sid, sid within group) feed one closed-form expression; the
+    whole test is two chained aggregations."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    gap = ((F.col("open") - F.lag("close").over(w))
+           / F.lag("close").over(w))
+    fwd1 = (F.lead("close", 1).over(w) - F.col("close")) / F.col("close")
+    ev = (panel.select("sid", "date", gap.alias("gap"),
+                       fwd1.alias("fwd1"))
+          .where((F.abs(F.col("gap")) > 0.02) & F.col("fwd1").isNotNull())
+          .withColumn("grp", F.when(F.col("gap") > 0.02, "up")
+                      .otherwise("down")))
+
+    def fold_by(key_col, expr):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct(key_col, expr.alias("v")))),
+            lambda s: s["v"])
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    partials = ev.groupBy("grp", "sid").agg(
+        F.count("*").alias("cnt"),
+        fold_by("date", F.col("fwd1")).alias("px"),
+        fold_by("date", F.col("fwd1") * F.col("fwd1")).alias("pxx"))
+    sums = partials.groupBy("grp").agg(
+        F.sum("cnt").alias("n"),
+        fold_by("sid", F.col("px")).alias("sx"),
+        fold_by("sid", F.col("pxx")).alias("sxx"))
+    pick = lambda g, c: F.max(F.when(F.col("grp") == g, F.col(c)))
+    wide = sums.agg(
+        pick("up", "n").alias("n1"), pick("up", "sx").alias("sx1"),
+        pick("up", "sxx").alias("sxx1"),
+        pick("down", "n").alias("n2"), pick("down", "sx").alias("sx2"),
+        pick("down", "sxx").alias("sxx2"))
+    m1 = F.col("sx1") / F.col("n1")
+    m2 = F.col("sx2") / F.col("n2")
+    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1")) \
+        / (F.col("n1") - 1)
+    v2 = (F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2")) \
+        / (F.col("n2") - 1)
+    t = (m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
+    return wide.select("n1", "n2", m1.alias("mean_up"),
+                       m2.alias("mean_down"), t.alias("t_stat"))
