@@ -8031,3 +8031,89 @@ def gap_fade_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
     return wide.select("n1", "n2", m1.alias("mean_up"),
                        m2.alias("mean_down"), t.alias("t_stat"))
+
+
+# --------------------------------------------------------------------- #
+# portfolio VaR / expected shortfall (historical simulation)            #
+# --------------------------------------------------------------------- #
+
+@register("portfolio_var_es", f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN (CASE WHEN count(close) OVER w5 >= 5
+                      THEN avg(close) OVER w5 END)
+                   > (CASE WHEN count(close) OVER w10 >= 10
+                      THEN avg(close) OVER w10 END)
+                THEN 1.0 ELSE 0.0 END AS signal
+    FROM panel
+    WINDOW w5 AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w10 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
+),
+rets AS (
+    SELECT sid, date,
+           coalesce((close - lag(close) OVER w) / lag(close) OVER w
+               * lag(position) OVER w, 0) AS r
+    FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+port AS (
+    SELECT date,
+           list_reduce(list(r ORDER BY sid), (a, b) -> a + b) AS pr
+    FROM rets GROUP BY date
+),
+q AS (
+    SELECT quantile_cont(pr, 0.05) AS var5 FROM port
+)
+SELECT q.var5 AS var_5pct,
+       (SELECT list_reduce(list(pr ORDER BY date), (a, b) -> a + b)
+               / CAST(count(*) AS DOUBLE)
+        FROM port WHERE pr <= q.var5) AS es_5pct,
+       (SELECT CAST(count(*) AS BIGINT) FROM port WHERE pr <= q.var5)
+           AS n_tail,
+       (SELECT CAST(count(*) AS BIGINT) FROM port) AS n_days
+FROM q
+""")
+def portfolio_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical-simulation VaR and expected shortfall of the DMA
+    portfolio's daily return series: the 5% exact interpolated quantile
+    (order statistic — identical interpolation in both engines, same as
+    rolling_median) and the mean of the tail at-or-below it (date-
+    ordered fold).  The return series reduces to one row per date before
+    any quantile work, so the risk report costs a ~dates-sized
+    aggregate regardless of panel width."""
+    from moonshot_spark.strategies.demo import DualMovingAverage
+
+    panel = events_to_panel(spark, sf_dir)
+    results = DualMovingAverage().backtest(panel)
+    rets = (results.where(F.col("field") == "Return")
+            .select("sid", "date", F.col("value").alias("r")))
+    folded_sid = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("sid", "r"))),
+                    lambda s: F.coalesce(s["r"], F.lit(0.0))),
+        F.lit(0.0), lambda a, b: a + b)
+    port = rets.groupBy("date").agg(folded_sid.alias("pr"))
+    var5 = port.agg(
+        F.expr("percentile(pr, 0.05)").alias("var_5pct"))
+    tail = (port.crossJoin(F.broadcast(var5))
+            .where(F.col("pr") <= F.col("var_5pct")))
+    folded_date = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("date", "pr"))),
+                    lambda s: s["pr"]),
+        F.lit(0.0), lambda a, b: a + b)
+    stats = tail.agg(
+        (folded_date / F.count("*").cast("double")).alias("es_5pct"),
+        F.count("*").alias("n_tail"))
+    n_days = port.agg(F.count("*").alias("n_days"))
+    return (var5.crossJoin(stats).crossJoin(n_days)
+            .select("var_5pct", "es_5pct", "n_tail", "n_days"))
