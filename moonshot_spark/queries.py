@@ -8117,3 +8117,96 @@ def portfolio_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_days = port.agg(F.count("*").alias("n_days"))
     return (var5.crossJoin(stats).crossJoin(n_days)
             .select("var_5pct", "es_5pct", "n_tail", "n_days"))
+
+
+# --------------------------------------------------------------------- #
+# James-Stein shrinkage of per-sid mean returns                         #
+# --------------------------------------------------------------------- #
+
+@register("james_stein_means", f"""
+WITH panel AS ({PANEL_SQL}),
+rets AS (
+    SELECT sid, date,
+           (close - lag(close) OVER w) / lag(close) OVER w AS r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+per_sid AS (
+    SELECT sid,
+           CAST(count(r) AS BIGINT) AS n,
+           list_reduce(list(r ORDER BY date), (a, b) -> a + b) AS sx,
+           list_reduce(list(r * r ORDER BY date), (a, b) -> a + b) AS sxx
+    FROM rets WHERE r IS NOT NULL GROUP BY sid
+),
+m AS (
+    SELECT sid, n, sx / n AS mean_r,
+           ((sxx - sx * sx / n) / (n - 1)) / n AS se2
+    FROM per_sid WHERE n > 1
+),
+g AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           list_reduce(list(mean_r ORDER BY sid), (a, b) -> a + b)
+               / CAST(count(*) AS DOUBLE) AS grand,
+           list_reduce(list(se2 ORDER BY sid), (a, b) -> a + b)
+               / CAST(count(*) AS DOUBLE) AS se2_bar
+    FROM m
+),
+s AS (
+    SELECT g.k, g.grand, g.se2_bar,
+           (SELECT list_reduce(
+                list((mean_r - g.grand) * (mean_r - g.grand) ORDER BY sid),
+                (a, b) -> a + b) FROM m) AS ss
+    FROM g
+)
+SELECT m.sid, m.n, m.mean_r,
+       s.grand + greatest(0.0, 1.0 - (s.k - 3) * s.se2_bar / s.ss)
+           * (m.mean_r - s.grand) AS shrunk_mean,
+       greatest(0.0, 1.0 - (s.k - 3) * s.se2_bar / s.ss) AS shrink_factor
+FROM m CROSS JOIN s
+""")
+def james_stein_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """James-Stein shrinkage of per-sid mean returns toward the cross-
+    sectional grand mean — the estimator a forecaster uses instead of
+    raw historical means (raw means are dominated for k ≥ 4; shrinkage
+    factor 1 − (k−3)·se²/Σ(mᵢ−ḡ)², floored at 0).  Per-sid moments fold
+    date-ordered; the three cross-sectional scalars fold sid-ordered on
+    a one-row-per-sid frame and broadcast back.  Two chained aggregates
+    + one broadcast join — nothing quadratic, nothing unordered."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    rets = (panel.select("sid", "date",
+                         pct_change("close", 1, w).alias("r"))
+            .where(F.col("r").isNotNull()))
+
+    def fold_by(key_col, expr):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct(key_col, expr.alias("v")))),
+            lambda s: s["v"])
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    per_sid = rets.groupBy("sid").agg(
+        F.count("r").alias("n"),
+        fold_by("date", F.col("r")).alias("sx"),
+        fold_by("date", F.col("r") * F.col("r")).alias("sxx"))
+    m = (per_sid.where(F.col("n") > 1)
+         .select("sid", "n",
+                 (F.col("sx") / F.col("n")).alias("mean_r"),
+                 (((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                   / (F.col("n") - 1)) / F.col("n")).alias("se2")))
+    g = m.agg(
+        F.count("*").alias("k"),
+        (fold_by("sid", F.col("mean_r"))
+         / F.count("*").cast("double")).alias("grand"),
+        (fold_by("sid", F.col("se2"))
+         / F.count("*").cast("double")).alias("se2_bar"))
+    mg = m.crossJoin(F.broadcast(g))
+    ss = mg.agg(fold_by(
+        "sid", (F.col("mean_r") - F.col("grand"))
+        * (F.col("mean_r") - F.col("grand"))).alias("ss"))
+    c = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - (F.col("k") - 3) * F.col("se2_bar") / F.col("ss"))
+    return (mg.crossJoin(F.broadcast(ss))
+            .select("sid", "n", "mean_r",
+                    (F.col("grand") + c * (F.col("mean_r") - F.col("grand")))
+                    .alias("shrunk_mean"),
+                    c.alias("shrink_factor")))
