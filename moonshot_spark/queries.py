@@ -7018,11 +7018,18 @@ mom AS (
                OVER (PARTITION BY sid ORDER BY week) AS fwd_ret
     FROM wk
 ),
+-- a zero first_close makes momentum undefined: Spark (ANSI off) yields
+-- NULL, DuckDB yields NaN, and the two sort to OPPOSITE ends of the
+-- ntile order — exclude them in both engines before ranking
+defined AS (
+    SELECT * FROM mom
+    WHERE wk_ret IS NOT NULL AND NOT isnan(wk_ret)
+),
 ranked AS (
     SELECT sid, week, wk_ret, fwd_ret,
            CAST(ntile(10) OVER (PARTITION BY week
                                 ORDER BY wk_ret, sid) AS INT) AS decile
-    FROM mom
+    FROM defined
 ),
 partials AS (
     SELECT week, decile,
@@ -7055,9 +7062,13 @@ def momentum_decile_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = Window.partitionBy("sid").orderBy("week")
     mom = wk.select("sid", "week", wk_ret.alias("wk_ret")) \
         .withColumn("fwd_ret", F.lead("wk_ret").over(ws))
+    # zero first_close => undefined momentum: NULL here, NaN in DuckDB,
+    # and they sort to opposite ends — drop before ranking (see oracle)
+    defined = mom.where(F.col("wk_ret").isNotNull()
+                        & ~F.isnan(F.col("wk_ret")))
     decile = F.ntile(10).over(
         Window.partitionBy("week").orderBy("wk_ret", "sid"))
-    ranked = mom.withColumn("decile", decile)
+    ranked = defined.withColumn("decile", decile)
 
     def fold_by(key_col, expr):
         arr = F.transform(
@@ -8210,3 +8221,67 @@ def james_stein_means(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("grand") + c * (F.col("mean_r") - F.col("grand")))
                     .alias("shrunk_mean"),
                     c.alias("shrink_factor")))
+
+
+# --------------------------------------------------------------------- #
+# dollar bars: resample ticks by traded value instead of time           #
+# --------------------------------------------------------------------- #
+
+@register("dollar_bars", """
+WITH ticks AS (
+    SELECT CAST(user_id AS VARCHAR) AS sid, ts, event_id, value,
+           CAST(value AS DECIMAL(18,3)) AS dv
+    FROM events
+),
+cum AS (
+    SELECT sid, ts, event_id, value,
+           coalesce(sum(dv) OVER (PARTITION BY sid ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING),
+                    CAST(0 AS DECIMAL(38,3))) AS cum_before
+    FROM ticks
+),
+barred AS (
+    SELECT sid, ts, event_id, value,
+           CAST(floor(cum_before / 5000) AS BIGINT) AS bar_id
+    FROM cum
+)
+SELECT sid, bar_id,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       min(ts) AS bar_start, max(ts) AS bar_end,
+       arg_min(value, ts) AS open,
+       arg_max(value, ts) AS close,
+       max(value) AS high, min(value) AS low
+FROM barred GROUP BY sid, bar_id
+""")
+def dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dollar bars (López de Prado's information-driven sampling): ticks
+    roll into a new bar every 5000 units of traded value, so bars carry
+    roughly equal information instead of equal wall-clock — the
+    resampling an ML-on-microstructure pipeline uses before labeling.
+    The cumulative traded value runs in DECIMAL (exact, association-
+    free) over the per-sid tick order, the bar id is integer floor
+    division of the PRE-tick cumulative (a tick that crosses the
+    threshold belongs to the bar it closes), and bar OHLC are
+    (ts, event_id)-keyed order statistics.  One shuffle by sid; the bar
+    rollup rides the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    ticks = ev.select(
+        F.col("user_id").cast("string").alias("sid"), "ts", "event_id",
+        "value", F.col("value").cast("decimal(18,3)").alias("dv"))
+    w = (Window.partitionBy("sid").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(
+        F.sum("dv").over(w), F.lit(0).cast("decimal(38,3)"))
+    barred = ticks.withColumn(
+        "bar_id", F.floor(cum_before / 5000).cast("bigint"))
+    # (sid, ts) is unique in the tick stream, so ts alone keys the
+    # open/close order statistics (DuckDB arg_min takes a single key)
+    return (barred.groupBy("sid", "bar_id")
+            .agg(F.count("*").alias("n_ticks"),
+                 F.min("ts").alias("bar_start"),
+                 F.max("ts").alias("bar_end"),
+                 F.min_by("value", "ts").alias("open"),
+                 F.max_by("value", "ts").alias("close"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low")))
