@@ -139,3 +139,21 @@ def test_exact_ntile_matches_window_ntile(spark):
             df.select("id", F.ntile(7).over(
                 Window.orderBy("k", "id")).alias("t")).collect()}
     assert got == want
+
+
+def test_dollar_bars_tile_ticks(spark):
+    """Bars partition each sid's tick stream contiguously in time: bar
+    time ranges never overlap within a sid, bar ids are monotone in
+    time, and tick counts reconcile with the raw stream."""
+    bars = QUERIES["dollar_bars"](spark, SF_DIR).toPandas()
+    from moonshot_spark.sources.parquet import load_table
+    n_ticks = load_table(spark, SF_DIR, "events").count()
+    assert bars.n_ticks.sum() == n_ticks
+    for sid, g in bars.groupby("sid"):
+        g = g.sort_values("bar_id")
+        prev_end = None
+        for _, row in g.iterrows():
+            assert row.bar_start <= row.bar_end
+            if prev_end is not None:
+                assert row.bar_start > prev_end
+            prev_end = row.bar_end
