@@ -8285,3 +8285,75 @@ def dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max_by("value", "ts").alias("close"),
                  F.max("value").alias("high"),
                  F.min("value").alias("low")))
+
+
+# --------------------------------------------------------------------- #
+# continuous-contract stitching with ratio back-adjustment              #
+# --------------------------------------------------------------------- #
+
+@register("continuous_contract_stitch", f"""
+WITH panel AS ({PANEL_SQL}),
+a AS (SELECT date, close FROM panel WHERE sid = '3'),
+b AS (SELECT date, close FROM panel WHERE sid = '7'),
+roll AS (
+    -- roll on the first date where both legs trade at/after the median
+    -- date of the overlap
+    SELECT min(a.date) AS roll_date FROM a JOIN b ON a.date = b.date
+    WHERE a.date >= (SELECT quantile_disc(a2.date, 0.5)
+                     FROM a a2 JOIN b b2 ON a2.date = b2.date)
+),
+factor AS (
+    SELECT r.roll_date, a.close / b.close AS adj
+    FROM roll r
+    JOIN a ON a.date = r.roll_date
+    JOIN b ON b.date = r.roll_date
+)
+SELECT d.date,
+       d.raw_close,
+       d.segment,
+       CASE WHEN d.segment = 'front' THEN d.raw_close
+            ELSE d.raw_close * f.adj END AS adjusted_close
+FROM (
+    SELECT a.date, a.close AS raw_close, 'front' AS segment
+    FROM a CROSS JOIN factor f0 WHERE a.date < f0.roll_date
+    UNION ALL
+    SELECT b.date, b.close, 'back'
+    FROM b CROSS JOIN factor f0 WHERE b.date >= f0.roll_date
+) d CROSS JOIN factor f
+""")
+def continuous_contract_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-contract construction (the futures-domain operator
+    behind every long-history futures backtest; the reference trades
+    futures via its master but leaves stitching to the data layer):
+    front leg until the roll date, back leg after, with the back leg
+    ratio-adjusted by the legs' price ratio AT the roll so the stitched
+    series has no artificial jump.  The roll date and adjustment factor
+    are 1-row frames broadcast over the legs; the stitch is a union of
+    two date-range scans of the same panel lineage — no window over the
+    combined series, so the operator is one shuffle regardless of how
+    many rolls a real chain has."""
+    panel = events_to_panel(spark, sf_dir)
+    a = panel.where(F.col("sid") == "3").select(
+        "date", F.col("close").alias("ca"))
+    b = panel.where(F.col("sid") == "7").select(
+        "date", F.col("close").alias("cb"))
+    overlap = a.join(b, "date")
+    med = overlap.agg(
+        F.expr("percentile_approx(date, 0.5, 2147483647)").alias("m"))
+    roll = (overlap.crossJoin(F.broadcast(med))
+            .where(F.col("date") >= F.col("m"))
+            .agg(F.min("date").alias("roll_date")))
+    factor = (roll.join(a, roll.roll_date == a.date)
+              .join(b, roll.roll_date == b.date)
+              .select("roll_date", (F.col("ca") / F.col("cb")).alias("adj")))
+    front = (a.crossJoin(F.broadcast(factor))
+             .where(F.col("date") < F.col("roll_date"))
+             .select("date", F.col("ca").alias("raw_close"),
+                     F.lit("front").alias("segment"),
+                     F.col("ca").alias("adjusted_close")))
+    back = (b.crossJoin(F.broadcast(factor))
+            .where(F.col("date") >= F.col("roll_date"))
+            .select("date", F.col("cb").alias("raw_close"),
+                    F.lit("back").alias("segment"),
+                    (F.col("cb") * F.col("adj")).alias("adjusted_close")))
+    return front.unionByName(back)
