@@ -4199,7 +4199,11 @@ wts AS (
     FROM sig
 )
 SELECT sid, date, signal, weight, weight AS position,
-       (exit_close - entry_close) / entry_close * weight AS ret,
+       -- the engine fillna(0)s returns like the reference; a zero entry
+       -- price (div-by-zero -> NULL in both engines) must coalesce here
+       -- too or the sf0.1 zero-price ticks desync the row sort
+       coalesce((exit_close - entry_close) / entry_close * weight, 0)
+           AS ret,
        abs(weight) * 2 AS turnover
 FROM wts
 """)
