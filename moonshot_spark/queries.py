@@ -8361,3 +8361,106 @@ def continuous_contract_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("back").alias("segment"),
                     (F.col("cb") * F.col("adj")).alias("adjusted_close")))
     return front.unionByName(back)
+
+
+# --------------------------------------------------------------------- #
+# information coefficient: daily Spearman IC of a momentum signal       #
+# --------------------------------------------------------------------- #
+
+@register("information_coefficient", f"""
+WITH panel AS ({PANEL_SQL}),
+sigs AS (
+    SELECT sid, date,
+           close / lag(close, 5) OVER w - 1 AS signal,
+           lead(close, 1) OVER w / close - 1 AS fwd
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+clean AS (
+    SELECT sid, date, signal, fwd FROM sigs
+    WHERE signal IS NOT NULL AND fwd IS NOT NULL
+      AND NOT isnan(signal) AND NOT isnan(fwd)
+),
+ranked AS (
+    SELECT date,
+           CAST(rank() OVER (PARTITION BY date ORDER BY signal, sid)
+                AS BIGINT) AS rs,
+           CAST(rank() OVER (PARTITION BY date ORDER BY fwd, sid)
+                AS BIGINT) AS rf
+    FROM clean
+),
+daily AS (
+    SELECT date, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((rs - rf) * (rs - rf)) AS BIGINT) AS ssd
+    FROM ranked GROUP BY date HAVING count(*) >= 3
+),
+ics AS (
+    SELECT date, n,
+           1.0 - 6.0 * CAST(ssd AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
+               AS ic
+    FROM daily
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       list_reduce(list(ic ORDER BY date), (a, b) -> a + b)
+           / CAST(count(*) AS DOUBLE) AS mean_ic,
+       (list_reduce(list(ic ORDER BY date), (a, b) -> a + b)
+        / CAST(count(*) AS DOUBLE))
+       / sqrt(((list_reduce(list(ic * ic ORDER BY date), (a, b) -> a + b)
+                - list_reduce(list(ic ORDER BY date), (a, b) -> a + b)
+                  * list_reduce(list(ic ORDER BY date), (a, b) -> a + b)
+                  / CAST(count(*) AS DOUBLE))
+               / (CAST(count(*) AS DOUBLE) - 1.0))
+              / CAST(count(*) AS DOUBLE)) AS ic_tstat
+FROM ics
+""")
+def information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information coefficient — the signal-research yardstick: daily
+    cross-sectional Spearman rank correlation between a 5-day momentum
+    signal and the next day's return, averaged over days with a t-stat.
+    Each day's IC uses the no-ties closed form 1 − 6Σd²/(n(n²−1)) on
+    integer ranks (sid tie-breaks pin the ranking, so Σd² is an exact
+    BIGINT — zero float risk until the final division); the time-series
+    mean and t-stat fold in date order.  Rows with undefined signal or
+    forward return (NULL in Spark, NaN in DuckDB — they sort to opposite
+    ends) are excluded before ranking, the lesson of the momentum-decile
+    fix.  Two shuffles: by sid for the windows, by date for the ranks."""
+    panel = events_to_panel(spark, sf_dir)
+    w = Window.partitionBy("sid").orderBy("date")
+    sigs = panel.select(
+        "sid", "date",
+        (F.col("close") / F.lag("close", 5).over(w) - 1).alias("signal"),
+        (F.lead("close", 1).over(w) / F.col("close") - 1).alias("fwd"))
+    clean = sigs.where(
+        F.col("signal").isNotNull() & F.col("fwd").isNotNull()
+        & ~F.isnan("signal") & ~F.isnan("fwd"))
+    ranked = clean.select(
+        "date",
+        F.rank().over(Window.partitionBy("date")
+                      .orderBy("signal", "sid")).cast("bigint").alias("rs"),
+        F.rank().over(Window.partitionBy("date")
+                      .orderBy("fwd", "sid")).cast("bigint").alias("rf"))
+    daily = (ranked.groupBy("date")
+             .agg(F.count("*").alias("n"),
+                  F.sum((F.col("rs") - F.col("rf"))
+                        * (F.col("rs") - F.col("rf"))).alias("ssd"))
+             .where(F.col("n") >= 3))
+    nd = F.col("n").cast("double")
+    ics = daily.select(
+        "date",
+        (F.lit(1.0) - F.lit(6.0) * F.col("ssd").cast("double")
+         / (nd * (nd * nd - F.lit(1.0)))).alias("ic"))
+
+    def fold_by(expr):
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct("date", expr.alias("v")))),
+            lambda s: s["v"])
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    cnt = F.count("*").cast("double")
+    s1 = fold_by(F.col("ic"))
+    s2 = fold_by(F.col("ic") * F.col("ic"))
+    mean = s1 / cnt
+    tstat = mean / F.sqrt(((s2 - s1 * s1 / cnt) / (cnt - F.lit(1.0))) / cnt)
+    return ics.agg(F.count("*").alias("n_days"),
+                   mean.alias("mean_ic"),
+                   tstat.alias("ic_tstat"))
