@@ -8464,3 +8464,131 @@ def information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ics.agg(F.count("*").alias("n_days"),
                    mean.alias("mean_ic"),
                    tstat.alias("ic_tstat"))
+
+
+# --------------------------------------------------------------------- #
+# market-session tagging across exchange time zones                     #
+# --------------------------------------------------------------------- #
+
+@register("market_session_tagging", """
+WITH tagged AS (
+    SELECT e.event_id, x.exchange, x.tz,
+           timezone(x.tz, e.ts::TIMESTAMPTZ) AS local_ts
+    FROM events e
+    CROSS JOIN (VALUES ('NYSE', 'America/New_York'),
+                       ('LSE', 'Europe/London'),
+                       ('TSE', 'Asia/Tokyo')) AS x(exchange, tz)
+),
+sess AS (
+    SELECT exchange,
+           CASE WHEN (date_part('hour', local_ts) * 60
+                      + date_part('minute', local_ts))
+                     BETWEEN 570 AND 959 THEN 'regular'
+                WHEN date_part('hour', local_ts) < 9
+                     OR (date_part('hour', local_ts) = 9
+                         AND date_part('minute', local_ts) < 30)
+                     THEN 'pre'
+                ELSE 'after' END AS session
+    FROM tagged
+)
+SELECT exchange, session, CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY exchange, session
+""")
+def market_session_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-session classification across exchange time zones — the
+    step the reference performs when it infers each security's timezone
+    from the master (base.py timezone inference) and the driver of every
+    'was this fill in RTH?' audit: UTC ticks are rendered in each
+    exchange's local wall clock (from_utc_timestamp ≡ DuckDB
+    timezone(tz, TIMESTAMPTZ) under a UTC session) and bucketed into
+    pre / regular (09:30–15:59) / after sessions.  The exchange dim is a
+    3-row broadcast; minute-of-day arithmetic is integer; January 2024
+    avoids no DST transition in any of the three zones (tzdb-version
+    drift is the only cross-engine risk in calendar code — pin dates
+    away from transitions in oracles)."""
+    events = load_table(spark, sf_dir, "events")
+    exchanges = spark.createDataFrame(
+        [("NYSE", "America/New_York"), ("LSE", "Europe/London"),
+         ("TSE", "Asia/Tokyo")], "exchange string, tz string")
+    tagged = (events.crossJoin(F.broadcast(exchanges))
+              .withColumn("local_ts",
+                          F.from_utc_timestamp(F.col("ts"), F.col("tz"))))
+    mod = (F.hour("local_ts") * 60 + F.minute("local_ts"))
+    session = (F.when(mod.between(570, 959), "regular")
+               .when((F.hour("local_ts") < 9)
+                     | ((F.hour("local_ts") == 9)
+                        & (F.minute("local_ts") < 30)), "pre")
+               .otherwise("after"))
+    return (tagged.withColumn("session", session)
+            .groupBy("exchange", "session")
+            .agg(F.count("*").alias("n_events")))
+
+
+# --------------------------------------------------------------------- #
+# sequence pattern matching over sessions (MATCH_RECOGNIZE analog)      #
+# --------------------------------------------------------------------- #
+
+@register("session_pattern_match", """
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS session_id
+    FROM seq
+),
+strs AS (
+    SELECT user_id, session_id,
+           string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS s
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(CASE WHEN regexp_matches(s, 's[vc]*p') THEN 1 END)
+            AS BIGINT) AS n_converting,
+       CAST(count(CASE WHEN regexp_matches(s, 'e') THEN 1 END)
+            AS BIGINT) AS n_with_errors,
+       CAST(count(CASE WHEN regexp_matches(s, 'ee') THEN 1 END)
+            AS BIGINT) AS n_double_errors
+FROM strs
+""")
+def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over sessions — the MATCH_RECOGNIZE
+    workload without MATCH_RECOGNIZE: each session's event stream
+    collapses to a compact symbol string (first letter per event, in
+    pinned (ts, event_id) order) and patterns become plain regexes —
+    signup→browse*→purchase, error incidence, repeated errors.  The
+    string build is an ordered aggregation riding the sessionization
+    shuffle; pattern evaluation is per-row regex over short strings.
+    This is the scale-robust form of sequence analytics: state machines
+    become regex over symbols, not iterative joins."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        (F.col("ts").cast("long")
+         - F.lag(F.col("ts").cast("long")).over(w) > 1800)
+        | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    sess = (events.withColumn("new_sess", new_sess)
+            .withColumn("session_id",
+                        F.sum("new_sess").over(
+                            w.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow))))
+    sym = F.substring("event_type", 1, 1)
+    strs = (sess.groupBy("user_id", "session_id")
+            .agg(F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("ts", "event_id", sym.alias("c")))),
+                    lambda s: s["c"])).alias("s")))
+    return strs.agg(
+        F.count("*").alias("n_sessions"),
+        F.count(F.when(F.col("s").rlike("s[vc]*p"), 1))
+        .alias("n_converting"),
+        F.count(F.when(F.col("s").rlike("e"), 1)).alias("n_with_errors"),
+        F.count(F.when(F.col("s").rlike("ee"), 1))
+        .alias("n_double_errors"))
