@@ -8592,3 +8592,116 @@ def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("s").rlike("e"), 1)).alias("n_with_errors"),
         F.count(F.when(F.col("s").rlike("ee"), 1))
         .alias("n_double_errors"))
+
+
+# --------------------------------------------------------------------- #
+# salted heavy-hitters aggregation, proven against a plain-SQL oracle   #
+# --------------------------------------------------------------------- #
+
+@register("salted_heavy_hitters", """
+WITH agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n_events, total_value,
+       CAST(rank() OVER (ORDER BY n_events DESC, event_type) AS INT) AS rk
+FROM agg
+""")
+def salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation under the oracle: event counts and DECIMAL
+    value totals per event_type computed via the SALTED two-stage path
+    (functions/skew.py::salted_agg — groupBy(key, salt) then
+    groupBy(key)) and proven identical to the oracle's plain GROUP BY.
+    event_type is a 5-value hot-key domain — exactly the shape where a
+    single-stage groupBy funnels each key through one reducer at 100 TB
+    and salting restores parallelism; the DECIMAL partial sums make the
+    two-stage recombination exact, so the salted plan is
+    value-indistinguishable from the direct one."""
+    from moonshot_spark.functions.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    agg = salted_agg(
+        events, ["event_type"],
+        {"n_events": F.count("*"),
+         "total_value": (F.sum(F.col("value").cast("decimal(18,3)")),
+                         "sum")},
+        num_salts=16)
+    rk = F.rank().over(
+        Window.orderBy(F.col("n_events").desc(), "event_type")).cast("int")
+    return (agg.select("event_type",
+                       F.col("n_events").cast("bigint").alias("n_events"),
+                       F.col("total_value").cast("double")
+                       .alias("total_value"))
+            .withColumn("rk", rk))
+
+
+# --------------------------------------------------------------------- #
+# corpus pipeline observability: stage-by-stage retention funnel        #
+# --------------------------------------------------------------------- #
+
+@register("corpus_funnel_report", """
+WITH toks0 AS (
+    SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+q AS (
+    SELECT doc_id, text FROM toks0
+    WHERE len(t) >= 20
+      AND CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+          / len(t) BETWEEN 2.0 AND 12.0
+      AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+          AS DOUBLE) / length(text) < 0.1
+),
+fp AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+    FROM q
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+stages AS (
+    SELECT 1 AS stage_no, 'input' AS stage,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+    UNION ALL
+    SELECT 2, 'quality_pass', CAST((SELECT count(*) FROM q) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'exact_dedup', CAST((SELECT count(*) FROM keep) AS BIGINT)
+)
+SELECT stage_no, stage, n_docs,
+       CAST(n_docs AS DOUBLE)
+           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS retention
+FROM stages
+""")
+def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: document retention after each corpus
+    stage (input → quality gate → exact dedup) with the fraction of the
+    input surviving — the run report a data-curation job publishes so a
+    sudden retention cliff pages someone before a model trains on the
+    wrong corpus.  Each stage count is a 1-row aggregate over the shared
+    lineage; the stages union into one plan, so the report costs one
+    pass over the corpus plus the dedup shuffle it already measures."""
+    from moonshot_spark.datapipe.text import quality_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    q_ex = quality_exprs("text")
+    q = docs.where((q_ex["n_tokens"] >= 20)
+                   & q_ex["mean_token_len"].between(2.0, 12.0)
+                   & (q_ex["punct_ratio"] < 0.1))
+    norm = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")),
+                                          r"\s+", " ")))
+    keep = (q.select("doc_id", norm.alias("f"))
+            .groupBy("f").agg(F.min("doc_id").alias("doc_id")))
+    n_input = docs.agg(F.count("*").cast("double").alias("n_input"))
+
+    def stage(no, name, frame):
+        return (frame.agg(F.count("*").alias("n_docs"))
+                .crossJoin(F.broadcast(n_input))
+                .select(F.lit(no).alias("stage_no"),
+                        F.lit(name).alias("stage"),
+                        F.col("n_docs"),
+                        (F.col("n_docs").cast("double") / F.col("n_input"))
+                        .alias("retention")))
+
+    return (stage(1, "input", docs)
+            .unionByName(stage(2, "quality_pass", q))
+            .unionByName(stage(3, "exact_dedup", keep)))
