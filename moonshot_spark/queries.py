@@ -8705,3 +8705,138 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (stage(1, "input", docs)
             .unionByName(stage(2, "quality_pass", q))
             .unionByName(stage(3, "exact_dedup", keep)))
+
+
+# --------------------------------------------------------------------- #
+# packing-size sweep: context-length tradeoff in ONE shared-scan plan   #
+# --------------------------------------------------------------------- #
+
+@register("packing_size_sweep", """
+WITH toks AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, n,
+           coalesce(sum(n) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cum_before
+    FROM toks
+),
+sizes AS (SELECT unnest([128, 256, 512, 1024]) AS ctx),
+binned AS (
+    SELECT s.ctx, CAST(floor(c.cum_before / s.ctx) AS BIGINT) AS bin_id,
+           c.n
+    FROM cum c CROSS JOIN sizes s
+)
+SELECT CAST(ctx AS INT) AS ctx,
+       CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(n) AS DOUBLE)
+           / (CAST(count(DISTINCT bin_id) AS DOUBLE) * CAST(ctx AS DOUBLE))
+           AS utilization
+FROM binned GROUP BY ctx
+""")
+def packing_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length tradeoff study in ONE plan: the greedy next-fit
+    packing (datapipe/packing.py bin math) evaluated at four candidate
+    context sizes simultaneously — the token-count scan and cumulative
+    pass run once, a 4-row size dim cross-joins in (broadcast), and each
+    size's bin count and utilization aggregate in the same job.  This is
+    the packing analog of backtest_param_sweep: the pandas way re-packs
+    per size; the shared-scan way costs one pass plus K projections."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n"))
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = toks.withColumn("cum_before",
+                          F.coalesce(F.sum("n").over(w), F.lit(0)))
+    sizes = spark.createDataFrame([(128,), (256,), (512,), (1024,)],
+                                  "ctx int")
+    binned = (cum.crossJoin(F.broadcast(sizes))
+              .withColumn("bin_id",
+                          F.floor(F.col("cum_before") / F.col("ctx"))
+                          .cast("bigint")))
+    return (binned.groupBy("ctx")
+            .agg(F.countDistinct("bin_id").alias("n_bins"),
+                 F.sum("n").alias("total_tokens"),
+                 (F.sum("n").cast("double")
+                  / (F.countDistinct("bin_id").cast("double")
+                     * F.col("ctx").cast("double"))).alias("utilization"))
+            .select(F.col("ctx").cast("int").alias("ctx"), "n_bins",
+                    "total_tokens", "utilization"))
+
+
+# --------------------------------------------------------------------- #
+# split-balance audit: is the hash split independent of language?       #
+# --------------------------------------------------------------------- #
+
+@register("split_balance_audit", """
+WITH s AS (
+    SELECT lang,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < 80
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM documents
+),
+obs AS (
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS o
+    FROM s GROUP BY lang, split
+),
+tot AS (
+    SELECT lang, split, o,
+           CAST(sum(o) OVER (PARTITION BY lang) AS DOUBLE) AS row_tot,
+           CAST(sum(o) OVER (PARTITION BY split) AS DOUBLE) AS col_tot,
+           CAST(sum(o) OVER () AS DOUBLE) AS n
+    FROM obs
+),
+cells AS (
+    SELECT lang, split,
+           (CAST(o AS DOUBLE) - row_tot * col_tot / n)
+           * (CAST(o AS DOUBLE) - row_tot * col_tot / n)
+           / (row_tot * col_tot / n) AS cell
+    FROM tot
+)
+SELECT CAST(list_reduce(list(cell ORDER BY lang, split),
+            (a, b) -> a + b) AS DOUBLE) AS chi2,
+       CAST((SELECT count(DISTINCT lang) - 1 FROM documents) AS BIGINT)
+           AS dof,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM cells
+""")
+def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-quality audit: chi-square independence between the md5
+    train/heldout assignment and language — the check that certifies the
+    hash split did not systematically starve a language (a biased split
+    silently skews eval).  Composes the deterministic hash split with
+    the log-free chi-square machinery (source_lang_chisq); a chi2 far
+    above dof pages the pipeline owner.  All counts map-side; the cell
+    fold is pinned (lang, split) order."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10).cast("bigint") % 100)
+    s = docs.select(
+        "lang", F.when(bucket < 80, "train").otherwise("heldout")
+        .alias("split"))
+    obs = s.groupBy("lang", "split").agg(F.count("*").alias("o"))
+    row_tot = F.sum("o").over(Window.partitionBy("lang")).cast("double")
+    col_tot = F.sum("o").over(Window.partitionBy("split")).cast("double")
+    grand = obs.agg(F.sum("o").cast("double").alias("n"))
+    e = row_tot * col_tot / F.col("n")
+    cells = (obs.crossJoin(F.broadcast(grand))
+             .select("lang", "split",
+                     ((F.col("o").cast("double") - e)
+                      * (F.col("o").cast("double") - e) / e).alias("cell")))
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("lang", "split", "cell"))),
+            lambda s_: s_["cell"]),
+        F.lit(0.0), lambda a, b: a + b)
+    dof = docs.agg((F.countDistinct("lang") - F.lit(1)).cast("bigint")
+                   .alias("dof"))
+    return (cells.agg(folded.cast("double").alias("chi2"),
+                      F.count("*").alias("n_cells"))
+            .crossJoin(F.broadcast(dof))
+            .select("chi2", "dof", "n_cells"))
