@@ -8840,3 +8840,112 @@ def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.count("*").alias("n_cells"))
             .crossJoin(F.broadcast(dof))
             .select("chi2", "dof", "n_cells"))
+
+
+# --------------------------------------------------------------------- #
+# TPC-H Q6 (pure scan-filter-agg) and Q13 (distribution of join fanout) #
+# --------------------------------------------------------------------- #
+
+@register("q6_forecast_revenue", """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+  AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — the canonical scan-filter-aggregate: every predicate
+    (shipdate range, discount band, quantity cap) pushes to the parquet
+    scan, and what remains is one map-side-combined DECIMAL sum.  This
+    is the query whose plan SHOULD be nothing but
+    Scan(PushedFilters)→Project→HashAggregate — pinned in the plan
+    suite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * F.col("l_discount").cast("decimal(18,2)"))
+    return (li.where((F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+                     & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+                     & F.col("l_discount").between(0.05, 0.07)
+                     & (F.col("l_quantity") < 24))
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+@register("q13_customer_distribution", """
+WITH co AS (
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey
+     AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+""")
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the distribution of per-customer order counts with a
+    filtered LEFT join (customers with zero qualifying orders must
+    appear as c_count = 0 — the outer join is load-bearing).  Two
+    chained aggregations on narrowing keys; the join condition's
+    non-equi residual stays inside the join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    co = (c.join(o, (c.c_custkey == o.o_custkey)
+                 & (F.col("o_orderpriority") != "1-URGENT"), "left")
+          .groupBy("c_custkey")
+          .agg(F.count("o_orderkey").alias("c_count")))
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register("q22_global_sales_opportunity", """
+WITH avg_bal AS (
+    SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) AS ab
+    FROM customer WHERE c_acctbal > 0.0
+),
+eligible AS (
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+)
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM eligible e JOIN nation n ON e.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and NO
+    urgent orders (LEFT ANTI join; this catalog's customers all have
+    SOME order, so the anti-join probe filters to the urgent slice),
+    rolled up by nation.  The average-balance
+    scalar is a broadcast 1-row aggregate compared in DECIMAL (an
+    avg-of-doubles threshold would be association-order-dependent and
+    could flip membership of a boundary customer between engines); the
+    anti join probes the orders key projection."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    avg_bal = (c.where(F.col("c_acctbal") > 0.0)
+               .agg(F.avg(F.col("c_acctbal").cast("decimal(18,2)"))
+                    .alias("ab")))
+    eligible = (c.crossJoin(F.broadcast(avg_bal))
+                .where(F.col("c_acctbal").cast("decimal(18,2)")
+                       > F.col("ab"))
+                .join(o.where(F.col("o_orderpriority") == "1-URGENT")
+                      .select("o_custkey"),
+                      c.c_custkey == F.col("o_custkey"), "left_anti"))
+    return (eligible.join(F.broadcast(n),
+                          eligible.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double").alias("totacctbal")))

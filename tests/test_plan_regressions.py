@@ -272,3 +272,17 @@ def test_rfm_has_no_unpartitioned_window():
     scale-killer this pin guards against."""
     plan = plan_of("customer_rfm_segments")
     assert "SinglePartition" not in plan, plan
+
+
+def test_q6_is_pure_scan_filter_agg():
+    """Q6's plan must be scan (with pushed filters) -> project ->
+    aggregate: no joins, no exchanges beyond the final 1-row agg."""
+    plan = plan_of("q6_forecast_revenue")
+    assert "Join" not in plan, plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan, plan
+
+
+def test_q22_anti_join_shape():
+    plan = plan_of("q22_global_sales_opportunity")
+    assert "LeftAnti" in plan or "left_anti" in plan.lower(), plan
+    assert "CartesianProduct" not in plan, plan
