@@ -8949,3 +8949,147 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) \
             .agg(F.count("*").alias("numcust"),
                  F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
                  .cast("double").alias("totacctbal")))
+
+
+# --------------------------------------------------------------------- #
+# TPC-H Q8 (market share), Q15 (top supplier), Q17 (small-qty revenue)  #
+# --------------------------------------------------------------------- #
+
+@register("q8_market_share", """
+WITH all_rev AS (
+    SELECT CAST(date_part('year', o.o_orderdate) AS INT) AS o_year,
+           n2.n_name AS supp_nation,
+           CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                     THEN volume ELSE CAST(0 AS DECIMAL(38,4)) END)
+            AS DOUBLE)
+           / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM all_rev GROUP BY o_year
+""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of a region+part-type
+    market per year.  A 7-table snowflake where every dimension
+    broadcasts (region/nation/part/supplier/customer are all dims here);
+    the share is a conditional-over-total DECIMAL ratio, so the output
+    double is one exact division.  The fact side is scanned once and
+    the customer-region filter prunes before the wide joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    joined = (li
+              .join(F.broadcast(p.where(F.col("p_type") == "ECONOMY")
+                                .select("p_partkey")),
+                    li.l_partkey == F.col("p_partkey"))
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                    o.o_custkey == F.col("c_custkey"))
+              .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+              .join(F.broadcast(r.where(F.col("r_name") == "AMERICA")
+                                .select("r_regionkey")),
+                    F.col("c_rk") == F.col("r_regionkey"))
+              .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                    li.l_suppkey == F.col("s_suppkey"))
+              .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk")))
+    target = F.when(F.col("supp_nation") == "NATION_3", vol) \
+        .otherwise(F.lit(0).cast("decimal(38,4)"))
+    return (joined
+            .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg((F.sum(target).cast("double")
+                  / F.sum(vol).cast("double")).alias("mkt_share"),
+                 F.count("*").alias("n_lines")))
+
+
+@register("q15_top_supplier", """
+WITH rev AS (
+    SELECT l_suppkey AS suppkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,4)) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+      AND l_shipdate < DATE '1995-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+FROM rev r JOIN supplier s ON r.suppkey = s.s_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the quarter's top-revenue supplier(s) — the classic
+    aggregate-then-compare-to-its-own-max shape.  Revenue stays DECIMAL
+    through the max comparison (a double max would risk a boundary tie
+    resolving differently across engines); the max is a broadcast 1-row
+    aggregate, and ties return every supplier at the top as the spec
+    requires."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (li.where((F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+                    & (F.col("l_shipdate") < F.lit("1995-04-01").cast("date")))
+           .groupBy(F.col("l_suppkey").alias("suppkey"))
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                      * (F.lit(1) - F.col("l_discount"))
+                      .cast("decimal(18,2)"))
+                .cast("decimal(38,4)").alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .where(F.col("total_rev") == F.col("mx"))
+            .join(F.broadcast(s.select("s_suppkey", "s_name")),
+                  F.col("suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("total_rev").cast("double").alias("total_rev")))
+
+
+@register("q17_small_quantity_revenue", """
+WITH pa AS (
+    SELECT l_partkey AS pk,
+           0.2 * avg(CAST(l_quantity AS DECIMAL(18,2))) AS qty_threshold
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE)
+           AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN pa ON l.l_partkey = pa.pk
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) < pa.qty_threshold
+""")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue locked in below-average-quantity orders — the
+    correlated-average shape, decorrelated into a per-part threshold
+    aggregate joined back to the fact (the rewrite every optimizer
+    performs; here it is explicit and the per-part dim rides a hash
+    join).  The 0.2×avg threshold is DECIMAL so boundary rows resolve
+    identically across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = (li.groupBy(F.col("l_partkey").alias("pk"))
+          .agg((F.lit(0.2)
+                * F.avg(F.col("l_quantity").cast("decimal(18,2)")))
+               .alias("qty_threshold")))
+    return (li.join(pa, li.l_partkey == pa.pk)
+            .where(F.col("l_quantity").cast("decimal(18,2)")
+                   < F.col("qty_threshold"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  / F.lit(7.0)).cast("double").alias("avg_yearly"),
+                 F.count("*").alias("n_lines")))
