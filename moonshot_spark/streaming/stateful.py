@@ -125,3 +125,67 @@ def detect_anomalies(events: DataFrame, z_threshold: float = 3.0,
                 stateStructType=ANOMALY_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+DOLLAR_BAR_STATE_SCHEMA = StructType([
+    StructField("cum_millis", LongType()),   # traded value in thousandths
+])
+
+DOLLAR_BAR_OUTPUT_SCHEMA = StructType([
+    StructField("sid", StringType()),
+    StructField("bar_id", LongType()),
+    StructField("n_ticks", LongType()),
+    StructField("high", DoubleType()),
+    StructField("low", DoubleType()),
+    StructField("last", DoubleType()),
+])
+
+
+def stream_dollar_bars(tick_stream: DataFrame,
+                       bar_value: float = 5000.0) -> DataFrame:
+    """Streaming dollar bars: the stateful counterpart of the batch
+    ``dollar_bars`` query.  Per sid, the cumulative traded value carries
+    across micro-batches in the state store (held as an integer count of
+    value-thousandths — the same exactness discipline as the batch
+    DECIMAL(18,3) column, so batch and stream agree bit-for-bit on bar
+    assignment), and each trigger emits the per-bar updates it touched.
+    Ticks must arrive in event order within a sid (upstream
+    watermark+sort or per-key ordered source), the usual contract for
+    cumulative state.
+
+    Input stream columns: sid, ts, value.  Output: per (sid, bar)
+    updates with tick count and high/low/last.
+    """
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (sid,) = key
+        cum = state.get[0] if state.exists else 0
+        bars: dict[int, dict] = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for v in pdf["value"]:
+                bar_id = int(cum // int(bar_value * 1000))
+                b = bars.setdefault(bar_id, {
+                    "n_ticks": 0, "high": float("-inf"),
+                    "low": float("inf"), "last": None})
+                b["n_ticks"] += 1
+                b["high"] = max(b["high"], v)
+                b["low"] = min(b["low"], v)
+                b["last"] = v
+                cum += int(round(v * 1000))
+        state.update((cum,))
+        if bars:
+            yield pd.DataFrame([
+                {"sid": sid, "bar_id": k, "n_ticks": b["n_ticks"],
+                 "high": b["high"], "low": b["low"], "last": b["last"]}
+                for k, b in sorted(bars.items())])
+
+    return (tick_stream
+            .groupBy("sid")
+            .applyInPandasWithState(
+                update,
+                outputStructType=DOLLAR_BAR_OUTPUT_SCHEMA,
+                stateStructType=DOLLAR_BAR_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

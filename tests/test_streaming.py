@@ -318,3 +318,51 @@ def test_stream_anomaly_detector_matches_batch_replay(spark, stream_dir):
     assert got.keys() == expect.keys()
     for k in expect:
         assert got[k] == _pt.approx(expect[k])
+
+
+def test_stream_dollar_bars_matches_batch(spark, tmp_path):
+    """Streaming dollar bars agree with the batch bar assignment and
+    carry cumulative-value state across micro-batches (a bar can stay
+    open over a batch boundary)."""
+    import datetime as dt
+
+    from moonshot_spark.streaming.stateful import stream_dollar_bars
+
+    ticks_dir = str(tmp_path / "ticks_stream")
+    os.makedirs(ticks_dir)
+    t0 = dt.datetime(2024, 1, 1, 9, 30)
+    rows1 = [("A", t0 + dt.timedelta(seconds=i), v)
+             for i, v in enumerate([2000.0, 2000.0, 1500.0])]  # bar 0 fills
+    batch1 = spark.createDataFrame(
+        rows1, "sid string, ts timestamp, value double")
+    batch1.coalesce(1).write.mode("overwrite").parquet(ticks_dir)
+
+    out_dir = str(tmp_path / "bars_out")
+
+    def run_once():
+        stream = spark.readStream.schema(batch1.schema).parquet(ticks_dir)
+
+        def write_batch(bdf, batch_id):
+            bdf.write.mode("append").parquet(out_dir)
+
+        q = (stream_dollar_bars(stream, bar_value=5000.0).writeStream
+             .foreachBatch(write_batch).outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    got = spark.read.parquet(out_dir).collect()
+    # 2000+2000+1500 = 5500: first two ticks + the third open bar 0 then
+    # roll past 5000 — third tick's cum_before=4000 < 5000 so still bar 0
+    assert {(r["sid"], r["bar_id"]) for r in got} == {("A", 0)}
+    assert sum(r["n_ticks"] for r in got) == 3
+
+    # batch 2: cum_before=5500 → bar 1 starts; state crossed the batches
+    rows2 = [("A", t0 + dt.timedelta(seconds=10), 100.0)]
+    spark.createDataFrame(
+        rows2, "sid string, ts timestamp, value double") \
+        .coalesce(1).write.mode("append").parquet(ticks_dir)
+    run_once()
+    got2 = spark.read.parquet(out_dir).collect()
+    assert ("A", 1) in {(r["sid"], r["bar_id"]) for r in got2}
