@@ -9093,3 +9093,85 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                   / F.lit(7.0)).cast("double").alias("avg_yearly"),
                  F.count("*").alias("n_lines")))
+
+
+# --------------------------------------------------------------------- #
+# streaming dollar bars run to completion, reconciled with batch SQL    #
+# --------------------------------------------------------------------- #
+
+@register("streaming_dollar_bars", """
+WITH ticks AS (
+    SELECT CAST(user_id AS VARCHAR) AS sid, ts, value,
+           CAST(value AS DECIMAL(18,3)) AS dv
+    FROM events
+),
+cum AS (
+    SELECT sid, ts, value,
+           coalesce(sum(dv) OVER (PARTITION BY sid ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING),
+                    CAST(0 AS DECIMAL(38,3))) AS cum_before
+    FROM ticks
+),
+barred AS (
+    SELECT sid, ts, value,
+           CAST(floor(cum_before / 5000) AS BIGINT) AS bar_id
+    FROM cum
+)
+SELECT sid, bar_id,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       max(value) AS high, min(value) AS low,
+       arg_max(value, ts) AS last
+FROM barred GROUP BY sid, bar_id
+""")
+def streaming_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful streaming dollar-bar operator
+    (streaming/stateful.py::stream_dollar_bars) run to completion over
+    the tick table and reconciled against the batch SQL: emissions carry
+    cumulative per-bar stats, so max_by(emission, batch_id) per
+    (sid, bar) must equal the batch bars bit-for-bit — the
+    integer-thousandths state matches the oracle's DECIMAL(18,3)
+    cumulative exactly.  This is the replayability contract a live
+    market-data pipeline needs: restart the stream anywhere and the bars
+    converge to the batch answer."""
+    import os
+    import shutil
+    import tempfile
+
+    from moonshot_spark.streaming.stateful import stream_dollar_bars
+
+    path = os.path.join(sf_dir, "events.parquet")
+    sch = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="stream_dbars_src_")
+    os.symlink(os.path.abspath(path), os.path.join(stage, "part-0.parquet"))
+    out_dir = tempfile.mkdtemp(prefix="stream_dbars_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_dbars_ckpt_")
+
+    stream = spark.readStream.schema(sch).parquet(stage)
+    if sch["ts"].dataType.simpleString() == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ticks = stream.select(F.col("user_id").cast("string").alias("sid"),
+                          "ts", "value")
+
+    def write_batch(bdf, batch_id):
+        (bdf.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (stream_dollar_bars(ticks, bar_value=5000.0).writeStream
+         .foreachBatch(write_batch).outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    updates = spark.read.parquet(out_dir)
+    final = (updates.groupBy("sid", "bar_id")
+             .agg(F.max_by(F.struct("n_ticks", "high", "low", "last"),
+                           "batch_id").alias("s"))
+             .select("sid", "bar_id", F.col("s.n_ticks").alias("n_ticks"),
+                     F.col("s.high").alias("high"),
+                     F.col("s.low").alias("low"),
+                     F.col("s.last").alias("last")))
+    return final

@@ -129,6 +129,11 @@ def detect_anomalies(events: DataFrame, z_threshold: float = 3.0,
 
 DOLLAR_BAR_STATE_SCHEMA = StructType([
     StructField("cum_millis", LongType()),   # traded value in thousandths
+    StructField("open_bar", LongType()),     # bar id currently open
+    StructField("open_n", LongType()),       # its ticks so far
+    StructField("open_high", DoubleType()),
+    StructField("open_low", DoubleType()),
+    StructField("open_last", DoubleType()),
 ])
 
 DOLLAR_BAR_OUTPUT_SCHEMA = StructType([
@@ -148,7 +153,9 @@ def stream_dollar_bars(tick_stream: DataFrame,
     across micro-batches in the state store (held as an integer count of
     value-thousandths — the same exactness discipline as the batch
     DECIMAL(18,3) column, so batch and stream agree bit-for-bit on bar
-    assignment), and each trigger emits the per-bar updates it touched.
+    assignment), the open bar's partial aggregates ride the state too,
+    and each trigger emits CUMULATIVE stats for every bar it touched —
+    so the last emission per (sid, bar) equals the batch result exactly.
     Ticks must arrive in event order within a sid (upstream
     watermark+sort or per-key ordered source), the usual contract for
     cumulative state.
@@ -160,21 +167,31 @@ def stream_dollar_bars(tick_stream: DataFrame,
         import pandas as pd
 
         (sid,) = key
-        cum = state.get[0] if state.exists else 0
+        if state.exists:
+            cum, open_bar, open_n, open_hi, open_lo, open_last = state.get
+        else:
+            cum, open_bar, open_n = 0, -1, 0
+            open_hi, open_lo, open_last = float("-inf"), float("inf"), None
+        # emissions carry CUMULATIVE per-bar stats: a bar is only ever
+        # touched while open, so the LAST emission for a (sid, bar) is
+        # its exact final state — reconcilable with the batch query
         bars: dict[int, dict] = {}
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
             for v in pdf["value"]:
                 bar_id = int(cum // int(bar_value * 1000))
-                b = bars.setdefault(bar_id, {
-                    "n_ticks": 0, "high": float("-inf"),
-                    "low": float("inf"), "last": None})
-                b["n_ticks"] += 1
-                b["high"] = max(b["high"], v)
-                b["low"] = min(b["low"], v)
-                b["last"] = v
+                if bar_id != open_bar:
+                    open_bar, open_n = bar_id, 0
+                    open_hi, open_lo, open_last = (
+                        float("-inf"), float("inf"), None)
+                open_n += 1
+                open_hi = max(open_hi, v)
+                open_lo = min(open_lo, v)
+                open_last = v
+                bars[bar_id] = {"n_ticks": open_n, "high": open_hi,
+                                "low": open_lo, "last": open_last}
                 cum += int(round(v * 1000))
-        state.update((cum,))
+        state.update((cum, open_bar, open_n, open_hi, open_lo, open_last))
         if bars:
             yield pd.DataFrame([
                 {"sid": sid, "bar_id": k, "n_ticks": b["n_ticks"],
