@@ -341,3 +341,28 @@ def test_fit_logistic_irls_separates(spark):
     lo = m.predict_proba(np.array([[-4.0]]))[0, 1]
     hi = m.predict_proba(np.array([[4.0]]))[0, 1]
     assert lo < 0.05 and hi > 0.95
+
+
+def test_train_then_backtest_end_to_end(spark, prices):
+    """Full loop with NO external ML library: features are built by the
+    strategy, the model trains DISTRIBUTED via normal-equation OLS on a
+    next-day-close label, and the fitted LinearModel drives the same
+    strategy's backtest — train and serve share one feature definition."""
+    from pyspark.sql import Window
+    from moonshot_spark.operators.ols import fit_ols
+
+    strat = TwoFeatureStrategy()
+    feats, cols = strat.prices_to_features(prices)
+    w = Window.partitionBy("sid").orderBy("date")
+    labeled = feats.withColumn("label", F.lead("close").over(w))
+    model = fit_ols(labeled, cols, "label")
+
+    results = strat.backtest(prices, model=model)
+    sig = {(r["sid"], r["date"]): r["value"]
+           for r in results.where(F.col("field") == "Signal").collect()}
+    # the model must reproduce its own predictions inside the pipeline:
+    # recompute one prediction by hand and check the signal threshold
+    import numpy as np
+    X = np.array([[9.0, 5000 / 10000.0]])
+    pred = model.predict(X)[0]
+    assert sig[("FI12345", DATES[0])] == (1.0 if pred > 10 else 0.0)
