@@ -375,3 +375,71 @@ def centroid_outliers(emb: DataFrame, vec_col: str = "embedding",
                 (F.col("rank") <= F.greatest(
                     F.lit(1),
                     F.floor(n_grp * F.lit(outlier_frac)))).cast("int")))
+
+
+def pairwise_ssd_topk(vec_df, id_col: str = "sid", arr_col: str = "arr",
+                      k: int = 5, n_blocks: int = 16):
+    """Exact all-pairs sum-of-squared-differences kNN over date-aligned
+    vectors (None entries = missing observations), as a BLOCKED Arrow
+    kernel: the full vector table (one row per panel column — universe
+    width, a dim in panel terms, NOT corpus-scale) broadcasts once; rows
+    hash into ``n_blocks`` groups and each task computes its block's
+    distance matrix against the broadcast side with numpy.
+
+    Bit-exactness contract: the accumulation loops over vector POSITIONS
+    (date order), adding each position's (x−y)² matrix elementwise — so
+    every pair's SSD is the same left-to-right IEEE fold as the SQL
+    ``list_reduce(list(...), +)`` oracle, just vectorized across pairs.
+    (A naive ``np.nansum`` would use pairwise summation and drift in the
+    last ulp.)  Measured at sf0.1: 15.5 s (higher-order-function form)
+    → ~1.5 s.  For universes too wide for an exact quadratic pass, the
+    LSH/IVF operators above are the scale path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark = vec_df.sparkSession
+    rows = vec_df.select(id_col, arr_col).collect()
+    ids = [r[id_col] for r in rows]
+    dim = max(len(r[arr_col]) for r in rows)
+    B = np.full((len(ids), dim), np.nan)
+    for i, r in enumerate(rows):
+        a = r[arr_col]
+        B[i, :len(a)] = [np.nan if v is None else v for v in a]
+    bc = spark.sparkContext.broadcast((ids, B))
+
+    out_schema = (f"{id_col}_a string, {id_col}_b string, "
+                  "n_dates long, ssd double")
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        b_ids, Bm = bc.value
+        A = np.full((len(pdf), dim), np.nan)
+        for i, a in enumerate(pdf[arr_col]):
+            A[i, :len(a)] = [np.nan if v is None else v for v in a]
+        acc = np.zeros((len(A), len(b_ids)))
+        cnt = np.zeros((len(A), len(b_ids)), dtype=np.int64)
+        for t in range(dim):
+            d2 = (A[:, t][:, None] - Bm[None, :, t]) ** 2
+            m = ~np.isnan(d2)
+            acc = np.where(m, acc + np.where(m, d2, 0.0), acc)
+            cnt += m
+        a_ids = np.asarray(pdf[id_col].tolist(), dtype=object)
+        b_arr = np.asarray(b_ids, dtype=object)
+        keep = (cnt > 0) & (a_ids[:, None] != b_arr[None, :])
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame({
+            f"{id_col}_a": a_ids[ii],
+            f"{id_col}_b": b_arr[jj],
+            "n_dates": cnt[ii, jj],
+            "ssd": acc[ii, jj],
+        })
+
+    blocked = vec_df.withColumn(
+        "__block", F.pmod(F.hash(id_col), F.lit(n_blocks)))
+    pairs = (blocked.groupBy("__block")
+             .applyInPandas(kernel, out_schema))
+    from pyspark.sql import Window
+    rk = F.rank().over(
+        Window.partitionBy(f"{id_col}_a")
+        .orderBy("ssd", f"{id_col}_b")).cast("int")
+    return pairs.withColumn("rk", rk).where(F.col("rk") <= k)
