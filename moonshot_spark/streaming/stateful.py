@@ -172,25 +172,39 @@ def stream_dollar_bars(tick_stream: DataFrame,
         else:
             cum, open_bar, open_n = 0, -1, 0
             open_hi, open_lo, open_last = float("-inf"), float("inf"), None
+        import numpy as np
+
         # emissions carry CUMULATIVE per-bar stats: a bar is only ever
         # touched while open, so the LAST emission for a (sid, bar) is
-        # its exact final state — reconcilable with the batch query
+        # its exact final state — reconcilable with the batch query.
+        # Vectorized: integer cumsum of value-thousandths assigns bar
+        # ids for the whole batch at once (bit-identical to the per-tick
+        # loop — int64 addition is associative).
         bars: dict[int, dict] = {}
+        unit = int(bar_value * 1000)
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
-            for v in pdf["value"]:
-                bar_id = int(cum // int(bar_value * 1000))
-                if bar_id != open_bar:
-                    open_bar, open_n = bar_id, 0
-                    open_hi, open_lo, open_last = (
-                        float("-inf"), float("inf"), None)
-                open_n += 1
-                open_hi = max(open_hi, v)
-                open_lo = min(open_lo, v)
-                open_last = v
-                bars[bar_id] = {"n_ticks": open_n, "high": open_hi,
-                                "low": open_lo, "last": open_last}
-                cum += int(round(v * 1000))
+            if not len(pdf):
+                continue
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            millis = np.rint(vals * 1000).astype(np.int64)
+            cum_before = cum + np.concatenate(
+                ([0], np.cumsum(millis[:-1])))
+            ids = cum_before // unit
+            cum = int(cum_before[-1] + millis[-1])
+            for bar_id in np.unique(ids):
+                sel = ids == bar_id
+                bv = vals[sel]
+                n, hi, lo, last = (int(sel.sum()), float(bv.max()),
+                                   float(bv.min()), float(bv[-1]))
+                if int(bar_id) == open_bar:
+                    n += open_n
+                    hi = max(hi, open_hi)
+                    lo = min(lo, open_lo)
+                open_bar, open_n = int(bar_id), n
+                open_hi, open_lo, open_last = hi, lo, last
+                bars[int(bar_id)] = {"n_ticks": n, "high": hi,
+                                     "low": lo, "last": last}
         state.update((cum, open_bar, open_n, open_hi, open_lo, open_last))
         if bars:
             yield pd.DataFrame([
