@@ -157,3 +157,19 @@ def test_dollar_bars_tile_ticks(spark):
             if prev_end is not None:
                 assert row.bar_start > prev_end
             prev_end = row.bar_end
+
+
+@pytest.mark.parametrize("n,k", [(1, 3), (7, 7), (64, 10), (200, 3)])
+def test_exact_ntile_parametrized(spark, n, k):
+    """Two-phase rank equals window ntile across remainder shapes,
+    including n < k (empty tiles) and n == k."""
+    from pyspark.sql import Window
+    from moonshot_spark.operators.ranking import exact_ntile
+
+    df = spark.range(n).select((F.col("id") * 17 % 101).alias("key"), "id")
+    got = {r["id"]: r["t"] for r in
+           exact_ntile(df, k, ["key", "id"], "t").collect()}
+    want = {r["id"]: r["t"] for r in
+            df.select("id", F.ntile(k).over(
+                Window.orderBy("key", "id")).alias("t")).collect()}
+    assert got == want
