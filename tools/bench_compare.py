@@ -40,6 +40,10 @@ def main():
 
     spark = get_spark("bench_compare")
     con = duckdb.connect()
+    # explicit cap: DuckDB's default (80% of RAM) assumes it owns the
+    # box, but it shares this process with a 16g Spark JVM — an uncapped
+    # heavy oracle (price_path's 67M-row join) can exhaust the host
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
