@@ -39,16 +39,20 @@ def main():
     from moonshot_spark.session import get_spark
 
     spark = get_spark("bench_compare")
-    con = duckdb.connect()
-    # explicit cap: DuckDB's default (80% of RAM) assumes it owns the
-    # box, but it shares this process with a 16g Spark JVM — an uncapped
-    # heavy oracle (price_path's 67M-row join) can exhaust the host
-    con.execute("SET memory_limit='48GB'")
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    def fresh_con():
+        # explicit cap: DuckDB's default (80% of RAM) assumes it owns
+        # the box, but it shares this process with a 16g Spark JVM
+        c = duckdb.connect()
+        c.execute("SET memory_limit='32GB'")
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
+    con = fresh_con()
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -59,7 +63,14 @@ def main():
             continue
         df = fn(spark, sf_dir)
         s = timed(df.count)
-        d = timed(lambda: con.execute(sql).fetchall())
+        try:
+            d = timed(lambda: con.execute(sql).fetchall())
+        except duckdb.OutOfMemoryException:
+            # DuckDB accumulates allocator state over ~180 oracles; a
+            # fresh connection releases it — retry once, cold
+            con.close()
+            con = fresh_con()
+            d = timed(lambda: con.execute(sql).fetchall())
         rows.append((name, s, d))
 
     rows.sort(key=lambda r: -r[1])
