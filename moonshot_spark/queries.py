@@ -7159,13 +7159,37 @@ z AS (
       AND NOT isnan((close - s1 / n)
                     / sqrt((s2 - s1 * s1 / n) / (n - 1)))
 ),
-pairs AS (
+-- array form (same as the engine): the join-per-(pair, date) oracle
+-- materialized a 67M-row aggregate of lists at sf0.1 and could OOM the
+-- shared comparison process; date-aligned arrays make each pair one
+-- row and keep the fold order (array position = date) identical
+dates AS (SELECT DISTINCT date FROM panel),
+sids AS (SELECT DISTINCT sid FROM z),
+spine AS (SELECT sid, date FROM sids CROSS JOIN dates),
+zfull AS (
+    SELECT s.sid, s.date, z.zc FROM spine s
+    LEFT JOIN z ON s.sid = z.sid AND s.date = z.date
+),
+vec AS (
+    SELECT sid,
+           list_transform(list({{'d': date, 'z': zc}} ORDER BY date),
+                          s -> s.z) AS arr
+    FROM zfull GROUP BY sid
+),
+raw AS (
     SELECT a.sid AS sid_a, b.sid AS sid_b,
-           CAST(count(*) AS BIGINT) AS n_dates,
-           list_reduce(list((a.zc - b.zc) * (a.zc - b.zc) ORDER BY a.date),
-                       (x, y) -> x + y) AS ssd
-    FROM z a JOIN z b ON a.date = b.date AND a.sid <> b.sid
-    GROUP BY 1, 2
+           list_filter(
+               list_transform(a.arr, (x, i) ->
+                   CASE WHEN x IS NOT NULL AND b.arr[i] IS NOT NULL
+                        THEN (x - b.arr[i]) * (x - b.arr[i]) END),
+               v -> v IS NOT NULL) AS d2
+    FROM vec a CROSS JOIN vec b
+    WHERE a.sid <> b.sid
+),
+pairs AS (
+    SELECT sid_a, sid_b, CAST(len(d2) AS BIGINT) AS n_dates,
+           list_reduce(d2, (x, y) -> x + y) AS ssd
+    FROM raw WHERE len(d2) >= 1
 ),
 ranked AS (
     SELECT sid_a, sid_b, n_dates, ssd,
