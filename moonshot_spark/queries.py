@@ -9246,3 +9246,261 @@ def shipping_lead_time_quantiles(spark: SparkSession, sf_dir: str) \
                  F.expr("percentile(lead_days, 0.5)").alias("p50_days"),
                  F.expr("percentile(lead_days, 0.9)").alias("p90_days"),
                  F.max("lead_days").cast("bigint").alias("max_days")))
+
+
+# --------------------------------------------------------------------- #
+# technical-analysis indicator stack (functions/ta.py)                  #
+# --------------------------------------------------------------------- #
+
+@register("ta_bollinger_rsi", f"""
+WITH panel AS ({PANEL_SQL}),
+framed AS (
+    SELECT sid, date, close,
+           list(close) OVER w20 AS c20,
+           close - lag(close) OVER (PARTITION BY sid ORDER BY date) AS chg
+    FROM panel
+    WINDOW w20 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), chg_framed AS (
+    SELECT sid, date, close, c20,
+           list(chg) OVER (PARTITION BY sid ORDER BY date
+                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS g14
+    FROM framed
+), moments AS (
+    SELECT sid, date, close,
+           CAST(len(c20) AS DOUBLE) AS m,
+           list_reduce(c20, (a, b) -> a + b) AS s1,
+           list_reduce(list_transform(c20, x -> x * x),
+                       (a, b) -> a + b) AS s2,
+           list_reduce(list_transform(g14,
+               x -> CASE WHEN x > 0 THEN x ELSE 0.0 END),
+               (a, b) -> a + b) AS gs,
+           list_reduce(list_transform(g14,
+               x -> CASE WHEN x < 0 THEN -x ELSE 0.0 END),
+               (a, b) -> a + b) AS ls
+    FROM chg_framed
+), bands AS (
+    SELECT sid, date, close, m, gs, ls, s1 / m AS bb_mid,
+           CASE WHEN m > 1 THEN
+               CASE WHEN (s2 - s1 * s1 / m) / (m - 1) > 0
+                    THEN sqrt((s2 - s1 * s1 / m) / (m - 1))
+                    ELSE 0.0 END
+           END AS sd
+    FROM moments
+)
+SELECT sid, date, close, bb_mid,
+       bb_mid + 2.0 * sd AS bb_upper,
+       bb_mid - 2.0 * sd AS bb_lower,
+       (close - (bb_mid - 2.0 * sd))
+           / ((bb_mid + 2.0 * sd) - (bb_mid - 2.0 * sd)) AS bb_pct_b,
+       100.0 * gs / (gs + ls) AS rsi
+FROM bands
+""")
+def ta_bollinger_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20, 2σ) + Cutler's RSI (14) per sid/date — the
+    mean-reversion signal pair of ``functions/ta.py``, here in the
+    fold-exact form (PERF.md float rule 5): rolling mean/variance come
+    from left-to-right folds of the bounded date-ordered frame array
+    (s1/s2 moments, association order pinned) and the RSI is
+    100·Σgains/(Σgains+Σlosses) — the avg-gain denominators cancel, so
+    the oscillator needs no null-skipping avg and no recursive Wilder
+    state.  Remaining ops (+ − * / sqrt, CASE) are IEEE-correctly-
+    rounded and identical cross-engine; degenerate frames resolve the
+    same way on both sides (σ: 0 when the catastrophic-cancellation
+    guard trips, NULL on 1-row frames; RSI/%B: NULL on flat frames via
+    zero-divide).  ONE shuffle by sid covers every indicator — the
+    frames are bounded (≤20 rows) so per-row state is constant at any
+    scale.  Production path: ``functions/ta.py`` windowed forms
+    (reference: pandas ``rolling`` signal idiom, moonshot
+    ``prices_to_signals``)."""
+    panel = events_to_panel(spark, sf_dir)
+    ws = Window.partitionBy("sid").orderBy("date")
+    w20 = ws.rowsBetween(-19, 0)
+    w14 = ws.rowsBetween(-13, 0)
+    c20 = F.transform(
+        F.array_sort(F.collect_list(F.struct("date", "close")).over(w20)),
+        lambda s: s["close"])
+    chg = F.col("close") - F.lag("close").over(ws)
+    framed = panel.select("sid", "date", "close", c20.alias("c20"),
+                          chg.alias("chg"))
+    g14 = F.transform(
+        F.array_sort(F.collect_list(F.struct("date", "chg")).over(w14)),
+        lambda s: s["chg"])
+    # collect_list drops NULL rows, so the first row's NULL chg would
+    # shrink the frame vs DuckDB's list(); the struct wrapper keeps it.
+    chg_framed = framed.select("sid", "date", "close", "c20",
+                               g14.alias("g14"))
+    add = lambda a, b: a + b
+    m = F.size("c20").cast("double")
+    s1 = F.aggregate("c20", F.lit(0.0), add)
+    s2 = F.aggregate(F.transform("c20", lambda x: x * x), F.lit(0.0), add)
+    gs = F.aggregate(
+        F.transform("g14",
+                    lambda x: F.when(x > 0, x).otherwise(F.lit(0.0))),
+        F.lit(0.0), add)
+    ls = F.aggregate(
+        F.transform("g14",
+                    lambda x: F.when(x < 0, -x).otherwise(F.lit(0.0))),
+        F.lit(0.0), add)
+    moments = chg_framed.select(
+        "sid", "date", "close", m.alias("m"), s1.alias("s1"),
+        s2.alias("s2"), gs.alias("gs"), ls.alias("ls"))
+    var_c = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("m")) \
+        / (F.col("m") - 1)
+    sd = F.when(F.col("m") > 1,
+                F.when(var_c > 0, F.sqrt(var_c)).otherwise(F.lit(0.0)))
+    bands = moments.select(
+        "sid", "date", "close", "gs", "ls",
+        (F.col("s1") / F.col("m")).alias("bb_mid"), sd.alias("sd"))
+    upper = F.col("bb_mid") + F.lit(2.0) * F.col("sd")
+    lower = F.col("bb_mid") - F.lit(2.0) * F.col("sd")
+    return bands.select(
+        "sid", "date", "close", "bb_mid",
+        upper.alias("bb_upper"), lower.alias("bb_lower"),
+        ((F.col("close") - lower) / (upper - lower)).alias("bb_pct_b"),
+        (F.lit(100.0) * F.col("gs")
+         / (F.col("gs") + F.col("ls"))).alias("rsi"))
+
+
+@register("ta_macd_stoch_obv", f"""
+WITH panel AS ({PANEL_SQL}),
+base AS (
+    SELECT sid, date, close, high, low, volume,
+           lag(close) OVER w AS prev_c
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+), tr AS (
+    SELECT sid, date, close, volume, prev_c,
+           CASE WHEN prev_c IS NULL THEN high - low
+                ELSE greatest(high - low, abs(high - prev_c),
+                              abs(low - prev_c)) END AS true_range,
+           max(high) OVER w14 AS hh,
+           min(low) OVER w14 AS ll,
+           list(close) OVER w12 AS c12,
+           list(close) OVER w26 AS c26
+    FROM base
+    WINDOW w14 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+           w12 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+           w26 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+), line AS (
+    SELECT sid, date, close, volume, prev_c, true_range, hh, ll,
+           list_reduce(c12, (a, b) -> a + b) / CAST(len(c12) AS DOUBLE)
+           - list_reduce(c26, (a, b) -> a + b) / CAST(len(c26) AS DOUBLE)
+               AS macd_line,
+           100.0 * (close - ll) / (hh - ll) AS stoch_k
+    FROM tr
+), framed AS (
+    SELECT sid, date, close, volume, prev_c, macd_line, stoch_k,
+           list(macd_line) OVER w9 AS l9,
+           list(stoch_k) OVER w3 AS k3,
+           list(true_range) OVER w14 AS t14
+    FROM line
+    WINDOW w9 AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+           w3 AS (PARTITION BY sid ORDER BY date
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           w14 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), obv AS (
+    SELECT sid, date,
+           CAST(sum(CAST(CASE WHEN close - prev_c > 0 THEN volume
+                              WHEN close - prev_c < 0 THEN -volume
+                              ELSE 0.0 END AS DECIMAL(18,1)))
+                OVER (PARTITION BY sid ORDER BY date
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS obv
+    FROM base
+)
+SELECT f.sid, f.date, f.close, f.macd_line,
+       list_reduce(f.l9, (a, b) -> a + b)
+           / CAST(len(f.l9) AS DOUBLE) AS macd_signal,
+       f.stoch_k,
+       list_reduce(list_transform(f.k3,
+           x -> CASE WHEN x IS NOT NULL THEN x ELSE 0.0 END),
+           (a, b) -> a + b)
+       / nullif(list_reduce(list_transform(f.k3,
+           x -> CASE WHEN x IS NOT NULL THEN 1.0 ELSE 0.0 END),
+           (a, b) -> a + b), 0.0) AS stoch_d,
+       list_reduce(f.t14, (a, b) -> a + b)
+           / CAST(len(f.t14) AS DOUBLE) AS atr,
+       o.obv
+FROM framed f JOIN obv o ON f.sid = o.sid AND f.date = o.date
+""")
+def ta_macd_stoch_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA-MACD (12/26/9), stochastic oscillator (%K 14, %D 3), ATR (14)
+    and on-balance volume per sid/date — the trend/momentum half of
+    ``functions/ta.py``, fold-exact like ``ta_bollinger_rsi``: every
+    rolling mean is a pinned left fold over the bounded frame array, %D
+    handles NULL %K rows (flat 1-row frames) with an explicit
+    count-non-null fold rather than a null-skipping avg, and OBV
+    accumulates DECIMAL signed volume so the running sum is exact and
+    association-free at any depth.  True range (greatest of H−L,
+    |H−prevC|, |L−prevC|, first-row H−L fallback) and the stochastic's
+    frame max/min are order-insensitive, so they ride plain windowed
+    aggregates.  The whole stack — 6 frames + a lag + a cumulative sum —
+    shares ONE sid shuffle; Spark evaluates them as stacked WindowExec
+    nodes over the same sort, and the Spark side avoids the SQL's
+    self-join by stacking the cumulative OBV window in the same plan."""
+    panel = events_to_panel(spark, sf_dir)
+    ws = Window.partitionBy("sid").orderBy("date")
+    prev_c = F.lag("close").over(ws)
+    base = panel.select("sid", "date", "close", "high", "low", "volume",
+                        prev_c.alias("prev_c"))
+    hl = F.col("high") - F.col("low")
+    tr_col = F.when(F.col("prev_c").isNull(), hl).otherwise(
+        F.greatest(hl, F.abs(F.col("high") - F.col("prev_c")),
+                   F.abs(F.col("low") - F.col("prev_c"))))
+    w14 = ws.rowsBetween(-13, 0)
+    w12 = ws.rowsBetween(-11, 0)
+    w26 = ws.rowsBetween(-25, 0)
+
+    def frame(col: str, w) -> Column:
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("date", col)).over(w)),
+            lambda s: s[col])
+
+    signed = (F.when(F.col("close") - F.col("prev_c") > 0, F.col("volume"))
+              .when(F.col("close") - F.col("prev_c") < 0, -F.col("volume"))
+              .otherwise(F.lit(0.0))).cast("decimal(18,1)")
+    tr = base.select(
+        "sid", "date", "close", "volume", "prev_c",
+        tr_col.alias("true_range"),
+        F.max("high").over(w14).alias("hh"),
+        F.min("low").over(w14).alias("ll"),
+        frame("close", w12).alias("c12"),
+        frame("close", w26).alias("c26"),
+        F.sum(signed).over(ws.rowsBetween(Window.unboundedPreceding, 0))
+         .cast("double").alias("obv"))
+    add = lambda a, b: a + b
+
+    def fold_mean(col: str) -> Column:
+        return (F.aggregate(col, F.lit(0.0), add)
+                / F.size(col).cast("double"))
+
+    line = tr.select(
+        "sid", "date", "close", "obv",
+        (fold_mean("c12") - fold_mean("c26")).alias("macd_line"),
+        (F.lit(100.0) * (F.col("close") - F.col("ll"))
+         / (F.col("hh") - F.col("ll"))).alias("stoch_k"),
+        "true_range")
+    w9 = ws.rowsBetween(-8, 0)
+    w3 = ws.rowsBetween(-2, 0)
+    framed = line.select(
+        "sid", "date", "close", "obv", "macd_line", "stoch_k",
+        frame("macd_line", w9).alias("l9"),
+        frame("stoch_k", w3).alias("k3"),
+        frame("true_range", w14).alias("t14"))
+    k_sum = F.aggregate(
+        F.transform("k3", lambda x: F.when(x.isNotNull(), x)
+                    .otherwise(F.lit(0.0))), F.lit(0.0), add)
+    k_cnt = F.aggregate(
+        F.transform("k3", lambda x: F.when(x.isNotNull(), F.lit(1.0))
+                    .otherwise(F.lit(0.0))), F.lit(0.0), add)
+    return framed.select(
+        "sid", "date", "close", "macd_line",
+        fold_mean("l9").alias("macd_signal"),
+        "stoch_k",
+        (k_sum / F.nullif(k_cnt, F.lit(0.0))).alias("stoch_d"),
+        fold_mean("t14").alias("atr"),
+        "obv")
