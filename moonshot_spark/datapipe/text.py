@@ -257,3 +257,107 @@ def token_surprisal_stats(docs: DataFrame, text_col: str = "text",
                     (F.col("rare_tokens").cast("double")
                      / F.col("n_tokens").cast("double"))
                     .alias("rare_ratio")))
+
+
+def bm25_top_terms(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k1: float = 1.2,
+                   b: float = 0.75, top_n: int = 3) -> DataFrame:
+    """Per-document BM25 top terms — the retrieval-grade upgrade of
+    ``tfidf``'s top-term ranking: BM25 saturates term frequency
+    (``tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``) so a term repeated 100×
+    doesn't dominate, and normalizes by document length against the
+    corpus mean.
+
+    The idf factor here is the RATIONAL Robertson idf
+    ``(N − df + 0.5)/(df + 0.5)`` without the usual ``ln(1 + ·)`` wrap:
+    the catalog's oracle comparison is bit-exact, and ln() is the one op
+    whose last ulp differs between libm builds (PERF.md float rule 5).
+    The log is monotone in the rational idf, so for a FIXED term the
+    saturation ranking is unchanged; across terms the variant is the
+    documented ``bm25_lite`` score, not drop-in Okapi.  All remaining
+    ops are IEEE-exact divisions/multiplications evaluated in one pinned
+    expression tree.
+
+    Scale: explode → groupBy(doc, token) with map-side combine, df/dl
+    by re-aggregation, N and avgdl as broadcast 1-row scalars, and the
+    tf⋈df equi-join on ``token`` (Zipf-skewed — AQE skew-join territory,
+    never a broadcast).  Top-n per doc is a bounded
+    ``row_number ≤ n`` over the doc partition with (score DESC, term)
+    determinism.
+    """
+    from pyspark.sql import Window
+
+    tc = (docs.select(F.col(id_col),
+                      F.explode(tokens_expr(text_col)).alias("token"))
+          .groupBy(id_col, "token")
+          .agg(F.count("*").alias("tf")))
+    df_t = tc.groupBy("token").agg(F.count("*").alias("df"))
+    dl = tc.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    scalars = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double")
+         / F.count("*").cast("double")).alias("avgdl"))
+    scored = (tc.join(df_t, "token")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(scalars)))
+    tf = F.col("tf").cast("double")
+    idf_r = (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5)) \
+        / (F.col("df").cast("double") + F.lit(0.5))
+    sat = tf * F.lit(k1 + 1.0) \
+        / (tf + F.lit(k1) * (F.lit(1.0 - b)
+                             + F.lit(b) * F.col("dl").cast("double")
+                             / F.col("avgdl")))
+    scored = scored.select(F.col(id_col), "token",
+                           (idf_r * sat).alias("bm25"))
+    w = Window.partitionBy(id_col).orderBy(F.col("bm25").desc(), "token")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n))
+
+
+def dsir_bucket_stats(docs: DataFrame, target_filter: Column,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_buckets: int = 1024) -> DataFrame:
+    """DSIR-style importance-sampling sufficient statistics per document.
+
+    Data Selection with Importance Resampling (Xie et al., NeurIPS 2023,
+    public paper) weights raw-corpus documents by
+    ``log p_target(d) − log p_raw(d)`` under hashed n-gram bag models.
+    This operator computes the integer-exact sufficient statistics of
+    that weight: tokens hash into ``num_buckets`` md5 buckets
+    (cross-engine deterministic, same recipe as ``datapipe.sampling``),
+    bucket counts are tallied over the target subset (``target_filter``)
+    and the whole raw corpus, and each document gets
+
+    - ``n_tokens`` — its token count (integer),
+    - ``sum_target`` / ``sum_raw`` — Σ over its token occurrences of the
+      corpus-wide bucket counts (integers: a doc whose mass sits in
+      target-heavy buckets scores high),
+    - ``weight_ratio`` — ``(sum_target/n_tokens) / (sum_raw/n_tokens)``
+      collapsed to a single exact division ``sum_target/sum_raw``.
+
+    The true log-ratio weight is a monotone post-process of these sums
+    under the bag model (``log`` applied at selection time, off the
+    exactness-gated path).  Scale: the bucket table is FIXED SIZE
+    (``num_buckets`` rows) — unlike a vocabulary join it broadcasts
+    safely at any corpus size; everything else is map-side explode +
+    one groupBy(doc).
+    """
+    from moonshot_spark.datapipe.sampling import hash_bucket_expr
+
+    tok = docs.select(F.col(id_col), target_filter.alias("is_target"),
+                      F.explode(tokens_expr(text_col)).alias("token"))
+    tok = tok.select(id_col, "is_target",
+                     hash_bucket_expr("token", num_buckets).alias("bucket"))
+    buckets = (tok.groupBy("bucket")
+               .agg(F.count("*").alias("raw_cnt"),
+                    F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+                    .alias("target_cnt")))
+    joined = tok.join(F.broadcast(buckets), "bucket")
+    return (joined.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("target_cnt").alias("sum_target"),
+                 F.sum("raw_cnt").alias("sum_raw"))
+            .select(F.col(id_col), "n_tokens", "sum_target", "sum_raw",
+                    (F.col("sum_target").cast("double")
+                     / F.col("sum_raw").cast("double"))
+                    .alias("weight_ratio")))

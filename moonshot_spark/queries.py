@@ -9504,3 +9504,98 @@ def ta_macd_stoch_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k_sum / F.nullif(k_cnt, F.lit(0.0))).alias("stoch_d"),
         fold_mean("t14").alias("atr"),
         "obv")
+
+
+# --------------------------------------------------------------------- #
+# BM25 top terms (rational-idf bm25_lite; datapipe/text.py)             #
+# --------------------------------------------------------------------- #
+
+@register("bm25_top_terms", """
+WITH tc AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM tc GROUP BY doc_id, token
+), dfq AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+), dl AS (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+), sc AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+    FROM dl
+), scored AS (
+    SELECT t.doc_id, t.token,
+           ((sc.n_docs - CAST(d.df AS DOUBLE) + 0.5)
+            / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(t.tf AS DOUBLE) * 2.2
+              / (CAST(t.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / sc.avgdl)))
+               AS bm25
+    FROM tf t
+    JOIN dfq d USING (token)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN sc
+)
+SELECT doc_id, token, bm25, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY bm25 DESC, token) AS rank
+      FROM scored)
+WHERE rank <= 3
+""")
+def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 top-3 terms (``datapipe.text.bm25_top_terms``):
+    saturated-tf, doc-length-normalized term salience with the RATIONAL
+    Robertson idf — the ln() wrap is dropped so the score is a pinned
+    tree of IEEE-exact divisions and the oracle matches bit-for-bit
+    (documented bm25_lite variant).  k1=1.2, b=0.75.  Plan: map-side
+    tf explode+combine, vocabulary-join on token (Zipf → AQE skew-join,
+    never broadcast), 1-row scalar (N, avgdl) broadcast, bounded top-3
+    row_number per doc with (score DESC, term) tie-determinism."""
+    from moonshot_spark.datapipe.text import bm25_top_terms as bm25
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25(docs)
+
+
+# --------------------------------------------------------------------- #
+# DSIR importance-resampling sufficient statistics (datapipe/text.py)   #
+# --------------------------------------------------------------------- #
+
+@register("dsir_bucket_weights", """
+WITH tok AS (
+    SELECT doc_id, lang = 'en' AS is_target,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+), tb AS (
+    SELECT doc_id, is_target,
+           CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 1024
+               AS bucket
+    FROM tok
+), buckets AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS raw_cnt,
+           CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+               AS target_cnt
+    FROM tb GROUP BY bucket
+)
+SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(b.target_cnt) AS BIGINT) AS sum_target,
+       CAST(sum(b.raw_cnt) AS BIGINT) AS sum_raw,
+       CAST(sum(b.target_cnt) AS DOUBLE) / CAST(sum(b.raw_cnt) AS DOUBLE)
+           AS weight_ratio
+FROM tb JOIN buckets b USING (bucket)
+GROUP BY tb.doc_id
+""")
+def dsir_bucket_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling sufficient statistics
+    (``datapipe.text.dsir_bucket_stats``; Xie et al. 2023): tokens hash
+    into 1024 md5 buckets, per-bucket occurrence counts are tallied for
+    the target subset (here lang='en') and the raw corpus, and each doc
+    aggregates integer Σtarget_cnt / Σraw_cnt over its occurrences plus
+    the single-division ratio.  The bucket table is FIXED-SIZE (1024
+    rows) so its join broadcasts safely at any corpus scale — the
+    whole op is two map-side explodes + one groupBy(doc)."""
+    from moonshot_spark.datapipe.text import dsir_bucket_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_bucket_stats(docs, F.col("lang") == "en")

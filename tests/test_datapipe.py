@@ -807,3 +807,50 @@ def test_prefix_filter_jaccard_matches_brute_force(spark):
     assert got.keys() == expect.keys()
     for k in expect:
         assert got[k] == pytest.approx(expect[k])
+
+
+def test_bm25_top_terms_properties(spark):
+    """BM25 ranks a doc-specific repeated term above corpus-wide
+    boilerplate, saturates tf, and returns exactly top_n rows per doc."""
+    from moonshot_spark.datapipe.text import bm25_top_terms
+
+    rows = [("d1", "common common rare1 rare1 rare1"),
+            ("d2", "common common common filler other"),
+            ("d3", "common filler unique2 x y z w v u t s r q p o n m")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_top_terms(df, top_n=2).toPandas()
+    assert (out.groupby("doc_id").size() == 2).all()
+    d1 = out[out.doc_id == "d1"].sort_values("rank")
+    # rare1 appears only in d1 → idf dominates the shared 'common'
+    assert d1.iloc[0]["token"] == "rare1"
+    # saturation: tripled tf must score < 3x the single-occurrence score
+    sat1 = d1.iloc[0]["bm25"]
+    single = bm25_top_terms(
+        spark.createDataFrame([("d1", "common common rare1"),
+                               ("d2", "common common common filler other"),
+                               ("d3", rows[2][1])], ["doc_id", "text"]),
+        top_n=2).toPandas()
+    s1 = single[(single.doc_id == "d1")
+                & (single.token == "rare1")].iloc[0]["bm25"]
+    assert sat1 < 3 * s1
+
+
+def test_dsir_bucket_stats_separates_target_mass(spark):
+    """Docs made of target-subset tokens must out-score docs of
+    raw-only tokens on weight_ratio, and the integer sums must add up."""
+    from moonshot_spark.datapipe.text import dsir_bucket_stats
+    from pyspark.sql import functions as F
+
+    rows = [("t1", "en", "alpha beta gamma alpha"),
+            ("t2", "en", "alpha beta delta"),
+            ("r1", "zz", "omega psi chi omega omega"),
+            ("r2", "zz", "omega psi mixedtok")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = (dsir_bucket_stats(df, F.col("lang") == "en")
+           .toPandas().set_index("doc_id"))
+    # every token occurrence contributes its bucket's counts ≥ 1
+    assert (out["sum_raw"] >= out["n_tokens"]).all()
+    assert (out["sum_target"] <= out["sum_raw"]).all()
+    # target-language docs sit in target-heavy buckets
+    assert out.loc["t1", "weight_ratio"] > out.loc["r1", "weight_ratio"]
+    assert out.loc["t2", "weight_ratio"] > out.loc["r2", "weight_ratio"]
