@@ -9599,3 +9599,105 @@ def dsir_bucket_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_bucket_stats(docs, F.col("lang") == "en")
+
+
+# --------------------------------------------------------------------- #
+# rolling market-model beta/alpha vs an equal-weight index              #
+# --------------------------------------------------------------------- #
+
+@register("market_model_rolling_beta", f"""
+WITH panel AS ({PANEL_SQL}),
+rets AS (
+    SELECT sid, date,
+           (close - lag(close) OVER w) / lag(close) OVER w AS r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+), rr AS (
+    SELECT sid, date, r FROM rets WHERE r IS NOT NULL
+), mkt AS (
+    SELECT date,
+           CAST(sum(CAST(r AS DECIMAL(18,9))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mkt_r
+    FROM rr GROUP BY date
+), j AS (
+    SELECT rr.sid, rr.date, rr.r, mkt.mkt_r FROM rr JOIN mkt USING (date)
+), framed AS (
+    SELECT sid, date, r, mkt_r,
+           list(r) OVER w20 AS lr,
+           list(mkt_r) OVER w20 AS lm
+    FROM j
+    WINDOW w20 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), moments AS (
+    SELECT sid, date, r, mkt_r,
+           CAST(len(lr) AS DOUBLE) AS n,
+           list_reduce(lm, (a, b) -> a + b) AS s_x,
+           list_reduce(lr, (a, b) -> a + b) AS s_y,
+           list_reduce(list_transform(lm, x -> x * x),
+                       (a, b) -> a + b) AS s_xx,
+           list_reduce(list_transform(lm, (x, i) -> x * lr[i]),
+                       (a, b) -> a + b) AS s_xy
+    FROM framed
+)
+SELECT sid, date, r, mkt_r,
+       CASE WHEN n > 1 AND (n * s_xx - s_x * s_x) > 0
+            THEN (n * s_xy - s_x * s_y) / (n * s_xx - s_x * s_x)
+       END AS beta,
+       CASE WHEN n > 1 AND (n * s_xx - s_x * s_x) > 0
+            THEN (s_y - ((n * s_xy - s_x * s_y)
+                         / (n * s_xx - s_x * s_x)) * s_x) / n
+       END AS alpha
+FROM moments
+""")
+def market_model_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-day market-model OLS per sid: beta/alpha of each sid's
+    daily return against the equal-weight cross-sectional index — the
+    risk-factor input behind beta-neutral weight allocation (reference
+    weight mixins neutralize dollar exposure; beta-neutralization is its
+    natural extension).  Exactness recipe: the index return aggregates
+    DECIMAL(18,9)-cast returns (cross-sid sum order must not matter),
+    and the rolling covariance moments are pinned left folds over the
+    bounded 20-row frame arrays (s_x s_y s_xx s_xy), with the paired
+    product via zip_with — association order identical to the oracle's
+    indexed list_transform.  beta = (n·s_xy − s_x·s_y)/(n·s_xx − s_x²)
+    guarded on a positive variance term, alpha from the same moments.
+    Plan: one sid-window pass for returns, one date groupBy for the
+    index (tiny — one row per date), an equi-join back on date, then
+    ONE more sid shuffle for the covariance frames."""
+    panel = events_to_panel(spark, sf_dir)
+    ws = Window.partitionBy("sid").orderBy("date")
+    prev = F.lag("close").over(ws)
+    rr = (panel.select(
+            "sid", "date",
+            ((F.col("close") - prev) / prev).alias("r"))
+          .where(F.col("r").isNotNull()))
+    mkt = (rr.groupBy("date")
+           .agg((F.sum(F.col("r").cast("decimal(18,9)")).cast("double")
+                 / F.count("*").cast("double")).alias("mkt_r")))
+    j = rr.join(mkt, "date").select("sid", "date", "r", "mkt_r")
+    w20 = ws.rowsBetween(-19, 0)
+
+    def frame(col: str) -> Column:
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("date", col)).over(w20)),
+            lambda s: s[col])
+
+    framed = j.select("sid", "date", "r", "mkt_r",
+                      frame("r").alias("lr"), frame("mkt_r").alias("lm"))
+    add = lambda a, b: a + b
+    n = F.size("lm").cast("double")
+    s_x = F.aggregate("lm", F.lit(0.0), add)
+    s_y = F.aggregate("lr", F.lit(0.0), add)
+    s_xx = F.aggregate(F.transform("lm", lambda x: x * x), F.lit(0.0), add)
+    s_xy = F.aggregate(F.zip_with("lm", "lr", lambda a, b: a * b),
+                       F.lit(0.0), add)
+    m = framed.select("sid", "date", "r", "mkt_r", n.alias("n"),
+                      s_x.alias("s_x"), s_y.alias("s_y"),
+                      s_xx.alias("s_xx"), s_xy.alias("s_xy"))
+    den = F.col("n") * F.col("s_xx") - F.col("s_x") * F.col("s_x")
+    num = F.col("n") * F.col("s_xy") - F.col("s_x") * F.col("s_y")
+    cond = (F.col("n") > 1) & (den > 0)
+    beta = F.when(cond, num / den)
+    alpha = F.when(cond, (F.col("s_y") - (num / den) * F.col("s_x"))
+                   / F.col("n"))
+    return m.select("sid", "date", "r", "mkt_r",
+                    beta.alias("beta"), alpha.alias("alpha"))

