@@ -9615,7 +9615,7 @@ rets AS (
     SELECT sid, date, r FROM rets WHERE r IS NOT NULL
 ), mkt AS (
     SELECT date,
-           CAST(sum(CAST(r AS DECIMAL(18,9))) AS DOUBLE)
+           list_reduce(list(r ORDER BY sid), (a, b) -> a + b)
            / CAST(count(*) AS DOUBLE) AS mkt_r
     FROM rr GROUP BY date
 ), j AS (
@@ -9670,9 +9670,12 @@ def market_model_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sid", "date",
             ((F.col("close") - prev) / prev).alias("r"))
           .where(F.col("r").isNotNull()))
-    mkt = (rr.groupBy("date")
-           .agg((F.sum(F.col("r").cast("decimal(18,9)")).cast("double")
-                 / F.count("*").cast("double")).alias("mkt_r")))
+    rs = F.transform(F.array_sort(F.collect_list(F.struct("sid", "r"))),
+                     lambda x: x["r"])
+    mkt = (rr.groupBy("date").agg(rs.alias("rs"))
+           .select("date", (F.aggregate("rs", F.lit(0.0),
+                                        lambda a, b: a + b)
+                            / F.size("rs").cast("double")).alias("mkt_r")))
     j = rr.join(mkt, "date").select("sid", "date", "r", "mkt_r")
     w20 = ws.rowsBetween(-19, 0)
 
