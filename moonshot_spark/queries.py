@@ -9704,3 +9704,136 @@ def market_model_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / F.col("n"))
     return m.select("sid", "date", "r", "mkt_r",
                     beta.alias("beta"), alpha.alias("alpha"))
+
+
+# --------------------------------------------------------------------- #
+# Matryoshka truncation quality (MRL; per-k corpus report)              #
+# --------------------------------------------------------------------- #
+
+@register("matryoshka_truncation_quality", """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), ks AS (SELECT unnest([8, 16, 32]) AS k),
+per AS (
+    SELECT v.vec_id, ks.k,
+           sqrt(list_reduce(list_transform(e[1:ks.k], x -> x * x),
+                            (a, b) -> a + b)
+                / list_reduce(list_transform(e, x -> x * x),
+                              (a, b) -> a + b)) AS cos_trunc
+    FROM v CROSS JOIN ks
+)
+SELECT CAST(k AS INT) AS k, CAST(count(*) AS BIGINT) AS n_vecs,
+       min(cos_trunc) AS min_cos, max(cos_trunc) AS max_cos,
+       CAST(sum(CASE WHEN cos_trunc >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_above_95
+FROM per GROUP BY k
+""")
+def matryoshka_truncation_quality(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Matryoshka-representation truncation quality (Kusupati et al.
+    2022, public paper): for each prefix length k, the cosine between a
+    vector and its k-dim truncation has the closed form
+    √(Σ_{i≤k} e_i² / Σ e_i²) — retained energy — so the whole report is
+    a zero-shuffle map over vectors followed by one tiny groupBy(k).
+    Per-vector sums are pinned left folds; the corpus rollup uses ONLY
+    order-insensitive aggregates (count, min, max, integer threshold
+    count), so no cross-row float summation can drift.  This is the
+    storage-sizing report for MRL-style embedding stores: pick the
+    smallest k whose min/threshold cosine clears the recall target."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    per = (v.select("vec_id", "e",
+                    F.explode(F.array(F.lit(8), F.lit(16), F.lit(32)))
+                    .alias("k"))
+           .select("vec_id", "k",
+                   F.sqrt(
+                       F.aggregate(
+                           F.transform(F.expr("slice(e, 1, k)"),
+                                       lambda x: x * x),
+                           F.lit(0.0), lambda a, b: a + b)
+                       / F.aggregate(
+                           F.transform("e", lambda x: x * x),
+                           F.lit(0.0), lambda a, b: a + b))
+                   .alias("cos_trunc")))
+    return (per.groupBy(F.col("k").cast("int").alias("k"))
+            .agg(F.count("*").alias("n_vecs"),
+                 F.min("cos_trunc").alias("min_cos"),
+                 F.max("cos_trunc").alias("max_cos"),
+                 F.sum(F.when(F.col("cos_trunc") >= 0.95, 1).otherwise(0))
+                 .cast("bigint").alias("n_above_95")))
+
+
+# --------------------------------------------------------------------- #
+# MinHash estimate vs exact Jaccard — sketch-accuracy report            #
+# --------------------------------------------------------------------- #
+
+@register("minhash_estimate_accuracy", """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2),
+        i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS shingles
+    FROM toks
+), sl AS (
+    SELECT doc_id, shingles, list_transform(shingles,
+        s -> flatten(list_transform(
+        [md5(s), md5('a|' || s), md5('b|' || s), md5('c|' || s)],
+        h -> [substr(h, 1, 8), substr(h, 9, 8), substr(h, 17, 8),
+              substr(h, 25, 8)]))) AS slices
+    FROM sh
+), sigs AS (
+    SELECT doc_id, shingles, list_transform(range(1, 17),
+        i -> list_min(list_transform(slices, a -> a[i]))) AS sig
+    FROM sl
+), bands AS (
+    SELECT doc_id, sig, shingles, b.band_id,
+           md5(array_to_string(list_slice(sig, b.band_id * 4 + 1,
+                                          b.band_id * 4 + 4), '|')) AS band_hash
+    FROM sigs, (SELECT unnest(range(0, 4)) AS band_id) b
+), pairs AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           l.sig AS sig_a, r.sig AS sig_b,
+           l.shingles AS sh_a, r.shingles AS sh_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+), scored AS (
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(range(1, 17),
+                i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16 AS est_jaccard,
+           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+               / len(list_distinct(sh_a || sh_b)) AS exact_jaccard
+    FROM pairs
+)
+SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+       abs(est_jaccard - exact_jaccard) AS abs_err
+FROM scored
+""")
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy report for the MinHash family (the
+    approx_percentile_contract pattern applied to dedup): every LSH
+    candidate pair carries BOTH its 16-hash signature estimate
+    (matching-slot fraction) and the exact shingle Jaccard, plus the
+    absolute error — the operational dial for choosing num_hashes
+    (E|err| ~ sqrt(J(1-J)/k)).  Both ratios are single exact divisions
+    and the error is one subtraction, so the report is bit-portable.
+    One shared shingle pass feeds signatures AND verification (the
+    dedup_corpus_minhash discipline); the pair join stays per-bucket."""
+    from moonshot_spark.datapipe.dedup import (
+        lsh_candidate_pairs, ngram_jaccard_pairs, shingle_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_frame(docs, repartition=False)
+    cand = lsh_candidate_pairs(docs, num_hashes=16, bands=4, shingle_n=3,
+                               shingles=sh)
+    exact = (ngram_jaccard_pairs(docs, cand.select("doc_a", "doc_b"),
+                                 shingles=sh)
+             .withColumnRenamed("jaccard", "exact_jaccard"))
+    return (cand.join(exact, ["doc_a", "doc_b"])
+            .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard",
+                    F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))
+                    .alias("abs_err")))
