@@ -9837,3 +9837,74 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard",
                     F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))
                     .alias("abs_err")))
+
+
+# --------------------------------------------------------------------- #
+# Bollinger mean-reversion backtest (long/short, TA-stack strategy)     #
+# --------------------------------------------------------------------- #
+
+@register("backtest_bollinger_meanrev", f"""
+WITH panel AS ({PANEL_SQL}),
+sig AS (
+    SELECT sid, date, close,
+           CASE WHEN count(close) OVER w20 >= 20
+                 AND close < avg(close) OVER w20
+                             - 2.0 * stddev_samp(close) OVER w20
+                THEN 1.0
+                WHEN count(close) OVER w20 >= 20
+                 AND close > avg(close) OVER w20
+                             + 2.0 * stddev_samp(close) OVER w20
+                THEN -1.0 ELSE 0.0 END AS signal
+    FROM panel
+    WINDOW w20 AS (PARTITION BY sid ORDER BY date
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+wts AS (
+    SELECT *, signal / (CASE WHEN coalesce(sum(abs(signal)) OVER (PARTITION BY date), 0) <> 0
+                             THEN sum(abs(signal)) OVER (PARTITION BY date)
+                             ELSE 1 END) AS weight
+    FROM sig
+),
+pos AS (
+    SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
+),
+gross AS (
+    SELECT *,
+           (close - lag(close) OVER w) / lag(close) OVER w
+               * lag(position) OVER w AS gross_return,
+           abs(coalesce(position, 0) - lag(coalesce(position, 0)) OVER w) AS turnover
+    FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
+),
+fin AS (
+    SELECT *, coalesce(gross_return, 0) AS ret,
+           CASE WHEN coalesce(position, 0) <> 0 THEN 1.0 ELSE 0.0 END AS total_holdings
+    FROM gross
+)
+SELECT field, sid, date, value FROM (
+    SELECT 'AbsExposure' AS field, sid, date, abs(position) AS value FROM fin
+    UNION ALL SELECT 'AbsWeight', sid, date, abs(weight) FROM fin
+    UNION ALL SELECT 'Commission', sid, date, 0.0 FROM fin
+    UNION ALL SELECT 'NetExposure', sid, date, position FROM fin
+    UNION ALL SELECT 'Return', sid, date, ret FROM fin
+    UNION ALL SELECT 'Signal', sid, date, signal FROM fin
+    UNION ALL SELECT 'Slippage', sid, date, 0.0 FROM fin
+    UNION ALL SELECT 'TotalHoldings', sid, date, total_holdings FROM fin
+    UNION ALL SELECT 'Turnover', sid, date, turnover FROM fin
+    UNION ALL SELECT 'Weight', sid, date, weight FROM fin
+)
+""")
+def backtest_bollinger_meanrev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full backtest of the Bollinger mean-reversion strategy
+    (``strategies.demo.BollingerMeanReversion``) — the TA indicator
+    stack (functions/ta.py) driving the SAME reference pipeline as the
+    DMA flagship: signals → equal gross weights (long AND short, so the
+    Σ|signal| normalization is exercised with mixed-sign books) →
+    next-day positions → returns/turnover → 10-field melt.  The band
+    comparison is the only float-sensitive edge (a windowed std at an
+    exact threshold); every downstream value is an exact ratio of
+    integers or a product of pinned doubles, the DMA discipline."""
+    from moonshot_spark.strategies.demo import BollingerMeanReversion
+
+    panel = events_to_panel(spark, sf_dir)
+    results = BollingerMeanReversion().backtest(panel)
+    return results.select("field", "sid", "date", "value")

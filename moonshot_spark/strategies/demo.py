@@ -45,3 +45,27 @@ class DualMovingAverageWithCosts(DualMovingAverage):
         EXCHANGE_FEE_RATE = 0.00002
 
     COMMISSION_CLASS = _DemoCommission
+
+
+class BollingerMeanReversion(Moonshot):
+    """Mean-reversion on Bollinger bands (functions/ta.py): long below
+    the lower band, short above the upper band, flat inside — the
+    classic counterpart to the DMA trend follower.  Signals require a
+    full 20-row band (min_periods discipline like the DMA crossover);
+    long/short signals flow through the same equal-weight allocation,
+    which normalizes by gross Σ|signal| per date."""
+
+    CODE = "boll-mr"
+    WINDOW = 20
+    K = 2.0
+
+    def prices_to_signals(self, prices: DataFrame) -> DataFrame:
+        frame = self._sid_window(prices).rowsBetween(-(self.WINDOW - 1), 0)
+        mid = F.avg("close").over(frame)
+        sd = F.stddev_samp("close").over(frame)
+        full = F.count("close").over(frame) >= self.WINDOW
+        k = F.lit(self.K)
+        sig = (F.when(full & (F.col("close") < mid - k * sd), 1.0)
+               .when(full & (F.col("close") > mid + k * sd), -1.0)
+               .otherwise(0.0))
+        return prices.withColumn("signal", sig)
