@@ -9908,3 +9908,70 @@ def backtest_bollinger_meanrev(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = events_to_panel(spark, sf_dir)
     results = BollingerMeanReversion().backtest(panel)
     return results.select("field", "sid", "date", "value")
+
+
+# --------------------------------------------------------------------- #
+# rolling historical-VaR exceedance backtest (Kupiec counts)            #
+# --------------------------------------------------------------------- #
+
+@register("var_exceedance_backtest", f"""
+WITH panel AS ({PANEL_SQL}),
+rets AS (
+    SELECT sid, date,
+           (close - lag(close) OVER w) / lag(close) OVER w AS r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+), rr AS (
+    SELECT sid, date, r FROM rets WHERE r IS NOT NULL
+), framed AS (
+    SELECT sid, date, r,
+           list(r) OVER (PARTITION BY sid ORDER BY date
+                         ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING) AS hist
+    FROM rr
+), v AS (
+    SELECT sid, date, r,
+           CASE WHEN len(hist) >= 30 THEN
+               list_sort(hist)[CAST(ceil(0.05 * len(hist)) AS INT)]
+           END AS var5
+    FROM framed
+)
+SELECT sid, CAST(count(var5) AS BIGINT) AS n_obs,
+       CAST(sum(CASE WHEN r < var5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exceed,
+       CAST(sum(CASE WHEN r < var5 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(var5) AS DOUBLE) AS exceed_rate,
+       min(CASE WHEN r < var5 THEN r - var5 END) AS worst_breach
+FROM v GROUP BY sid
+""")
+def var_exceedance_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-sample VaR validation (the Kupiec proportion-of-failures
+    counts behind portfolio_var_es): each day's 5% historical VaR is the
+    nearest-rank order statistic of the PRIOR ≤60 returns (frame
+    excludes the current row — no look-ahead), and each sid tallies
+    integer exceedance counts, the exact failure rate (single division)
+    and the worst breach depth (order-insensitive min).  Order
+    statistics instead of interpolated quantiles keep the whole report
+    engine-exact: sorting a bounded frame array is deterministic, and
+    no float accumulates across rows.  One sid shuffle; 61-row bounded
+    state per row."""
+    panel = events_to_panel(spark, sf_dir)
+    ws = Window.partitionBy("sid").orderBy("date")
+    prev = F.lag("close").over(ws)
+    rr = (panel.select("sid", "date",
+                       ((F.col("close") - prev) / prev).alias("r"))
+          .where(F.col("r").isNotNull()))
+    hist = F.array_sort(F.collect_list("r").over(ws.rowsBetween(-60, -1)))
+    framed = rr.select("sid", "date", "r", hist.alias("hist"))
+    n = F.size("hist")
+    var5 = F.when(n >= 30,
+                  F.element_at("hist",
+                               F.ceil(F.lit(0.05) * n).cast("int")))
+    v = framed.select("sid", "date", "r", var5.alias("var5"))
+    exceed = F.when(F.col("r") < F.col("var5"), 1).otherwise(0)
+    return (v.groupBy("sid")
+            .agg(F.count("var5").alias("n_obs"),
+                 F.sum(exceed).cast("bigint").alias("n_exceed"),
+                 (F.sum(exceed).cast("double")
+                  / F.count("var5").cast("double")).alias("exceed_rate"),
+                 F.min(F.when(F.col("r") < F.col("var5"),
+                              F.col("r") - F.col("var5")))
+                 .alias("worst_breach")))
