@@ -366,3 +366,64 @@ def test_stream_dollar_bars_matches_batch(spark, tmp_path):
     run_once()
     got2 = spark.read.parquet(out_dir).collect()
     assert ("A", 1) in {(r["sid"], r["bar_id"]) for r in got2}
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark contract: an event arriving AFTER its window's watermark
+    has passed must be dropped from the append-mode aggregation, while an
+    on-time event in the same micro-batch still lands.  Two files →
+    two micro-batches (maxFilesPerTrigger=1); batch 1 advances the
+    watermark past the first hour's window, batch 2 delivers one late
+    and one on-time event."""
+    from moonshot_spark.streaming.pipeline import (
+        EVENT_SCHEMA, read_event_stream)
+
+    src = str(tmp_path / "late_events")
+    os.makedirs(src)
+    schema = ("event_id long, ts string, user_id long, event_type string, "
+              "value double, props string")
+
+    import glob
+    import time as _time
+
+    def write_batch(rows, mtime):
+        before = set(glob.glob(os.path.join(src, "*.parquet")))
+        (spark.createDataFrame(rows, schema)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(src))
+        # FileStreamSource orders micro-batches by file mtime; same-second
+        # writes would tie and process in arbitrary order
+        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+            os.utime(f, (mtime, mtime))
+
+    # batch 1: events at 10:00-10:30 and 12:00 → after this batch the
+    # watermark is 12:00 - 10min = 11:50
+    write_batch([(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+                 (2, "2024-01-01 10:30:00", 1, "click", 1.0, "{}"),
+                 (3, "2024-01-01 12:00:00", 1, "click", 1.0, "{}")], 1000)
+    # batch 2: on-time filler; during it the [10:00, 11:00) window is
+    # evicted from the state store and emitted (watermark 11:50 > end)
+    write_batch([(4, "2024-01-01 12:05:00", 1, "click", 1.0, "{}")], 2000)
+    # batch 3: LATE event into the long-closed 10:00 window + on-time.
+    # The drop is only GUARANTEED once the window state was evicted in
+    # an earlier batch — a late row sharing a batch with the eviction
+    # may still merge (watermark is a one-directional guarantee).
+    write_batch([(5, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+                 (6, "2024-01-01 12:10:00", 1, "click", 1.0, "{}")], 3000)
+
+    counts = (read_event_stream(spark, src, max_files_per_trigger=1)
+              .withWatermark("ts", "10 minutes")
+              .groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.count("*").alias("n")))
+    q = (counts.writeStream.format("memory").queryName("late_counts")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["w"]["start"].hour: r["n"]
+           for r in spark.table("late_counts").collect()}
+    # the 10:00 window emitted on close with batch-1 events only: the
+    # late event_id=4 was dropped (a batch GROUP BY would count 3 here)
+    assert got.get(10) == 2, got
+    # the 12:00 window never closes (no later event advances the
+    # watermark past 13:00), so append mode hasn't emitted it — that is
+    # the contract too: append emits only finalized windows
+    assert 12 not in got, got
