@@ -9975,3 +9975,54 @@ def var_exceedance_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.when(F.col("r") < F.col("var5"),
                               F.col("r") - F.col("var5")))
                  .alias("worst_breach")))
+
+
+# --------------------------------------------------------------------- #
+# Pareto skyline per brand (dominance query, windowed not quadratic)    #
+# --------------------------------------------------------------------- #
+
+@register("pareto_skyline_parts", """
+WITH best AS (
+    SELECT p_brand, p_retailprice AS price, max(p_size) AS best_size
+    FROM part GROUP BY p_brand, p_retailprice
+), run AS (
+    SELECT p_brand, price,
+           max(best_size) OVER (PARTITION BY p_brand ORDER BY price
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_best
+    FROM best
+)
+SELECT p.p_brand, p.p_partkey, p.p_retailprice AS price,
+       CAST(p.p_size AS INT) AS p_size
+FROM part p JOIN run
+  ON p.p_brand = run.p_brand AND p.p_retailprice = run.price
+WHERE run.prev_best IS NULL OR p.p_size > run.prev_best
+""")
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline per brand: parts not STRICTLY dominated on
+    (cheaper price, larger size) — the multi-objective shortlist query
+    (Börzsönyi et al., ICDE'01 SKYLINE OF).  The naive formulation is a
+    quadratic NOT EXISTS self-join; this plan is O(n log n): collapse
+    to (brand, price) → best size, one running-max window over the
+    price order with a 1-row-lagged frame (strictly-cheaper prefix),
+    and an equi-join back to flag dominated rows.  All comparisons are
+    integer/decimal — no float folds.  Scale: the window partitions by
+    brand (bounded per-partition state), the collapse is a map-side
+    combine, and the join back is an equi-join on (brand, price) that
+    AQE plans; nothing is quadratic in parts-per-brand."""
+    p = load_table(spark, sf_dir, "part")
+    best = (p.groupBy(F.col("p_brand").alias("b_brand"),
+                      F.col("p_retailprice").alias("price"))
+            .agg(F.max("p_size").alias("best_size")))
+    w = (Window.partitionBy("b_brand").orderBy("price")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    run = best.select("b_brand", "price",
+                      F.max("best_size").over(w).alias("prev_best"))
+    joined = p.join(run, (F.col("p_brand") == F.col("b_brand"))
+                    & (F.col("p_retailprice") == F.col("price")))
+    return (joined
+            .where(F.col("prev_best").isNull()
+                   | (F.col("p_size") > F.col("prev_best")))
+            .select("p_brand", "p_partkey",
+                    F.col("p_retailprice").alias("price"),
+                    F.col("p_size").cast("int").alias("p_size")))
