@@ -10026,3 +10026,115 @@ def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p_brand", "p_partkey",
                     F.col("p_retailprice").alias("price"),
                     F.col("p_size").cast("int").alias("p_size")))
+
+
+# --------------------------------------------------------------------- #
+# dedup canonical selection: keep-longest survivor per dup cluster      #
+# --------------------------------------------------------------------- #
+
+@register("dedup_canonical_selection", """
+WITH RECURSIVE all_docs AS (
+    SELECT doc_id, text, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, n_chars
+    FROM documents WHERE doc_id < 25
+), toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM all_docs
+), sh AS (
+    SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        list_distinct(list_transform(range(0, len(t) - 2),
+            i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))
+        ELSE [] END AS shingles
+    FROM toks
+), sl AS (
+    SELECT doc_id, shingles, list_transform(shingles,
+        s -> flatten(list_transform(
+        [md5(s), md5('a|' || s), md5('b|' || s), md5('c|' || s)],
+        h -> [substr(h, 1, 8), substr(h, 9, 8), substr(h, 17, 8),
+              substr(h, 25, 8)]))) AS slices
+    FROM sh
+), sigs AS (
+    SELECT doc_id, shingles, list_transform(range(1, 17),
+        i -> list_min(list_transform(slices, a -> a[i]))) AS sig
+    FROM sl
+), bands AS (
+    SELECT doc_id, shingles, b.band_id,
+           md5(array_to_string(list_slice(sig, b.band_id * 4 + 1,
+                                          b.band_id * 4 + 4), '|')) AS band_hash
+    FROM sigs, (SELECT unnest(range(0, 4)) AS band_id) b
+), vpairs AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+    WHERE CAST(len(list_intersect(l.shingles, r.shingles)) AS DOUBLE)
+              / len(list_distinct(l.shingles || r.shingles)) >= 0.5
+), edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM vpairs
+    UNION
+    SELECT doc_b, doc_a FROM vpairs
+), walk(node, comp) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+), cc AS (
+    SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node
+), labeled AS (
+    SELECT ad.doc_id, coalesce(cc.cluster_id, ad.doc_id) AS cluster_id,
+           ad.n_chars
+    FROM all_docs ad LEFT JOIN cc USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       first_value(doc_id) OVER (PARTITION BY cluster_id
+           ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS canonical_id,
+       doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+           ORDER BY n_chars DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS is_canonical,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size
+FROM labeled
+""")
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivor-selection stage that completes near-dedup: every doc
+    gets its duplicate cluster (LSH → exact-verify → connected
+    components, the dedup_clusters pipeline), singletons label
+    themselves, and each cluster elects ONE canonical survivor by the
+    keep-longest heuristic (max n_chars, doc_id tie-break — RefinedWeb/
+    CCNet keep one representative per dup group).  Deterministic: the
+    election is an integer sort, no scores.  Scale: the canonical
+    election reuses the cluster partitioning (one window over
+    cluster_id); the corpus-wide left join is an equi-join on doc_id.
+    Downstream `WHERE is_canonical` is the dedup filter."""
+    from moonshot_spark.datapipe.dedup import (
+        lsh_candidate_pairs, ngram_jaccard_pairs, shingle_frame)
+    from moonshot_spark.datapipe.graph import duplicate_clusters
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "n_chars"))
+    clones = (docs.where(F.col("doc_id") < 25)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    corpus = docs.unionByName(clones)
+    sh = shingle_frame(corpus).persist()
+    cand = lsh_candidate_pairs(corpus, shingles=sh,
+                               include_est_jaccard=False)
+    verified = (ngram_jaccard_pairs(corpus, cand, shingles=sh)
+                .where(F.col("jaccard") >= 0.5)
+                .select("doc_a", "doc_b"))
+    cc = duplicate_clusters(verified).select("doc_id", "cluster_id")
+    labeled = (corpus.select("doc_id", "n_chars")
+               .join(cc, "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce("cluster_id", "doc_id")
+                       .alias("cluster_id"), "n_chars"))
+    wc = Window.partitionBy("cluster_id")
+    wo = (wc.orderBy(F.col("n_chars").desc(), "doc_id")
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    canonical = F.first("doc_id").over(wo)
+    return labeled.select(
+        "doc_id", "cluster_id", canonical.alias("canonical_id"),
+        (F.col("doc_id") == canonical).alias("is_canonical"),
+        F.count("*").over(wc).cast("bigint").alias("cluster_size"))
