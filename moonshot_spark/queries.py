@@ -10138,3 +10138,89 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cluster_id", canonical.alias("canonical_id"),
         (F.col("doc_id") == canonical).alias("is_canonical"),
         F.count("*").over(wc).cast("bigint").alias("cluster_size"))
+
+
+# --------------------------------------------------------------------- #
+# Kelly-criterion sizing with capped fractions and gross normalization  #
+# --------------------------------------------------------------------- #
+
+@register("kelly_sizing_weights", """
+WITH panel AS (
+    SELECT CAST(user_id AS VARCHAR) AS sid, CAST(ts AS DATE) AS date,
+           arg_max(value, ts) AS close
+    FROM events GROUP BY 1, 2
+), rets AS (
+    SELECT sid, date,
+           coalesce((close - lag(close) OVER w) / lag(close) OVER w, 0) AS r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+), series AS (
+    SELECT sid, list(r ORDER BY date) AS rs FROM rets GROUP BY sid
+), moments AS (
+    SELECT sid, len(rs) AS n,
+           list_reduce(rs, (a, b) -> a + b) AS s1,
+           list_reduce(list_transform(rs, x -> x * x),
+                       (a, b) -> a + b) AS s2
+    FROM series
+), kelly AS (
+    SELECT sid, CAST(n AS BIGINT) AS n_periods,
+           s1 / n AS mean_r,
+           s2 / n - (s1 / n) * (s1 / n) AS var_r,
+           CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0 THEN
+               least(greatest((s1 / n) / (s2 / n - (s1 / n) * (s1 / n)),
+                              -1.0), 1.0)
+           ELSE 0.0 END AS f_capped
+    FROM moments
+), gross AS (
+    SELECT list_reduce(list_transform(list(f_capped ORDER BY sid),
+                                      x -> abs(x)), (a, b) -> a + b) AS g
+    FROM kelly
+)
+SELECT k.sid, k.n_periods, k.mean_r, k.var_r, k.f_capped,
+       CASE WHEN g <> 0 THEN k.f_capped / g END AS weight
+FROM kelly k CROSS JOIN gross
+""")
+def kelly_sizing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kelly-criterion position sizing per sid: f* = μ/σ² over the
+    sid's daily return history (the log-wealth-optimal fraction for
+    small returns), clipped to ±1 (no leverage), then normalized to a
+    gross-1 book — the principled upgrade of equal weights the
+    reference's fixed-weight allocators approximate.  Exactness: μ and
+    σ² come from the sharpe_per_sid pinned folds; the gross divisor is
+    a sid-ordered fold over the (universe-sized, bounded) fraction
+    list, broadcast back as a 1-row cross join.  clip before normalize,
+    so one explosive low-variance sid cannot crowd out the book."""
+    panel = events_to_panel(spark, sf_dir)
+    ws = Window.partitionBy("sid").orderBy("date")
+    prev = F.lag("close").over(ws)
+    rets = panel.select(
+        "sid", "date",
+        F.coalesce((F.col("close") - prev) / prev, F.lit(0.0)).alias("r"))
+    series = (rets.groupBy("sid")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("date", "r"))),
+                  lambda s: s["r"]).alias("rs")))
+    add = lambda a, b: a + b
+    n = F.size("rs")
+    s1 = F.aggregate("rs", F.lit(0.0), add)
+    s2 = F.aggregate(F.transform("rs", lambda x: x * x), F.lit(0.0), add)
+    moments = series.select("sid", n.alias("n"), s1.alias("s1"),
+                            s2.alias("s2"))
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    f_capped = F.when(var > 0,
+                      F.least(F.greatest(mean / var, F.lit(-1.0)),
+                              F.lit(1.0))).otherwise(F.lit(0.0))
+    kelly = moments.select(
+        "sid", F.col("n").cast("bigint").alias("n_periods"),
+        mean.alias("mean_r"), var.alias("var_r"),
+        f_capped.alias("f_capped"))
+    gross = kelly.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sid", "f_capped"))),
+                lambda s: F.abs(s["f_capped"])),
+            F.lit(0.0), add).alias("g"))
+    return (kelly.crossJoin(F.broadcast(gross))
+            .select("sid", "n_periods", "mean_r", "var_r", "f_capped",
+                    F.when(F.col("g") != 0,
+                           F.col("f_capped") / F.col("g")).alias("weight")))
