@@ -10224,3 +10224,106 @@ def kelly_sizing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("sid", "n_periods", "mean_r", "var_r", "f_capped",
                     F.when(F.col("g") != 0,
                            F.col("f_capped") / F.col("g")).alias("weight")))
+
+
+# --------------------------------------------------------------------- #
+# Fama-MacBeth cross-sectional factor-premium regression               #
+# --------------------------------------------------------------------- #
+
+@register("fama_macbeth_momentum", f"""
+WITH panel AS ({PANEL_SQL}),
+feats AS (
+    SELECT sid, date,
+           close / lag(close, 20) OVER w - 1 AS mom,
+           lead(close) OVER w / close - 1 AS fwd_r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+), ok AS (
+    SELECT date, sid, mom, fwd_r FROM feats
+    WHERE mom IS NOT NULL AND fwd_r IS NOT NULL
+), per_date AS (
+    SELECT date, list(mom ORDER BY sid) AS fs,
+           list(fwd_r ORDER BY sid) AS ys
+    FROM ok GROUP BY date
+), slopes AS (
+    SELECT date, CAST(len(fs) AS DOUBLE) AS n,
+           list_reduce(fs, (a, b) -> a + b) AS sf,
+           list_reduce(ys, (a, b) -> a + b) AS sy,
+           list_reduce(list_transform(fs, x -> x * x),
+                       (a, b) -> a + b) AS sff,
+           list_reduce(list_transform(fs, (x, i) -> x * ys[i]),
+                       (a, b) -> a + b) AS sfy
+    FROM per_date
+), lam AS (
+    SELECT date, (n * sfy - sf * sy) / (n * sff - sf * sf) AS slope
+    FROM slopes WHERE n >= 10 AND n * sff - sf * sf > 0
+), agg AS (
+    SELECT list(slope ORDER BY date) AS ls FROM lam
+), m AS (
+    SELECT CAST(len(ls) AS DOUBLE) AS t,
+           list_reduce(ls, (a, b) -> a + b) AS s1,
+           list_reduce(list_transform(ls, x -> x * x),
+                       (a, b) -> a + b) AS s2
+    FROM agg
+)
+SELECT CAST(t AS BIGINT) AS n_dates, s1 / t AS lambda_mean,
+       CASE WHEN t > 1 AND (s2 - s1 * s1 / t) / (t - 1) > 0
+            THEN (s1 / t) / sqrt(((s2 - s1 * s1 / t) / (t - 1)) / t)
+       END AS t_stat
+FROM m
+""")
+def fama_macbeth_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fama-MacBeth (1973) two-pass factor-premium test for 20-day
+    momentum: each date runs a CROSS-SECTIONAL OLS of next-day returns
+    on the momentum characteristic (slope from pinned sid-ordered
+    folds, dates with <10 names or degenerate factor spread dropped),
+    then the premium λ is the time-series mean of the slopes with its
+    t-stat (date-ordered fold moments — the FM standard errors).  The
+    rank-based sibling is information_coefficient; this is the level
+    regression researchers quote λ from.  Scale: per-date arrays are
+    universe-bounded; the final reduction is one 1-row aggregate."""
+    panel = events_to_panel(spark, sf_dir)
+    ws = Window.partitionBy("sid").orderBy("date")
+    feats = panel.select(
+        "sid", "date",
+        (F.col("close") / F.lag("close", 20).over(ws) - 1).alias("mom"),
+        (F.lead("close").over(ws) / F.col("close") - 1).alias("fwd_r"))
+    ok = feats.where(F.col("mom").isNotNull()
+                     & F.col("fwd_r").isNotNull())
+    per_date = (ok.groupBy("date")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("sid", "mom", "fwd_r")))
+                    .alias("rows")))
+    fs = F.transform("rows", lambda s: s["mom"])
+    ys = F.transform("rows", lambda s: s["fwd_r"])
+    add = lambda a, b: a + b
+    per_date = per_date.select("date", fs.alias("fs"), ys.alias("ys"))
+    n = F.size("fs").cast("double")
+    sf_ = F.aggregate("fs", F.lit(0.0), add)
+    sy = F.aggregate("ys", F.lit(0.0), add)
+    sff = F.aggregate(F.transform("fs", lambda x: x * x), F.lit(0.0), add)
+    sfy = F.aggregate(F.zip_with("fs", "ys", lambda a, b: a * b),
+                      F.lit(0.0), add)
+    slopes = per_date.select("date", n.alias("n"), sf_.alias("sf"),
+                             sy.alias("sy"), sff.alias("sff"),
+                             sfy.alias("sfy"))
+    den = F.col("n") * F.col("sff") - F.col("sf") * F.col("sf")
+    lam = (slopes
+           .where((F.col("n") >= 10) & (den > 0))
+           .select("date",
+                   ((F.col("n") * F.col("sfy")
+                     - F.col("sf") * F.col("sy")) / den).alias("slope")))
+    agg = lam.agg(F.transform(
+        F.array_sort(F.collect_list(F.struct("date", "slope"))),
+        lambda s: s["slope"]).alias("ls"))
+    t = F.size("ls").cast("double")
+    s1 = F.aggregate("ls", F.lit(0.0), add)
+    s2 = F.aggregate(F.transform("ls", lambda x: x * x), F.lit(0.0), add)
+    m = agg.select(t.alias("t"), s1.alias("s1"), s2.alias("s2"))
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("t")) \
+        / (F.col("t") - 1)
+    mean = F.col("s1") / F.col("t")
+    return m.select(
+        F.col("t").cast("bigint").alias("n_dates"),
+        mean.alias("lambda_mean"),
+        F.when((F.col("t") > 1) & (var > 0),
+               mean / F.sqrt(var / F.col("t"))).alias("t_stat"))
