@@ -10327,3 +10327,78 @@ def fama_macbeth_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("lambda_mean"),
         F.when((F.col("t") > 1) & (var > 0),
                mean / F.sqrt(var / F.col("t"))).alias("t_stat"))
+
+
+# --------------------------------------------------------------------- #
+# Benford first-digit forensics on order values                         #
+# --------------------------------------------------------------------- #
+
+@register("benford_digit_report", """
+WITH d AS (
+    SELECT CAST(CASE
+        WHEN o_totalprice < 10 THEN floor(o_totalprice)
+        WHEN o_totalprice < 100 THEN floor(o_totalprice / 10)
+        WHEN o_totalprice < 1000 THEN floor(o_totalprice / 100)
+        WHEN o_totalprice < 10000 THEN floor(o_totalprice / 1000)
+        WHEN o_totalprice < 100000 THEN floor(o_totalprice / 10000)
+        WHEN o_totalprice < 1000000 THEN floor(o_totalprice / 100000)
+        ELSE floor(o_totalprice / 1000000) END AS INT) AS digit
+    FROM orders WHERE o_totalprice > 0
+), obs AS (
+    SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM obs),
+exp AS (
+    SELECT * FROM (VALUES
+        (1, 0.3010299956639812e0), (2, 0.17609125905568124e0),
+        (3, 0.12493873660829993e0), (4, 0.09691001300805642e0),
+        (5, 0.07918124604762482e0), (6, 0.06694678963061322e0),
+        (7, 0.05799194697768673e0), (8, 0.05115252244738129e0),
+        (9, 0.04575749056067514e0)) AS t(digit, p)
+)
+SELECT e.digit, coalesce(o.n, 0) AS n_obs,
+       CAST(coalesce(o.n, 0) AS DOUBLE) / t.total AS freq_obs,
+       e.p AS freq_benford,
+       (CAST(coalesce(o.n, 0) AS DOUBLE) - t.total * e.p)
+           * (CAST(coalesce(o.n, 0) AS DOUBLE) - t.total * e.p)
+           / (t.total * e.p) AS chi2_term
+FROM exp e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN tot t
+""")
+def benford_digit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit forensics on order values — the
+    fabricated-data screen auditors run on financial amounts.  The
+    leading digit comes from a CASE magnitude ladder (no log10, no
+    string formatting — both are engine-dependent), observed
+    frequencies are integer counts over one map-side-combined groupBy,
+    and the expected Benford mass log10(1+1/d) is nine hard literals (e0-
+    suffixed in the oracle — DuckDB lexes bare decimals as DECIMAL and
+    re-rounds) so both engines bind identical doubles.  Emits per-digit observed vs
+    expected frequency and the chi-square term (Σ is the test statistic;
+    left join keeps never-observed digits at 0)."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    digit = (F.when(x < 10, F.floor(x))
+             .when(x < 100, F.floor(x / 10))
+             .when(x < 1000, F.floor(x / 100))
+             .when(x < 10000, F.floor(x / 1000))
+             .when(x < 100000, F.floor(x / 10000))
+             .when(x < 1000000, F.floor(x / 100000))
+             .otherwise(F.floor(x / 1000000))).cast("int")
+    obs = (o.where(x > 0).select(digit.alias("digit"))
+           .groupBy("digit").agg(F.count("*").alias("n")))
+    tot = obs.agg(F.sum("n").cast("double").alias("total"))
+    benford = [(1, 0.3010299956639812), (2, 0.17609125905568124),
+               (3, 0.12493873660829993), (4, 0.09691001300805642),
+               (5, 0.07918124604762482), (6, 0.06694678963061322),
+               (7, 0.05799194697768673), (8, 0.05115252244738129),
+               (9, 0.04575749056067514)]
+    exp = o.sparkSession.createDataFrame(benford, "digit int, p double")
+    n_obs = F.coalesce(F.col("n"), F.lit(0))
+    dev = n_obs.cast("double") - F.col("total") * F.col("p")
+    return (exp.join(obs, "digit", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("digit", n_obs.alias("n_obs"),
+                    (n_obs.cast("double") / F.col("total"))
+                    .alias("freq_obs"),
+                    F.col("p").alias("freq_benford"),
+                    (dev * dev / (F.col("total") * F.col("p")))
+                    .alias("chi2_term")))
