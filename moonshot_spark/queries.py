@@ -10402,3 +10402,116 @@ def benford_digit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("p").alias("freq_benford"),
                     (dev * dev / (F.col("total") * F.col("p")))
                     .alias("chi2_term")))
+
+
+# --------------------------------------------------------------------- #
+# Newey-West HAC t-stat per sid (autocorrelation-robust mean test)      #
+# --------------------------------------------------------------------- #
+
+@register("newey_west_tstat", """
+WITH panel AS (
+    SELECT CAST(user_id AS VARCHAR) AS sid, CAST(ts AS DATE) AS date,
+           arg_max(value, ts) AS close
+    FROM events GROUP BY 1, 2
+), rets AS (
+    SELECT sid, date,
+           (close - lag(close) OVER w) / lag(close) OVER w AS r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+), series AS (
+    SELECT sid, list(r ORDER BY date) AS rs
+    FROM rets WHERE r IS NOT NULL GROUP BY sid
+), moments AS (
+    SELECT sid, rs, CAST(len(rs) AS DOUBLE) AS n,
+           list_reduce(rs, (a, b) -> a + b) / CAST(len(rs) AS DOUBLE) AS m
+    FROM series
+), g AS (
+    SELECT sid, n, m,
+        list_reduce(list_transform(range(1, CAST(n AS INT) + 1),
+            i -> (rs[i] - m) * (rs[i] - m)), (a, b) -> a + b) / n AS g0,
+        CASE WHEN n > 1 THEN list_reduce(list_transform(
+            range(1, CAST(n AS INT) - 1 + 1),
+            i -> (rs[i + 1] - m) * (rs[i] - m)), (a, b) -> a + b) / n
+        ELSE 0.0 END AS g1,
+        CASE WHEN n > 2 THEN list_reduce(list_transform(
+            range(1, CAST(n AS INT) - 2 + 1),
+            i -> (rs[i + 2] - m) * (rs[i] - m)), (a, b) -> a + b) / n
+        ELSE 0.0 END AS g2,
+        CASE WHEN n > 3 THEN list_reduce(list_transform(
+            range(1, CAST(n AS INT) - 3 + 1),
+            i -> (rs[i + 3] - m) * (rs[i] - m)), (a, b) -> a + b) / n
+        ELSE 0.0 END AS g3,
+        CASE WHEN n > 4 THEN list_reduce(list_transform(
+            range(1, CAST(n AS INT) - 4 + 1),
+            i -> (rs[i + 4] - m) * (rs[i] - m)), (a, b) -> a + b) / n
+        ELSE 0.0 END AS g4,
+        CASE WHEN n > 5 THEN list_reduce(list_transform(
+            range(1, CAST(n AS INT) - 5 + 1),
+            i -> (rs[i + 5] - m) * (rs[i] - m)), (a, b) -> a + b) / n
+        ELSE 0.0 END AS g5
+    FROM moments
+), v AS (
+    SELECT sid, n, m, g0,
+           g0 + 2.0 * ((1.0 - 1.0 / 6.0) * g1 + (1.0 - 2.0 / 6.0) * g2
+                       + (1.0 - 3.0 / 6.0) * g3 + (1.0 - 4.0 / 6.0) * g4
+                       + (1.0 - 5.0 / 6.0) * g5) AS var_nw
+    FROM g
+)
+SELECT sid, CAST(n AS BIGINT) AS n_periods, m AS mean_r, g0 AS var_iid,
+       var_nw,
+       CASE WHEN g0 > 0 THEN m / sqrt(g0 / n) END AS t_iid,
+       CASE WHEN var_nw > 0 THEN m / sqrt(var_nw / n) END AS t_nw
+FROM v
+""")
+def newey_west_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West (1987) HAC-robust mean test per sid: the t-stat on
+    mean daily return with the variance corrected for serial
+    correlation — Bartlett-weighted autocovariances up to lag 5
+    (w_l = 1 − l/(L+1)).  Sits beside ljung_box_q (which detects the
+    autocorrelation) and fama_macbeth (whose premium t-stats are the
+    classic NW use-site).  Every autocovariance γ_l is a pinned fold
+    over the date-ordered return array with explicit index offsets;
+    the Bartlett combination is one literal expression tree, so iid and
+    HAC t-stats are both engine-exact.  Per-sid arrays are
+    history-bounded; one shuffle."""
+    panel = events_to_panel(spark, sf_dir)
+    ws = Window.partitionBy("sid").orderBy("date")
+    prev = F.lag("close").over(ws)
+    rets = (panel.select("sid", "date",
+                         ((F.col("close") - prev) / prev).alias("r"))
+            .where(F.col("r").isNotNull()))
+    series = (rets.groupBy("sid")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("date", "r"))),
+                  lambda s: s["r"]).alias("rs")))
+    add = lambda a, b: a + b
+    n = F.size("rs").cast("double")
+    m = F.aggregate("rs", F.lit(0.0), add) / n
+    moments = series.select("sid", "rs", n.alias("n"), m.alias("m"))
+
+    def gamma(l: int):
+        prod = F.transform(
+            F.sequence(F.lit(1), F.size("rs") - l),
+            lambda i: (F.element_at("rs", i + l) - F.col("m"))
+            * (F.element_at("rs", i) - F.col("m")))
+        gl = F.aggregate(prod, F.lit(0.0), add) / F.col("n")
+        if l == 0:
+            return gl
+        return F.when(F.col("n") > l, gl).otherwise(F.lit(0.0))
+
+    g = moments.select("sid", "n", "m",
+                       *[gamma(l).alias(f"g{l}") for l in range(6)])
+    w_sum = (1.0 - 1.0 / 6.0) * F.col("g1")
+    for l in range(2, 6):
+        w_sum = w_sum + (1.0 - l / 6.0) * F.col(f"g{l}")
+    v = g.select("sid", "n", "m", "g0",
+                 (F.col("g0") + 2.0 * w_sum).alias("var_nw"))
+    return v.select(
+        "sid", F.col("n").cast("bigint").alias("n_periods"),
+        F.col("m").alias("mean_r"), F.col("g0").alias("var_iid"),
+        "var_nw",
+        F.when(F.col("g0") > 0,
+               F.col("m") / F.sqrt(F.col("g0") / F.col("n")))
+        .alias("t_iid"),
+        F.when(F.col("var_nw") > 0,
+               F.col("m") / F.sqrt(F.col("var_nw") / F.col("n")))
+        .alias("t_nw"))
