@@ -10515,3 +10515,114 @@ def newey_west_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("var_nw") > 0,
                F.col("m") / F.sqrt(F.col("var_nw") / F.col("n")))
         .alias("t_nw"))
+
+
+# --------------------------------------------------------------------- #
+# deterministic bootstrap CI for the index Sharpe                       #
+# --------------------------------------------------------------------- #
+
+@register("bootstrap_sharpe_ci", f"""
+WITH panel AS ({PANEL_SQL}),
+rets AS (
+    SELECT sid, date,
+           (close - lag(close) OVER w) / lag(close) OVER w AS r
+    FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
+), rr AS (
+    SELECT sid, date, r FROM rets WHERE r IS NOT NULL
+), mkt AS (
+    SELECT date,
+           list_reduce(list(r ORDER BY sid), (a, b) -> a + b)
+           / CAST(count(*) AS DOUBLE) AS mkt_r
+    FROM rr GROUP BY date
+), series AS (
+    SELECT list(mkt_r ORDER BY date) AS rs FROM mkt
+), boots AS (
+    SELECT b.b, s.rs, CAST(len(s.rs) AS DOUBLE) AS n,
+           list_transform(range(1, CAST(len(s.rs) AS INT) + 1),
+               i -> s.rs[CAST(CAST(('0x' || substr(md5(
+                        CAST(b.b AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
+                        1, 8)) AS BIGINT) % len(s.rs) AS INT) + 1]) AS bs
+    FROM series s CROSS JOIN (SELECT unnest(range(1, 201)) AS b) b
+), stats AS (
+    SELECT b, n,
+           list_reduce(bs, (a, x) -> a + x) AS s1,
+           list_reduce(list_transform(bs, x -> x * x),
+                       (a, x) -> a + x) AS s2
+    FROM boots
+), sharpes AS (
+    SELECT b,
+           CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0
+                THEN ((s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)))
+                     * sqrt(252.0) END AS sharpe_b
+    FROM stats
+), sorted AS (
+    SELECT list_sort(list(sharpe_b ORDER BY b)) AS ss,
+           CAST(count(sharpe_b) AS BIGINT) AS n_boot
+    FROM sharpes WHERE sharpe_b IS NOT NULL
+)
+SELECT n_boot,
+       ss[CAST(ceil(0.025 * n_boot) AS INT)] AS ci_lo,
+       ss[CAST(ceil(0.975 * n_boot) AS INT)] AS ci_hi
+FROM sorted
+""")
+def bootstrap_sharpe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% confidence interval for the equal-weight index
+    Sharpe — 200 DETERMINISTIC resamples: draw i of replicate b picks
+    element md5(b|i) mod n of the date-ordered index-return array, so
+    the \"randomness\" is engine- and run-reproducible (the
+    datapipe.sampling md5 discipline applied to statistical inference;
+    no seed state, no partition-order dependence like df.sample).  Each
+    replicate's Sharpe uses the sharpe_per_sid pinned folds; the CI is
+    nearest-rank order statistics of the sorted replicate list.  Scale:
+    the index series is date-bounded (tiny), so the whole resampling
+    runs as one row's worth of array ops; per-sid CIs would shard the
+    same expression across the sid shuffle."""
+    panel = events_to_panel(spark, sf_dir)
+    ws = Window.partitionBy("sid").orderBy("date")
+    prev = F.lag("close").over(ws)
+    rr = (panel.select("sid", "date",
+                       ((F.col("close") - prev) / prev).alias("r"))
+          .where(F.col("r").isNotNull()))
+    rs_date = F.transform(F.array_sort(F.collect_list(
+        F.struct("sid", "r"))), lambda s: s["r"])
+    add = lambda a, b: a + b
+    mkt = (rr.groupBy("date").agg(rs_date.alias("rs"))
+           .select("date", (F.aggregate("rs", F.lit(0.0), add)
+                            / F.size("rs").cast("double")).alias("mkt_r")))
+    series = mkt.agg(F.transform(
+        F.array_sort(F.collect_list(F.struct("date", "mkt_r"))),
+        lambda s: s["mkt_r"]).alias("rs"))
+    b = F.explode(F.sequence(F.lit(1), F.lit(200))).alias("b")
+    boots = series.select("rs", b)
+    nlen = F.size("rs")
+
+    def pick(i):
+        h = F.md5(F.encode(
+            F.concat(F.col("b").cast("string"), F.lit("|"),
+                     i.cast("string")), "UTF-8"))
+        idx = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+               % nlen).cast("int") + 1
+        return F.element_at("rs", idx)
+
+    bs = F.transform(F.sequence(F.lit(1), nlen), pick)
+    boots = boots.select("b", nlen.cast("double").alias("n"),
+                         bs.alias("bs"))
+    s1 = F.aggregate("bs", F.lit(0.0), add)
+    s2 = F.aggregate(F.transform("bs", lambda x: x * x), F.lit(0.0), add)
+    stats = boots.select("b", "n", s1.alias("s1"), s2.alias("s2"))
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    sharpes = stats.select(
+        "b", F.when(var > 0, (mean / F.sqrt(var))
+                    * F.sqrt(F.lit(252.0))).alias("sharpe_b"))
+    sorted_ = (sharpes.where(F.col("sharpe_b").isNotNull())
+               .agg(F.array_sort(F.transform(
+                   F.array_sort(F.collect_list(F.struct("b", "sharpe_b"))),
+                   lambda s: s["sharpe_b"])).alias("ss"),
+                   F.count("sharpe_b").alias("n_boot")))
+    return sorted_.select(
+        "n_boot",
+        F.element_at("ss", F.ceil(0.025 * F.col("n_boot")).cast("int"))
+        .alias("ci_lo"),
+        F.element_at("ss", F.ceil(0.975 * F.col("n_boot")).cast("int"))
+        .alias("ci_hi"))
