@@ -10626,3 +10626,69 @@ def bootstrap_sharpe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ci_lo"),
         F.element_at("ss", F.ceil(0.975 * F.col("n_boot")).cast("int"))
         .alias("ci_hi"))
+
+
+# --------------------------------------------------------------------- #
+# SemDeDup: semantic near-duplicate pruning within embedding cells      #
+# --------------------------------------------------------------------- #
+
+@register("semdedup_prune", """
+WITH v AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), n AS (
+    SELECT vec_id, label,
+           list_transform(e, x -> x / sqrt(list_reduce(
+               list_transform(e, y -> y * y), (a, b) -> a + b))) AS u
+    FROM v
+), p AS (
+    SELECT b.vec_id, max(list_reduce(
+               list_transform(range(1, len(a.u) + 1),
+                              i -> a.u[i] * b.u[i]),
+               (x, y) -> x + y)) AS max_cos_to_smaller
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY b.vec_id
+)
+SELECT n.vec_id, CAST(n.label AS INT) AS label, p.max_cos_to_smaller,
+       coalesce(p.max_cos_to_smaller, -2.0) <= 0.3 AS is_kept
+FROM n LEFT JOIN p ON n.vec_id = p.vec_id
+""")
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper): drop items that are
+    semantic near-duplicates of an earlier item in the SAME cluster
+    cell — the embedding-space analog of MinHash dedup, used to prune
+    pretraining corpora ~4x with no quality loss.  The ``label`` column
+    stands in for the k-means cell assignment (ivf_label_centroids owns
+    real assignment); within a cell, a vector is pruned when any
+    SMALLER-id vector sits above cosine τ=0.3 (single-pass keep-first
+    variant; τ tuned to this synthetic corpus, whose random-ish vectors
+    top out near cos 0.47).  Exactness: unit-normalization and the pair
+    dot products are pinned folds; the keep decision is one comparison
+    of identically-computed doubles.  Scale: the self-join is PER-CELL
+    (Σ cell² not n²) — exactly the SemDeDup paper's cost model; oversize
+    cells would be re-split by the IVF path before this stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    add = lambda a, b: a + b
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("vec_id", "label", e.alias("e"))
+    norm = F.sqrt(F.aggregate(
+        F.transform("e", lambda y: y * y), F.lit(0.0), add))
+    n = v.select("vec_id", "label",
+                 F.transform("e", lambda x: x / norm).alias("u"))
+    a = n.select(F.col("vec_id").alias("id_a"),
+                 F.col("label").alias("lbl"), F.col("u").alias("u_a"))
+    b = n.select(F.col("vec_id").alias("id_b"),
+                 F.col("label").alias("lbl"), F.col("u").alias("u_b"))
+    cos = F.aggregate(F.zip_with("u_a", "u_b", lambda x, y: x * y),
+                      F.lit(0.0), add)
+    p = (a.join(b, "lbl")
+         .where(F.col("id_a") < F.col("id_b"))
+         .select("id_b", cos.alias("cos"))
+         .groupBy("id_b")
+         .agg(F.max("cos").alias("max_cos_to_smaller")))
+    return (n.join(p, n.vec_id == p.id_b, "left")
+            .select("vec_id", F.col("label").cast("int").alias("label"),
+                    "max_cos_to_smaller",
+                    (F.coalesce("max_cos_to_smaller", F.lit(-2.0))
+                     <= 0.3).alias("is_kept")))
