@@ -10692,3 +10692,64 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "max_cos_to_smaller",
                     (F.coalesce("max_cos_to_smaller", F.lit(-2.0))
                      <= 0.3).alias("is_kept")))
+
+
+# --------------------------------------------------------------------- #
+# prefix-cache economics: shared first-k-token mass across the corpus   #
+# --------------------------------------------------------------------- #
+
+@register("prefix_cache_report", """
+WITH ks AS (SELECT unnest([1, 2, 4, 8]) AS k),
+tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pref AS (
+    SELECT ks.k, tok.doc_id,
+           md5(array_to_string(list_slice(tok.t, 1, ks.k), ' ')) AS p,
+           least(ks.k, len(tok.t)) AS p_len
+    FROM tok CROSS JOIN ks
+    WHERE len(tok.t) >= 1
+), groups AS (
+    SELECT k, p, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(p_len) AS BIGINT) AS p_len
+    FROM pref GROUP BY k, p
+)
+SELECT CAST(k AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n_prefixes,
+       CAST(sum(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+           AS docs_in_shared,
+       CAST(sum(CASE WHEN n_docs > 1 THEN (n_docs - 1) * p_len
+                     ELSE 0 END) AS BIGINT) AS tokens_saved
+FROM groups GROUP BY k
+""")
+def prefix_cache_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache economics for LLM inference: for each prefix length
+    k, how many documents share their first k tokens and how many
+    prompt tokens a prefix cache (vLLM-style automatic prefix caching,
+    public design) would save — (group_size − 1)·k per shared-prefix
+    group.  The serving-side sibling of context_chunks: the same corpus
+    statistics that decide whether radix-tree prefix reuse pays for its
+    memory.  Prefixes compare by md5 (32 bytes through the shuffle, not
+    the token text); every measure is an integer, the whole report is
+    two map-side-combined groupBys."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("t"))
+    ks = F.explode(F.array(*[F.lit(k) for k in (1, 2, 4, 8)])).alias("k")
+    pref = (tok.where(F.size("t") >= 1)
+            .select("doc_id", "t", ks)
+            .select("k", "doc_id",
+                    F.md5(F.encode(
+                        F.array_join(F.slice("t", 1, F.col("k")), " "),
+                        "UTF-8")).alias("p"),
+                    F.least(F.col("k"), F.size("t")).alias("p_len")))
+    groups = (pref.groupBy("k", "p")
+              .agg(F.count("*").alias("n_docs"),
+                   F.max("p_len").cast("bigint").alias("p_len")))
+    shared = F.col("n_docs") > 1
+    return (groups.groupBy(F.col("k").cast("int").alias("k"))
+            .agg(F.count("*").alias("n_prefixes"),
+                 F.sum(F.when(shared, F.col("n_docs")).otherwise(0))
+                 .cast("bigint").alias("docs_in_shared"),
+                 F.sum(F.when(shared,
+                              (F.col("n_docs") - 1) * F.col("p_len"))
+                       .otherwise(0))
+                 .cast("bigint").alias("tokens_saved")))
