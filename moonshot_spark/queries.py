@@ -10753,3 +10753,69 @@ def prefix_cache_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                               (F.col("n_docs") - 1) * F.col("p_len"))
                        .otherwise(0))
                  .cast("bigint").alias("tokens_saved")))
+
+
+# --------------------------------------------------------------------- #
+# n-gram speculative-decoding acceptance simulation                     #
+# --------------------------------------------------------------------- #
+
+@register("speculative_ngram_acceptance", """
+WITH tok AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), pairs AS (
+    SELECT lang, pr.w AS w, pr.nxt AS nxt
+    FROM (SELECT lang, unnest(list_transform(range(1, len(t)),
+              i -> {'w': t[i], 'nxt': t[i + 1]})) AS pr
+          FROM tok WHERE len(t) >= 2)
+), bigram AS (
+    SELECT w, nxt, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY w, nxt
+), best AS (
+    SELECT w, nxt AS best_nxt FROM (
+        SELECT w, nxt, row_number() OVER (PARTITION BY w
+                   ORDER BY cnt DESC, nxt) AS rn
+        FROM bigram) WHERE rn = 1
+)
+SELECT p.lang, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN p.nxt = b.best_nxt THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_accepted,
+       CAST(sum(CASE WHEN p.nxt = b.best_nxt THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acceptance_rate
+FROM pairs p JOIN best b ON p.w = b.w
+GROUP BY p.lang
+""")
+def speculative_ngram_acceptance(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Acceptance-rate simulation for n-gram speculative decoding
+    (prompt-lookup / n-gram draft models, public technique): a bigram
+    draft proposes the corpus-argmax next token and the query measures
+    how often the corpus itself \"accepts\" it — the upper bound on
+    draft hit rate per language, which decides whether the free n-gram
+    drafter is worth wiring in.  Builds on bigram_next_token's table:
+    the argmax is pinned by (count DESC, token) row_number (integer
+    tie-break, no float scores), acceptance is an integer tally per
+    lang, and the rate is one division.  The draft join keys on the
+    current token (Zipf-skewed — AQE skew-join, never broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.split("text", " ").alias("t"))
+    prs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(F.element_at("t", i).alias("w"),
+                           F.element_at("t", i + 1).alias("nxt")))
+    pairs = (tok.where(F.size("t") >= 2)
+             .select("lang", F.explode(prs).alias("pr"))
+             .select("lang", F.col("pr.w").alias("w"),
+                     F.col("pr.nxt").alias("nxt")))
+    bigram = pairs.groupBy("w", "nxt").agg(F.count("*").alias("cnt"))
+    wr = Window.partitionBy("w").orderBy(F.col("cnt").desc(), "nxt")
+    best = (bigram.withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") == 1)
+            .select("w", F.col("nxt").alias("best_nxt")))
+    acc = F.when(F.col("nxt") == F.col("best_nxt"), 1).otherwise(0)
+    return (pairs.join(best, "w")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(acc).cast("bigint").alias("n_accepted"),
+                 (F.sum(acc).cast("double")
+                  / F.count("*").cast("double"))
+                 .alias("acceptance_rate")))
