@@ -10819,3 +10819,112 @@ def speculative_ngram_acceptance(spark: SparkSession, sf_dir: str) \
                  (F.sum(acc).cast("double")
                   / F.count("*").cast("double"))
                  .alias("acceptance_rate")))
+
+
+# --------------------------------------------------------------------- #
+# Kaplan-Meier user-lifetime survival with right-censoring              #
+# --------------------------------------------------------------------- #
+@register("kaplan_meier_retention", """
+WITH ev AS (
+    SELECT user_id, ts, epoch_ns(ts) AS tns FROM events
+), mx AS (SELECT max(tns) AS max_tns FROM ev),
+gaps AS (
+    SELECT user_id,
+           CAST(floor((lead(tns) OVER w - tns) / 3600000000000.0)
+                AS BIGINT) AS dur_h,
+           lead(tns) OVER w IS NULL AS censored,
+           CAST(floor(((SELECT max_tns FROM mx) - tns)
+                / 3600000000000.0) AS BIGINT) AS open_h
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tns)
+), u AS (
+    SELECT CASE WHEN censored THEN open_h ELSE dur_h END AS dur,
+           censored
+    FROM gaps
+), rt AS (
+    SELECT dur, CAST(count(*) AS BIGINT) AS n_at,
+           CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+               AS d_ev
+    FROM u GROUP BY dur
+), risk AS (
+    SELECT dur, d_ev,
+           CAST(sum(n_at) OVER (ORDER BY dur DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_risk
+    FROM rt
+), evt AS (SELECT dur, d_ev, n_risk FROM risk WHERE d_ev > 0),
+packed AS (
+    SELECT list(dur ORDER BY dur) AS ds,
+           list(CAST(d_ev AS DOUBLE) ORDER BY dur) AS es,
+           list(CAST(n_risk AS DOUBLE) ORDER BY dur) AS ns
+    FROM evt
+), idx AS (
+    SELECT ds, es, ns, unnest(range(1, len(ds) + 1)) AS i FROM packed
+    WHERE len(ds) >= 1
+)
+SELECT CAST(ds[i] AS BIGINT) AS duration_hours,
+       CAST(es[i] AS BIGINT) AS n_events,
+       CAST(ns[i] AS BIGINT) AS n_risk,
+       list_reduce(list_transform(range(1, CAST(i AS INT) + 1),
+           j -> 1.0 - es[j] / ns[j]), (a, b) -> a * b) AS survival
+FROM idx
+""")
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival of the inter-event gap (time
+    until a user's NEXT event, bucketed to hours) with right-censoring:
+    each user's final open gap — last event to corpus end — is censored
+    (the next event wasn't observed), not treated as churn, which is
+    precisely the bias retention_cohorts carries.  S(t) = Π_{t'≤t}
+    (1 − d/n); risk counts from a descending integer cumulative sum,
+    prefix products as per-row slice folds over the hour-bucketed
+    (≤ corpus-span-in-hours, bounded) event-time arrays.  The gap scan
+    is one sid-window pass; the risk table is tiny by construction."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_ns")
+    mx = ev.agg(F.max("ts_ns").alias("max_tns"))
+    w = Window.partitionBy("user_id").orderBy("ts_ns")
+    nxt = F.lead("ts_ns").over(w)
+    hour_ns = F.lit(3600000000000.0)
+    gaps = (ev.crossJoin(F.broadcast(mx))
+            .select(
+                F.floor((nxt - F.col("ts_ns")) / hour_ns).cast("bigint")
+                .alias("dur_h"),
+                nxt.isNull().alias("censored"),
+                F.floor((F.col("max_tns") - F.col("ts_ns")) / hour_ns)
+                .cast("bigint").alias("open_h")))
+    u = gaps.select(
+        F.when(F.col("censored"), F.col("open_h"))
+        .otherwise(F.col("dur_h")).alias("dur"), "censored")
+    rt = (u.groupBy("dur")
+          .agg(F.count("*").alias("n_at"),
+               F.sum(F.when(F.col("censored"), 0).otherwise(1))
+               .alias("d_ev")))
+    wd = (Window.orderBy(F.col("dur").desc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    risk = rt.select("dur", "d_ev",
+                     F.sum("n_at").over(wd).cast("bigint")
+                     .alias("n_risk"))
+    evt = risk.where(F.col("d_ev") > 0)
+    packed = evt.agg(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("dur", "d_ev", "n_risk"))),
+            lambda s: s["dur"]).alias("ds"),
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("dur", "d_ev"))),
+            lambda s: s["d_ev"].cast("double")).alias("es"),
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("dur", "n_risk"))),
+            lambda s: s["n_risk"].cast("double")).alias("ns"))
+    idx = (packed.where(F.size("ds") >= 1)
+           .select("ds", "es", "ns",
+                   F.explode(F.sequence(F.lit(1), F.size("ds")))
+                   .alias("i")))
+    surv = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.col("i")),
+                    lambda j: F.lit(1.0)
+                    - F.element_at("es", j) / F.element_at("ns", j)),
+        F.lit(1.0), lambda a, b: a * b)
+    return idx.select(
+        F.element_at("ds", F.col("i")).cast("bigint")
+        .alias("duration_hours"),
+        F.element_at("es", F.col("i")).cast("bigint").alias("n_events"),
+        F.element_at("ns", F.col("i")).cast("bigint").alias("n_risk"),
+        surv.alias("survival"))
