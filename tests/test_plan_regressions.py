@@ -286,3 +286,32 @@ def test_q22_anti_join_shape():
     plan = plan_of("q22_global_sales_opportunity")
     assert "LeftAnti" in plan or "left_anti" in plan.lower(), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_fourth_wave_no_cartesian_or_global_scan_joins():
+    """The fourth-wave ops must keep their documented join shapes: no
+    CartesianProduct anywhere; the only BroadcastNestedLoopJoin allowed
+    is against a provably-1-row side (scalar cross joins)."""
+    for name in ("semdedup_prune", "dedup_canonical_selection",
+                 "pareto_skyline_parts", "bm25_top_terms",
+                 "market_model_rolling_beta", "fama_macbeth_momentum",
+                 "var_exceedance_backtest", "kelly_sizing_weights",
+                 "minhash_estimate_accuracy"):
+        plan = plan_of(name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bm25_prunes_document_columns():
+    """BM25 reads only (doc_id, text) from documents — lang/source/
+    n_chars must be pruned out of the parquet scan."""
+    plan = plan_of("bm25_top_terms")
+    scan = plan.split("ReadSchema")[-1].split("\n")[0]
+    assert "n_chars" not in scan and "lang" not in scan, scan
+
+
+def test_ta_queries_single_sid_shuffle_after_panel():
+    """The fold-exact TA catalog queries share the panel agg exchange
+    plus at most one sid exchange for the whole window stack."""
+    for name in ("ta_bollinger_rsi", "ta_macd_stoch_obv"):
+        plan = plan_of(name)
+        assert plan.count("Exchange hashpartitioning") <= 2, (name, plan)
