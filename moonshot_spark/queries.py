@@ -10928,3 +10928,98 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("es", F.col("i")).cast("bigint").alias("n_events"),
         F.element_at("ns", F.col("i")).cast("bigint").alias("n_risk"),
         surv.alias("survival"))
+
+
+# --------------------------------------------------------------------- #
+# distributed FIFO lot matching via cumulative-interval overlap         #
+# --------------------------------------------------------------------- #
+
+@register("fifo_lot_matching", """
+WITH flows AS (
+    SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type,
+           CAST(ceil(value) AS BIGINT) AS qty
+    FROM events WHERE value > 0 AND event_type IN ('click', 'purchase')
+), buys AS (
+    SELECT user_id, tns, qty,
+           sum(qty) OVER w AS be,
+           row_number() OVER w AS seq
+    FROM flows WHERE event_type = 'click'
+    WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), sells AS (
+    SELECT user_id, tns, qty,
+           sum(qty) OVER w AS se,
+           row_number() OVER w AS seq
+    FROM flows WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT b.user_id, CAST(b.seq AS INT) AS buy_seq,
+       CAST(s.seq AS INT) AS sell_seq,
+       CAST(least(b.be, s.se) - greatest(b.be - b.qty, s.se - s.qty)
+            AS BIGINT) AS matched_qty,
+       CAST(floor((s.tns - b.tns) / 86400000000000.0) AS BIGINT)
+           AS hold_days
+FROM buys b JOIN sells s
+  ON b.user_id = s.user_id
+ AND b.be - b.qty < s.se AND s.se - s.qty < b.be
+""")
+def fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed FIFO lot matching — the tax-lot / inventory-costing
+    primitive (reference positions-to-trades nets quantities; FIFO says
+    WHICH buy lot each sell consumes).  The classic formulation is a
+    sequential scan per account; the distributed form is the cum-range
+    trick: each buy owns units [cum−qty, cum) of the per-user buy
+    stream, each sell likewise, and FIFO matching is EXACTLY the
+    overlap of those integer unit-ranges — a self-interval-join, no
+    recursion, no state.  The k-th unit sold always consumes the k-th
+    unit bought, so matched_qty = min(ends) − max(starts).  Spark side
+    buckets the unit-ranges (width 1024) into an equi-join on
+    (user, bucket) with the residual overlap predicate — Σ bucket²
+    cost, never per-user quadratic; matched pairs are inherently
+    O(buys + sells) because the ranges are consecutive.  All integer
+    arithmetic: qty, cumsums, matched units, integer-divided hold
+    days.  Buys = clicks, sells = purchases over the events flow
+    (synthetic stand-in for fills)."""
+    ev = load_table(spark, sf_dir, "events")
+    flows = (ev.where((F.col("value") > 0)
+                      & F.col("event_type").isin("click", "purchase"))
+             .select("user_id", "event_id", "ts_ns", "event_type",
+                     F.ceil("value").cast("bigint").alias("qty")))
+    w = (Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+
+    def side(ev_type: str, end_col: str):
+        return (flows.where(F.col("event_type") == ev_type)
+                .select("user_id", "ts_ns", "qty",
+                        F.sum("qty").over(w).alias(end_col),
+                        F.row_number().over(
+                            Window.partitionBy("user_id")
+                            .orderBy("ts_ns", "event_id")).alias("seq")))
+
+    B = 1024
+    buys = side("click", "be").select(
+        "user_id", F.col("ts_ns").alias("b_tns"), F.col("qty").alias("b_qty"),
+        "be", F.col("seq").alias("buy_seq"),
+        F.explode(F.sequence(F.floor((F.col("be") - F.col("qty")) / B),
+                             F.floor((F.col("be") - 1) / B))).alias("bkt"))
+    sells = side("purchase", "se").select(
+        "user_id", F.col("ts_ns").alias("s_tns"), F.col("qty").alias("s_qty"),
+        "se", F.col("seq").alias("sell_seq"),
+        F.explode(F.sequence(F.floor((F.col("se") - F.col("qty")) / B),
+                             F.floor((F.col("se") - 1) / B))).alias("bkt"))
+    bs = F.col("be") - F.col("b_qty")
+    ss = F.col("se") - F.col("s_qty")
+    joined = (buys.join(sells, ["user_id", "bkt"])
+              .where((bs < F.col("se")) & (ss < F.col("be")))
+              .select("user_id", "buy_seq", "sell_seq",
+                      (F.least("be", "se") - F.greatest(bs, ss))
+                      .alias("matched_qty"),
+                      F.floor((F.col("s_tns") - F.col("b_tns"))
+                              / F.lit(86400000000000.0)).cast("bigint")
+                      .alias("hold_days"))
+              .dropDuplicates(["user_id", "buy_seq", "sell_seq"]))
+    return joined.select("user_id",
+                         F.col("buy_seq").cast("int").alias("buy_seq"),
+                         F.col("sell_seq").cast("int").alias("sell_seq"),
+                         "matched_qty", "hold_days")

@@ -173,3 +173,48 @@ def test_exact_ntile_parametrized(spark, n, k):
             df.select("id", F.ntile(k).over(
                 Window.orderBy("key", "id")).alias("t")).collect()}
     assert got == want
+
+
+def test_fifo_lot_matching_equals_sequential_reference(spark):
+    """The cum-range overlap join must reproduce a literal sequential
+    FIFO matcher (queue of buy lots consumed in order by each sell)."""
+    from moonshot_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+    import duckdb
+
+    got = {(r["user_id"], r["buy_seq"], r["sell_seq"]): r["matched_qty"]
+           for r in QUERIES["fifo_lot_matching"](spark, SF_DIR).collect()}
+
+    flows = duckdb.sql(f"""
+        SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type,
+               CAST(ceil(value) AS BIGINT) AS qty
+        FROM read_parquet('{SF_DIR}/events.parquet')
+        WHERE value > 0 AND event_type IN ('click', 'purchase')
+        ORDER BY user_id, tns, event_id
+    """).fetchall()
+    # two-pointer unit alignment: the k-th unit sold matches the k-th
+    # unit bought (symmetric FIFO — sells arriving before any buy are
+    # shorts covered by the first subsequent buys, negative hold days)
+    from collections import defaultdict
+    buys = defaultdict(list)
+    sells = defaultdict(list)
+    for user, _eid, _tns, etype, qty in flows:
+        (buys if etype == "click" else sells)[user].append(qty)
+    expect = {}
+    for user in set(buys) | set(sells):
+        bi = si = 0
+        b_rem = buys[user][0] if buys[user] else 0
+        s_rem = sells[user][0] if sells[user] else 0
+        while bi < len(buys[user]) and si < len(sells[user]):
+            take = min(b_rem, s_rem)
+            if take > 0:
+                expect[(user, bi + 1, si + 1)] = take
+            b_rem -= take
+            s_rem -= take
+            if b_rem == 0:
+                bi += 1
+                b_rem = buys[user][bi] if bi < len(buys[user]) else 0
+            if s_rem == 0:
+                si += 1
+                s_rem = sells[user][si] if si < len(sells[user]) else 0
+    assert got == expect
