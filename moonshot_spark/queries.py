@@ -11023,3 +11023,75 @@ def fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("buy_seq").cast("int").alias("buy_seq"),
                          F.col("sell_seq").cast("int").alias("sell_seq"),
                          "matched_qty", "hold_days")
+
+
+# --------------------------------------------------------------------- #
+# open-inventory aging from the FIFO unit-range model (join-free)       #
+# --------------------------------------------------------------------- #
+
+@register("inventory_aging_report", """
+WITH flows AS (
+    SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type,
+           CAST(ceil(value) AS BIGINT) AS qty
+    FROM events WHERE value > 0 AND event_type IN ('click', 'purchase')
+), mx AS (SELECT max(tns) AS max_tns FROM flows),
+sold AS (
+    SELECT user_id, CAST(sum(qty) AS BIGINT) AS s_total
+    FROM flows WHERE event_type = 'purchase' GROUP BY user_id
+), buys AS (
+    SELECT user_id, tns, qty,
+           sum(qty) OVER w AS be,
+           row_number() OVER w AS seq
+    FROM flows WHERE event_type = 'click'
+    WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT b.user_id, CAST(b.seq AS INT) AS buy_seq,
+       CAST(least(b.qty, b.be - greatest(b.be - b.qty,
+                                         coalesce(s.s_total, 0)))
+            AS BIGINT) AS open_qty,
+       CAST(floor((mx.max_tns - b.tns) / 86400000000000.0) AS BIGINT)
+           AS age_days
+FROM buys b LEFT JOIN sold s ON b.user_id = s.user_id CROSS JOIN mx
+WHERE b.be > coalesce(s.s_total, 0)
+""")
+def inventory_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-inventory aging — the balance-sheet view the FIFO matcher
+    implies: under unit-range FIFO, the units still held are exactly
+    the buy units ABOVE the user's total units sold, so each partially
+    or fully open lot is one comparison against a per-user scalar — NO
+    pair join at all (contrast fifo_lot_matching).  open_qty =
+    min(qty, be − max(bs, total_sold)); age from the corpus-end
+    timestamp.  One windowed cumsum + one per-user aggregate, all
+    integer arithmetic — at any scale this is two shuffles on user_id,
+    and the aged-inventory report (tax lots, warehouse stock, GPU-hour
+    credits) falls out of the same model that priced the matches."""
+    ev = load_table(spark, sf_dir, "events")
+    flows = (ev.where((F.col("value") > 0)
+                      & F.col("event_type").isin("click", "purchase"))
+             .select("user_id", "event_id", "ts_ns", "event_type",
+                     F.ceil("value").cast("bigint").alias("qty")))
+    mx = flows.agg(F.max("ts_ns").alias("max_tns"))
+    sold = (flows.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.sum("qty").cast("bigint").alias("s_total")))
+    w = (Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    buys = (flows.where(F.col("event_type") == "click")
+            .select("user_id", "ts_ns", "qty",
+                    F.sum("qty").over(w).alias("be"),
+                    F.row_number().over(
+                        Window.partitionBy("user_id")
+                        .orderBy("ts_ns", "event_id")).alias("seq")))
+    st = F.coalesce(F.col("s_total"), F.lit(0))
+    open_qty = F.least(
+        F.col("qty"),
+        F.col("be") - F.greatest(F.col("be") - F.col("qty"), st))
+    return (buys.join(sold, "user_id", "left")
+            .crossJoin(F.broadcast(mx))
+            .where(F.col("be") > st)
+            .select("user_id", F.col("seq").cast("int").alias("buy_seq"),
+                    open_qty.cast("bigint").alias("open_qty"),
+                    F.floor((F.col("max_tns") - F.col("ts_ns"))
+                            / F.lit(86400000000000.0)).cast("bigint")
+                    .alias("age_days")))
