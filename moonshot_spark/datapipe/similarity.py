@@ -378,68 +378,105 @@ def centroid_outliers(emb: DataFrame, vec_col: str = "embedding",
 
 
 def pairwise_ssd_topk(vec_df, id_col: str = "sid", arr_col: str = "arr",
-                      k: int = 5, n_blocks: int = 16):
+                      k: int = 5, n_blocks: int = 8):
     """Exact all-pairs sum-of-squared-differences kNN over date-aligned
-    vectors (None entries = missing observations), as a BLOCKED Arrow
-    kernel: the full vector table (one row per panel column — universe
-    width, a dim in panel terms, NOT corpus-scale) broadcasts once; rows
-    hash into ``n_blocks`` groups and each task computes its block's
-    distance matrix against the broadcast side with numpy.
+    vectors (None entries = missing observations), as a fully
+    DISTRIBUTED block-pair join: rows hash into ``n_blocks`` groups,
+    each row is replicated once per opposite block (2*n_blocks*N rows
+    shuffled, ~n_blocks**2 tasks), and each (block_a, block_b) task runs
+    the position-folded numpy kernel on its (N/n_blocks)^2 slice of the
+    distance matrix.  NOTHING is collected to the driver — the plan is
+    lazy end-to-end and scales with executor count, unlike the previous
+    form which materialized the whole vector table driver-side.
+
+    Each task also prunes to its a-rows' k smallest (ssd, id_b) before
+    the final global rank, so the post-kernel shuffle carries
+    O(N * n_blocks * k) rows instead of O(N^2).
 
     Bit-exactness contract: the accumulation loops over vector POSITIONS
-    (date order), adding each position's (x−y)² matrix elementwise — so
+    (date order), adding each position's (x-y)^2 matrix elementwise — so
     every pair's SSD is the same left-to-right IEEE fold as the SQL
     ``list_reduce(list(...), +)`` oracle, just vectorized across pairs.
     (A naive ``np.nansum`` would use pairwise summation and drift in the
-    last ulp.)  Measured at sf0.1: 15.5 s (higher-order-function form)
-    → ~1.5 s.  For universes too wide for an exact quadratic pass, the
-    LSH/IVF operators above are the scale path."""
+    last ulp.)  Per-task memory is the (N/n_blocks)^2 partial matrix —
+    pick ``n_blocks ~ N / sqrt(budget)``; n_blocks=8 keeps a 10k-wide
+    universe at ~12 MB/task.  For universes too wide for an exact
+    quadratic pass, the LSH/IVF operators above are the scale path.
+    An empty input short-circuits to an empty result with the output
+    schema (no max()-of-empty surprises)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
+    from pyspark.sql import Window
 
-    spark = vec_df.sparkSession
-    rows = vec_df.select(id_col, arr_col).collect()
-    ids = [r[id_col] for r in rows]
-    dim = max(len(r[arr_col]) for r in rows)
-    B = np.full((len(ids), dim), np.nan)
-    for i, r in enumerate(rows):
-        a = r[arr_col]
-        B[i, :len(a)] = [np.nan if v is None else v for v in a]
-    bc = spark.sparkContext.broadcast((ids, B))
-
-    out_schema = (f"{id_col}_a string, {id_col}_b string, "
+    nb = int(n_blocks)
+    a_col, b_col = f"{id_col}_a", f"{id_col}_b"
+    out_schema = (f"{a_col} string, {b_col} string, "
                   "n_dates long, ssd double")
 
+    base = vec_df.select(id_col, arr_col).withColumn(
+        "__blk", F.pmod(F.hash(id_col), F.lit(nb)).cast("int"))
+    grid = F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
+    # side 0: the "query" rows — native block is the a-axis, replicated
+    # across every b-block; side 1: the mirror.  union + groupBy gives
+    # every (block_a, block_b) cell both of its slices in one task.
+    left = base.select(
+        F.col(id_col), F.col(arr_col),
+        F.col("__blk").alias("__ba"), grid.alias("__bb"),
+        F.lit(0).alias("__side"))
+    right = base.select(
+        F.col(id_col), F.col(arr_col),
+        grid.alias("__ba"), F.col("__blk").alias("__bb"),
+        F.lit(1).alias("__side"))
+
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        b_ids, Bm = bc.value
-        A = np.full((len(pdf), dim), np.nan)
-        for i, a in enumerate(pdf[arr_col]):
-            A[i, :len(a)] = [np.nan if v is None else v for v in a]
-        acc = np.zeros((len(A), len(b_ids)))
-        cnt = np.zeros((len(A), len(b_ids)), dtype=np.int64)
+        empty = pd.DataFrame({a_col: pd.Series(dtype=object),
+                              b_col: pd.Series(dtype=object),
+                              "n_dates": pd.Series(dtype="int64"),
+                              "ssd": pd.Series(dtype="float64")})
+        apdf = pdf[pdf["__side"] == 0]
+        bpdf = pdf[pdf["__side"] == 1]
+        if not len(apdf) or not len(bpdf):
+            return empty
+        dim = max(int(max(apdf[arr_col].map(len))),
+                  int(max(bpdf[arr_col].map(len))))
+        if dim == 0:
+            return empty
+
+        def to_mat(col):
+            M = np.full((len(col), dim), np.nan)
+            for i, a in enumerate(col):
+                M[i, :len(a)] = [np.nan if v is None else v for v in a]
+            return M
+
+        A, Bm = to_mat(apdf[arr_col].tolist()), to_mat(bpdf[arr_col].tolist())
+        acc = np.zeros((len(A), len(Bm)))
+        cnt = np.zeros((len(A), len(Bm)), dtype=np.int64)
         for t in range(dim):
             d2 = (A[:, t][:, None] - Bm[None, :, t]) ** 2
             m = ~np.isnan(d2)
             acc = np.where(m, acc + np.where(m, d2, 0.0), acc)
             cnt += m
-        a_ids = np.asarray(pdf[id_col].tolist(), dtype=object)
-        b_arr = np.asarray(b_ids, dtype=object)
-        keep = (cnt > 0) & (a_ids[:, None] != b_arr[None, :])
+        a_ids = np.asarray(apdf[id_col].tolist(), dtype=object)
+        b_ids = np.asarray(bpdf[id_col].tolist(), dtype=object)
+        keep = (cnt > 0) & (a_ids[:, None] != b_ids[None, :])
         ii, jj = np.nonzero(keep)
-        return pd.DataFrame({
-            f"{id_col}_a": a_ids[ii],
-            f"{id_col}_b": b_arr[jj],
+        out = pd.DataFrame({
+            a_col: a_ids[ii],
+            b_col: b_ids[jj],
             "n_dates": cnt[ii, jj],
             "ssd": acc[ii, jj],
         })
+        # per-task prune: global top-k per a-row is a subset of the union
+        # of per-(a, b-block) top-ks; (ssd, id_b) is a total order so
+        # head(k) is exact, not heuristic
+        return (out.sort_values(["ssd", b_col], kind="mergesort")
+                   .groupby(a_col, sort=False).head(k))
 
-    blocked = vec_df.withColumn(
-        "__block", F.pmod(F.hash(id_col), F.lit(n_blocks)))
-    pairs = (blocked.groupBy("__block")
+    pairs = (left.unionByName(right)
+             .groupBy("__ba", "__bb")
              .applyInPandas(kernel, out_schema))
-    from pyspark.sql import Window
     rk = F.rank().over(
-        Window.partitionBy(f"{id_col}_a")
-        .orderBy("ssd", f"{id_col}_b")).cast("int")
+        Window.partitionBy(a_col)
+        .orderBy("ssd", b_col)).cast("int")
     return pairs.withColumn("rk", rk).where(F.col("rk") <= k)

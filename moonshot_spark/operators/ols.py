@@ -49,13 +49,26 @@ def _normal_equations(df: DataFrame, xs, y_expr, w_expr=None):
     return xtx, xty
 
 
+def _complete_rows(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Rows where every listed column is non-null.  F.sum skips nulls
+    PER-TERM, so a row with one null feature would otherwise drop out of
+    the X'X/X'y terms touching that feature but stay in all the others —
+    inconsistent normal equations and silently wrong coefficients."""
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).isNotNull()
+    return df.where(cond)
+
+
 def fit_ols(df: DataFrame, feature_cols: list[str], label_col: str,
             l2: float = 0.0) -> LinearModel:
     """Exact least-squares fit (optional ridge ``l2``, intercept always
-    included) from one pass: solve (X'X + λI)β = X'y."""
+    included) from one pass: solve (X'X + λI)β = X'y.  Rows with a null
+    label OR any null feature are excluded (complete-case, matching
+    scikit-learn's requirement that inputs be finite)."""
     xs = _design_cols(feature_cols)
     xtx, xty = _normal_equations(
-        df.where(F.col(label_col).isNotNull()),
+        _complete_rows(df, feature_cols + [label_col]),
         xs, F.col(label_col).cast("double"))
     if l2:
         reg = l2 * np.eye(len(xs))
@@ -75,7 +88,7 @@ def fit_logistic_irls(df: DataFrame, feature_cols: list[str],
     aggregates total — Newton converges in a handful."""
     xs = _design_cols(feature_cols)
     k = len(xs)
-    clean = df.where(F.col(label_col).isNotNull())
+    clean = _complete_rows(df, feature_cols + [label_col])
     beta = np.zeros(k)
     y = F.col(label_col).cast("double")
     for _ in range(n_iter):

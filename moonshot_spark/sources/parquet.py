@@ -68,7 +68,13 @@ def events_to_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same panel pays the tick scan once.
     """
     if os.environ.get("SPARK_GRAFT_CACHE_PANEL") == "1":
-        key = (id(spark), os.path.abspath(sf_dir))
+        # key on applicationId, not id(spark): id() can be REUSED by a new
+        # session object at the same address (stale hit on a dead plan),
+        # and entries for stopped sessions would otherwise pin the dead
+        # SparkSession (and its executors' cached blocks) forever
+        # (ADVICE r5).  A new session gets a new appId, so stale entries
+        # stop being reachable; clear_panel_cache() drops them.
+        key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
         cached = _PANEL_CACHE.get(key)
         if cached is not None:
             return cached
@@ -76,6 +82,23 @@ def events_to_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PANEL_CACHE[key] = panel
         return panel
     return _build_panel(spark, sf_dir)
+
+
+def clear_panel_cache(app_id: str | None = None) -> int:
+    """Unpersist and drop panel-cache entries — all of them, or only the
+    given application's.  Call when stopping a session in a long-lived
+    process so cached plans don't pin the old session.  Returns the
+    number of entries dropped."""
+    dropped = 0
+    for key in list(_PANEL_CACHE):
+        if app_id is None or key[0] == app_id:
+            df = _PANEL_CACHE.pop(key)
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped: nothing to free
+                pass
+            dropped += 1
+    return dropped
 
 
 def _build_panel(spark: SparkSession, sf_dir: str) -> DataFrame:

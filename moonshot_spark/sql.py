@@ -25,12 +25,16 @@ def register_views(spark: SparkSession, sf_dir: str,
     """Register every catalog table as ``<name><suffix>`` plus the derived
     ``prices_panel<suffix>`` view.  Returns the view names registered.
     Idempotent (replaces existing views)."""
+    import os
+
     names = []
     for t in TABLES:
-        try:
-            df = load_table(spark, sf_dir, t)
-        except Exception:  # noqa: BLE001 - optional tables may be absent
+        # only a genuinely ABSENT optional table is skipped; a corrupt
+        # file, permission error, or schema problem must surface rather
+        # than silently yielding a missing view (ADVICE r5)
+        if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             continue
+        df = load_table(spark, sf_dir, t)
         df.createOrReplaceTempView(t + suffix)
         names.append(t + suffix)
     events_to_panel(spark, sf_dir).createOrReplaceTempView(

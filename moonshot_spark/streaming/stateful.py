@@ -10,6 +10,8 @@ the Spark state store with exactly-once updates.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import functions as F
@@ -127,6 +129,21 @@ def detect_anomalies(events: DataFrame, z_threshold: float = 3.0,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+_MILLI = Decimal("0.001")
+
+
+def value_millis(vals) -> "list[int]":
+    """Integer thousandths of each double via the SAME decimal path as
+    Spark's CAST(double AS DECIMAL(18,3)): shortest decimal repr
+    (Double.toString == Python repr), then scale-3 HALF_UP
+    (away-from-zero).  np.rint(v*1000) is NOT equivalent — it rounds the
+    binary product half-to-even, which disagrees near .0005 boundaries
+    (ADVICE r5); this helper is the bit-exactness contract between
+    stream_dollar_bars and the batch dollar_bars query."""
+    return [int(Decimal(repr(float(v)))
+                .quantize(_MILLI, rounding=ROUND_HALF_UP).scaleb(3))
+            for v in vals]
+
 DOLLAR_BAR_STATE_SCHEMA = StructType([
     StructField("cum_millis", LongType()),   # traded value in thousandths
     StructField("open_bar", LongType()),     # bar id currently open
@@ -181,13 +198,14 @@ def stream_dollar_bars(tick_stream: DataFrame,
         # ids for the whole batch at once (bit-identical to the per-tick
         # loop — int64 addition is associative).
         bars: dict[int, dict] = {}
-        unit = int(bar_value * 1000)
+        unit = int(Decimal(repr(bar_value))
+                   .quantize(_MILLI, rounding=ROUND_HALF_UP).scaleb(3))
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
             if not len(pdf):
                 continue
             vals = pdf["value"].to_numpy(dtype=np.float64)
-            millis = np.rint(vals * 1000).astype(np.int64)
+            millis = np.array(value_millis(vals), dtype=np.int64)
             cum_before = cum + np.concatenate(
                 ([0], np.cumsum(millis[:-1])))
             ids = cum_before // unit

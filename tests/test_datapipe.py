@@ -854,3 +854,66 @@ def test_dsir_bucket_stats_separates_target_mass(spark):
     # target-language docs sit in target-heavy buckets
     assert out.loc["t1", "weight_ratio"] > out.loc["r1", "weight_ratio"]
     assert out.loc["t2", "weight_ratio"] > out.loc["r2", "weight_ratio"]
+
+
+def test_pairwise_ssd_topk_matches_bruteforce_and_never_collects(spark):
+    """The block-pair kNN must (a) equal the O(N^2) python reference
+    bit-for-bit (same position-order IEEE fold), and (b) build its plan
+    and run WITHOUT any driver-side collect of the vector table — the
+    round-5 scale-killer (datapipe/similarity.py collected the whole
+    table and broadcast it)."""
+    import random
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from moonshot_spark.datapipe.similarity import pairwise_ssd_topk
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(23):
+        arr = [None if rng.random() < 0.2 else rng.uniform(-2, 2)
+               for _ in range(15)]
+        rows.append((f"s{i:02d}", arr))
+    df = spark.createDataFrame(rows, "sid string, arr array<double>")
+
+    # (b): plan construction must not trigger a job
+    with mock.patch.object(
+            DataFrame, "collect",
+            side_effect=AssertionError("driver-side collect in plan build")):
+        out_df = pairwise_ssd_topk(df, k=3, n_blocks=3)
+
+    got = {(r["sid_a"], r["sid_b"]): (r["n_dates"], r["ssd"], r["rk"])
+           for r in out_df.collect()}
+
+    # (a): python reference with the same left-to-right fold
+    ref_pairs = {}
+    for ia, (sa, aa) in enumerate(rows):
+        cands = []
+        for sb, ab in rows:
+            if sb == sa:
+                continue
+            ssd, n = 0.0, 0
+            for x, y in zip(aa, ab):
+                if x is not None and y is not None:
+                    ssd += (x - y) * (x - y)
+                    n += 1
+            if n > 0:
+                cands.append((ssd, sb, n))
+        cands.sort()
+        for rk, (ssd, sb, n) in enumerate(cands[:3], start=1):
+            ref_pairs[(sa, sb)] = (n, ssd, rk)
+
+    assert got == ref_pairs
+
+
+def test_pairwise_ssd_topk_empty_input(spark):
+    """Empty input short-circuits to an empty result with the output
+    schema instead of raising max()-of-empty (ADVICE r5)."""
+    from moonshot_spark.datapipe.similarity import pairwise_ssd_topk
+
+    df = spark.createDataFrame([], "sid string, arr array<double>")
+    out = pairwise_ssd_topk(df, k=2, n_blocks=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "sid_a", "sid_b", "n_dates", "ssd", "rk"]

@@ -366,3 +366,28 @@ def test_train_then_backtest_end_to_end(spark, prices):
     X = np.array([[9.0, 5000 / 10000.0]])
     pred = model.predict(X)[0]
     assert sig[("FI12345", DATES[0])] == (1.0 if pred > 10 else 0.0)
+
+
+def test_fit_ols_null_features_complete_case(spark):
+    """A row with ANY null feature must drop from the fit entirely
+    (complete-case), not partially — partial inclusion skews X'X terms
+    not involving the null feature (ADVICE r5).  The fit over data with
+    nulls must equal the fit over only the complete rows."""
+    import numpy as np
+    from moonshot_spark.operators.ols import fit_ols
+
+    complete = [(float(i), float((i * 3) % 5),
+                 1.0 + 2.0 * i - 0.7 * ((i * 3) % 5)) for i in range(50)]
+    with_nulls = complete + [
+        (None, 100.0, 500.0),      # huge x2/y would skew non-x1 terms
+        (100.0, None, -500.0),
+        (None, None, 123.0),
+    ]
+    df_all = spark.createDataFrame(
+        with_nulls, "x1 double, x2 double, y double")
+    df_clean = spark.createDataFrame(
+        complete, "x1 double, x2 double, y double")
+    m_all = fit_ols(df_all, ["x1", "x2"], "y")
+    m_clean = fit_ols(df_clean, ["x1", "x2"], "y")
+    assert abs(m_all.bias - m_clean.bias) < 1e-12
+    assert np.allclose(m_all.weights, m_clean.weights, atol=1e-12)

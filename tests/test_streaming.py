@@ -427,3 +427,28 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # watermark past 13:00), so append mode hasn't emitted it — that is
     # the contract too: append emits only finalized windows
     assert 12 not in got, got
+
+
+def test_value_millis_matches_spark_decimal_cast(spark):
+    """value_millis (the stream_dollar_bars rounding path) must agree
+    with Spark's CAST(value AS DECIMAL(18,3)) — the batch query's bar
+    unit — on adversarial half-boundary values where np.rint's binary
+    half-to-even disagrees (ADVICE r5)."""
+    import numpy as np
+
+    from moonshot_spark.streaming.stateful import value_millis
+
+    vals = [2.0005, 0.0005, 0.0015, 0.0025, 1.0005, 1.0015,
+            -2.0005, -0.0015, 1234.5675, 1234.5685, 0.1, 0.3,
+            5.9995, 99.9995, 0.0004999999, 3.00049999]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    from pyspark.sql import functions as F
+    spark_millis = [
+        int(r["m"]) for r in df.select(
+            (F.col("value").cast("decimal(18,3)") * 1000)
+            .cast("long").alias("m")).collect()]
+    assert value_millis(vals) == spark_millis
+    # and np.rint genuinely disagrees somewhere in this set (the test
+    # would be vacuous otherwise)
+    rint = [int(x) for x in np.rint(np.array(vals) * 1000)]
+    assert rint != spark_millis
