@@ -367,20 +367,37 @@ class Moonshot:
 
     BENCHMARK_TIME: str | None = None
 
-    def _benchmark_returns(self, prices: DataFrame) -> DataFrame | None:
+    def _benchmark_returns(self, prices: DataFrame,
+                           daily: bool = True) -> DataFrame | None:
+        """Benchmark return series (D17 — reference base.py:1402-1500).
+
+        ``daily`` mirrors the reference's ``daily=not results_are_intraday``:
+        True when the results frame is daily (end-of-day or once-a-day
+        intraday strategies), False for continuous intraday results.
+        Reference semantics reproduced exactly:
+
+        - external source (BENCHMARK_DB) is reindexed onto the panel's
+          date spine (daily) or broadcast across its (date, time) bars
+          (continuous) — reference reindex at base.py:1446-1459;
+        - intraday panel + daily results requires BENCHMARK_TIME
+          (base.py:1492-1495) and slices the daily benchmark from it;
+          continuous results ignore BENCHMARK_TIME and ride the bars;
+        - returns are ``ffill().pct_change().fillna(0)`` (base.py:1500):
+          the first observation is 0.0, not null.
+        """
         if not self.BENCHMARK:
             return None
-        date_cols = list(self._date_cols(prices))
+        panel_date_cols = list(self._date_cols(prices))
+        external = self._benchmark_prices is not None
         # benchmark from a separate source (reference BENCHMARK_DB,
         # base.py:1402-1500) or extracted from the panel itself
-        source = (self._benchmark_prices
-                  if self._benchmark_prices is not None else prices)
-        if (self._benchmark_prices is not None
-                and "time" in self._benchmark_prices.columns):
+        source = self._benchmark_prices if external else prices
+        if external and "time" in self._benchmark_prices.columns:
             raise MoonshotParameterError(
                 "only end-of-day databases are supported for BENCHMARK_DB "
                 "but the provided benchmark prices are intraday")
-        src_date_cols = [c for c in date_cols if c in source.columns] or ["date"]
+        src_date_cols = [c for c in panel_date_cols
+                         if c in source.columns] or ["date"]
         # benchmark field: first candidate present (ref base.py:1466-1477)
         candidates = ("close", "open", "bid", "ask", "high", "low")
         field = next((c for c in candidates if c in source.columns), None)
@@ -395,38 +412,49 @@ class Moonshot:
             # one filter on the (usually benchmark-only) source
             raise MoonshotError(
                 "BENCHMARK Sid {0} is not in data".format(self.BENCHMARK))
-        if "time" in bench.columns and self.BENCHMARK_TIME:
-            # once-a-day intraday: extract the daily benchmark at
-            # BENCHMARK_TIME (ref base.py:1491-1499)
+        if external:
+            # reindex the (daily) external benchmark onto the panel's
+            # spine (reference base.py:1446-1459): daily results get the
+            # panel's date spine — dates the source lacks ffill to a 0
+            # return; continuous results broadcast the daily price across
+            # each day's bars, so the first bar of a day carries the
+            # daily move and later bars show 0
+            if "time" in panel_date_cols and not daily:
+                spine = prices.select("date", "time").distinct()
+                out_cols = ["date", "time"]
+            else:
+                spine = prices.select("date").distinct()
+                out_cols = ["date"]
+            bench = spine.join(F.broadcast(bench), "date", "left")
+        elif "time" in bench.columns and daily:
+            # once-a-day intraday: daily results from an intraday panel
+            # need BENCHMARK_TIME to pick the day's benchmark bar
+            # (ref base.py:1491-1499)
+            if not self.BENCHMARK_TIME:
+                raise MoonshotParameterError(
+                    "Cannot extract BENCHMARK {0} from data because "
+                    "prices contains intraday prices but no BENCHMARK_TIME "
+                    "specified".format(self.BENCHMARK))
             sliced = bench.where(F.col("time") == self.BENCHMARK_TIME)
             if sliced.isEmpty():
                 raise MoonshotError(
                     "BENCHMARK_TIME {0} is not in data"
                     .format(self.BENCHMARK_TIME))
             bench = sliced.drop("time")
-            date_cols = ["date"]
-        elif "time" in date_cols and "time" not in bench.columns:
-            # continuous intraday panel + daily benchmark source: broadcast
-            # the daily price across the day's bars (reference
-            # ``reindex(..., level="Date")``, base.py:1453-1455) — within-day
-            # bars then show 0 benchmark return and the first bar of each
-            # day carries the daily move, matching the reference's
-            # ffill().pct_change() over the intraday index.  LEFT join from
-            # the panel spine: a date the benchmark source lacks (its
-            # exchange's holiday) keeps its bars with a NULL price, which
-            # the downstream ffill turns into a 0 return — the reference's
-            # reindex+ffill, not a silent gap.
-            spine = prices.select("date", "time").distinct()
-            bench = spine.join(F.broadcast(bench), "date", "left")
+            out_cols = ["date"]
         else:
-            date_cols = src_date_cols
-        w = Window.partitionBy(F.lit(1)).orderBy(*date_cols)
+            out_cols = src_date_cols
+        w = Window.partitionBy(F.lit(1)).orderBy(*out_cols)
         ffilled = F.last("close", ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, 0))
         bench = bench.withColumn("__close", ffilled)
         prev = F.lag("__close", 1).over(w)
-        return (bench.withColumn("benchmark", (F.col("__close") - prev) / prev)
-                .select(*date_cols, "benchmark"))
+        # fillna(0): first obs (and any gap where ffill leaves the price
+        # flat or missing) is a 0.0 return, not null (ref base.py:1500)
+        return (bench.withColumn(
+                    "benchmark",
+                    F.coalesce((F.col("__close") - prev) / prev, F.lit(0.0)))
+                .select(*out_cols, "benchmark"))
 
     # ------------------------------------------------------------------ #
     # master join                                                        #
@@ -977,7 +1005,11 @@ class Moonshot:
             "sid", *date_cols,
             F.stack(F.lit(len(metric_exprs)), *stack_args).alias("field", "value"))
 
-        bench = self._benchmark_returns(prices)
+        # daily = not results_are_intraday (reference base.py:1380): the
+        # RESULTS frame decides — a once-a-day strategy over an intraday
+        # panel reports a daily benchmark via BENCHMARK_TIME
+        bench = self._benchmark_returns(prices,
+                                        daily="time" not in date_cols)
         if bench is not None:
             # a BENCHMARK_TIME-sliced benchmark is daily even when the
             # panel is intraday; missing date cols (time) union as NULL

@@ -314,7 +314,9 @@ def test_benchmark_field(prices):
     results = Strategy().backtest(prices)
     bench = field_map(results, "Benchmark")
     assert bench[("FI12345", DATES[1])] == round((11 - 9) / 9, 9)
-    assert bench[("FI12345", DATES[0])] is None
+    # reference base.py:1500: ffill().pct_change().fillna(0) — first
+    # benchmark return is 0.0, not NaN
+    assert bench[("FI12345", DATES[0])] == 0.0
 
 
 def test_external_benchmark_prices(spark, prices):
@@ -329,7 +331,7 @@ def test_external_benchmark_prices(spark, prices):
     results = Strategy().backtest(prices, benchmark_prices=bench_prices)
     bench = field_map(results, "Benchmark")
     assert bench[("SPY", DATES[1])] == round(1 / 100, 9)
-    assert bench[("SPY", DATES[0])] is None
+    assert bench[("SPY", DATES[0])] == 0.0   # fillna(0), base.py:1500
 
 
 class RefStockCommission(PerShareCommission):
@@ -411,6 +413,13 @@ def test_benchmark_time_slices_intraday(spark):
     class WithBench(BuyBelow10):
         BENCHMARK = "FI1"
         BENCHMARK_TIME = "15:00:00"
+
+        # once-a-day: daily results frame — BENCHMARK_TIME only applies
+        # when results are daily (reference daily=not results_are_intraday)
+        def prices_to_signals(self, p):
+            sliced = p.where(F.col("time") == "10:00:00").drop("time")
+            return sliced.withColumn(
+                "signal", (F.col("close") < 10).cast("int"))
 
     results = WithBench().backtest(prices)
     bench = {str(r["date"]): r["value"] for r in
