@@ -56,20 +56,36 @@ def extract_features(media: DataFrame, dim: int = 8,
 
     With ``decode_stub`` the "feature" is a deterministic byte-histogram
     projection of the payload — stable across runs/engines, no codec needed.
-    A real implementation would replace ``_featurize_payload`` with e.g.
-    PIL/torchvision decode + model forward per batch.
+    With ``decode_stub=False`` the payload is decoded as an image with
+    PIL (optional dependency) and the feature is the ``dim``-bucket
+    grayscale-pixel-mean vector; both paths emit FEATURE_SCHEMA, so a
+    cluster with codecs installed swaps in the real decode with no
+    downstream change (the contract test pins this).
     """
     if not decode_stub:
-        raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this environment; use decode_stub=True")
+        try:
+            from PIL import Image  # noqa: F401 - optional dependency
+        except ImportError as e:
+            raise NotImplementedError(
+                "real media decoding requires PIL (pip install pillow), "
+                "which is not present in this environment; use "
+                "decode_stub=True") from e
 
     def _featurize_payload(payload: bytes | None) -> list[float] | None:
         if payload is None:
             return None
         import numpy as np
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        # deterministic fake: per-bucket byte-value means over `dim` buckets
+        if decode_stub:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+        else:
+            import io
+
+            from PIL import Image
+            arr = np.asarray(
+                Image.open(io.BytesIO(payload)).convert("L"),
+                dtype=np.uint8).ravel()
+        # per-bucket value means over `dim` strided buckets (bytes for the
+        # stub, grayscale pixels for the real decode)
         hist = [float(arr[i::dim].mean()) if arr[i::dim].size else 0.0
                 for i in range(dim)]
         return hist
@@ -96,13 +112,19 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
     """Resize stage for image payloads via mapInPandas.
 
     Stubbed resize: deterministic byte resampling of the payload to
-    width×height bytes (stride sampling) standing in for a real
-    decode→resize→re-encode (PIL's ``Image.resize`` in production).
-    Schema, filtering, and Arrow batching are the real pipeline.
+    width×height bytes (stride sampling).  With ``decode_stub=False``
+    the payload is decoded with PIL (optional dependency), resized to
+    width×height, and re-emitted as raw grayscale bytes — both paths
+    emit RESIZED_SCHEMA (pinned by the contract test).
     """
     if not decode_stub:
-        raise NotImplementedError(
-            "real image resize requires PIL/torchvision; use decode_stub=True")
+        try:
+            from PIL import Image  # noqa: F401 - optional dependency
+        except ImportError as e:
+            raise NotImplementedError(
+                "real image resize requires PIL (pip install pillow), which "
+                "is not present in this environment; use "
+                "decode_stub=True") from e
 
     target = width * height
 
@@ -110,6 +132,13 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
         if payload is None:
             return None
         import numpy as np
+        if not decode_stub:
+            import io
+
+            from PIL import Image
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            return np.asarray(img.resize((width, height)),
+                              dtype=np.uint8).tobytes()
         arr = np.frombuffer(payload, dtype=np.uint8)
         if arr.size == 0:
             return bytes(target)

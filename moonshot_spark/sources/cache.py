@@ -32,6 +32,50 @@ def _fingerprint(prefix: str, kwargs: dict) -> str:
     return f"{prefix}_{digest}"
 
 
+class _FileLock:
+    """O_EXCL lock-file serialization of concurrent cache writers
+    (reference _cache.py:147-151,181-184 uses ``FileLock``; this is the
+    stdlib-only equivalent).  Spin-waits for a held lock; a lock older
+    than ``stale_after`` seconds is treated as abandoned (crashed
+    writer) and taken over."""
+
+    def __init__(self, path: str, timeout: float = 60.0,
+                 stale_after: float = 300.0):
+        self.path = path
+        self.timeout = timeout
+        self.stale_after = stale_after
+
+    def __enter__(self):
+        deadline = time.time() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    held_for = time.time() - os.path.getmtime(self.path)
+                except OSError:      # holder released between checks
+                    continue
+                if held_for > self.stale_after:
+                    try:
+                        os.remove(self.path)
+                    except OSError:
+                        pass
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"cache lock {self.path} held for {held_for:.0f}s")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+
+
 def _source_mtime(paths: list[str]) -> float:
     """Max mtime across source files/dirs (recursive), 0 if none exist."""
     latest = 0.0
@@ -85,12 +129,29 @@ class Cache:
 
     def set(self, prefix: str, kwargs: dict, df: DataFrame,
             extra: dict | None = None) -> str:
+        """Write-through, serialized against concurrent writers of the
+        same key (reference _cache.py:147-151): the Parquet lands in a
+        writer-private temp dir, then the swap (+ atomic meta replace)
+        happens under an O_EXCL lock file, so a concurrent set of the
+        same key can never interleave into a half-written entry.
+        Readers don't lock: meta is replaced atomically LAST, so a read
+        sees either the complete old entry or the complete new one (or a
+        momentary miss during the swap — a recompute, never corruption)."""
         key = _fingerprint(prefix, kwargs)
         data_path, meta_path = self._paths(key)
-        df.write.mode("overwrite").parquet(data_path)
-        with open(meta_path, "w") as f:
-            json.dump({"written_at": time.time(), "prefix": prefix,
-                       "extra": extra or {}}, f)
+        tmp_path = f"{data_path}.tmp-{os.getpid()}-{int(time.time()*1e6)}"
+        df.write.mode("overwrite").parquet(tmp_path)
+        try:
+            with _FileLock(data_path + ".lock"):
+                shutil.rmtree(data_path, ignore_errors=True)
+                os.rename(tmp_path, data_path)
+                meta_tmp = f"{meta_path}.tmp-{os.getpid()}"
+                with open(meta_tmp, "w") as f:
+                    json.dump({"written_at": time.time(), "prefix": prefix,
+                               "extra": extra or {}}, f)
+                os.replace(meta_tmp, meta_path)
+        finally:
+            shutil.rmtree(tmp_path, ignore_errors=True)
         return data_path
 
     def get_extra(self, prefix: str, kwargs: dict) -> dict:

@@ -917,3 +917,39 @@ def test_pairwise_ssd_topk_empty_input(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "sid_a", "sid_b", "n_dates", "ssd", "rk"]
+
+
+def test_multimodal_stub_real_schema_contract(docs):
+    """The stub and the PIL-backed real decode declare the SAME output
+    schemas (FEATURE_SCHEMA / RESIZED_SCHEMA), so swapping decode_stub
+    on a codec-equipped cluster changes no downstream plan.  Without PIL
+    the real path must fail fast with NotImplementedError BEFORE any
+    Spark job runs; with PIL present it must build a lazy plan with the
+    identical schema."""
+    from moonshot_spark.datapipe.multimodal import (
+        FEATURE_SCHEMA, RESIZED_SCHEMA, docs_to_media, extract_features,
+        resize_images)
+
+    media = docs_to_media(docs)
+    stub_feats = extract_features(media, dim=8)
+    stub_resized = resize_images(media, width=8, height=4)
+    assert stub_feats.schema == FEATURE_SCHEMA
+    assert stub_resized.schema == RESIZED_SCHEMA
+
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if has_pil:
+        real_feats = extract_features(media, dim=8, decode_stub=False)
+        real_resized = resize_images(media, width=8, height=4,
+                                     decode_stub=False)
+        assert real_feats.schema == stub_feats.schema
+        assert real_resized.schema == stub_resized.schema
+    else:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            extract_features(media, dim=8, decode_stub=False)
+        with pytest.raises(NotImplementedError, match="PIL"):
+            resize_images(media, width=8, height=4, decode_stub=False)
