@@ -11095,3 +11095,219 @@ def inventory_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor((F.col("max_tns") - F.col("ts_ns"))
                             / F.lit(86400000000000.0)).cast("bigint")
                     .alias("age_days")))
+
+
+# --------------------------------------------------------------------- #
+# TPC-H Q1 pricing summary (full port: all needed columns present)      #
+# --------------------------------------------------------------------- #
+
+@register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical map-side-combinable scan→agg.  One
+    exchange on a 6-value grouping key; every aggregate is a partial-agg
+    sum (averages derive from exact DECIMAL sums / counts, so Spark and
+    DuckDB agree bit-for-bit).  At 100 TB this plan is scan-bound — the
+    shuffle carries ~6 rows per map task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    dc = F.col("l_discount").cast("decimal(18,2)")
+    tx = F.col("l_tax").cast("decimal(18,2)")
+    qt = F.col("l_quantity").cast("decimal(18,2)")
+    n = F.count("*")
+    return (li.where(F.col("l_shipdate").cast("date")
+                     <= F.lit("1998-09-02").cast("date"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qt).cast("double").alias("sum_qty"),
+                 F.sum(ep).cast("double").alias("sum_base_price"),
+                 F.sum(ep * (1 - dc)).cast("double").alias("sum_disc_price"),
+                 F.sum(ep * (1 - dc) * (1 + tx)).cast("double")
+                 .alias("sum_charge"),
+                 (F.sum(qt).cast("double") / n).alias("avg_qty"),
+                 (F.sum(ep).cast("double") / n).alias("avg_price"),
+                 (F.sum(dc).cast("double") / n).alias("avg_disc"),
+                 n.alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+# --------------------------------------------------------------------- #
+# TPC-H Q9 product-profit shape (adapted: the driver schema has no      #
+# partsupp, so profit omits the supplycost term)                        #
+# --------------------------------------------------------------------- #
+
+@register("q9_product_profit", """
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+FROM (
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS amount
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted — no partsupp table in the driver schema,
+    so amount = extprice*(1-discount)): the 5-way join with a selective
+    LIKE filter on part ("bolt", present in the synthetic names).  part/supplier/nation broadcast (dims);
+    lineitem⋈orders shuffles once on orderkey.  The p_name filter is
+    applied BEFORE the broadcast so the hash table only holds matching
+    parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = (F.col("l_extendedprice").cast("decimal(18,2)")
+              * (1 - F.col("l_discount").cast("decimal(18,2)")))
+    return (li
+            .join(F.broadcast(part.where(F.col("p_name").like("%bolt%"))
+                              .select("p_partkey")),
+                  li.l_partkey == F.col("p_partkey"))
+            .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+                  li.l_suppkey == F.col("s_suppkey"))
+            .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(orders.select("o_orderkey", "o_orderdate"),
+                  li.l_orderkey == F.col("o_orderkey"))
+            .select(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").cast("int").alias("o_year"),
+                    amount.alias("amount"))
+            .groupBy("nation", "o_year")
+            .agg(F.sum("amount").cast("double").alias("sum_profit"))
+            .orderBy(F.asc("nation"), F.desc("o_year")))
+
+
+# --------------------------------------------------------------------- #
+# TPC-H Q12 shipping-priority-class shape (adapted: no l_shipmode /     #
+# commit/receipt dates — lateness = shipdate > orderdate + 90 days,     #
+# classes = priority high/low)                                          #
+# --------------------------------------------------------------------- #
+
+@register("q12_late_shipment_priority", """
+SELECT o_orderstatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+                                   + INTERVAL 90 DAY
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""")
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted — the driver schema has no l_shipmode or
+    commit/receipt dates): join orders⋈lineitem, filter to
+    late-shipped lines (shipped >90 days after order), and count
+    high- vs low-priority lines per order status — the canonical
+    join→conditional-two-way-count aggregation.  One shuffle on
+    orderkey; the CASE counts are map-side combinable."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .where(F.col("l_shipdate").cast("date")
+                   > F.date_add(F.col("o_orderdate").cast("date"), 90))
+            .groupBy("o_orderstatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+            .orderBy("o_orderstatus"))
+
+
+# --------------------------------------------------------------------- #
+# TPC-H Q21 waiting-suppliers shape (adapted lateness; the multi-way    #
+# semi + anti self-join structure is the point)                         #
+# --------------------------------------------------------------------- #
+
+@register("q21_waiting_suppliers", """
+WITH li AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           CAST(l.l_shipdate AS DATE) >
+               CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY AS is_late
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, count(*) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE is_late) l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM li l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM li l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.is_late)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""")
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted lateness = shipped >60 days after order,
+    in lieu of the absent commit/receipt dates): suppliers who were the
+    SOLE late supplier on a finished multi-supplier order.  The
+    structure is the point — a semi self-join (another supplier exists
+    on the order) plus an anti self-join (no OTHER supplier was late) —
+    and both express as per-order aggregates: distinct-supplier count
+    and late-distinct-supplier count, computed in ONE shuffle on
+    orderkey instead of two additional self-join shuffles (the classic
+    Q21 rewrite; Catalyst cannot do it automatically because the EXISTS
+    pair is correlated).  NOT a cartesian: every join is equi-keyed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    lines = (li.join(orders.where(F.col("o_orderstatus") == "F")
+                     .select("o_orderkey", "o_orderdate"),
+                     li.l_orderkey == F.col("o_orderkey"))
+             .select("l_orderkey", "l_suppkey",
+                     (F.col("l_shipdate").cast("date")
+                      > F.date_add(F.col("o_orderdate").cast("date"), 60))
+                     .alias("is_late"))
+             .select("l_orderkey", "l_suppkey", "is_late").distinct())
+    per_order = (lines.groupBy("l_orderkey")
+                 .agg(F.count_distinct("l_suppkey").alias("n_supps"),
+                      F.count_distinct(
+                          F.when(F.col("is_late"), F.col("l_suppkey")))
+                      .alias("n_late_supps")))
+    # l1: late (orderkey, suppkey) pairs on orders with >1 supplier where
+    # this suppkey is the ONLY late one
+    l1 = (lines.where(F.col("is_late"))
+          .select("l_orderkey", "l_suppkey").distinct()
+          .join(per_order.where((F.col("n_supps") > 1)
+                                & (F.col("n_late_supps") == 1)),
+                "l_orderkey"))
+    return (l1.join(F.broadcast(supp.select("s_suppkey", "s_name")),
+                    l1.l_suppkey == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(20))

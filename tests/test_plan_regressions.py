@@ -315,3 +315,31 @@ def test_ta_queries_single_sid_shuffle_after_panel():
     for name in ("ta_bollinger_rsi", "ta_macd_stoch_obv"):
         plan = plan_of(name)
         assert plan.count("Exchange hashpartitioning") <= 2, (name, plan)
+
+
+def test_q1_single_shuffle_partial_agg():
+    """TPC-H Q1: one exchange (the 6-key groupBy), partial agg before it,
+    filter pushed to the scan."""
+    plan = plan_of("q1_pricing_summary")
+    # exactly one shuffle exchange for the agg (plus sort for ORDER BY)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "partial" in plan.lower(), plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters")[1][:200], plan
+
+
+def test_q9_broadcasts_dims():
+    """TPC-H Q9 shape: part/supplier/nation broadcast; no cartesian."""
+    plan = plan_of("q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q21_no_cartesian_single_lineage():
+    """Q21's EXISTS/NOT EXISTS pair is rewritten to per-order aggregates:
+    every join equi-keyed, supplier broadcast, no cartesian product or
+    nested-loop join anywhere."""
+    plan = plan_of("q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
