@@ -6720,11 +6720,12 @@ def walkforward_ar1_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("tag", tag)
             .where(F.col("tag").isNotNull()))
 
+    from moonshot_spark.functions.folds import fold_sum_exact
+
     def fold_by(key_col, expr):
-        arr = F.transform(
-            F.array_sort(F.collect_list(F.struct(key_col, expr.alias("v")))),
-            lambda s: s["v"])
-        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+        # width-guarded order-pinned fold (functions/folds.py): errors
+        # inside the job if a group outgrows the in-array bound
+        return fold_sum_exact(key_col, expr, label="gap_fade_tstat")
 
     partials = kept.groupBy("fold", "tag", "sid").agg(
         F.count("*").alias("cnt"),
@@ -6859,11 +6860,12 @@ def event_study_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("event", F.when(F.col("gap") > 0.02, "gap_up")
                       .otherwise("gap_down")))
 
+    from moonshot_spark.functions.folds import fold_sum_exact
+
     def fold_by(key_col, expr):
-        arr = F.transform(
-            F.array_sort(F.collect_list(F.struct(key_col, expr.alias("v")))),
-            lambda s: s["v"])
-        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+        # width-guarded order-pinned fold (functions/folds.py): errors
+        # inside the job if a group outgrows the in-array bound
+        return fold_sum_exact(key_col, expr, label="gap_fade_tstat")
 
     partials = ev.groupBy("event", "sid").agg(
         F.count("fwd1").alias("n1"),
@@ -7074,11 +7076,12 @@ def momentum_decile_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("week").orderBy("wk_ret", "sid"))
     ranked = defined.withColumn("decile", decile)
 
+    from moonshot_spark.functions.folds import fold_sum_exact
+
     def fold_by(key_col, expr):
-        arr = F.transform(
-            F.array_sort(F.collect_list(F.struct(key_col, expr.alias("v")))),
-            lambda s: s["v"])
-        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+        # width-guarded order-pinned fold (functions/folds.py): errors
+        # inside the job if a group outgrows the in-array bound
+        return fold_sum_exact(key_col, expr, label="gap_fade_tstat")
 
     partials = ranked.groupBy("week", "decile").agg(
         F.count("fwd_ret").alias("n"),
@@ -7484,11 +7487,12 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.col("tf").cast("double")
                     / F.col("df").cast("double")).alias("w")))
 
+    from moonshot_spark.functions.folds import fold_sum_exact
+
     def fold_by(key_col, expr):
-        arr = F.transform(
-            F.array_sort(F.collect_list(F.struct(key_col, expr.alias("v")))),
-            lambda s: s["v"])
-        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+        # width-guarded order-pinned fold (functions/folds.py): errors
+        # inside the job if a group outgrows the in-array bound
+        return fold_sum_exact(key_col, expr, label="gap_fade_tstat")
 
     norms = wts.groupBy("doc_id").agg(
         F.sqrt(fold_by("term", F.col("w") * F.col("w"))).alias("nrm"))
@@ -8047,11 +8051,12 @@ def gap_fade_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("grp", F.when(F.col("gap") > 0.02, "up")
                       .otherwise("down")))
 
+    from moonshot_spark.functions.folds import fold_sum_exact
+
     def fold_by(key_col, expr):
-        arr = F.transform(
-            F.array_sort(F.collect_list(F.struct(key_col, expr.alias("v")))),
-            lambda s: s["v"])
-        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+        # width-guarded order-pinned fold (functions/folds.py): errors
+        # inside the job if a group outgrows the in-array bound
+        return fold_sum_exact(key_col, expr, label="gap_fade_tstat")
 
     partials = ev.groupBy("grp", "sid").agg(
         F.count("*").alias("cnt"),
@@ -8143,19 +8148,20 @@ def portfolio_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     results = DualMovingAverage().backtest(panel)
     rets = (results.where(F.col("field") == "Return")
             .select("sid", "date", F.col("value").alias("r")))
-    folded_sid = F.aggregate(
-        F.transform(F.array_sort(F.collect_list(F.struct("sid", "r"))),
-                    lambda s: F.coalesce(s["r"], F.lit(0.0))),
-        F.lit(0.0), lambda a, b: a + b)
+    from moonshot_spark.functions.folds import fold_sum_exact
+
+    # width-guarded order-pinned folds (functions/folds.py): per-date
+    # arrays grow with the cross-section — the guard fails fast instead
+    # of OOMing if pointed at an unbounded universe
+    folded_sid = fold_sum_exact(
+        "sid", F.coalesce(F.col("r"), F.lit(0.0)), label="portfolio_var_es")
     port = rets.groupBy("date").agg(folded_sid.alias("pr"))
     var5 = port.agg(
         F.expr("percentile(pr, 0.05)").alias("var_5pct"))
     tail = (port.crossJoin(F.broadcast(var5))
             .where(F.col("pr") <= F.col("var_5pct")))
-    folded_date = F.aggregate(
-        F.transform(F.array_sort(F.collect_list(F.struct("date", "pr"))),
-                    lambda s: s["pr"]),
-        F.lit(0.0), lambda a, b: a + b)
+    folded_date = fold_sum_exact(
+        "date", F.col("pr"), label="portfolio_var_es")
     stats = tail.agg(
         (folded_date / F.count("*").cast("double")).alias("es_5pct"),
         F.count("*").alias("n_tail"))
@@ -8222,11 +8228,12 @@ def james_stein_means(spark: SparkSession, sf_dir: str) -> DataFrame:
                          pct_change("close", 1, w).alias("r"))
             .where(F.col("r").isNotNull()))
 
+    from moonshot_spark.functions.folds import fold_sum_exact
+
     def fold_by(key_col, expr):
-        arr = F.transform(
-            F.array_sort(F.collect_list(F.struct(key_col, expr.alias("v")))),
-            lambda s: s["v"])
-        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+        # width-guarded order-pinned fold (functions/folds.py): errors
+        # inside the job if a group outgrows the in-array bound
+        return fold_sum_exact(key_col, expr, label="gap_fade_tstat")
 
     per_sid = rets.groupBy("sid").agg(
         F.count("r").alias("n"),

@@ -222,3 +222,40 @@ def test_asof_join_strict_inequality(spark):
     strict = asof_join(left, right, on="t", by="k", value_cols=["rv"],
                        allow_exact_matches=False).collect()[0]["rv"]
     assert exact == 5.0 and strict == 4.0
+
+
+def test_fold_sum_exact_matches_python_fold(spark):
+    """fold_sum_exact = left-to-right IEEE fold in key order."""
+    from moonshot_spark.functions.folds import fold_sum_exact
+
+    rows = [(i, [0.1, 1e-17, -0.1, 0.3][i % 4] * (i + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    got = df.agg(fold_sum_exact("k", F.col("v")).alias("s")).first()["s"]
+    expect = 0.0
+    for _, v in sorted(rows):
+        expect = expect + v
+    assert got == expect   # bit-equal, not approx
+
+
+def test_fold_sum_exact_width_guard(spark):
+    """A group wider than max_width fails fast inside the job with the
+    guidance message, instead of materializing an unbounded array
+    (VERDICT r5 item 7)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from moonshot_spark.functions.folds import fold_sum_exact
+
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 0.5).alias("v"))
+    # bound below the group size -> error with guidance
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="max_width"):
+        df.agg(fold_sum_exact("k", F.col("v"), max_width=10).alias("s")) \
+          .collect()
+    # at the bound -> fine
+    out = df.agg(
+        fold_sum_exact("k", F.col("v"), max_width=100).alias("s")).first()
+    assert out["s"] == sum(i * 0.5 for i in range(100))
