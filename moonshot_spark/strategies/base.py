@@ -769,10 +769,16 @@ class Moonshot:
                                if c in today.columns]) \
             .join(F.broadcast(cv_today), "sid", "left")
 
-        # cross with accounts; weight × allocation (base.py:1609-1616)
+        # cross with accounts; weight × allocation (base.py:1609-1616).
+        # Integer account numbers keep their type end-to-end (reference
+        # test_trade.py:2398+), so the balances/positions joins are
+        # cast-free and the orders carry the caller's account identity.
+        acct_type = ("bigint" if all(isinstance(a, int)
+                                     for a in allocations) else "string")
         alloc_df = spark.createDataFrame(
-            [(a, float(v)) for a, v in allocations.items()],
-            "account string, allocation double")
+            [(a if acct_type == "bigint" else str(a), float(v))
+             for a, v in allocations.items()],
+            f"account {acct_type}, allocation double")
         today = (today.crossJoin(F.broadcast(alloc_df))
                  .withColumn("weight", F.col("weight") * F.col("allocation")))
 

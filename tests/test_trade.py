@@ -403,3 +403,58 @@ def test_instance_reuse_resets_signal_time(spark, master, balances):
     strat.trade(daily, {"U123": 1.0}, balances, master=master,
                 review_date="2024-06-05")
     assert strat._signal_time is None
+
+
+def test_allow_rebalance_not_float_raises(spark, prices, master, balances):
+    """reference test_allow_rebalance.py:516+: a non-numeric
+    ALLOW_REBALANCE errors with the reference's message."""
+    from moonshot_spark.exceptions import MoonshotParameterError
+
+    class Bad(BuyBelow10):
+        ALLOW_REBALANCE = "always"
+
+    positions = spark.createDataFrame(
+        [("FI23456", "U123", 100)],
+        "sid string, account string, quantity long")
+    with pytest.raises(MoonshotParameterError,
+                       match="invalid value for ALLOW_REBALANCE"):
+        Bad().trade(prices, {"U123": 1.0}, balances,
+                    positions=positions, master=master)
+
+
+def test_no_contract_value_reference_field_raises(spark, master, balances):
+    """reference test_trade.py:872+: a panel with no price-like field and
+    no CONTRACT_VALUE_REFERENCE_FIELD errors with guidance."""
+    from moonshot_spark.exceptions import MoonshotParameterError
+
+    rows = [("FI23456", d, float(v))
+            for d, v in zip(DATES, [5000, 6000, 7000], strict=True)]
+    vol_only = spark.createDataFrame(
+        rows, "sid string, date date, volume double")
+
+    class VolStrat(BuyBelow10):
+        def prices_to_signals(self, p):
+            return p.withColumn("signal", F.lit(1))
+
+    with pytest.raises(MoonshotParameterError,
+                       match="Can't identify a suitable field"):
+        VolStrat().trade(vol_only, {"U123": 1.0}, balances, master=master)
+
+
+def test_integer_account_numbers(spark, prices, master):
+    """reference test_trade.py:2398+: integer account identifiers flow
+    through allocations/balances/positions and come back on the orders."""
+    balances = spark.createDataFrame(
+        [(12345, "USD", 60000.0)],
+        "account long, currency string, net_liquidation double")
+    positions = spark.createDataFrame(
+        [("FI23456", 12345, 400)],
+        "sid string, account long, quantity long")
+    orders = BuyBelow10().trade(prices, {12345: 1.0}, balances,
+                                positions=positions, master=master)
+    got = orders_list(orders)
+    assert got[0]["account"] == 12345
+    # day-3 signal: FI23456 close 8.50 < 10 -> target 60000/8.50=7059,
+    # minus existing 400 -> 6659 BUY
+    assert got[0]["total_quantity"] == round(60000 / 8.50) - 400
+    assert got[0]["action"] == "BUY"
