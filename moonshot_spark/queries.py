@@ -11318,3 +11318,84 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("numwait"))
             .orderBy(F.desc("numwait"), F.asc("s_name"))
             .limit(20))
+
+
+# --------------------------------------------------------------------- #
+# Zipf slope: corpus-health statistic over the token frequency curve    #
+# --------------------------------------------------------------------- #
+
+@register("zipf_slope", """
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks
+    WHERE tok <> '' GROUP BY tok
+),
+ranked AS (
+    SELECT tok, cnt,
+           row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+    FROM freq ORDER BY cnt DESC, tok LIMIT 500
+),
+logs AS (
+    -- ln() is not cross-engine bit-stable (Math.log vs libm differ by
+    -- 1 ulp on some inputs): round to 9dp on BOTH sides before summing
+    SELECT rnk, round(ln(CAST(rnk AS DOUBLE)), 9) AS lx,
+           round(ln(CAST(cnt AS DOUBLE)), 9) AS ly
+    FROM ranked
+),
+sums AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           list_reduce(list(lx ORDER BY rnk), (a, b) -> a + b) AS sx,
+           list_reduce(list(ly ORDER BY rnk), (a, b) -> a + b) AS sy,
+           list_reduce(list(lx * lx ORDER BY rnk), (a, b) -> a + b) AS sxx,
+           list_reduce(list(lx * ly ORDER BY rnk), (a, b) -> a + b) AS sxy
+    FROM logs
+)
+SELECT n AS n_ranks,
+       (sxy - sx * sy / n) / (sxx - sx * sx / n) AS zipf_slope,
+       (sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n
+           AS zipf_intercept
+FROM sums
+""")
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token-frequency curve: OLS slope of
+    ln(freq) on ln(rank) across the top-500 ranks (a healthy natural-
+    language corpus sits near -1; machine-generated or template-heavy
+    corpora flatten or steepen — a standard pretraining-corpus health
+    check).  Scale shape: one tokenize-explode + groupBy (map-side
+    combinable counts), then a TopK (orderBy+limit reduces per-partition
+    tops, never a global sort of the vocabulary), then the closed-form
+    slope from rank-pinned exact folds over 500 rows.  The regression
+    sums use fold_sum_exact so Spark and DuckDB produce bit-identical
+    doubles."""
+    from moonshot_spark.functions.folds import fold_sum_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")) \
+        .where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("cnt"))
+    top = freq.orderBy(F.desc("cnt"), F.asc("tok")).limit(500)
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(F.desc("cnt"), F.asc("tok"))))
+    # ln() differs from DuckDB's libm by 1 ulp on some inputs; 9dp
+    # rounding (positive values: HALF_UP == half-away on both engines)
+    # pins the regression inputs bit-identically
+    logs = ranked.select(
+        "rnk", F.round(F.log(F.col("rnk").cast("double")), 9).alias("lx"),
+        F.round(F.log(F.col("cnt").cast("double")), 9).alias("ly"))
+    sums = logs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        fold_sum_exact("rnk", F.col("lx"), label="zipf_slope").alias("sx"),
+        fold_sum_exact("rnk", F.col("ly"), label="zipf_slope").alias("sy"),
+        fold_sum_exact("rnk", F.col("lx") * F.col("lx"),
+                       label="zipf_slope").alias("sxx"),
+        fold_sum_exact("rnk", F.col("lx") * F.col("ly"),
+                       label="zipf_slope").alias("sxy"))
+    n = F.col("n")
+    slope = ((F.col("sxy") - F.col("sx") * F.col("sy") / n)
+             / (F.col("sxx") - F.col("sx") * F.col("sx") / n))
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return sums.select(n.alias("n_ranks"), slope.alias("zipf_slope"),
+                       intercept.alias("zipf_intercept"))

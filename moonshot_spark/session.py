@@ -32,14 +32,12 @@ def get_spark(app_name: str = "moonshot_spark", master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce small shuffles by TARGET SIZE, not cluster parallelism:
-        # with the default (true), AQE keeps ~32 tiny post-shuffle
-        # partitions for parallelism's sake and pays 32 task dispatches;
-        # false lets sub-advisory-size stages collapse to 1-2 tasks
-        # (measured: -7% on tiny-shuffle queries, PERF.md §overhead;
-        # Spark's own docs recommend false)
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
+        # parallelismFirst stays at the default TRUE: size-based
+        # coalescing (false) saved ~7% on trivially tiny shuffles but
+        # serialized CPU-heavy small-BYTE stages (item_cooccurrence's
+        # pair expansion 1.2 s -> 3.9 s, z-order rank 0.2 s -> 0.8 s)
+        # because post-shuffle bytes say nothing about downstream compute
+        # per row.  Measured both ways in PERF.md §overhead.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
