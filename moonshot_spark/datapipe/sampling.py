@@ -132,3 +132,34 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int,
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= cap)
             .drop("__rn"))
+
+
+def corpus_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 0,
+                   epoch: int = 0, num_shards: int | None = None,
+                   n_partitions: int = 8) -> DataFrame:
+    """Deterministic global shuffle of the corpus into a training order:
+    every row gets a 1-based ``position`` in the order of
+    ``md5(seed:epoch:id)`` (a different permutation per epoch, the
+    standard seeded data-order shuffle for reproducible training runs)
+    and, if ``num_shards`` is given, a round-robin ``shard`` so shard
+    sizes differ by at most one row.
+
+    Scale shape: the only total-order operation is a TeraSort-style
+    two-phase rank (operators/ranking.exact_rank) — one range shuffle on
+    the hash key, partitioned windows only, never a global window.  The
+    order is a pure function of (seed, epoch, id): independent of input
+    partitioning, stable across runs and engines (md5 is bit-stable
+    everywhere).
+    """
+    from moonshot_spark.operators.ranking import exact_rank
+
+    key = F.md5(F.concat_ws(
+        ":", F.lit(str(seed)), F.lit(str(epoch)),
+        F.col(id_col).cast("string")))
+    ranked = exact_rank(df.withColumn("__key", key),
+                        ["__key", id_col], out_col="position",
+                        n_partitions=n_partitions).drop("__key")
+    if num_shards:
+        ranked = ranked.withColumn(
+            "shard", ((F.col("position") - 1) % num_shards).cast("int"))
+    return ranked

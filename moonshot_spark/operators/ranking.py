@@ -27,16 +27,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exact_ntile"]
+__all__ = ["exact_ntile", "exact_rank"]
 
 
-def exact_ntile(df: DataFrame, n: int, order_cols: list[str | Column],
-                out_col: str = "ntile",
-                n_partitions: int | None = None) -> DataFrame:
-    """Append ``out_col`` = exact ntile(n) over the global order given by
-    ``order_cols`` (must include a unique tiebreak).  Two-phase rank —
-    no unpartitioned window anywhere in the plan."""
-    n_partitions = n_partitions or max(n, 8)
+def _two_phase_rank(df: DataFrame, order_cols: list[str | Column],
+                    n_partitions: int):
+    """Shared kernel: returns (range-partitioned df with ``__pid``,
+    exact-global-rank Column, total row count).  One range shuffle, one
+    bounded per-partition-count job, partitioned windows only."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = (df.repartitionByRange(n_partitions, *cols)
             .localCheckpoint()
@@ -55,6 +53,28 @@ def exact_ntile(df: DataFrame, n: int, order_cols: list[str | Column],
         if offsets else F.lit(0)
     rank = off_col + F.row_number().over(
         Window.partitionBy("__pid").orderBy(*cols))
+    return part, rank, total
+
+
+def exact_rank(df: DataFrame, order_cols: list[str | Column],
+               out_col: str = "rank",
+               n_partitions: int = 8) -> DataFrame:
+    """Append ``out_col`` = exact 1-based global position over the total
+    order given by ``order_cols`` (must include a unique tiebreak) —
+    ``row_number() OVER (ORDER BY ...)`` semantics with no
+    unpartitioned window anywhere in the plan."""
+    part, rank, _ = _two_phase_rank(df, order_cols, n_partitions)
+    return part.withColumn(out_col, rank.cast("bigint")).drop("__pid")
+
+
+def exact_ntile(df: DataFrame, n: int, order_cols: list[str | Column],
+                out_col: str = "ntile",
+                n_partitions: int | None = None) -> DataFrame:
+    """Append ``out_col`` = exact ntile(n) over the global order given by
+    ``order_cols`` (must include a unique tiebreak).  Two-phase rank —
+    no unpartitioned window anywhere in the plan."""
+    n_partitions = n_partitions or max(n, 8)
+    part, rank, total = _two_phase_rank(df, order_cols, n_partitions)
     q, rem = divmod(total, n)
     cut = rem * (q + 1)
     tile = F.when(rank <= F.lit(cut),

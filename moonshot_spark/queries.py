@@ -11399,3 +11399,30 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept = (F.col("sy") - slope * F.col("sx")) / n
     return sums.select(n.alias("n_ranks"), slope.alias("zipf_slope"),
                        intercept.alias("zipf_intercept"))
+
+
+# --------------------------------------------------------------------- #
+# Seeded deterministic corpus shuffle (training-order permutation)      #
+# --------------------------------------------------------------------- #
+
+@register("corpus_shuffle_epoch", """
+SELECT doc_id,
+       CAST(row_number() OVER (
+           ORDER BY md5('7:1:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS position,
+       CAST((row_number() OVER (
+           ORDER BY md5('7:1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1)
+           % 8 AS INT) AS shard
+FROM documents
+""")
+def corpus_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle (seed 7, epoch 1, 8 shards):
+    position = exact global rank by md5(seed:epoch:doc_id) via the
+    two-phase TeraSort rank — no unpartitioned window — and round-robin
+    shard assignment.  The oracle's single-task row_number() is the
+    semantics; the engine's plan is the scale-safe implementation of it."""
+    from moonshot_spark.datapipe.sampling import corpus_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return corpus_shuffle(docs, seed=7, epoch=1, num_shards=8) \
+        .select("doc_id", "position", "shard")

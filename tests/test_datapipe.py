@@ -953,3 +953,47 @@ def test_multimodal_stub_real_schema_contract(docs):
             extract_features(media, dim=8, decode_stub=False)
         with pytest.raises(NotImplementedError, match="PIL"):
             resize_images(media, width=8, height=4, decode_stub=False)
+
+
+def test_corpus_shuffle_epochs_permute_deterministically(spark):
+    """corpus_shuffle: same (seed, epoch) -> identical order across runs
+    and partitionings; different epoch -> a different permutation of the
+    same rows; round-robin shards balanced to within one row."""
+    from moonshot_spark.datapipe.sampling import corpus_shuffle
+
+    df1 = spark.range(0, 97).withColumnRenamed("id", "doc_id")
+    df2 = df1.repartition(7)     # different input partitioning
+    o1 = {r["doc_id"]: r["position"] for r in
+          corpus_shuffle(df1, seed=3, epoch=0).collect()}
+    o1b = {r["doc_id"]: r["position"] for r in
+           corpus_shuffle(df2, seed=3, epoch=0).collect()}
+    o2 = {r["doc_id"]: r["position"] for r in
+          corpus_shuffle(df1, seed=3, epoch=1).collect()}
+    assert o1 == o1b                       # partitioning-independent
+    assert sorted(o1.values()) == list(range(1, 98))   # a permutation
+    assert o1 != o2                        # epoch changes the order
+    assert sorted(o2.values()) == list(range(1, 98))
+
+    sharded = corpus_shuffle(df1, seed=3, epoch=0, num_shards=5).collect()
+    from collections import Counter
+    sizes = Counter(r["shard"] for r in sharded)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert set(sizes) == set(range(5))
+
+
+def test_exact_rank_matches_row_number(spark):
+    """exact_rank == row_number() OVER (ORDER BY ...) without any
+    unpartitioned window in the plan."""
+    from moonshot_spark.operators.ranking import exact_rank
+
+    rows = [(i, (i * 37) % 101) for i in range(101)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = exact_rank(df, ["v", "id"], out_col="pos", n_partitions=6)
+    got = {r["id"]: r["pos"] for r in out.collect()}
+    expect = {i: rk for rk, (v, i) in
+              enumerate(sorted((v, i) for i, v in rows), start=1)}
+    assert got == expect
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no global (single-partition) exchange anywhere — the point of the
+    # two-phase rank
+    assert "SinglePartition" not in plan, plan
