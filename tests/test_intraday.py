@@ -90,3 +90,84 @@ def test_once_a_day_intraday(spark, intraday_prices):
     ret = {(r["sid"], r["date"]): round(r["value"], 7)
            for r in results.where(F.col("field") == "Return").collect()}
     assert ret[("FI12345", DATES[1])] == 0.0   # position.shift() is null on day2
+
+
+def test_short_only_once_a_day_intraday_goldens(spark):
+    """reference test_backtest.py:1026-1320 full golden matrix: short-only
+    once-a-day intraday strategy (signals from the 09:30 Open, entry at
+    the 09:30 Close, exit at the 15:30 Close, POSITIONS_CLOSED_DAILY)."""
+    dates = [datetime.date(2018, 5, d) for d in (1, 2, 3)]
+    times2 = ["09:30:00", "15:30:00"]
+    closes = {"FI12345": [9.6, 10.45, 10.12, 15.45, 8.67, 12.30],
+              "FI23456": [10.56, 12.01, 10.50, 9.80, 13.40, 14.50]}
+    opens = {"FI12345": [9.88, 10.34, 10.23, 16.45, 8.90, 11.30],
+             "FI23456": [9.89, 11.0, 8.50, 10.50, 14.10, 15.0]}
+    rows = []
+    for sid in closes:
+        i = 0
+        for d in dates:
+            for t in times2:
+                rows.append((sid, d, t, closes[sid][i], opens[sid][i]))
+                i += 1
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, time string, close double, open double")
+
+    class ShortAbove10Intraday(Moonshot):
+        POSITIONS_CLOSED_DAILY = True
+
+        def prices_to_signals(self, p):
+            morning = (p.where(F.col("time") == "09:30:00")
+                       .select("sid", "date",
+                               F.col("open").alias("open0930"),
+                               F.col("close").alias("close0930")))
+            late = (p.where(F.col("time") == "15:30:00")
+                    .select("sid", "date", F.col("close").alias("close1530")))
+            return (morning.join(late, ["sid", "date"])
+                    .withColumn("signal",
+                                -(F.col("open0930") > 10).cast("int")))
+
+        def signals_to_target_weights(self, signals):
+            return self.allocate_fixed_weights(signals, 0.25)
+
+        def target_weights_to_positions(self, weights):
+            # enter same day
+            return weights.withColumn("position", F.col("weight"))
+
+        def positions_to_gross_returns(self, positions):
+            # hold 09:30 -> 15:30
+            pct = ((F.col("close1530") - F.col("close0930"))
+                   / F.col("close0930"))
+            return positions.withColumn("gross_return",
+                                        pct * F.col("position"))
+
+    results = ShortAbove10Intraday().backtest(prices)
+    assert "time" not in results.columns
+
+    def grid(field):
+        got = {}
+        for r in results.where(F.col("field") == field).collect():
+            v = r["value"]
+            got.setdefault(r["sid"], {})[r["date"]] = (
+                None if v is None or (isinstance(v, float) and math.isnan(v))
+                else round(v, 7))
+        return {sid: [vals[d] for d in dates] for sid, vals in got.items()}
+
+    # goldens at reference :1160-1320 (nan -> 0 fill happens upstream in
+    # the reference via fillna on weights of no-signal rows)
+    assert grid("Signal") == {"FI12345": [0.0, -1.0, 0.0],
+                              "FI23456": [0.0, 0.0, -1.0]}
+    assert grid("Weight") == {"FI12345": [0.0, -0.25, 0.0],
+                              "FI23456": [0.0, 0.0, -0.25]}
+    assert grid("AbsWeight") == {"FI12345": [0.0, 0.25, 0.0],
+                                 "FI23456": [0.0, 0.0, 0.25]}
+    assert grid("NetExposure") == {"FI12345": [0.0, -0.25, 0.0],
+                                   "FI23456": [0.0, 0.0, -0.25]}
+    assert grid("AbsExposure") == {"FI12345": [0.0, 0.25, 0.0],
+                                   "FI23456": [0.0, 0.0, 0.25]}
+    assert grid("TotalHoldings") == {"FI12345": [0.0, 1.0, 0.0],
+                                     "FI23456": [0.0, 0.0, 1.0]}
+    assert grid("Turnover") == {"FI12345": [0.0, 0.5, 0.0],
+                                "FI23456": [0.0, 0.0, 0.5]}
+    assert grid("Return") == {
+        "FI12345": [0.0, -0.13167, 0.0],       # (15.45-10.12)/10.12 * -0.25
+        "FI23456": [0.0, 0.0, -0.0205224]}     # (14.50-13.40)/13.40 * -0.25
