@@ -171,3 +171,24 @@ def test_short_only_once_a_day_intraday_goldens(spark):
     assert grid("Return") == {
         "FI12345": [0.0, -0.13167, 0.0],       # (15.45-10.12)/10.12 * -0.25
         "FI23456": [0.0, 0.0, -0.0205224]}     # (14.50-13.40)/13.40 * -0.25
+
+
+def test_continuous_intraday_commissions_goldens(intraday_prices):
+    """reference test_commissions.py:1767-2060: per-bar percentage
+    commission on a continuous intraday strategy; MIN_COMMISSION is
+    ignored when no NLV is provided (set absurdly high to prove it)."""
+    from moonshot_spark.commission.base import PercentageCommission
+
+    class TestCommission(PercentageCommission):
+        BROKER_COMMISSION_RATE = 0.0001    # 1 bps
+        EXCHANGE_FEE_RATE = 0
+        MIN_COMMISSION = 800000000         # high: must be ignored w/o NLV
+
+    class WithCosts(LongShortIntraday):
+        COMMISSION_CLASS = TestCommission
+
+    results = WithCosts().backtest(intraday_prices)
+    # commissions = turnover * 1bps per bar; first bar NULL (null turnover)
+    assert field_dict(results, "Commission") == {
+        "FI12345": [None, 0.00005, 0.0001, 0.0, 0.0, 0.0001],
+        "FI23456": [None, 0.00005, 0.0, 0.0, 0.0001, 0.0001]}
