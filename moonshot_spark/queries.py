@@ -4091,12 +4091,16 @@ def prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & q["mean_token_len"].between(2.0, 12.0)
         & (q["punct_ratio"] < 0.1))
     fp = passed.withColumn("__f", fingerprint_expr("text"))
-    keep = fp.groupBy("__f").agg(F.min("doc_id").alias("doc_id"))
-    # The survivor id set is corpus-cardinality (~one row per unique doc):
-    # never force-broadcast it.  A left-semi join lets AQE pick the
-    # strategy (shuffled hash at 100 TB, broadcast only if it measures
-    # small at runtime).
-    surv = fp.join(keep.select("doc_id"), "doc_id", "left_semi")
+    # min-id survivor per fingerprint as a WINDOW over the fingerprint
+    # partition, not groupBy+self-join: one corpus scan and one shuffle
+    # instead of two scans + a semi join (r6 plan audit: the join form
+    # made prepare_corpus scan the corpus twice).  A degenerate mega-
+    # duplicate fingerprint skews this window exactly as it would the
+    # groupBy; the LSH hot-bucket guard is the escape for that corpus.
+    wf = Window.partitionBy("__f")
+    surv = (fp.withColumn("__min_id", F.min("doc_id").over(wf))
+            .where(F.col("doc_id") == F.col("__min_id"))
+            .drop("__min_id"))
     ev_docs = docs.where(F.col("doc_id") % 50 == 0)
     train = surv.where(F.col("doc_id") % 50 != 0)
     clean = decontaminate(train, ev_docs)
