@@ -11430,3 +11430,117 @@ def corpus_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return corpus_shuffle(docs, seed=7, epoch=1, num_shards=8) \
         .select("doc_id", "position", "shard")
+
+
+# --------------------------------------------------------------------- #
+# Distributed Lloyd's k-means over embeddings (iterative algorithm)     #
+# --------------------------------------------------------------------- #
+
+@register("kmeans_embedding_clusters", """
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+dims AS (SELECT unnest(range(1, 65)) AS pos),
+c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, qv AS c
+    FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)
+),
+a1 AS (
+    SELECT vec_id, qv, j, d2 FROM (
+        SELECT v.vec_id, v.qv, c.j,
+               list_reduce(list_transform(v.qv,
+                   (x, i) -> (x - c.c[i]) * (x - c.c[i])),
+                   (a, b) -> a + b) AS d2,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_reduce(list_transform(v.qv,
+                       (x, i) -> (x - c.c[i]) * (x - c.c[i])),
+                       (a, b) -> a + b), c.j) AS rn
+        FROM q v CROSS JOIN c0 c) WHERE rn = 1
+),
+s1 AS (
+    SELECT a.j, p.pos, CAST(sum(a.qv[p.pos]) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM a1 a CROSS JOIN dims p GROUP BY a.j, p.pos
+),
+c1 AS (
+    SELECT c0.j,
+           list(COALESCE((s1.s - ((s1.s % s1.n + s1.n) % s1.n)) // s1.n,
+                         c0.c[p.pos]) ORDER BY p.pos) AS c
+    FROM c0 CROSS JOIN dims p
+    LEFT JOIN s1 ON s1.j = c0.j AND s1.pos = p.pos
+    GROUP BY c0.j
+),
+a2 AS (
+    SELECT vec_id, qv, j, d2 FROM (
+        SELECT v.vec_id, v.qv, c.j,
+               list_reduce(list_transform(v.qv,
+                   (x, i) -> (x - c.c[i]) * (x - c.c[i])),
+                   (a, b) -> a + b) AS d2,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_reduce(list_transform(v.qv,
+                       (x, i) -> (x - c.c[i]) * (x - c.c[i])),
+                       (a, b) -> a + b), c.j) AS rn
+        FROM q v CROSS JOIN c1 c) WHERE rn = 1
+),
+s2 AS (
+    SELECT a.j, p.pos, CAST(sum(a.qv[p.pos]) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM a2 a CROSS JOIN dims p GROUP BY a.j, p.pos
+),
+c2 AS (
+    SELECT c1.j,
+           list(COALESCE((s2.s - ((s2.s % s2.n + s2.n) % s2.n)) // s2.n,
+                         c1.c[p.pos]) ORDER BY p.pos) AS c
+    FROM c1 CROSS JOIN dims p
+    LEFT JOIN s2 ON s2.j = c1.j AND s2.pos = p.pos
+    GROUP BY c1.j
+),
+a3 AS (
+    SELECT vec_id, j, d2 FROM (
+        SELECT v.vec_id, c.j,
+               list_reduce(list_transform(v.qv,
+                   (x, i) -> (x - c.c[i]) * (x - c.c[i])),
+                   (a, b) -> a + b) AS d2,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                   list_reduce(list_transform(v.qv,
+                       (x, i) -> (x - c.c[i]) * (x - c.c[i])),
+                       (a, b) -> a + b), c.j) AS rn
+        FROM q v CROSS JOIN c2 c) WHERE rn = 1
+),
+l1 AS (
+    SELECT j, list_reduce(list_transform(c, x -> abs(x)),
+                          (a, b) -> a + b) AS centroid_l1
+    FROM c2
+)
+SELECT a.j AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(a.d2) AS BIGINT) AS inertia,
+       max(l1.centroid_l1) AS centroid_l1
+FROM a3 a JOIN l1 ON l1.j = a.j
+GROUP BY a.j ORDER BY cluster
+""")
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 iterations) over the embeddings
+    table — the iterative-algorithm pattern: per iteration ONE scan +
+    one (cluster, dim) partial-agg shuffle, centroids broadcast as plan
+    literals (datapipe/clustering.py).  Exact integer micro-unit
+    arithmetic end to end (quantize -> BIGINT distances -> floor-div
+    centroid update), so the unrolled SQL oracle matches bit-for-bit —
+    including assignment ties and empty-cluster fallbacks.  Reports
+    per-cluster size, exact inertia, and the centroid L1 norm."""
+    from moonshot_spark.datapipe.clustering import kmeans_fit_predict
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_fit_predict(
+        emb, k=8, n_iter=2, return_centroids=True)
+    l1 = [sum(abs(int(v)) for v in c) for c in cents]
+    l1_expr = F.element_at(
+        F.array(*[F.lit(int(v)).cast("bigint") for v in l1]),
+        F.col("cluster") + 1)
+    return (assigned.groupBy("cluster")
+            .agg(F.count("*").cast("bigint").alias("n_members"),
+                 F.sum("dist2").cast("bigint").alias("inertia"))
+            .withColumn("centroid_l1", l1_expr)
+            .orderBy("cluster"))

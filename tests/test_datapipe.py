@@ -997,3 +997,55 @@ def test_exact_rank_matches_row_number(spark):
     # no global (single-partition) exchange anywhere — the point of the
     # two-phase rank
     assert "SinglePartition" not in plan, plan
+
+
+def test_kmeans_matches_integer_lloyd_reference(spark):
+    """kmeans_fit_predict == a plain-python integer Lloyd's with the same
+    deterministic init, quantization, tie-break, and floor-division —
+    exactly, not approximately."""
+    import random
+
+    from moonshot_spark.datapipe.clustering import kmeans_fit_predict
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-0.4, 0.4) for _ in range(6)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["cluster"], r["dist2"])
+           for r in kmeans_fit_predict(df, k=4, n_iter=3).collect()}
+
+    # python reference with identical integer arithmetic
+    def quant(v):
+        out = []
+        for x in v:
+            p = x * 1_000_000
+            r = math.floor(p + 0.5) if p >= 0 else math.ceil(p - 0.5)
+            out.append(int(r))
+        return out
+
+    import math
+    q = {i: quant(v) for i, v in rows}
+    cents = [list(q[i]) for i in sorted(q)[:4]]
+
+    def dist2(a, c):
+        return sum((x - y) * (x - y) for x, y in zip(a, c))
+
+    def assign():
+        a = {}
+        for i, v in q.items():
+            ds = [dist2(v, c) for c in cents]
+            best = min(range(4), key=lambda j: (ds[j], j))
+            a[i] = (best, ds[best])
+        return a
+
+    for _ in range(3):
+        a = assign()
+        sums = {}
+        for i, (j, _) in a.items():
+            s = sums.setdefault(j, [[0] * 6, 0])
+            s[0] = [x + y for x, y in zip(s[0], q[i])]
+            s[1] += 1
+        for j, (vec, n) in sums.items():
+            cents[j] = [(s - (s % n + n) % n) // n for s in vec]
+    expect = assign()
+    assert got == expect
