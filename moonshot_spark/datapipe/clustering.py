@@ -102,25 +102,29 @@ def kmeans_fit_predict(df: DataFrame, k: int = 8, n_iter: int = 2,
     centroids are k lists of micro-unit ints).
 
     Driver state is k x dim integers per iteration (the collected
-    centroid sums) — independent of data size."""
+    centroid sums) — independent of data size.  NOTE: the iteration
+    jobs run EAGERLY at call time (each update is a collect of k x dim
+    sums); the returned DataFrame is only the final-assignment plan
+    with the converged centroids baked in as literals."""
     q = df.select(F.col(id_col), quantize_micro(vec_col).alias("__q"))
+    # localCheckpoint (eager): every iteration AND the returned final-
+    # assignment plan re-read this frame; checkpointed blocks serve all
+    # of them and are freed when the DataFrame is garbage-collected —
+    # unlike cache()+unpersist(), which would leave the RETURNED plan
+    # recomputing the quantization from source on every action.
+    q = q.localCheckpoint(eager=True)
     init_rows = q.orderBy(id_col).limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(f"k={k} exceeds input rows ({len(init_rows)})")
     cents = [list(r["__q"]) for r in init_rows]
-    # cache: every iteration and the final assignment re-read this frame
-    q = q.cache()
-    try:
-        for _ in range(n_iter):
-            assigned = q.withColumn("__cluster", _assign_expr(F.col("__q"),
-                                                              cents))
-            cents = _update_centroids(assigned, cents)
-        darr = _dist_array(F.col("__q"), cents)
-        out = q.select(
-            F.col(id_col),
-            (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
-            .alias("cluster"),
-            F.array_min(darr).alias("dist2"))
-        return (out, cents) if return_centroids else out
-    finally:
-        q.unpersist()
+    for _ in range(n_iter):
+        assigned = q.withColumn("__cluster", _assign_expr(F.col("__q"),
+                                                          cents))
+        cents = _update_centroids(assigned, cents)
+    darr = _dist_array(F.col("__q"), cents)
+    out = q.select(
+        F.col(id_col),
+        (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        .alias("cluster"),
+        F.array_min(darr).alias("dist2"))
+    return (out, cents) if return_centroids else out
