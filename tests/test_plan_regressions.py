@@ -343,3 +343,45 @@ def test_q21_no_cartesian_single_lineage():
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_catalog_wide_no_unbounded_single_partition_funnels():
+    """Sweep EVERY catalog query's physical plan: a Sort/Window consuming
+    an Exchange SinglePartition is only allowed for the queries where the
+    funneled frame is provably bounded (per-date series, fold vocabularies,
+    post-agg top-k) — listed below with their bound.  A new query that
+    funnels row-level data through one task fails here."""
+    from moonshot_spark.session import get_spark
+
+    # query -> why the single-partition input is bounded
+    ALLOWED = {
+        "benchmark_returns": "one row per date (benchmark series)",
+        "kaplan_meier_retention": "distinct gap lengths",
+        "packing_size_sweep": "budgets x langs sweep grid",
+        "pairs_spread_zscore": "one pair's date series",
+        "purged_kfold_splits": "fold boundaries (dates)",
+        "salted_heavy_hitters": "post-agg top-k candidates",
+        "session_path_trigrams": "event-type^3 path vocabulary",
+        "sid_liquidity_screen": "one row per sid",
+        "universe_churn_weekly": "one row per week",
+        "walkforward_ar1_cv": "fold grid",
+    }
+    spark = get_spark("plan_audit")
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        lines = plan.split("\n")
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            indent = len(line) - len(line.lstrip(" :+-"))
+            for j in range(i - 1, max(0, i - 8), -1):
+                up = lines[j]
+                ui = len(up) - len(up.lstrip(" :+-"))
+                if ui < indent and up.strip():
+                    op = up.strip().lstrip(":+- ")
+                    if (op.startswith("Sort") or op.startswith("Window")) \
+                            and name not in ALLOWED:
+                        offenders.setdefault(name, []).append(op[:80])
+                    break
+    assert not offenders, offenders
