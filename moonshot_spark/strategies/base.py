@@ -746,19 +746,22 @@ class Moonshot:
                 today = (today.withColumn("__rn", F.row_number().over(w))
                          .where(F.col("__rn") == 1).drop("__rn"))
 
-        # contract values as-of signal date, ffilled (base.py:1622-1624);
-        # intraday: the latest time's value via max_by (F.last in a groupBy
-        # is order-nondeterministic after a shuffle)
-        w_sid = self._sid_window(df)
-        cv = F.last(self._contract_value_expr(df), ignorenulls=True).over(
+        # contract values from the PRICES panel (not the weights frame —
+        # a once-a-day strategy's daily weights carry only the sliced
+        # bar's price), as-of signal date, ffilled (base.py:1622-1624);
+        # max_by because F.last in a groupBy is order-nondeterministic
+        # after a shuffle
+        w_sid = self._sid_window(prices)
+        cv = F.last(self._contract_value_expr(prices), ignorenulls=True).over(
             w_sid.rowsBetween(Window.unboundedPreceding, 0))
-        cv_rows = df.withColumn("__cv", cv).where(
+        cv_rows = prices.withColumn("__cv", cv).where(
             F.col("date") == F.lit(signal_date))
-        if self._is_intraday(df):
-            # the ffilled value AT the signal time (reference
-            # base.py:1622-1627 .loc[signal_time]); batch fallback (no
-            # trade time): the day's last bar (.iloc[-1])
-            if trade_time is not None:
+        if self._is_intraday(prices):
+            # reference base.py:1622-1628: the ffilled value AT the signal
+            # time when the WEIGHTS are intraday (continuous strategies,
+            # .loc[signal_time]); otherwise — once-a-day intraday and the
+            # batch fallback — the day's LAST bar (.iloc[-1])
+            if self._signal_time is not None:
                 cv_rows = cv_rows.where(F.col("time") <= self._signal_time)
             cv_agg = F.max_by("__cv", "time")
         else:

@@ -458,3 +458,113 @@ def test_integer_account_numbers(spark, prices, master):
     # minus existing 400 -> 6659 BUY
     assert got[0]["total_quantity"] == round(60000 / 8.50) - 400
     assert got[0]["action"] == "BUY"
+
+
+def test_long_short_override_methods_goldens(spark, prices, master):
+    """reference test_trade.py:430-581: custom order_stubs_to_orders adds
+    exchange/LMT/GTC fields; quantities from fixed 0.25 weights."""
+    balances = spark.createDataFrame(
+        [("U123", "USD", 60000.0)],
+        "account string, currency string, net_liquidation double")
+
+    class Custom(BuyBelow10):
+        CODE = "long-short-10"
+
+        def prices_to_signals(self, p):
+            return p.withColumn(
+                "signal", F.when(F.col("close") <= 10, 1).otherwise(-1))
+
+        def signals_to_target_weights(self, signals):
+            return self.allocate_fixed_weights(signals, 0.25)
+
+        def order_stubs_to_orders(self, orders, p):
+            return (orders.withColumn("exchange", F.lit("NYSE"))
+                    .withColumn("order_type", F.lit("LMT"))
+                    .withColumn("lmt_price", F.lit(10.00))
+                    .withColumn("tif", F.lit("GTC")))
+
+    orders = Custom().trade(prices, {"U123": 1.0}, balances, master=master)
+    got = orders_list(orders)
+    assert [(r["sid"], r["action"], r["total_quantity"], r["order_type"],
+             r["tif"], r["exchange"], r["lmt_price"]) for r in got] == [
+        ("FI12345", "SELL", 1429, "LMT", "GTC", "NYSE", 10.0),  # .25*60K/10.50
+        ("FI23456", "BUY", 1765, "LMT", "GTC", "NYSE", 10.0)]   # .25*60K/8.50
+
+
+def test_short_only_once_a_day_intraday_trade_goldens(spark, master):
+    """reference test_trade.py:581-730: signals from the 09:30 Open slice,
+    contract value from the latest (15:30) close -> SELL 1034 only."""
+    balances = spark.createDataFrame(
+        [("U123", "USD", 60000.0)],
+        "account string, currency string, net_liquidation double")
+    closes = {"FI12345": [9.6, 10.45, 10.12, 15.45, 8.67, 12.30],
+              "FI23456": [10.56, 12.01, 10.50, 9.80, 13.40, 14.50]}
+    opens = {"FI12345": [9.88, 10.34, 10.23, 16.45, 8.90, 11.30],
+             "FI23456": [9.89, 11.0, 8.50, 10.50, 14.10, 15.0]}
+    rows = []
+    for sid in closes:
+        i = 0
+        for d in DATES:
+            for t in ["09:30:00", "15:30:00"]:
+                rows.append((sid, d, t, closes[sid][i], opens[sid][i]))
+                i += 1
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, time string, close double, open double")
+
+    class ShortAbove10Intraday(Moonshot):
+        CODE = "short-above-10"
+
+        def _now(self, tz):
+            import pandas as pd
+            return pd.Timestamp("2024-06-05 16:00:00", tz=tz)
+
+        def prices_to_signals(self, p):
+            morning = p.where(F.col("time") == "09:30:00").drop("time")
+            return morning.withColumn(
+                "signal", -(F.col("open") > 10).cast("int"))
+
+        def signals_to_target_weights(self, signals):
+            return self.allocate_fixed_weights(signals, 0.25)
+
+    orders = ShortAbove10Intraday().trade(
+        prices, {"U123": 1.0}, balances, master=master)
+    got = orders_list(orders)
+    # day-3 09:30 opens: FI12345 8.90 (no signal), FI23456 14.10 -> short;
+    # cv = latest close 14.50 -> 0.25 * 60K / 14.50 = 1034
+    assert [(r["sid"], r["action"], r["total_quantity"]) for r in got] == [
+        ("FI23456", "SELL", 1034)]
+
+
+def test_continuous_intraday_trade_goldens(spark, master):
+    """reference test_trade.py:730-872: review 12:05 -> the 12:00 bar ->
+    SELL 2439 / BUY 4000."""
+    balances = spark.createDataFrame(
+        [("U123", "USD", 60000.0)],
+        "account string, currency string, net_liquidation double")
+    closes = {"FI12345": [9.6, 10.45, 10.12, 15.45, 8.67, 12.30],
+              "FI23456": [10.56, 12.01, 10.50, 9.80, 13.40, 7.50]}
+    rows = []
+    for sid in closes:
+        i = 0
+        for d in DATES[:2]:
+            for t in ["10:00:00", "11:00:00", "12:00:00"]:
+                rows.append((sid, d, t, closes[sid][i]))
+                i += 1
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, time string, close double")
+
+    class ContIntraday(Moonshot):
+        CODE = "long-short-10"
+
+        def prices_to_signals(self, p):
+            return p.withColumn(
+                "signal", F.when(F.col("close") <= 10, 1).otherwise(-1))
+
+    orders = ContIntraday().trade(prices, {"U123": 1.0}, balances,
+                                  master=master,
+                                  review_date="2024-06-04 12:05:00")
+    got = orders_list(orders)
+    # 12:00 closes day 2: FI12345 12.30 -> SELL .5*60K/12.30 = 2439;
+    # FI23456 7.50 -> BUY .5*60K/7.50 = 4000
+    assert [(r["sid"], r["action"], r["total_quantity"]) for r in got] == [
+        ("FI12345", "SELL", 2439), ("FI23456", "BUY", 4000)]
