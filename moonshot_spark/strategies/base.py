@@ -250,17 +250,27 @@ class Moonshot:
     # commissions (D8/D14, reference base.py:839-901)                    #
     # ------------------------------------------------------------------ #
 
-    def _with_commissions(self, df: DataFrame) -> DataFrame:
+    def _with_commissions(self, df: DataFrame,
+                          prices: DataFrame | None = None) -> DataFrame:
         if not self.COMMISSION_CLASS:
             return df.withColumn("commission", F.lit(0.0))
 
-        contract_value = self._contract_value_expr(df)
+        if (prices is not None and self._is_intraday(prices)
+                and not self._is_intraday(df)):
+            # once-a-day intraday: commissions price at the day's FIRST
+            # bar (reference _get_commissions groupby(Date).first(),
+            # base.py:852-854), not the bar the strategy sliced
+            df = df.join(self._cv_first_bar_daily(prices),
+                         ["sid", "date"], "left")
+            contract_value = F.col("__cv")
+        else:
+            contract_value = self._contract_value_expr(df)
         turnover = F.col("turnover")
         nlv = F.col("nlv") if "nlv" in df.columns else None
 
         if not isinstance(self.COMMISSION_CLASS, dict):
             expr = self.COMMISSION_CLASS.commission_expr(contract_value, turnover, nlv)
-            return df.withColumn("commission", expr)
+            return df.withColumn("commission", expr).drop("__cv")
 
         # per-(sectype, exchange, currency) dispatch — reference base.py:869-901.
         # The reference layers `.where(in_sec_group, ...)` per group; here
@@ -291,7 +301,7 @@ class Moonshot:
             expr = F.when(in_group,
                           cls.commission_expr(contract_value, turnover, nlv)
                           ).otherwise(expr)
-        return df.withColumn("commission", expr)
+        return df.withColumn("commission", expr).drop("__cv")
 
     # ------------------------------------------------------------------ #
     # slippage (D12/D15, reference base.py:903-919)                      #
@@ -318,6 +328,24 @@ class Moonshot:
     # weight constraints (D16, reference base.py:921-972)                #
     # ------------------------------------------------------------------ #
 
+    def _cv_first_bar_daily(self, prices: DataFrame) -> DataFrame:
+        """(sid, date, __cv) at each date's EARLIEST bar, ffilled — the
+        contract value the reference uses whenever a DAILY frame (weights
+        or positions of a once-a-day strategy) must be priced from an
+        INTRADAY panel: `.xs(earliest_time)` in _constrain_weights
+        (base.py:943-949, deliberately the stalest bar to avoid lookahead
+        bias) and `groupby(Date).first()` in _get_commissions
+        (base.py:852-854).  Per-date earliest here (the reference's two
+        forms agree whenever every date carries the same bar grid, which
+        its goldens all do)."""
+        w = self._sid_window(prices)
+        cvp = F.last(self._contract_value_expr(prices),
+                     ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        return (prices.withColumn("__cvp", cvp)
+                .groupBy("sid", "date")
+                .agg(F.min_by("__cvp", "time").alias("__cv")))
+
     def _constrain_weights(self, weights: DataFrame, prices: DataFrame) -> DataFrame:
         max_longs, max_shorts = self.limit_position_sizes(prices)
         if max_longs is None and max_shorts is None:
@@ -327,12 +355,18 @@ class Moonshot:
             raise MoonshotParameterError(
                 "must provide NLVs if using limit_position_sizes")
 
-        w = self._sid_window(weights)
-        cv = self._contract_value_expr(weights)
-        cv_ffilled = F.last(cv, ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0))
-
-        df = weights.withColumn("__cv", cv_ffilled)
+        if self._is_intraday(prices) and not self._is_intraday(weights):
+            # once-a-day intraday: price the quantities at the day's
+            # earliest bar (reference base.py:943-949), NOT whichever bar
+            # the strategy happened to slice into its weights frame
+            df = weights.join(self._cv_first_bar_daily(prices),
+                              ["sid", "date"], "left")
+        else:
+            w = self._sid_window(weights)
+            cv = self._contract_value_expr(weights)
+            cv_ffilled = F.last(cv, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0))
+            df = weights.withColumn("__cv", cv_ffilled)
         keys = ["sid", *self._date_cols(weights)]
         if max_longs is not None:
             df = df.join(max_longs.withColumnRenamed("max_quantity", "__max_long"),
@@ -540,7 +574,7 @@ class Moonshot:
         df = self.target_weights_to_positions(df)
         df = self.positions_to_gross_returns(df)
         df = df.withColumn("turnover", self._turnover_expr(df))
-        df = self._with_commissions(df)
+        df = self._with_commissions(df, prices)
         df = self._with_slippage(df)
         # returns = gross.fillna(0) − commissions − slippage (base.py:1348);
         # commission NULLs (from NULL first-row turnover) propagate like NaN.

@@ -192,3 +192,55 @@ def test_continuous_intraday_commissions_goldens(intraday_prices):
     assert field_dict(results, "Commission") == {
         "FI12345": [None, 0.00005, 0.0001, 0.0, 0.0, 0.0001],
         "FI23456": [None, 0.00005, 0.0, 0.0, 0.0001, 0.0001]}
+
+
+def test_once_a_day_caps_and_commissions_price_at_first_bar(spark):
+    """reference base.py:943-949 (.xs(earliest_time)) and :852-854
+    (groupby(Date).first()): when a once-a-day strategy slices a LATER
+    bar for signals, position caps and per-share commissions must still
+    price at the day's EARLIEST bar — not the sliced bar (found porting
+    the trade goldens; the backtest paths shared the same frame-grain
+    bug)."""
+    from moonshot_spark.commission.stk import PerShareCommission
+
+    dates = [datetime.date(2018, 5, 1), datetime.date(2018, 5, 2)]
+    rows = [("S1", dates[0], "09:30:00", 10.0),
+            ("S1", dates[0], "15:30:00", 20.0),
+            ("S1", dates[1], "09:30:00", 12.0),
+            ("S1", dates[1], "15:30:00", 24.0)]
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, time string, close double")
+    master = spark.createDataFrame(
+        [("S1", "AAA", "STK", "USD", "America/New_York", None, None)],
+        "sid string, symbol string, sec_type string, currency string, "
+        "timezone string, price_magnifier double, multiplier double")
+
+    class PerShare(PerShareCommission):
+        BROKER_COMMISSION_PER_SHARE = 0.01
+
+    class LateSlice(Moonshot):
+        NLV = {"USD": 100000.0}
+        COMMISSION_CLASS = PerShare
+
+        def prices_to_signals(self, p):
+            late = p.where(F.col("time") == "15:30:00").drop("time")
+            return late.withColumn("signal", F.lit(1))
+
+        def signals_to_target_weights(self, signals):
+            return self.allocate_fixed_weights(signals, 0.5)
+
+        def limit_position_sizes(self, p):
+            caps = p.sparkSession.createDataFrame(
+                [("S1", d, 100) for d in dates],
+                "sid string, date date, max_quantity long")
+            return caps, None
+
+    results = LateSlice().backtest(prices, master=master)
+    got = {(r["field"], r["date"]): r["value"] for r in results.collect()}
+    # caps priced at the 09:30 close: 100*10/100K and 100*12/100K —
+    # NOT the sliced 15:30 closes (which would give 0.02 / 0.024)
+    assert got[("Weight", dates[0])] == pytest.approx(0.01)
+    assert got[("Weight", dates[1])] == pytest.approx(0.012)
+    # commission day2: position enters at day-1 weight (0.01), turnover
+    # |0.01|; per-share at the 09:30 cv=12: 0.01/12 * 0.01
+    assert got[("Commission", dates[1])] == pytest.approx(0.01 / 12 * 0.01)
