@@ -244,3 +244,60 @@ def test_once_a_day_caps_and_commissions_price_at_first_bar(spark):
     # commission day2: position enters at day-1 weight (0.01), turnover
     # |0.01|; per-share at the 09:30 cv=12: 0.01/12 * 0.01
     assert got[("Commission", dates[1])] == pytest.approx(0.01 / 12 * 0.01)
+
+
+def test_once_a_day_min_commission_floor_with_nlv(spark):
+    """reference test_commissions.py:1276-1525: once-a-day intraday with
+    NLV — the MIN_COMMISSION floor binds (500/50K = 0.01 per entry day,
+    vs 0.5 turnover * 1bps = 0.00005 unfloored)."""
+    from moonshot_spark.commission.base import PercentageCommission
+
+    dates = [datetime.date(2018, 5, d) for d in (1, 2, 3)]
+    closes = {"FI12345": [9.6, 10.45, 10.12, 15.45, 8.67, 12.30],
+              "FI23456": [10.56, 12.01, 10.50, 9.80, 13.40, 14.50]}
+    opens = {"FI12345": [9.88, 10.34, 10.23, 16.45, 8.90, 11.30],
+             "FI23456": [9.89, 11.0, 8.50, 10.50, 14.10, 15.0]}
+    rows = []
+    for sid in closes:
+        i = 0
+        for d in dates:
+            for t in ["09:30:00", "15:30:00"]:
+                rows.append((sid, d, t, closes[sid][i], opens[sid][i]))
+                i += 1
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, time string, close double, open double")
+    master = spark.createDataFrame(
+        [("FI12345", "ABC", "STK", "USD", "America/New_York", None, None),
+         ("FI23456", "DEF", "STK", "USD", "America/New_York", None, None)],
+        "sid string, symbol string, sec_type string, currency string, "
+        "timezone string, price_magnifier double, multiplier double")
+
+    class TestCommission(PercentageCommission):
+        BROKER_COMMISSION_RATE = 0.0001
+        EXCHANGE_FEE_RATE = 0
+        MIN_COMMISSION = 500
+
+    class ShortAbove10Intraday(Moonshot):
+        POSITIONS_CLOSED_DAILY = True
+        COMMISSION_CLASS = TestCommission
+        NLV = {"USD": 50000.0}
+
+        def prices_to_signals(self, p):
+            morning = p.where(F.col("time") == "09:30:00").drop("time")
+            return morning.withColumn(
+                "signal", -(F.col("open") > 10).cast("int"))
+
+        def signals_to_target_weights(self, signals):
+            return self.allocate_fixed_weights(signals, 0.25)
+
+        def target_weights_to_positions(self, weights):
+            return weights.withColumn("position", F.col("weight"))
+
+    results = ShortAbove10Intraday().backtest(prices, master=master)
+    got = {}
+    for r in results.where(F.col("field") == "Commission").collect():
+        got.setdefault(r["sid"], {})[r["date"]] = round(r["value"] or 0, 9)
+    got = {sid: [v[d] for d in dates] for sid, v in got.items()}
+    # reference golden :1496-1506: the floored 0.01 on each entry day
+    assert got == {"FI12345": [0.0, 0.01, 0.0],
+                   "FI23456": [0.0, 0.0, 0.01]}
