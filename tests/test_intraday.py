@@ -301,3 +301,65 @@ def test_once_a_day_min_commission_floor_with_nlv(spark):
     # reference golden :1496-1506: the floored 0.01 on each entry day
     assert got == {"FI12345": [0.0, 0.01, 0.0],
                    "FI23456": [0.0, 0.0, 0.01]}
+
+
+def test_once_a_day_commission_dispatch_by_group(spark):
+    """reference test_commissions.py:1525-1767: per-(sectype, exchange,
+    currency) commission dispatch on a once-a-day intraday strategy —
+    the TSEJ stock pays 1 bps, the OSE future 2 bps, each on its own
+    entry day."""
+    from moonshot_spark.commission.base import PercentageCommission
+
+    dates = [datetime.date(2018, 5, d) for d in (1, 2, 3)]
+    closes = {"FI12345": [9.6, 10.45, 10.12, 15.45, 8.67, 12.30],
+              "FI23456": [10.56, 12.01, 10.50, 9.80, 13.40, 14.50]}
+    opens = {"FI12345": [9.88, 10.34, 10.23, 16.45, 8.90, 11.30],
+             "FI23456": [9.89, 11.0, 8.50, 10.50, 14.10, 15.0]}
+    rows = []
+    for sid in closes:
+        i = 0
+        for d in dates:
+            for t in ["09:30:00", "15:30:00"]:
+                rows.append((sid, d, t, closes[sid][i], opens[sid][i]))
+                i += 1
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, time string, close double, open double")
+    master = spark.createDataFrame(
+        [("FI12345", "ABC", "STK", "JPY", "TSEJ", "Asia/Tokyo", 1.0, 1.0),
+         ("FI23456", "DEF", "FUT", "JPY", "OSE", "Asia/Tokyo", None, None)],
+        "sid string, symbol string, sec_type string, currency string, "
+        "exchange string, timezone string, price_magnifier double, "
+        "multiplier double")
+
+    class TsejCommission(PercentageCommission):
+        BROKER_COMMISSION_RATE = 0.0001
+
+    class OseCommission(PercentageCommission):
+        BROKER_COMMISSION_RATE = 0.0002
+
+    class ShortAbove10Intraday(Moonshot):
+        POSITIONS_CLOSED_DAILY = True
+        COMMISSION_CLASS = {
+            ("STK", "TSEJ", "JPY"): TsejCommission,
+            ("FUT", "OSE", "JPY"): OseCommission,
+        }
+
+        def prices_to_signals(self, p):
+            morning = p.where(F.col("time") == "09:30:00").drop("time")
+            return morning.withColumn(
+                "signal", -(F.col("open") > 10).cast("int"))
+
+        def signals_to_target_weights(self, signals):
+            return self.allocate_fixed_weights(signals, 0.25)
+
+        def target_weights_to_positions(self, weights):
+            return weights.withColumn("position", F.col("weight"))
+
+    results = ShortAbove10Intraday().backtest(prices, master=master)
+    got = {}
+    for r in results.where(F.col("field") == "Commission").collect():
+        got.setdefault(r["sid"], {})[r["date"]] = round(r["value"] or 0, 9)
+    got = {sid: [v[d] for d in dates] for sid, v in got.items()}
+    # goldens :1737-1747
+    assert got == {"FI12345": [0.0, 0.00005, 0.0],
+                   "FI23456": [0.0, 0.0, 0.0001]}
