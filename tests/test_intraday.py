@@ -363,3 +363,70 @@ def test_once_a_day_commission_dispatch_by_group(spark):
     # goldens :1737-1747
     assert got == {"FI12345": [0.0, 0.00005, 0.0],
                    "FI23456": [0.0, 0.0, 0.0001]}
+
+
+def test_continuous_intraday_min_commission_floor_with_nlv(spark, intraday_prices):
+    """reference test_commissions.py:2061-2355: continuous intraday with
+    NLV — the 500/25K = 0.02 floor binds on every bar with turnover."""
+    from moonshot_spark.commission.base import PercentageCommission
+
+    master = spark.createDataFrame(
+        [("FI12345", "ABC", "STK", "USD", "America/New_York", None, None),
+         ("FI23456", "DEF", "STK", "USD", "America/New_York", None, None)],
+        "sid string, symbol string, sec_type string, currency string, "
+        "timezone string, price_magnifier double, multiplier double")
+
+    class TestCommission(PercentageCommission):
+        BROKER_COMMISSION_RATE = 0.0001
+        EXCHANGE_FEE_RATE = 0
+        MIN_COMMISSION = 500
+
+    class WithFloor(LongShortIntraday):
+        COMMISSION_CLASS = TestCommission
+        NLV = {"USD": 25000.0}
+
+    results = WithFloor().backtest(intraday_prices, master=master)
+    assert field_dict(results, "Commission") == {
+        "FI12345": [None, 0.02, 0.02, 0.0, 0.0, 0.02],
+        "FI23456": [None, 0.02, 0.0, 0.0, 0.02, 0.02]}
+
+
+def test_eod_futures_commission_with_multiplier(spark):
+    """reference test_commissions.py:2657-2800: per-contract futures
+    commission over contract value = price * multiplier."""
+    from moonshot_spark.commission.fut import FuturesCommission
+
+    dates = [datetime.date(2018, 5, d) for d in (1, 2, 3, 4)]
+    closes = [900.0, 1100.0, 1050.0, 999.0]
+    rows = [(sid, d, c) for sid in ("FI12345", "FI23456")
+            for d, c in zip(dates, closes, strict=True)]
+    prices = spark.createDataFrame(rows, "sid string, date date, close double")
+    master = spark.createDataFrame(
+        [("FI12345", "HE", "FUT", "USD", "America/Chicago", 1.0, 10.0),
+         ("FI23456", "HE", "FUT", "USD", "America/Chicago", None, 20.0)],
+        "sid string, symbol string, sec_type string, currency string, "
+        "timezone string, price_magnifier double, multiplier double")
+
+    class TestFuturesCommission(FuturesCommission):
+        BROKER_COMMISSION_PER_CONTRACT = 2
+
+    class LongShort1000(Moonshot):
+        COMMISSION_CLASS = TestFuturesCommission
+
+        def prices_to_signals(self, p):
+            return p.withColumn(
+                "signal", F.when(F.col("close") <= 1000, 1).otherwise(-1))
+
+    results = LongShort1000().backtest(prices, master=master)
+    got = {}
+    for r in results.where(F.col("field") == "Commission").collect():
+        v = r["value"]
+        got.setdefault(r["sid"], {})[r["date"]] = (
+            None if v is None or (isinstance(v, float) and math.isnan(v))
+            else round(v, 7))
+    got = {sid: [v[d] for d in dates] for sid, v in got.items()}
+    # goldens :2790-2800: per-contract 2 / (price * multiplier) * turnover;
+    # FI23456's doubled multiplier halves the rate
+    assert got == {
+        "FI12345": [None, 0.0000909, 0.0001905, 0.0],
+        "FI23456": [None, 0.0000455, 0.0000952, 0.0]}
