@@ -106,7 +106,21 @@ def kmeans_fit_predict(df: DataFrame, k: int = 8, n_iter: int = 2,
     jobs run EAGERLY at call time (each update is a collect of k x dim
     sums); the returned DataFrame is only the final-assignment plan
     with the converged centroids baked in as literals."""
-    q = df.select(F.col(id_col), quantize_micro(vec_col).alias("__q"))
+    dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_probe:
+        raise ValueError("kmeans_fit_predict: empty input")
+    dim = int(dim_probe[0]["d"])
+    # input contract enforced INSIDE the job (no extra validation scan):
+    # a NULL or ragged vector would otherwise crash the init collect with
+    # an opaque TypeError or silently emit cluster=NULL rows
+    guard = F.when(
+        F.col(vec_col).isNull() | (F.size(vec_col) != dim),
+        F.raise_error(F.concat(
+            F.lit("kmeans_fit_predict: NULL or ragged embedding for "
+                  f"{id_col}="), F.col(id_col).cast("string"),
+            F.lit(f" (expected dim {dim})")))
+    ).otherwise(quantize_micro(vec_col))
+    q = df.select(F.col(id_col), guard.alias("__q"))
     # localCheckpoint (eager): every iteration AND the returned final-
     # assignment plan re-read this frame; checkpointed blocks serve all
     # of them and are freed when the DataFrame is garbage-collected —

@@ -4091,16 +4091,17 @@ def prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & q["mean_token_len"].between(2.0, 12.0)
         & (q["punct_ratio"] < 0.1))
     fp = passed.withColumn("__f", fingerprint_expr("text"))
-    # min-id survivor per fingerprint as a WINDOW over the fingerprint
-    # partition, not groupBy+self-join: one corpus scan and one shuffle
-    # instead of two scans + a semi join (r6 plan audit: the join form
-    # made prepare_corpus scan the corpus twice).  A degenerate mega-
-    # duplicate fingerprint skews this window exactly as it would the
-    # groupBy; the LSH hot-bucket guard is the escape for that corpus.
-    wf = Window.partitionBy("__f")
-    surv = (fp.withColumn("__min_id", F.min("doc_id").over(wf))
-            .where(F.col("doc_id") == F.col("__min_id"))
-            .drop("__min_id"))
+    keep = fp.groupBy("__f").agg(F.min("doc_id").alias("doc_id"))
+    # Survivor selection deliberately stays groupBy + left-semi (two
+    # corpus scans) rather than a window over the fingerprint partition
+    # (one scan): the groupBy's MAP-SIDE COMBINE reduces a mega-duplicate
+    # boilerplate fingerprint to one row per task before the exchange,
+    # while the window form would ship every duplicate row — full text
+    # payload included — to a single straggling task (r6 review; the
+    # window variant measured -0.25 s at sf0.1 but is skew-fatal at
+    # 100 TB).  The survivor id set is corpus-cardinality: never
+    # force-broadcast it — left_semi lets AQE pick the strategy.
+    surv = fp.join(keep.select("doc_id"), "doc_id", "left_semi")
     ev_docs = docs.where(F.col("doc_id") % 50 == 0)
     train = surv.where(F.col("doc_id") % 50 != 0)
     clean = decontaminate(train, ev_docs)

@@ -22,7 +22,10 @@ column arithmetic — no joins.  The only shuffles in the whole backtest are:
 
 At 100 TB that is two exchanges total, each streaming — no driver
 materialization anywhere (the reference materializes every stage in RAM,
-base.py:1335-1351).
+base.py:1335-1351).  One exception: a once-a-day strategy over an
+INTRADAY panel with caps or commissions adds one shared
+first-bar-contract-value aggregation + join (built once per backtest,
+``_cv_first_bar_daily``), mirroring the reference's earliest-bar pricing.
 
 Hook surface (the reference's UDF surface, base.py:298,336,389,437,483):
 user subclasses override ``prices_to_signals`` etc.; hooks receive and
@@ -103,6 +106,9 @@ class Moonshot:
         self._benchmark_prices: DataFrame | None = None
         self._signal_date = None
         self._signal_time = None
+        #: per-backtest memo of the (sid, date, __cv) first-bar frame so
+        #: caps and commissions share ONE scan of the intraday panel
+        self._cv_first_cache = None
 
     # ------------------------------------------------------------------ #
     # window helpers                                                     #
@@ -260,8 +266,10 @@ class Moonshot:
             # once-a-day intraday: commissions price at the day's FIRST
             # bar (reference _get_commissions groupby(Date).first(),
             # base.py:852-854), not the bar the strategy sliced
-            df = df.join(self._cv_first_bar_daily(prices),
-                         ["sid", "date"], "left")
+            cv_first = (self._cv_first_cache
+                        if self._cv_first_cache is not None
+                        else self._cv_first_bar_daily(prices))
+            df = df.join(cv_first, ["sid", "date"], "left")
             contract_value = F.col("__cv")
         else:
             contract_value = self._contract_value_expr(df)
@@ -342,9 +350,12 @@ class Moonshot:
         cvp = F.last(self._contract_value_expr(prices),
                      ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, 0))
+        # earliest-bar key: (length, value) so a non-zero-padded "9:30:00"
+        # still sorts before "15:30:00" (plain string min_by would not)
+        tkey = F.struct(F.length("time"), F.col("time"))
         return (prices.withColumn("__cvp", cvp)
                 .groupBy("sid", "date")
-                .agg(F.min_by("__cvp", "time").alias("__cv")))
+                .agg(F.min_by("__cvp", tkey).alias("__cv")))
 
     def _constrain_weights(self, weights: DataFrame, prices: DataFrame) -> DataFrame:
         max_longs, max_shorts = self.limit_position_sizes(prices)
@@ -359,8 +370,10 @@ class Moonshot:
             # once-a-day intraday: price the quantities at the day's
             # earliest bar (reference base.py:943-949), NOT whichever bar
             # the strategy happened to slice into its weights frame
-            df = weights.join(self._cv_first_bar_daily(prices),
-                              ["sid", "date"], "left")
+            cv_first = (self._cv_first_cache
+                        if self._cv_first_cache is not None
+                        else self._cv_first_bar_daily(prices))
+            df = weights.join(cv_first, ["sid", "date"], "left")
         else:
             w = self._sid_window(weights)
             cv = self._contract_value_expr(weights)
@@ -570,6 +583,12 @@ class Moonshot:
         df = df.withColumn("signal", F.col("signal").cast("double"))
         df = self.signals_to_target_weights(df)
         df = df.withColumn("weight", F.col("weight") * F.lit(allocation))
+        # once-a-day intraday: caps and commissions both need the
+        # first-bar contract values — build the frame once, share it
+        self._cv_first_cache = (
+            self._cv_first_bar_daily(prices)
+            if self._is_intraday(prices) and not self._is_intraday(df)
+            else None)
         df = self._constrain_weights(df, prices)
         df = self.target_weights_to_positions(df)
         df = self.positions_to_gross_returns(df)

@@ -1049,3 +1049,30 @@ def test_kmeans_matches_integer_lloyd_reference(spark):
             cents[j] = [(s - (s % n + n) % n) // n for s in vec]
     expect = assign()
     assert got == expect
+
+
+def test_kmeans_rejects_null_and_ragged_vectors(spark):
+    """NULL or ragged embeddings fail fast inside the job with a clear
+    message instead of crashing init or emitting cluster=NULL rows."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from moonshot_spark.datapipe.clustering import kmeans_fit_predict
+
+    rows = [(0, [0.1, 0.2]), (1, [0.3, 0.4]), (2, None), (3, [0.5, 0.6])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="NULL or ragged"):
+        kmeans_fit_predict(df, k=2, n_iter=1)
+
+    ragged = [(0, [0.1, 0.2]), (1, [0.3, 0.4, 0.5]), (2, [0.5, 0.6])]
+    df2 = spark.createDataFrame(ragged, "vec_id long, embedding array<double>")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="NULL or ragged"):
+        kmeans_fit_predict(df2, k=2, n_iter=1)
+
+    with pytest.raises(ValueError, match="empty input"):
+        kmeans_fit_predict(
+            spark.createDataFrame([], "vec_id long, embedding array<double>"),
+            k=2)

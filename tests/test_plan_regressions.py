@@ -119,15 +119,25 @@ def test_parity_upsample_no_corpus_shuffle():
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_prepare_corpus_survivor_window_no_semi_join():
-    """The exact-dedup survivor stage is a WINDOW over the fingerprint
-    partition (r6 rewrite), not a groupBy + left-semi self-join — the
-    join form scanned the corpus twice.  Pin: no LeftSemi anywhere, and
-    at most 3 corpus scans in the whole prepare_corpus plan (main
-    lineage + the two eval-slice subtrees of decontamination)."""
-    plan = plan_of("prepare_corpus")
-    assert "LeftSemi" not in plan, plan
-    assert plan.count("Scan parquet") <= 3, plan
+def test_prepare_corpus_survivor_join_not_forced_broadcast():
+    """The exact-dedup survivor id set is corpus-cardinality: the
+    left-semi join against it must NOT carry a broadcast hint, and the
+    survivor stage must stay a partial-aggregating groupBy + semi join
+    (NOT a window over the fingerprint partition, which would ship a
+    mega-duplicate fingerprint's full rows to one task — r6 review)."""
+    from moonshot_spark.session import get_spark
+    spark = get_spark("plan_tests")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = QUERIES["prepare_corpus"](spark, SF)._jdf.queryExecution() \
+            .executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "LeftSemi" in plan, plan
+    for line in plan.splitlines():
+        if "LeftSemi" in line:
+            assert "Broadcast" not in line, plan
 
 
 
@@ -365,7 +375,7 @@ def test_catalog_wide_no_unbounded_single_partition_funnels():
             if "Exchange SinglePartition" not in line:
                 continue
             indent = len(line) - len(line.lstrip(" :+-"))
-            for j in range(i - 1, max(0, i - 8), -1):
+            for j in range(i - 1, -1, -1):
                 up = lines[j]
                 ui = len(up) - len(up.lstrip(" :+-"))
                 if ui < indent and up.strip():
