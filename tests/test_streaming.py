@@ -452,3 +452,39 @@ def test_value_millis_matches_spark_decimal_cast(spark):
     # would be vacuous otherwise)
     rint = [int(x) for x in np.rint(np.array(vals) * 1000)]
     assert rint != spark_millis
+
+
+def test_stream_scores_against_trained_kmeans_centroids(spark, tmp_path):
+    """Model-on-stream: centroids trained in batch (kmeans_fit_predict)
+    score a vector STREAM via the same literal-centroid argmin
+    expression — pure column arithmetic, so it rides any streaming plan
+    with no state and batch/stream assignments agree exactly."""
+    import random
+
+    from moonshot_spark.datapipe.clustering import (
+        _assign_expr, kmeans_fit_predict, quantize_micro)
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-0.4, 0.4) for _ in range(8)])
+            for i in range(40)]
+    batch = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans_fit_predict(batch, k=3, n_iter=2,
+                                         return_centroids=True)
+    expect = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+
+    src = str(tmp_path / "vecstream")
+    os.makedirs(src)
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    scored = stream.select(
+        "vec_id",
+        _assign_expr(quantize_micro("embedding"), cents).alias("cluster"))
+    out = str(tmp_path / "scored")
+    q = (scored.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["vec_id"]: r["cluster"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == expect
