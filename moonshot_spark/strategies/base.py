@@ -131,6 +131,22 @@ class Moonshot:
     # user hooks (the UDF surface — reference base.py:298-545)           #
     # ------------------------------------------------------------------ #
 
+    @staticmethod
+    def _call_hook(hook, frame: DataFrame, prices: DataFrame) -> DataFrame:
+        """Invoke a user hook with either the Spark-native 1-arg signature
+        or the reference's 2-arg ``(frame, prices)`` signature (reference
+        base.py:386,434,479 pass prices as the second argument) — so a
+        strategy ported line-for-line from the reference keeps its method
+        signatures."""
+        import inspect
+        try:
+            params = [p for p in inspect.signature(hook).parameters.values()
+                      if p.kind in (p.POSITIONAL_ONLY,
+                                    p.POSITIONAL_OR_KEYWORD)]
+        except (TypeError, ValueError):
+            return hook(frame)
+        return hook(frame, prices) if len(params) >= 2 else hook(frame)
+
     def prices_to_signals(self, prices: DataFrame) -> DataFrame:
         """Return ``prices`` with a ``signal`` column (reference base.py:298)."""
         raise NotImplementedError("strategies must implement prices_to_signals")
@@ -581,7 +597,7 @@ class Moonshot:
 
         df = self.prices_to_signals(prices)
         df = df.withColumn("signal", F.col("signal").cast("double"))
-        df = self.signals_to_target_weights(df)
+        df = self._call_hook(self.signals_to_target_weights, df, prices)
         df = df.withColumn("weight", F.col("weight") * F.lit(allocation))
         # once-a-day intraday: caps and commissions both need the
         # first-bar contract values — build the frame once, share it
@@ -590,8 +606,8 @@ class Moonshot:
             if self._is_intraday(prices) and not self._is_intraday(df)
             else None)
         df = self._constrain_weights(df, prices)
-        df = self.target_weights_to_positions(df)
-        df = self.positions_to_gross_returns(df)
+        df = self._call_hook(self.target_weights_to_positions, df, prices)
+        df = self._call_hook(self.positions_to_gross_returns, df, prices)
         df = df.withColumn("turnover", self._turnover_expr(df))
         df = self._with_commissions(df, prices)
         df = self._with_slippage(df)
@@ -715,7 +731,7 @@ class Moonshot:
         prices = self._join_master(prices, master, None)
         df = self.prices_to_signals(prices)
         df = df.withColumn("signal", F.col("signal").cast("double"))
-        df = self.signals_to_target_weights(df)
+        df = self._call_hook(self.signals_to_target_weights, df, prices)
 
         # D19/S8: signal-date resolution (reference base.py:735-830).
         # review_date > CALENDAR status > TIMEZONE/inferred-tz "now"; batch

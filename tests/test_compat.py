@@ -93,3 +93,50 @@ def test_pandas_strategy_intraday(spark):
            results.where(F.col("field") == "Signal").collect()}
     assert sig[("A", "10:00:00")] == 1.0 and sig[("A", "15:00:00")] == 0.0
     assert sig[("B", "10:00:00")] == 0.0 and sig[("B", "15:00:00")] == 1.0
+
+
+def test_reference_two_arg_hook_signatures(spark):
+    """A strategy keeping the reference's 2-arg hook signatures
+    (signals_to_target_weights(self, signals, prices) etc.,
+    reference base.py:386,434,479) runs unchanged — the engine sniffs
+    the arity and passes prices as the second argument."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from moonshot_spark import Moonshot
+
+    dates = [datetime.date(2018, 5, d) for d in (1, 2, 3)]
+    rows = [("S1", d, c) for d, c in zip(dates, [9.0, 11.0, 8.0],
+                                         strict=True)]
+    prices = spark.createDataFrame(rows, "sid string, date date, close double")
+
+    seen = {}
+
+    class RefStyle(Moonshot):
+        def prices_to_signals(self, p):
+            return p.withColumn("signal", (F.col("close") < 10).cast("int"))
+
+        def signals_to_target_weights(self, signals, prices):
+            seen["w_prices"] = prices is not None
+            return self.allocate_fixed_weights(signals, 0.5)
+
+        def target_weights_to_positions(self, weights, prices):
+            seen["p_prices"] = prices is not None
+            from moonshot_spark.functions.window import shift
+            return weights.withColumn(
+                "position", shift("weight", 1, self._sid_window(weights)))
+
+        def positions_to_gross_returns(self, positions, prices):
+            seen["r_prices"] = prices is not None
+            from moonshot_spark.functions.window import pct_change, shift
+            w = self._sid_window(positions)
+            return positions.withColumn(
+                "gross_return",
+                pct_change("close", 1, w) * shift("position", 1, w))
+
+    results = RefStyle().backtest(prices)
+    weights = {r["date"]: r["value"] for r in
+               results.where(F.col("field") == "Weight").collect()}
+    assert weights[dates[0]] == 0.5 and weights[dates[1]] == 0.0
+    assert seen == {"w_prices": True, "p_prices": True, "r_prices": True}
