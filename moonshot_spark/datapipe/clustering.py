@@ -106,9 +106,11 @@ def kmeans_fit_predict(df: DataFrame, k: int = 8, n_iter: int = 2,
     jobs run EAGERLY at call time (each update is a collect of k x dim
     sums); the returned DataFrame is only the final-assignment plan
     with the converged centroids baked in as literals."""
-    dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if not dim_probe:
-        raise ValueError("kmeans_fit_predict: empty input")
+    dim_probe = (df.where(F.col(vec_col).isNotNull())
+                 .select(F.max(F.size(vec_col)).alias("d")).collect())
+    if not dim_probe or dim_probe[0]["d"] is None:
+        raise ValueError("kmeans_fit_predict: empty input (or all-NULL "
+                         f"{vec_col})")
     dim = int(dim_probe[0]["d"])
     # input contract enforced INSIDE the job (no extra validation scan):
     # a NULL or ragged vector would otherwise crash the init collect with

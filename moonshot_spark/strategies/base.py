@@ -145,7 +145,12 @@ class Moonshot:
                                     p.POSITIONAL_OR_KEYWORD)]
         except (TypeError, ValueError):
             return hook(frame)
-        return hook(frame, prices) if len(params) >= 2 else hook(frame)
+        # only a REQUIRED second positional gets the prices frame: a
+        # Spark-native hook with an extra defaulted tunable
+        # (def hook(self, signals, cap=0.5)) must keep its default
+        two_arg = (len(params) >= 2
+                   and params[1].default is inspect.Parameter.empty)
+        return hook(frame, prices) if two_arg else hook(frame)
 
     def prices_to_signals(self, prices: DataFrame) -> DataFrame:
         """Return ``prices`` with a ``signal`` column (reference base.py:298)."""
@@ -282,10 +287,7 @@ class Moonshot:
             # once-a-day intraday: commissions price at the day's FIRST
             # bar (reference _get_commissions groupby(Date).first(),
             # base.py:852-854), not the bar the strategy sliced
-            cv_first = (self._cv_first_cache
-                        if self._cv_first_cache is not None
-                        else self._cv_first_bar_daily(prices))
-            df = df.join(cv_first, ["sid", "date"], "left")
+            df = df.join(self._cv_first(prices), ["sid", "date"], "left")
             contract_value = F.col("__cv")
         else:
             contract_value = self._contract_value_expr(df)
@@ -367,11 +369,22 @@ class Moonshot:
                      ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, 0))
         # earliest-bar key: (length, value) so a non-zero-padded "9:30:00"
-        # still sorts before "15:30:00" (plain string min_by would not)
+        # sorts before "15:30:00" here.  NOTE: zero-padded HH:MM:SS is the
+        # engine-wide time contract (every window orderBy and time
+        # comparison is lexicographic); this key is defense-in-depth for
+        # THIS aggregate only, not blanket support for unpadded times
         tkey = F.struct(F.length("time"), F.col("time"))
         return (prices.withColumn("__cvp", cvp)
                 .groupBy("sid", "date")
                 .agg(F.min_by("__cvp", tkey).alias("__cv")))
+
+    def _cv_first(self, prices: DataFrame) -> DataFrame:
+        """The per-backtest memo of ``_cv_first_bar_daily`` (or a fresh
+        build when called outside a backtest) — the single fallback point
+        shared by caps and commissions."""
+        if self._cv_first_cache is not None:
+            return self._cv_first_cache
+        return self._cv_first_bar_daily(prices)
 
     def _constrain_weights(self, weights: DataFrame, prices: DataFrame) -> DataFrame:
         max_longs, max_shorts = self.limit_position_sizes(prices)
@@ -386,10 +399,8 @@ class Moonshot:
             # once-a-day intraday: price the quantities at the day's
             # earliest bar (reference base.py:943-949), NOT whichever bar
             # the strategy happened to slice into its weights frame
-            cv_first = (self._cv_first_cache
-                        if self._cv_first_cache is not None
-                        else self._cv_first_bar_daily(prices))
-            df = weights.join(cv_first, ["sid", "date"], "left")
+            df = weights.join(self._cv_first(prices), ["sid", "date"],
+                              "left")
         else:
             w = self._sid_window(weights)
             cv = self._contract_value_expr(weights)

@@ -1060,7 +1060,10 @@ def test_kmeans_rejects_null_and_ragged_vectors(spark):
 
     from moonshot_spark.datapipe.clustering import kmeans_fit_predict
 
-    rows = [(0, [0.1, 0.2]), (1, [0.3, 0.4]), (2, None), (3, [0.5, 0.6])]
+    # NULL as the FIRST row too: the dim probe must skip NULLs instead
+    # of poisoning the expected dim (second review round)
+    rows = [(0, None), (1, [0.3, 0.4]), (2, None), (3, [0.5, 0.6]),
+            (4, [0.7, 0.8])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with pytest.raises((SparkRuntimeException, Py4JJavaError),
                        match="NULL or ragged"):

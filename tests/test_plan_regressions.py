@@ -11,10 +11,19 @@ from moonshot_spark.queries import QUERIES
 SF = "/root/testdata/sf0.001"
 
 
-def plan_of(name):
+def plan_of(name, conf=None):
     from moonshot_spark.session import get_spark
     spark = get_spark("plan_tests")
-    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    saved = {}
+    try:
+        for k, v in (conf or {}).items():
+            saved[k] = spark.conf.get(k)
+            spark.conf.set(k, v)
+        return (QUERIES[name](spark, SF)._jdf.queryExecution()
+                .executedPlan().toString())
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 def test_star_join_broadcasts_dims():
@@ -125,15 +134,8 @@ def test_prepare_corpus_survivor_join_not_forced_broadcast():
     survivor stage must stay a partial-aggregating groupBy + semi join
     (NOT a window over the fingerprint partition, which would ship a
     mega-duplicate fingerprint's full rows to one task — r6 review)."""
-    from moonshot_spark.session import get_spark
-    spark = get_spark("plan_tests")
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = QUERIES["prepare_corpus"](spark, SF)._jdf.queryExecution() \
-            .executedPlan().toString()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    plan = plan_of("prepare_corpus",
+                   conf={"spark.sql.autoBroadcastJoinThreshold": "-1"})
     assert "LeftSemi" in plan, plan
     for line in plan.splitlines():
         if "LeftSemi" in line:
