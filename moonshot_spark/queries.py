@@ -11545,3 +11545,70 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("dist2").cast("bigint").alias("inertia"))
             .withColumn("centroid_l1", l1_expr)
             .orderBy("cluster"))
+
+
+# --------------------------------------------------------------------- #
+# Snapshot diff: key-level change detection between table versions      #
+# --------------------------------------------------------------------- #
+
+@register("snapshot_diff_users", """
+WITH old_snap AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-21'
+    GROUP BY 1, 2
+),
+new_snap AS (
+    -- the "reprocessed" snapshot: a later window with error events
+    -- scrubbed, so the overlap days mix changed and unchanged keys
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-11' AND event_type <> 'error'
+    GROUP BY 1, 2
+),
+diff AS (
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                WHEN o.n_events <> n.n_events
+                     OR o.total_value <> n.total_value THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM old_snap o FULL OUTER JOIN new_snap n
+      ON o.user_id = n.user_id AND o.d = n.d
+)
+SELECT change, CAST(count(*) AS BIGINT) AS n_keys
+FROM diff GROUP BY change ORDER BY change
+""")
+def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff report between two versions of a per-(user, day)
+    aggregate table — an earlier build (days 1-20) vs a reprocessed
+    later build (days 11-30 with error events scrubbed), so all four
+    change classes appear: early days removed, late days added, overlap
+    days changed (had errors) or unchanged.  operators/diff.py's
+    hash-compare full-outer join is the engine; the oracle compares the
+    raw columns directly (same verdicts: the md5 over canonicalized
+    strings changes exactly when a column changes)."""
+    from moonshot_spark.operators.diff import snapshot_diff
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def snap(frame):
+        return (frame
+                .withColumn("d", F.col("ts").cast("date"))
+                .groupBy("user_id", "d")
+                .agg(F.count("*").cast("bigint").alias("n_events"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double").alias("total_value")))
+
+    old = snap(ev.where(F.col("ts").cast("date")
+                        < F.lit("2024-01-21").cast("date")))
+    new = snap(ev.where((F.col("ts").cast("date")
+                         >= F.lit("2024-01-11").cast("date"))
+                        & (F.col("event_type") != "error")))
+    return (snapshot_diff(old, new, ["user_id", "d"])
+            .groupBy("change")
+            .agg(F.count("*").cast("bigint").alias("n_keys"))
+            .orderBy("change"))

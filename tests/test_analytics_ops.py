@@ -218,3 +218,30 @@ def test_fifo_lot_matching_equals_sequential_reference(spark):
                 si += 1
                 s_rem = sells[user][si] if si < len(sells[user]) else 0
     assert got == expect
+
+
+def test_snapshot_diff_classes_and_schema_guard(spark):
+    """snapshot_diff: all four change classes from a constructed pair of
+    snapshots; NULL vs 'null'-string values hash differently; mismatched
+    non-key schemas are rejected."""
+    import pytest
+
+    from moonshot_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "null", 4.0)],
+        "k long, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "B", 20.0),        # changed
+         (3, "null", 30.0),     # changed: NULL -> the literal string "null"
+         (5, "e", 50.0)],       # added (4 removed)
+        "k long, s string, v double")
+    got = {r["k"]: r["change"]
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "removed", 5: "added"}
+
+    drifted = new.withColumnRenamed("v", "value")
+    with pytest.raises(ValueError, match="non-key columns differ"):
+        snapshot_diff(old, drifted, ["k"])
