@@ -8755,27 +8755,31 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("packing_size_sweep", """
 WITH toks AS (
-    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
     FROM documents
 ),
 cum AS (
-    SELECT doc_id, n,
-           coalesce(sum(n) OVER (ORDER BY doc_id
+    SELECT doc_id, lang, n,
+           coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND 1 PRECEDING), 0) AS cum_before
     FROM toks
 ),
 sizes AS (SELECT unnest([128, 256, 512, 1024]) AS ctx),
 binned AS (
-    SELECT s.ctx, CAST(floor(c.cum_before / s.ctx) AS BIGINT) AS bin_id,
+    SELECT s.ctx, c.lang,
+           CAST(floor(c.cum_before / s.ctx) AS BIGINT) AS bin_id,
            c.n
     FROM cum c CROSS JOIN sizes s
 )
 SELECT CAST(ctx AS INT) AS ctx,
-       CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+       CAST(count(DISTINCT lang || '|' || CAST(bin_id AS VARCHAR))
+            AS BIGINT) AS n_bins,
        CAST(sum(n) AS BIGINT) AS total_tokens,
        CAST(sum(n) AS DOUBLE)
-           / (CAST(count(DISTINCT bin_id) AS DOUBLE) * CAST(ctx AS DOUBLE))
+           / (CAST(count(DISTINCT lang || '|' || CAST(bin_id AS VARCHAR))
+                   AS DOUBLE) * CAST(ctx AS DOUBLE))
            AS utilization
 FROM binned GROUP BY ctx
 """)
@@ -8786,12 +8790,17 @@ def packing_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass run once, a 4-row size dim cross-joins in (broadcast), and each
     size's bin count and utilization aggregate in the same job.  This is
     the packing analog of backtest_param_sweep: the pandas way re-packs
-    per size; the shared-scan way costs one pass plus K projections."""
+    per size; the shared-scan way costs one pass plus K projections.
+
+    Scale: the cumulative window is partitioned by ``lang`` — the same
+    shard key ``datapipe/packing.py:pack_bins`` uses — so no row-level
+    frame ever funnels through a single task.  Bins are per-(lang, ctx),
+    exactly how a sharded packing job would run at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id",
+        "doc_id", "lang",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n"))
-    w = (Window.orderBy("doc_id")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     cum = toks.withColumn("cum_before",
                           F.coalesce(F.sum("n").over(w), F.lit(0)))
@@ -8802,10 +8811,10 @@ def packing_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.floor(F.col("cum_before") / F.col("ctx"))
                           .cast("bigint")))
     return (binned.groupBy("ctx")
-            .agg(F.countDistinct("bin_id").alias("n_bins"),
+            .agg(F.countDistinct("lang", "bin_id").alias("n_bins"),
                  F.sum("n").alias("total_tokens"),
                  (F.sum("n").cast("double")
-                  / (F.countDistinct("bin_id").cast("double")
+                  / (F.countDistinct("lang", "bin_id").cast("double")
                      * F.col("ctx").cast("double"))).alias("utilization"))
             .select(F.col("ctx").cast("int").alias("ctx"), "n_bins",
                     "total_tokens", "utilization"))

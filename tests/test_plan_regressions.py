@@ -359,7 +359,6 @@ def test_catalog_wide_no_unbounded_single_partition_funnels():
     ALLOWED = {
         "benchmark_returns": "one row per date (benchmark series)",
         "kaplan_meier_retention": "distinct gap lengths",
-        "packing_size_sweep": "budgets x langs sweep grid",
         "pairs_spread_zscore": "one pair's date series",
         "purged_kfold_splits": "fold boundaries (dates)",
         "salted_heavy_hitters": "post-agg top-k candidates",
