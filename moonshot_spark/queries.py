@@ -2942,18 +2942,48 @@ def streaming_ohlcv_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 
 @register("ivf_topk_contract", """
-SELECT CAST(vec_id AS BIGINT) AS query_id,
-       TRUE AS full_probe_exact, TRUE AS partial_not_better
-FROM embeddings WHERE vec_id < 8
+WITH corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), queries AS (
+    SELECT vec_id AS query_id, v AS q FROM corpus WHERE vec_id < 8
+), sims AS (
+    SELECT q.query_id, c.vec_id,
+           list_reduce(list_transform(range(1, len(c.v) + 1),
+               i -> c.v[i] * q.q[i]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, len(c.v) + 1),
+                  i -> c.v[i] * c.v[i]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, len(q.q) + 1),
+                  i -> q.q[i] * q.q[i]), (x, y) -> x + y))) AS cosine
+    FROM corpus c CROSS JOIN queries q
+), topk AS (
+    SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rank
+        FROM sims
+    ) WHERE rank <= 5
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       array_to_string(list_sort(list(vec_id)), ',')
+           AS full_probe_neighbors,
+       TRUE AS partial_not_better
+FROM topk GROUP BY query_id
 """)
 def ivf_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a *verifiable* contract (sketch outputs are
-    engine-specific, so like approx_aggregates the query emits structural
-    booleans): (1) probing ALL cells reproduces brute-force top-k exactly
-    (identical candidate set + identical tie-break); (2) a partial probe's
-    best cosine can never beat the exact best (its candidates are a
-    subset).  Codebook = MLlib KMeans (seeded); cell assignment is a
-    literal-codebook projection with no shuffle."""
+    """IVF ANN contract, oracle-checked for real: the query emits the
+    nprobe=ALL top-k neighbor SET per query, and the DuckDB oracle
+    recomputes exact brute-force cosine top-k in SQL — so a wrong
+    full-probe neighbor is a red driver row, not a self-certified TRUE.
+    The set (not rank-by-rank) comparison is deliberate: IVF scores
+    pairs with the numpy fast path while the oracle keeps the SQL fold —
+    last-ulp differences may swap adjacent ranks but never change the
+    top-k SET (cosine gaps in the data are orders of magnitude above
+    ulp).  ``partial_not_better`` remains a Spark-side invariant (a
+    partial probe's best cosine cannot beat the exact best, since its
+    candidates are a subset) — cell membership is KMeans-seeded and not
+    SQL-expressible, so the oracle pins only its shape.  Codebook =
+    MLlib KMeans (seeded); cell assignment is a literal-codebook
+    projection with no shuffle."""
     from moonshot_spark.datapipe.similarity import (
         brute_force_topk, ivf_topk, train_ivf_centroids)
 
@@ -2965,18 +2995,11 @@ def ivf_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = ivf_topk(emb, q, cents, nprobe=16, k=5)
     part = ivf_topk(emb, q, cents, nprobe=2, k=5)
 
-    # set comparison, not rank-by-rank: IVF scores pairs with the numpy
-    # fast path while brute force keeps the oracle-pinned fold — last-ulp
-    # differences may swap adjacent ranks but never change the top-k SET
-    # (cosine gaps in the data are orders of magnitude above ulp)
-    def topk_set(df, name):
-        return df.groupBy("query_id").agg(
-            F.array_sort(F.collect_list("vec_id")).alias(name))
-
-    exact = (topk_set(brute, "b_set").join(topk_set(full, "f_set"),
-                                           "query_id")
-             .select("query_id", (F.col("b_set") == F.col("f_set"))
-                     .alias("full_probe_exact")))
+    neighbors = (full.groupBy("query_id")
+                 .agg(F.array_join(
+                     F.transform(F.array_sort(F.collect_list("vec_id")),
+                                 lambda x: x.cast("string")), ",")
+                     .alias("full_probe_neighbors")))
 
     def top1(df, name):
         return df.where(F.col("rank") == 1).select(
@@ -2986,9 +3009,9 @@ def ivf_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select("query_id",
                           (F.col("p1") <= F.col("b1") + F.lit(1e-9))
                           .alias("partial_not_better")))
-    return (exact.join(not_better, "query_id")
-            .select(F.col("query_id").cast("bigint"),
-                    "full_probe_exact", "partial_not_better"))
+    return (neighbors.join(not_better, "query_id")
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    "full_probe_neighbors", "partial_not_better"))
 
 
 # --------------------------------------------------------------------- #
