@@ -37,32 +37,67 @@ class _FileLock:
     (reference _cache.py:147-151,181-184 uses ``FileLock``; this is the
     stdlib-only equivalent).  Spin-waits for a held lock; a lock older
     than ``stale_after`` seconds is treated as abandoned (crashed
-    writer) and taken over."""
+    writer) and taken over.
+
+    Takeover is identity-guarded: each acquisition writes a unique token
+    into the lock file, and a waiter claims a stale lock by atomically
+    renaming it aside and checking the renamed file still carries the
+    token it observed as stale.  If the holder released-and-reacquired
+    in between (fresh token), the file is linked back into place, so a
+    live lock is never destroyed by a racing takeover.  ``__exit__``
+    likewise only removes a lock that still carries our own token."""
 
     def __init__(self, path: str, timeout: float = 60.0,
                  stale_after: float = 300.0):
         self.path = path
         self.timeout = timeout
         self.stale_after = stale_after
+        self.token: str | None = None
+
+    @staticmethod
+    def _read_token(path: str) -> str | None:
+        try:
+            with open(path) as f:
+                return f.read()
+        except OSError:
+            return None
 
     def __enter__(self):
         deadline = time.time() + self.timeout
+        n_takeovers = 0
         while True:
+            token = f"{os.getpid()}:{os.urandom(8).hex()}"
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token.encode())
                 os.close(fd)
+                self.token = token
                 return self
             except FileExistsError:
+                stale_token = self._read_token(self.path)
                 try:
                     held_for = time.time() - os.path.getmtime(self.path)
                 except OSError:      # holder released between checks
                     continue
-                if held_for > self.stale_after:
+                if held_for > self.stale_after and stale_token is not None:
+                    n_takeovers += 1
+                    aside = f"{self.path}.stale-{os.getpid()}-{n_takeovers}"
                     try:
-                        os.remove(self.path)
-                    except OSError:
-                        pass
+                        os.rename(self.path, aside)
+                    except OSError:  # another waiter claimed it first
+                        continue
+                    if self._read_token(aside) == stale_token:
+                        os.remove(aside)     # confirmed abandoned
+                    else:
+                        # released-and-reacquired in the window: restore
+                        # the fresh holder's lock (link fails silently if
+                        # yet another acquirer already recreated the path,
+                        # in which case the fresh claim stands on its own)
+                        try:
+                            os.link(aside, self.path)
+                        except OSError:
+                            pass
+                        os.remove(aside)
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(
@@ -70,10 +105,14 @@ class _FileLock:
                 time.sleep(0.05)
 
     def __exit__(self, *exc):
-        try:
-            os.remove(self.path)
-        except OSError:
-            pass
+        # only remove a lock that is still OURS — if a waiter (wrongly or
+        # rightly) took our lock over while we ran long, the path now
+        # belongs to them and removing it would unlock a third party
+        if self._read_token(self.path) == self.token:
+            try:
+                os.remove(self.path)
+            except OSError:
+                pass
 
 
 def _source_mtime(paths: list[str]) -> float:
@@ -125,7 +164,13 @@ class Cache:
         if unless_modified:
             if _source_mtime(unless_modified) > meta["written_at"]:
                 return None
-        return spark.read.parquet(data_path)
+        try:
+            return spark.read.parquet(data_path)
+        except Exception:
+            # a concurrent set() may swap the entry (rmtree+rename) between
+            # our exists() check and the scan's file listing — treat the
+            # in-flight read failure as a miss (recompute), not an error
+            return None
 
     def set(self, prefix: str, kwargs: dict, df: DataFrame,
             extra: dict | None = None) -> str:
@@ -135,8 +180,10 @@ class Cache:
         happens under an O_EXCL lock file, so a concurrent set of the
         same key can never interleave into a half-written entry.
         Readers don't lock: meta is replaced atomically LAST, so a read
-        sees either the complete old entry or the complete new one (or a
-        momentary miss during the swap — a recompute, never corruption)."""
+        sees either the complete old entry or the complete new one.  A
+        reader whose scan is in flight DURING the rmtree+rename swap can
+        hit a transient listing failure — ``get`` catches it and reports
+        a miss (a recompute, never corruption)."""
         key = _fingerprint(prefix, kwargs)
         data_path, meta_path = self._paths(key)
         tmp_path = f"{data_path}.tmp-{os.getpid()}-{int(time.time()*1e6)}"

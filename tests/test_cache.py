@@ -93,6 +93,103 @@ def test_concurrent_writers_serialize(spark, tmp_path):
     assert leftovers == []
 
 
+# --------------------------------------------------------------------- #
+# reference scenario matrix (_tests/test_cache.py                        #
+# HistoricalPricesCacheTestCase): db-modified vs end-date interaction.   #
+# Scenario numbers in docstrings refer to the reference test names.      #
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture()
+def price_source(spark, tmp_path):
+    """A writable prices 'database' (parquet dir) the tests can modify."""
+    import datetime
+
+    rows = [("1", datetime.date(2024, 1, d), 10.0 + d, 100.0 * d)
+            for d in range(1, 6)]
+    rows += [("2", datetime.date(2024, 1, d), 20.0 + d, 200.0 * d)
+             for d in range(1, 6)]
+    path = str(tmp_path / "prices_db")
+    spark.createDataFrame(
+        rows, "sid string, date date, close double, volume double"
+    ).write.parquet(path)
+    return path
+
+
+def _modify_source(spark, path):
+    """Simulate a history-db update: rewrite with an extra day AND bump
+    mtimes into the future (the staleness check is mtime-based)."""
+    import datetime
+
+    extra = [("1", datetime.date(2024, 1, 9), 99.0, 900.0),
+             ("2", datetime.date(2024, 1, 9), 99.0, 900.0)]
+    df = spark.read.parquet(path).unionByName(spark.createDataFrame(
+        extra, "sid string, date date, close double, volume double"))
+    rows = df.collect()
+    import shutil
+    shutil.rmtree(path)
+    spark.createDataFrame(
+        rows, "sid string, date date, close double, volume double"
+    ).write.parquet(path)
+    future = time.time() + 60
+    for root, _, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (future, future))
+
+
+def test_use_cache_if_end_date_and_db_modified(spark, price_source, tmp_path):
+    """Reference test_60: with an explicit end_date the requested range is
+    immutable, so a LATER db modification does NOT invalidate the cache
+    (reference strategies/base.py:1260-1269)."""
+    from moonshot_spark.sources.prices import get_prices
+
+    kwargs = dict(end_date="2024-01-10", cache_dir=str(tmp_path / "c"))
+    n1 = get_prices(spark, price_source, **kwargs).count()
+    _modify_source(spark, price_source)
+    df2 = get_prices(spark, price_source, **kwargs)
+    assert df2.count() == n1                      # old (cached) data served
+    assert all(str(tmp_path / "c") in f for f in df2.inputFiles())
+
+
+def test_dont_use_cache_if_no_end_date_and_db_modified(
+        spark, price_source, tmp_path):
+    """Reference test_90: no end_date means 'latest history' — a modified
+    db invalidates and the fresh rows appear."""
+    from moonshot_spark.sources.prices import get_prices
+
+    kwargs = dict(cache_dir=str(tmp_path / "c"))
+    n1 = get_prices(spark, price_source, **kwargs).count()
+    _modify_source(spark, price_source)
+    n2 = get_prices(spark, price_source, **kwargs).count()
+    assert n2 == n1 + 2                           # recomputed: new day visible
+
+
+def test_use_cache_if_no_end_date_and_db_not_modified(
+        spark, price_source, tmp_path):
+    """Reference test_80: no end_date but db untouched — served from the
+    checkpoint, not the source."""
+    from moonshot_spark.sources.prices import get_prices
+
+    kwargs = dict(cache_dir=str(tmp_path / "c"))
+    get_prices(spark, price_source, **kwargs)
+    df2 = get_prices(spark, price_source, **kwargs)
+    assert all(str(tmp_path / "c") in f for f in df2.inputFiles())
+
+
+def test_dont_use_cache_if_different_params(spark, price_source, tmp_path):
+    """Reference test_40: a changed query param is a different key — the
+    second call recomputes instead of reusing the first entry."""
+    from moonshot_spark.sources.prices import get_prices
+
+    cache_dir = str(tmp_path / "c")
+    get_prices(spark, price_source, sids=["1"], cache_dir=cache_dir)
+    df2 = get_prices(spark, price_source, sids=["2"], cache_dir=cache_dir)
+    assert {r["sid"] for r in df2.select("sid").distinct().collect()} == {"2"}
+    # two distinct cache entries (parquet dirs), not one reused
+    entries = [n for n in os.listdir(cache_dir) if n.endswith(".parquet")]
+    assert len(entries) == 2
+
+
 def test_lock_stale_takeover(tmp_path):
     """An abandoned lock (crashed writer) is taken over after
     stale_after; a live one within timeout raises TimeoutError."""
@@ -113,3 +210,57 @@ def test_lock_stale_takeover(tmp_path):
     with _pt.raises(TimeoutError):
         with _FileLock(lock_path, timeout=0.3, stale_after=300.0):
             pass
+
+
+def test_lock_release_is_identity_guarded(tmp_path):
+    """If a waiter took our lock over (we ran past stale_after), the path
+    now carries THEIR token — our release must not remove it, or a third
+    party gets unlocked."""
+    from moonshot_spark.sources.cache import _FileLock
+
+    lock_path = str(tmp_path / "x.lock")
+    lock = _FileLock(lock_path, timeout=1.0)
+    lock.__enter__()
+    # a takeover replaces the lock file with a fresh token
+    os.remove(lock_path)
+    open(lock_path, "w").write("someone-else:deadbeef")
+    lock.__exit__(None, None, None)
+    assert os.path.exists(lock_path)              # not ours → left alone
+    assert open(lock_path).read() == "someone-else:deadbeef"
+    os.remove(lock_path)
+
+
+def test_stale_takeover_spares_reacquired_lock(tmp_path, monkeypatch):
+    """The takeover claim must restore a lock whose token changed between
+    the staleness observation and the rename-aside (the crashed-looking
+    holder's lock was released and a NEW holder acquired in the window) —
+    the fresh lock survives and the waiter keeps waiting (here: times
+    out).  The race is injected at the exact boundary: os.rename."""
+    from moonshot_spark.sources.cache import _FileLock
+
+    lock_path = str(tmp_path / "x.lock")
+    open(lock_path, "w").write("crashed:deadbeef")
+    old = time.time() - 1000
+    os.utime(lock_path, (old, old))
+
+    real_rename = os.rename
+    state = {"swapped": False}
+
+    def racy_rename(src, dst):
+        if src == lock_path and not state["swapped"]:
+            state["swapped"] = True
+            # holder releases and a new holder acquires JUST before the
+            # waiter's claim lands
+            os.remove(lock_path)
+            with open(lock_path, "w") as f:
+                f.write("fresh:cafebabe")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racy_rename)
+    lock = _FileLock(lock_path, timeout=0.3, stale_after=300.0)
+    import pytest as _pt
+    with _pt.raises(TimeoutError):
+        lock.__enter__()
+    # the fresh holder's lock was restored (token intact), not destroyed
+    assert open(lock_path).read() == "fresh:cafebabe"
+    assert not [n for n in os.listdir(tmp_path) if ".stale-" in n]

@@ -160,6 +160,90 @@ def test_ml_feature_cache(spark, prices, tmp_path, monkeypatch):
     assert calls["n"] == 2
 
 
+def test_ml_dont_use_cached_features_if_prices_change(
+        spark, prices, tmp_path, monkeypatch):
+    """Reference _tests/test_cache.py MLFeaturesCacheTestCase test_50/60:
+    the feature cache key includes the prices frame, so changed prices
+    recompute — and the ORIGINAL prices still hit their own entry."""
+    monkeypatch.setenv("MOONSHOT_CACHE_DIR", str(tmp_path))
+    import moonshot_spark.sources.cache as cache_mod
+    monkeypatch.setattr(cache_mod, "DEFAULT_CACHE_DIR", str(tmp_path))
+
+    calls = {"n": 0}
+
+    class S(TwoFeatureStrategy):
+        CODE = "ml-prices-change"
+
+        def prices_to_features(self, p):
+            calls["n"] += 1
+            return super().prices_to_features(p)
+
+    model = LinearModel([1.0, 0.5])
+    S().backtest(prices, model=model)
+    assert calls["n"] == 1
+    # same prices → cache hit
+    S().backtest(prices, model=model)
+    assert calls["n"] == 1
+    # different prices (one close changed) → different key → recompute
+    prices2 = prices.withColumn(
+        "close", F.when((F.col("sid") == "FI12345")
+                        & (F.col("date") == F.lit(DATES[0])), 99.0)
+        .otherwise(F.col("close")))
+    S().backtest(prices2, model=model)
+    assert calls["n"] == 2
+    # and the original prices' entry is still valid (ref test_60)
+    S().backtest(prices, model=model)
+    assert calls["n"] == 2
+
+
+def test_ml_dont_use_cached_features_if_file_changes(
+        spark, prices, tmp_path, monkeypatch):
+    """Reference _tests/test_cache.py MLFeaturesCacheTestCase test_70 +
+    _cache.py:114-128 unless_file_modified: touching the strategy's
+    source file after caching invalidates the cached features."""
+    import importlib.util
+    import os
+    import time
+
+    monkeypatch.setenv("MOONSHOT_CACHE_DIR", str(tmp_path / "cache"))
+    import moonshot_spark.sources.cache as cache_mod
+    monkeypatch.setattr(cache_mod, "DEFAULT_CACHE_DIR",
+                        str(tmp_path / "cache"))
+
+    mod_path = tmp_path / "tmp_strategy_filechange.py"
+    mod_path.write_text(
+        "from pyspark.sql import functions as F\n"
+        "from moonshot_spark import MoonshotML\n\n"
+        "class TmpStrategy(MoonshotML):\n"
+        "    CODE = 'ml-file-change'\n"
+        "    CALLS = []\n\n"
+        "    def prices_to_features(self, prices):\n"
+        "        TmpStrategy.CALLS.append(1)\n"
+        "        df = prices.withColumn('f_close', F.col('close'))\n"
+        "        return df, ['f_close']\n\n"
+        "    def predictions_to_signals(self, predictions):\n"
+        "        return predictions.withColumn(\n"
+        "            'signal', (F.col('prediction') > 10).cast('int'))\n")
+    spec = importlib.util.spec_from_file_location(
+        "tmp_strategy_filechange", str(mod_path))
+    mod = importlib.util.module_from_spec(spec)
+    # inspect.getsourcefile resolves the class's file via sys.modules
+    import sys
+    monkeypatch.setitem(sys.modules, "tmp_strategy_filechange", mod)
+    spec.loader.exec_module(mod)
+
+    model = LinearModel([1.0])
+    mod.TmpStrategy().backtest(prices, model=model)
+    assert len(mod.TmpStrategy.CALLS) == 1
+    mod.TmpStrategy().backtest(prices, model=model)
+    assert len(mod.TmpStrategy.CALLS) == 1       # cache hit
+    # 'edit' the strategy file → cached features are stale
+    future = time.time() + 60
+    os.utime(mod_path, (future, future))
+    mod.TmpStrategy().backtest(prices, model=model)
+    assert len(mod.TmpStrategy.CALLS) == 2
+
+
 def test_ml_trade_never_caches(spark, prices, tmp_path, monkeypatch):
     """The feature cache is backtest-only (reference ml.py:427 gates on
     ``self.is_backtest``): trading must never serve stale features."""
