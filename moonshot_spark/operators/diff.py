@@ -21,14 +21,18 @@ __all__ = ["snapshot_diff"]
 
 
 def _row_hash(df: DataFrame, keys: list[str]):
-    """md5 over the canonicalized (sorted-name, null-sentineled) non-key
-    columns.  NULL and the string 'null' must hash differently, hence
-    the explicit sentinel + unit separator."""
+    """md5 over per-column md5s (sorted column order).  Hashing each
+    column FIRST makes the encoding injective: every part is either a
+    32-hex-char digest or the 4-char NULL sentinel, neither of which
+    contains the separator, so no value can collide across column
+    boundaries (a raw concat with separators could — a value containing
+    the separator, or equal to the sentinel, would alias another row)."""
     cols = [c for c in df.columns if c not in keys]
     parts = []
     for c in sorted(cols):
-        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
-    return F.md5(F.concat_ws("\x1f", *parts))
+        parts.append(F.coalesce(F.md5(F.col(c).cast("string")),
+                                F.lit("null")))
+    return F.md5(F.concat_ws(",", *parts))
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame,

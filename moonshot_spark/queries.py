@@ -6753,7 +6753,7 @@ def walkforward_ar1_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold_by(key_col, expr):
         # width-guarded order-pinned fold (functions/folds.py): errors
         # inside the job if a group outgrows the in-array bound
-        return fold_sum_exact(key_col, expr, label="gap_fade_tstat")
+        return fold_sum_exact(key_col, expr, label="walkforward_ar1_cv")
 
     partials = kept.groupBy("fold", "tag", "sid").agg(
         F.count("*").alias("cnt"),
@@ -6893,7 +6893,7 @@ def event_study_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold_by(key_col, expr):
         # width-guarded order-pinned fold (functions/folds.py): errors
         # inside the job if a group outgrows the in-array bound
-        return fold_sum_exact(key_col, expr, label="gap_fade_tstat")
+        return fold_sum_exact(key_col, expr, label="event_study_gaps")
 
     partials = ev.groupBy("event", "sid").agg(
         F.count("fwd1").alias("n1"),
@@ -7109,7 +7109,7 @@ def momentum_decile_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold_by(key_col, expr):
         # width-guarded order-pinned fold (functions/folds.py): errors
         # inside the job if a group outgrows the in-array bound
-        return fold_sum_exact(key_col, expr, label="gap_fade_tstat")
+        return fold_sum_exact(key_col, expr, label="momentum_decile_sort")
 
     partials = ranked.groupBy("week", "decile").agg(
         F.count("fwd_ret").alias("n"),
@@ -7520,7 +7520,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold_by(key_col, expr):
         # width-guarded order-pinned fold (functions/folds.py): errors
         # inside the job if a group outgrows the in-array bound
-        return fold_sum_exact(key_col, expr, label="gap_fade_tstat")
+        return fold_sum_exact(key_col, expr, label="tfidf_cosine_pairs")
 
     norms = wts.groupBy("doc_id").agg(
         F.sqrt(fold_by("term", F.col("w") * F.col("w"))).alias("nrm"))
@@ -8261,7 +8261,7 @@ def james_stein_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold_by(key_col, expr):
         # width-guarded order-pinned fold (functions/folds.py): errors
         # inside the job if a group outgrows the in-array bound
-        return fold_sum_exact(key_col, expr, label="gap_fade_tstat")
+        return fold_sum_exact(key_col, expr, label="james_stein_means")
 
     per_sid = rets.groupBy("sid").agg(
         F.count("r").alias("n"),

@@ -25,6 +25,7 @@ def get_prices(spark: SparkSession, path: str,
                strategy=None,
                universes: DataFrame | None = None,
                lookback_window: int | None = None,
+               data_frequency: str | None = None,
                no_cache: bool = False,
                cache_dir: str | None = None,
                fmt: str = "parquet",
@@ -64,6 +65,17 @@ def get_prices(spark: SparkSession, path: str,
     benchmark_sid = None
     if strategy is not None:
         times = times or _listify(getattr(strategy, "DB_TIMES", None)) or None
+        # DB_FIELDS fills in an unset ``fields`` only when the subclass
+        # overrides it (reference base.py:1238-1244 always forwards it to
+        # the service; the base default names the service's conventional
+        # fields, which a caller-provided panel need not carry)
+        if fields is None:
+            from moonshot_spark.strategies.base import Moonshot
+            db_fields = getattr(strategy, "DB_FIELDS", None)
+            if db_fields and db_fields is not Moonshot.DB_FIELDS:
+                fields = _listify(db_fields)
+        data_frequency = (data_frequency
+                          or getattr(strategy, "DB_DATA_FREQUENCY", None))
         sids = sids or _listify(getattr(strategy, "SIDS", None))
         exclude_sids = (_listify(exclude_sids)
                         + _listify(getattr(strategy, "EXCLUDE_SIDS", None)))
@@ -107,6 +119,7 @@ def get_prices(spark: SparkSession, path: str,
                      "exclude_universes": excl_universes,
                      "universes_fp": uni_fp,
                      "benchmark_sid": benchmark_sid,
+                     "data_frequency": data_frequency,
                      "fmt": fmt, "schema": schema}
         # no end_date means "latest history": a modified source invalidates.
         # With an explicit end_date the requested range is immutable, so a
@@ -171,6 +184,35 @@ def get_prices(spark: SparkSession, path: str,
             raise MoonshotParameterError(
                 f"fields not in panel: {sorted(missing)}")
         df = df.select(*keys, *fields)
+
+    # DB_DATA_FREQUENCY twin (reference base.py:1246-1251 forwards
+    # data_frequency to the history service, which rolls intraday bars up
+    # to daily): "daily" on an intraday panel aggregates each (sid, date)
+    # group — open = first bar, close/others = last bar, high/low = extrema,
+    # volume = sum.  One map-side-combinable groupBy; at 100 TB this is the
+    # same pre-aggregation the service would do, pushed into the plan.
+    if data_frequency is not None:
+        if data_frequency not in ("daily", "minute"):
+            raise MoonshotParameterError(
+                f"invalid data_frequency {data_frequency!r} "
+                "(daily or minute)")
+        if data_frequency == "daily" and "time" in df.columns:
+            aggs = []
+            for c in df.columns:
+                if c in ("sid", "date", "time"):
+                    continue
+                lc = c.lower()
+                if lc == "open":
+                    aggs.append(F.min_by(c, "time").alias(c))
+                elif lc == "high":
+                    aggs.append(F.max(c).alias(c))
+                elif lc == "low":
+                    aggs.append(F.min(c).alias(c))
+                elif lc == "volume":
+                    aggs.append(F.sum(c).alias(c))
+                else:                       # close, wap, custom: last bar
+                    aggs.append(F.max_by(c, "time").alias(c))
+            df = df.groupBy("sid", "date").agg(*aggs)
 
     if cache is not None:
         cache.set("prices", cache_key, df)

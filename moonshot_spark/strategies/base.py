@@ -23,9 +23,10 @@ column arithmetic — no joins.  The only shuffles in the whole backtest are:
 At 100 TB that is two exchanges total, each streaming — no driver
 materialization anywhere (the reference materializes every stage in RAM,
 base.py:1335-1351).  One exception: a once-a-day strategy over an
-INTRADAY panel with caps or commissions adds one shared
-first-bar-contract-value aggregation + join (built once per backtest,
-``_cv_first_bar_daily``), mirroring the reference's earliest-bar pricing.
+INTRADAY panel with caps or commissions adds first-bar-contract-value
+aggregations + joins (built once per backtest, ``_cv_caps_daily`` /
+``_cv_commissions_daily``), mirroring the reference's earliest-bar
+pricing.
 
 Hook surface (the reference's UDF surface, base.py:298,336,389,437,483):
 user subclasses override ``prices_to_signals`` etc.; hooks receive and
@@ -71,11 +72,13 @@ class Moonshot:
     DB: str | None = None
     DB_FIELDS: list[str] = ["Open", "Close", "Volume"]
     DB_TIMES: str | list[str] | None = None   # intraday bar filter (S1)
-    #: service-level options with no parquet-side meaning, declared for
-    #: API parity: continuous-futures stitching and Zipline-bundle bar
-    #: frequency happen upstream of the panel in the reference
-    #: (base.py:1246-1250)
+    #: "daily" rolls an intraday panel up to daily bars in get_prices
+    #: (reference base.py:1246-1251 forwards this to the history service,
+    #: which performs the same rollup); "minute"/None pass through
     DB_DATA_FREQUENCY: str | None = None
+    #: service-level option with no parquet-side meaning, declared for
+    #: API parity: continuous-futures stitching happens upstream of the
+    #: panel in the reference (base.py:1246-1250)
     CONT_FUT: str | None = None
     SIDS: str | list[str] | None = None
     UNIVERSES: str | list[str] | None = None
@@ -106,9 +109,11 @@ class Moonshot:
         self._benchmark_prices: DataFrame | None = None
         self._signal_date = None
         self._signal_time = None
-        #: per-backtest memo of the (sid, date, __cv) first-bar frame so
-        #: caps and commissions share ONE scan of the intraday panel
-        self._cv_first_cache = None
+        #: per-backtest memos of the (sid, date, __cv) first-bar frames
+        #: (caps: ffilled global-earliest-bar slice; commissions:
+        #: per-day first non-null — reference base.py:943-949 vs 852-854)
+        self._cv_caps_cache = None
+        self._cv_comm_cache = None
 
     # ------------------------------------------------------------------ #
     # window helpers                                                     #
@@ -284,10 +289,12 @@ class Moonshot:
 
         if (prices is not None and self._is_intraday(prices)
                 and not self._is_intraday(df)):
-            # once-a-day intraday: commissions price at the day's FIRST
-            # bar (reference _get_commissions groupby(Date).first(),
-            # base.py:852-854), not the bar the strategy sliced
-            df = df.join(self._cv_first(prices), ["sid", "date"], "left")
+            # once-a-day intraday: commissions price at the day's first
+            # NON-NULL bar (reference _get_commissions
+            # groupby(Date).first(), base.py:852-854), not the bar the
+            # strategy sliced
+            df = df.join(self._cv_commissions(prices), ["sid", "date"],
+                         "left")
             contract_value = F.col("__cv")
         else:
             contract_value = self._contract_value_expr(df)
@@ -354,37 +361,61 @@ class Moonshot:
     # weight constraints (D16, reference base.py:921-972)                #
     # ------------------------------------------------------------------ #
 
-    def _cv_first_bar_daily(self, prices: DataFrame) -> DataFrame:
-        """(sid, date, __cv) at each date's EARLIEST bar, ffilled — the
-        contract value the reference uses whenever a DAILY frame (weights
-        or positions of a once-a-day strategy) must be priced from an
-        INTRADAY panel: `.xs(earliest_time)` in _constrain_weights
-        (base.py:943-949, deliberately the stalest bar to avoid lookahead
-        bias) and `groupby(Date).first()` in _get_commissions
-        (base.py:852-854).  Per-date earliest here (the reference's two
-        forms agree whenever every date carries the same bar grid, which
-        its goldens all do)."""
+    # earliest-bar key: (length, value) so a non-zero-padded "9:30:00"
+    # sorts before "15:30:00" here.  NOTE: zero-padded HH:MM:SS is the
+    # engine-wide time contract (every window orderBy and time
+    # comparison is lexicographic); this key is defense-in-depth for
+    # these aggregates only, not blanket support for unpadded times
+    @staticmethod
+    def _time_key():
+        return F.struct(F.length("time"), F.col("time"))
+
+    def _cv_caps_daily(self, prices: DataFrame) -> DataFrame:
+        """(sid, date, __cv): cross-day-ffilled contract value at the
+        panel-GLOBAL earliest bar — exactly reference _constrain_weights
+        (base.py:934-949): ``contract_values.ffill().xs(earliest_time)``
+        with ``earliest_time = Time.unique().min()`` (deliberately the
+        stalest bar, to avoid lookahead bias).  The global earliest time
+        is a broadcast 1-row aggregate, not a collect; dates whose grid
+        lacks that bar drop (→ NULL cv on the left join), as the xs
+        slice drops them in the reference."""
         w = self._sid_window(prices)
         cvp = F.last(self._contract_value_expr(prices),
                      ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, 0))
-        # earliest-bar key: (length, value) so a non-zero-padded "9:30:00"
-        # sorts before "15:30:00" here.  NOTE: zero-padded HH:MM:SS is the
-        # engine-wide time contract (every window orderBy and time
-        # comparison is lexicographic); this key is defense-in-depth for
-        # THIS aggregate only, not blanket support for unpadded times
-        tkey = F.struct(F.length("time"), F.col("time"))
+        tkey = self._time_key()
+        earliest = prices.agg(F.min(tkey).alias("__tmin"))
         return (prices.withColumn("__cvp", cvp)
-                .groupBy("sid", "date")
-                .agg(F.min_by("__cvp", tkey).alias("__cv")))
+                .withColumn("__tk", tkey)
+                .crossJoin(F.broadcast(earliest))
+                .where(F.col("__tk") == F.col("__tmin"))
+                .select("sid", "date", F.col("__cvp").alias("__cv")))
 
-    def _cv_first(self, prices: DataFrame) -> DataFrame:
-        """The per-backtest memo of ``_cv_first_bar_daily`` (or a fresh
-        build when called outside a backtest) — the single fallback point
-        shared by caps and commissions."""
-        if self._cv_first_cache is not None:
-            return self._cv_first_cache
-        return self._cv_first_bar_daily(prices)
+    def _cv_commissions_daily(self, prices: DataFrame) -> DataFrame:
+        """(sid, date, __cv): first NON-NULL contract value within each
+        day, NO cross-day ffill — exactly reference _get_commissions
+        (base.py:852-854): ``contract_values.groupby(Date).first()``
+        (pandas ``.first()`` skips NaN within the group).  Diverges from
+        the caps frame when a day's earliest bar is NULL or bar grids
+        are uneven across dates.  Map-side-combinable groupBy."""
+        cv = self._contract_value_expr(prices)
+        return (prices.withColumn("__cvr", cv)
+                .where(F.col("__cvr").isNotNull())
+                .groupBy("sid", "date")
+                .agg(F.min_by("__cvr", self._time_key()).alias("__cv")))
+
+    def _cv_caps(self, prices: DataFrame) -> DataFrame:
+        """Per-backtest memo of ``_cv_caps_daily`` (fresh build when
+        called outside a backtest)."""
+        if self._cv_caps_cache is not None:
+            return self._cv_caps_cache
+        return self._cv_caps_daily(prices)
+
+    def _cv_commissions(self, prices: DataFrame) -> DataFrame:
+        """Per-backtest memo of ``_cv_commissions_daily``."""
+        if self._cv_comm_cache is not None:
+            return self._cv_comm_cache
+        return self._cv_commissions_daily(prices)
 
     def _constrain_weights(self, weights: DataFrame, prices: DataFrame) -> DataFrame:
         max_longs, max_shorts = self.limit_position_sizes(prices)
@@ -396,10 +427,10 @@ class Moonshot:
                 "must provide NLVs if using limit_position_sizes")
 
         if self._is_intraday(prices) and not self._is_intraday(weights):
-            # once-a-day intraday: price the quantities at the day's
+            # once-a-day intraday: price the quantities at the panel's
             # earliest bar (reference base.py:943-949), NOT whichever bar
             # the strategy happened to slice into its weights frame
-            df = weights.join(self._cv_first(prices), ["sid", "date"],
+            df = weights.join(self._cv_caps(prices), ["sid", "date"],
                               "left")
         else:
             w = self._sid_window(weights)
@@ -610,12 +641,14 @@ class Moonshot:
         df = df.withColumn("signal", F.col("signal").cast("double"))
         df = self._call_hook(self.signals_to_target_weights, df, prices)
         df = df.withColumn("weight", F.col("weight") * F.lit(allocation))
-        # once-a-day intraday: caps and commissions both need the
-        # first-bar contract values — build the frame once, share it
-        self._cv_first_cache = (
-            self._cv_first_bar_daily(prices)
-            if self._is_intraday(prices) and not self._is_intraday(df)
-            else None)
+        # once-a-day intraday: caps and commissions each need their
+        # first-bar contract-value frame — build once, memoize per run
+        once_a_day = (self._is_intraday(prices)
+                      and not self._is_intraday(df))
+        self._cv_caps_cache = (self._cv_caps_daily(prices)
+                               if once_a_day else None)
+        self._cv_comm_cache = (self._cv_commissions_daily(prices)
+                               if once_a_day else None)
         df = self._constrain_weights(df, prices)
         df = self._call_hook(self.target_weights_to_positions, df, prices)
         df = self._call_hook(self.positions_to_gross_returns, df, prices)
@@ -749,12 +782,25 @@ class Moonshot:
         # inputs with no clock context fall back to the panel's max date.
         weights_is_intraday = self._is_intraday(df)
         dt = self._resolve_signal_datetime(review_date, master)
-        max_date = df.select(F.max("date")).collect()[0][0]
+        # ONE validation aggregate over the weights frame: max date,
+        # signal-date presence, and (intraday) the eligible earlier
+        # times — the reference pays a pass per check (base.py:773-830);
+        # a single map-side-combinable agg replaces 2-3 Spark jobs
+        trade_time = dt.strftime("%H:%M:%S") if dt is not None else None
+        probes = [F.max("date").alias("__max_date")]
+        if dt is not None:
+            probes.append(F.max((F.col("date") == F.lit(dt.date()))
+                                .cast("int")).alias("__has_signal"))
+            if weights_is_intraday:
+                probes.append(F.sort_array(F.collect_set(
+                    F.when(F.col("time") < trade_time, F.col("time")))
+                ).alias("__times"))
+        probe = df.agg(*probes).collect()[0]
+        max_date = probe["__max_date"]
         if dt is not None:
             signal_date = dt.date()
-            trade_time = dt.strftime("%H:%M:%S")
             if (max_date is None or signal_date > max_date
-                    or df.where(F.col("date") == F.lit(signal_date)).isEmpty()):
+                    or not probe["__has_signal"]):
                 # staleness validation — reference base.py:773-787: the
                 # signal date must actually exist in the weights frame
                 # (a date inside the range but absent — e.g. a holiday —
@@ -775,18 +821,16 @@ class Moonshot:
                                                if max_date else None))
         else:
             signal_date = max_date
-            trade_time = None
         self._signal_date = signal_date
         today = df.where(F.col("date") == F.lit(signal_date))
         if weights_is_intraday:
             if trade_time is not None:
                 # reference base.py:790-795: one global signal time — the
                 # latest time in the whole weights frame strictly earlier
-                # than the trade time.  distinct-times collect is bounded
-                # by the bar schedule, never data scale.
-                times = sorted(r[0] for r in df.select("time")
-                               .where(F.col("time") < trade_time)
-                               .distinct().collect())
+                # than the trade time.  The distinct-times set came back
+                # with the validation probe above (bounded by the bar
+                # schedule, never data scale).
+                times = [t for t in probe["__times"] if t is not None]
                 if not times:
                     msg = ("cannot determine which target weights to use "
                            "for orders because target weights DataFrame "

@@ -245,3 +245,18 @@ def test_snapshot_diff_classes_and_schema_guard(spark):
     drifted = new.withColumnRenamed("v", "value")
     with pytest.raises(ValueError, match="non-key columns differ"):
         snapshot_diff(old, drifted, ["k"])
+
+
+def test_snapshot_diff_hash_is_injective_across_columns(spark):
+    """Values containing a would-be separator must not collide across
+    column boundaries: ('x\\x1fy','z') vs ('x','y\\x1fz') concatenate to
+    the same bytes under a naive separator-join but are different rows —
+    the per-column-md5 scheme must report them 'changed'."""
+    from moonshot_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x\x1fy", "z")],
+                                "k long, a string, b string")
+    new = spark.createDataFrame([(1, "x", "y\x1fz")],
+                                "k long, a string, b string")
+    [row] = snapshot_diff(old, new, ["k"]).collect()
+    assert row["change"] == "changed"

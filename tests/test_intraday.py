@@ -430,3 +430,56 @@ def test_eod_futures_commission_with_multiplier(spark):
     assert got == {
         "FI12345": [None, 0.0000909, 0.0001905, 0.0],
         "FI23456": [None, 0.0000455, 0.0000952, 0.0]}
+
+
+def test_caps_vs_commission_first_bar_divergence(spark):
+    """The reference prices caps and commissions from DIFFERENT daily
+    frames (base.py:943-949 vs :852-854): caps use the cross-day-ffilled
+    value at the panel-GLOBAL earliest time; commissions use each day's
+    first NON-NULL value with no ffill.  With day 2's 09:30 close NULL,
+    caps see yesterday's 15:30 close (20, ffilled) while commissions see
+    day 2's 15:30 close (24, first non-null) — a single shared frame
+    cannot produce both."""
+    from moonshot_spark.commission.stk import PerShareCommission
+
+    dates = [datetime.date(2018, 5, 1), datetime.date(2018, 5, 2)]
+    rows = [("S1", dates[0], "09:30:00", 10.0),
+            ("S1", dates[0], "15:30:00", 20.0),
+            ("S1", dates[1], "09:30:00", None),
+            ("S1", dates[1], "15:30:00", 24.0)]
+    prices = spark.createDataFrame(
+        rows, "sid string, date date, time string, close double")
+    master = spark.createDataFrame(
+        [("S1", "AAA", "STK", "USD", "America/New_York", None, None)],
+        "sid string, symbol string, sec_type string, currency string, "
+        "timezone string, price_magnifier double, multiplier double")
+
+    class PerShare(PerShareCommission):
+        BROKER_COMMISSION_PER_SHARE = 0.01
+
+    class Diverge(Moonshot):
+        NLV = {"USD": 100000.0}
+        COMMISSION_CLASS = PerShare
+
+        def prices_to_signals(self, p):
+            late = p.where(F.col("time") == "15:30:00").drop("time")
+            return late.withColumn("signal", F.lit(1))
+
+        def signals_to_target_weights(self, signals):
+            return self.allocate_fixed_weights(signals, 0.5)
+
+        def limit_position_sizes(self, p):
+            caps = p.sparkSession.createDataFrame(
+                [("S1", d, 100) for d in dates],
+                "sid string, date date, max_quantity long")
+            return caps, None
+
+    results = Diverge().backtest(prices, master=master)
+    got = {(r["field"], r["date"]): r["value"] for r in results.collect()}
+    # caps: ffilled cv at the global earliest bar — day2 09:30 is NULL so
+    # the ffill carries day1's 15:30 close (20): 100*20/100K
+    assert got[("Weight", dates[0])] == pytest.approx(0.01)
+    assert got[("Weight", dates[1])] == pytest.approx(0.02)
+    # commission day2: turnover |0.01| priced at day2's first NON-NULL
+    # close (24, no ffill — NOT the caps frame's 20)
+    assert got[("Commission", dates[1])] == pytest.approx(0.01 / 24 * 0.01)

@@ -26,15 +26,86 @@ def test_interval_padding():
         MAVG_WINDOW = 100
         REBALANCE_INTERVAL = "Q"
 
-    assert get_lookback_window(S()) == 100 + 92
+    # Q ≈ 66 business days per quarter (reference base.py:1068-1086
+    # counts bdays in one period)
+    assert get_lookback_window(S()) == 100 + 66
+
+
+def test_explicit_lookback_window_wins():
+    """Reference base.py:1060-1061: LOOKBACK_WINDOW set → returned as-is,
+    no *_WINDOW derivation and no interval padding."""
+    class S(Moonshot):
+        LOOKBACK_WINDOW = 10
+        MAVG_WINDOW = 300
+        REBALANCE_INTERVAL = "Q"
+
+    assert get_lookback_window(S()) == 10
+
+    class Z(Moonshot):
+        LOOKBACK_WINDOW = 0
+        MAVG_WINDOW = 300
+
+    assert get_lookback_window(Z()) == 0
 
 
 def test_lookback_start_date():
+    # 235 trading days / 365 calendar days + 10-day buffer
     start = lookback_start_date("2024-06-01", 252)
-    # 252 trading days ≈ 365 calendar + 10 buffer
-    assert start == datetime.date(2024, 6, 1) - datetime.timedelta(days=375)
-    assert lookback_start_date("2024-06-01", 10) \
-        == datetime.date(2024, 6, 1) - datetime.timedelta(days=25)
+    expected = datetime.date(2024, 6, 1) - datetime.timedelta(
+        days=392 + 10)  # ceil(252*365/235)=392
+    assert start == expected
+
+
+def test_lookback_start_dates_match_reference_pins():
+    """The exact start dates the reference's _tests/test_prices.py pins
+    (test_set_lookback_window, test_derive_lookback_window_from_window_params,
+    test_zero_lookback_window, test_under_one_week_lookback_window,
+    test_derive_lookback_window_from_window_and_interval_params)."""
+    # default 252 (reference test_prices.py:148)
+    class Default(Moonshot):
+        pass
+
+    assert str(lookback_start_date(
+        "2018-05-01", get_lookback_window(Default()))) == "2017-03-25"
+
+    # explicit LOOKBACK_WINDOW = 350 (reference test_prices.py:260)
+    class Explicit(Moonshot):
+        LOOKBACK_WINDOW = 350
+
+    assert str(lookback_start_date(
+        "2018-05-01", get_lookback_window(Explicit()))) == "2016-10-24"
+
+    # derived max(*_WINDOW) = 100, non-int ignored (reference :364)
+    class Derived(Moonshot):
+        SOME_WINDOW = 100
+        SOME_OTHER_WINDOW = 5
+        SOME_NONINT_WINDOW = "foo"
+
+    assert str(lookback_start_date(
+        "2018-05-01", get_lookback_window(Derived()))) == "2017-11-16"
+
+    # zero window: no buffer at all (reference :565)
+    class Zero(Moonshot):
+        LOOKBACK_WINDOW = 0
+
+    assert str(lookback_start_date(
+        "2018-05-01", get_lookback_window(Zero()))) == "2018-05-01"
+
+    # under one week: 2-day buffer (reference :663)
+    class Short(Moonshot):
+        LOOKBACK_WINDOW = 2
+
+    assert str(lookback_start_date(
+        "2018-05-01", get_lookback_window(Short()))) == "2018-04-25"
+
+    # window + interval (reference :467 accepts 2017-08-04..07)
+    class WindowInterval(Moonshot):
+        SOME_WINDOW = 100
+        REBALANCE_INTERVAL = "Q"
+
+    got = str(lookback_start_date(
+        "2018-05-01", get_lookback_window(WindowInterval())))
+    assert got in ("2017-08-04", "2017-08-05", "2017-08-06", "2017-08-07")
 
 
 def test_compaction_plan_bins_small_files(spark, tmp_path):

@@ -323,3 +323,81 @@ def test_get_prices_orc_roundtrip(spark, tmp_path):
     a = {(r["sid"], r["date"]): r["close"] for r in panel.collect()}
     b = {(r["sid"], r["date"]): r["close"] for r in back.collect()}
     assert a == b
+
+
+@pytest.fixture()
+def intraday_path(spark, tmp_path):
+    """Two sids x two days x three bars with OHLCV + Wap columns."""
+    path = str(tmp_path / "intraday_full")
+    rows = []
+    for sid in ("1", "2"):
+        for d, day in enumerate(("2024-01-10", "2024-01-11")):
+            for i, t in enumerate(("09:30:00", "12:00:00", "15:45:00")):
+                base = float((int(sid) * 10) + d)
+                rows.append((sid, day, t,
+                             base + i,          # open-ish drift
+                             base + i + 0.5,    # high
+                             base + i - 0.5,    # low
+                             base + i + 0.25,   # close
+                             100.0 * (i + 1),   # volume
+                             base + i + 0.1))   # wap
+    spark.createDataFrame(
+        rows, "sid string, date string, time string, open double, "
+              "high double, low double, close double, volume double, "
+              "wap double") \
+        .withColumn("date", F.col("date").cast("date")).write.parquet(path)
+    return path
+
+
+def test_data_frequency_daily_rolls_up_intraday(spark, intraday_path):
+    """DB_DATA_FREQUENCY='daily' (reference base.py:1246-1251 forwards to
+    the history service, which rolls intraday bars to daily): open=first
+    bar, high/low=extrema, close/wap=last bar, volume=sum."""
+    class Daily:
+        DB_DATA_FREQUENCY = "daily"
+
+    df = get_prices(spark, intraday_path, strategy=Daily(), no_cache=True)
+    assert "time" not in df.columns
+    r = {(x["sid"], str(x["date"])): x for x in df.collect()}
+    assert len(r) == 4                     # 2 sids x 2 days
+    day = r[("1", "2024-01-10")]
+    assert day["open"] == 10.0             # first bar's open
+    assert day["high"] == 12.5             # max over bars
+    assert day["low"] == 9.5               # min over bars
+    assert day["close"] == 12.25           # last bar's close
+    assert day["wap"] == pytest.approx(12.1)   # last bar's wap
+    assert day["volume"] == 600.0          # summed
+
+
+def test_data_frequency_kwarg_and_noop_on_daily_panel(spark, panel_path):
+    """data_frequency kwarg twin; a panel with no time column passes
+    through unchanged, and 'minute' never aggregates."""
+    plain = get_prices(spark, panel_path, no_cache=True)
+    daily = get_prices(spark, panel_path, data_frequency="daily",
+                       no_cache=True)
+    assert daily.count() == plain.count()
+
+    with pytest.raises(MoonshotParameterError, match="data_frequency"):
+        get_prices(spark, panel_path, data_frequency="hourly",
+                   no_cache=True)
+
+
+def test_db_fields_attr_projects_panel(spark, intraday_path):
+    """An overridden DB_FIELDS projects the panel to those fields
+    (reference base.py:1238-1244 forwards DB_FIELDS to the service's
+    field selection); the base-class default is NOT forced on panels
+    that lack the conventional columns."""
+    from moonshot_spark.strategies.base import Moonshot
+
+    class Fields(Moonshot):
+        DB_FIELDS = ["close", "volume"]
+
+    df = get_prices(spark, intraday_path, strategy=Fields(), no_cache=True)
+    assert set(df.columns) == {"sid", "date", "time", "close", "volume"}
+
+    class Untouched(Moonshot):           # inherits the default DB_FIELDS
+        pass
+
+    df2 = get_prices(spark, intraday_path, strategy=Untouched(),
+                     no_cache=True)
+    assert "wap" in df2.columns          # default not forced
