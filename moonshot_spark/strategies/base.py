@@ -109,11 +109,10 @@ class Moonshot:
         self._benchmark_prices: DataFrame | None = None
         self._signal_date = None
         self._signal_time = None
-        #: per-backtest memos of the (sid, date, __cv) first-bar frames
-        #: (caps: ffilled global-earliest-bar slice; commissions:
-        #: per-day first non-null — reference base.py:943-949 vs 852-854)
-        self._cv_caps_cache = None
-        self._cv_comm_cache = None
+        #: per-run memo of the shared daily contract-value frame (caps:
+        #: ffilled global-earliest-bar slice; commissions: per-day first
+        #: non-null — reference base.py:943-949 vs 852-854; ONE scan)
+        self._cv_daily_cache = None
 
     # ------------------------------------------------------------------ #
     # window helpers                                                     #
@@ -370,52 +369,71 @@ class Moonshot:
     def _time_key():
         return F.struct(F.length("time"), F.col("time"))
 
-    def _cv_caps_daily(self, prices: DataFrame) -> DataFrame:
-        """(sid, date, __cv): cross-day-ffilled contract value at the
-        panel-GLOBAL earliest bar — exactly reference _constrain_weights
-        (base.py:934-949): ``contract_values.ffill().xs(earliest_time)``
-        with ``earliest_time = Time.unique().min()`` (deliberately the
-        stalest bar, to avoid lookahead bias).  The global earliest time
-        is a broadcast 1-row aggregate, not a collect; dates whose grid
-        lacks that bar drop (→ NULL cv on the left join), as the xs
-        slice drops them in the reference."""
-        w = self._sid_window(prices)
-        cvp = F.last(self._contract_value_expr(prices),
-                     ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0))
+    def _cv_daily_frames(self, prices: DataFrame) -> DataFrame:
+        """ONE map-side-combinable groupBy over the intraday panel that
+        yields BOTH once-a-day daily contract-value frames the reference
+        derives in separate pandas passes:
+
+        - ``__cv_comm``: first NON-NULL value within each day, NO
+          cross-day ffill — exactly _get_commissions (base.py:852-854)
+          ``contract_values.groupby(Date).first()`` (pandas ``.first()``
+          skips NaN within the group).
+        - ``__cv_caps`` (+ ``__has_tmin``): cross-day-ffilled value at
+          the panel-GLOBAL earliest bar — exactly _constrain_weights
+          (base.py:934-949) ``contract_values.ffill().xs(earliest_time)``
+          with ``earliest_time = Time.unique().min()`` (deliberately the
+          stalest bar, to avoid lookahead bias).
+
+        Scale shape: the naive caps form is a bar-level window ffill
+        (full per-sid sort of the intraday panel).  Because no bar on
+        any date precedes the GLOBAL earliest time, the ffilled value at
+        that bar equals ``coalesce(raw value at the bar, last non-null
+        over all PRIOR DAYS' bars)`` — so one hash aggregate to daily
+        grain plus a window over the (tiny) daily frame replaces the
+        panel-wide sort.  The global earliest time is a broadcast 1-row
+        aggregate, not a collect.  Dates whose grid lacks the earliest
+        bar get ``__has_tmin`` false (caller drops them → NULL cv on its
+        left join), as the xs slice drops them in the reference."""
+        cv = self._contract_value_expr(prices)
         tkey = self._time_key()
         earliest = prices.agg(F.min(tkey).alias("__tmin"))
-        return (prices.withColumn("__cvp", cvp)
-                .withColumn("__tk", tkey)
-                .crossJoin(F.broadcast(earliest))
-                .where(F.col("__tk") == F.col("__tmin"))
-                .select("sid", "date", F.col("__cvp").alias("__cv")))
+        nn_key = F.when(F.col("__cvr").isNotNull(), F.col("__tk"))
+        at_tmin = F.col("__tk") == F.col("__tmin")
+        day = (prices.withColumn("__cvr", cv)
+               .withColumn("__tk", tkey)
+               .crossJoin(F.broadcast(earliest))
+               .groupBy("sid", "date")
+               .agg(F.min_by("__cvr", nn_key).alias("__cv_comm"),
+                    F.max_by("__cvr", nn_key).alias("__day_last"),
+                    F.max(F.when(at_tmin, F.col("__cvr"))).alias("__at_tmin"),
+                    F.max(at_tmin.cast("int")).alias("__has_tmin")))
+        prev_days = Window.partitionBy("sid").orderBy("date") \
+            .rowsBetween(Window.unboundedPreceding, -1)
+        return day.withColumn(
+            "__cv_caps",
+            F.coalesce(F.col("__at_tmin"),
+                       F.last("__day_last", ignorenulls=True).over(prev_days)))
 
-    def _cv_commissions_daily(self, prices: DataFrame) -> DataFrame:
-        """(sid, date, __cv): first NON-NULL contract value within each
-        day, NO cross-day ffill — exactly reference _get_commissions
-        (base.py:852-854): ``contract_values.groupby(Date).first()``
-        (pandas ``.first()`` skips NaN within the group).  Diverges from
-        the caps frame when a day's earliest bar is NULL or bar grids
-        are uneven across dates.  Map-side-combinable groupBy."""
-        cv = self._contract_value_expr(prices)
-        return (prices.withColumn("__cvr", cv)
-                .where(F.col("__cvr").isNotNull())
-                .groupBy("sid", "date")
-                .agg(F.min_by("__cvr", self._time_key()).alias("__cv")))
+    def _cv_shared_daily(self, prices: DataFrame) -> DataFrame:
+        # identity-keyed memo: never serves a frame built from a
+        # different prices panel
+        if (self._cv_daily_cache is None
+                or self._cv_daily_cache[0] is not prices):
+            self._cv_daily_cache = (prices, self._cv_daily_frames(prices))
+        return self._cv_daily_cache[1]
 
     def _cv_caps(self, prices: DataFrame) -> DataFrame:
-        """Per-backtest memo of ``_cv_caps_daily`` (fresh build when
-        called outside a backtest)."""
-        if self._cv_caps_cache is not None:
-            return self._cv_caps_cache
-        return self._cv_caps_daily(prices)
+        """(sid, date, __cv) caps frame (see ``_cv_daily_frames``)."""
+        return (self._cv_shared_daily(prices)
+                .where(F.col("__has_tmin") == 1)
+                .select("sid", "date", F.col("__cv_caps").alias("__cv")))
 
     def _cv_commissions(self, prices: DataFrame) -> DataFrame:
-        """Per-backtest memo of ``_cv_commissions_daily``."""
-        if self._cv_comm_cache is not None:
-            return self._cv_comm_cache
-        return self._cv_commissions_daily(prices)
+        """(sid, date, __cv) commissions frame (see
+        ``_cv_daily_frames``)."""
+        return (self._cv_shared_daily(prices)
+                .where(F.col("__cv_comm").isNotNull())
+                .select("sid", "date", F.col("__cv_comm").alias("__cv")))
 
     def _constrain_weights(self, weights: DataFrame, prices: DataFrame) -> DataFrame:
         max_longs, max_shorts = self.limit_position_sizes(prices)
@@ -641,14 +659,9 @@ class Moonshot:
         df = df.withColumn("signal", F.col("signal").cast("double"))
         df = self._call_hook(self.signals_to_target_weights, df, prices)
         df = df.withColumn("weight", F.col("weight") * F.lit(allocation))
-        # once-a-day intraday: caps and commissions each need their
-        # first-bar contract-value frame — build once, memoize per run
-        once_a_day = (self._is_intraday(prices)
-                      and not self._is_intraday(df))
-        self._cv_caps_cache = (self._cv_caps_daily(prices)
-                               if once_a_day else None)
-        self._cv_comm_cache = (self._cv_commissions_daily(prices)
-                               if once_a_day else None)
+        # (once-a-day intraday caps and commissions both derive from the
+        # shared daily contract-value frame, memoized by panel identity
+        # in _cv_shared_daily — one scan serves both)
         df = self._constrain_weights(df, prices)
         df = self._call_hook(self.target_weights_to_positions, df, prices)
         df = self._call_hook(self.positions_to_gross_returns, df, prices)
