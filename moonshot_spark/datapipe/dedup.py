@@ -20,6 +20,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def widen_underparallel(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Widen an under-parallel FILE source before CPU-heavy per-row work.
+
+    A file scan yields roughly max(n_files, total_bytes /
+    maxPartitionBytes) tasks (parquet files split by range).  Only when
+    even that estimate is below the cluster's default parallelism is the
+    source genuinely under-parallel (a single small file serialising the
+    map stage onto one core) and worth ONE widening shuffle of the raw
+    rows.  A well-partitioned 100 TB scan is returned untouched —
+    shuffling a full corpus ahead of a map-side projection is pure
+    overhead — and so are non-file sources (in-memory test frames,
+    upstream shuffles), which already run at spark.sql.shuffle.partitions.
+    """
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = docs.inputFiles()
+    if not files:
+        return docs
+    import os
+    from urllib.parse import urlparse
+    total_bytes = 0
+    for f in files:
+        p = urlparse(f).path or f
+        try:
+            total_bytes += os.path.getsize(p)
+        except OSError:
+            total_bytes = -1   # remote/unstattable: trust the scan
+            break
+    try:
+        max_pb = int(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes",
+            "134217728").lower().rstrip("b"))
+    except ValueError:      # "128MB"-style units
+        max_pb = 128 * 1024 * 1024
+    est = max(len(files), -(-total_bytes // max_pb)) \
+        if total_bytes >= 0 else target
+    if est < target:
+        return docs.repartition(target, F.col(id_col))
+    return docs
+
+
 def shingles_expr(col, n: int = 3):
     """Word n-gram shingles as an array<string> (distinct, order-free set).
 
@@ -100,38 +141,8 @@ def shingle_frame(docs: DataFrame, text_col: str = "text",
     already well-partitioned, because shuffling a 100 TB corpus ahead of a
     map-side projection is pure overhead.
     """
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    # DataFrame-API parallelism estimate: a file scan yields roughly
-    # max(n_files, total_bytes / maxPartitionBytes) tasks (parquet files
-    # split by range).  Only when even that is below the cluster's
-    # parallelism is the source genuinely under-parallel and worth one
-    # widening shuffle before the CPU-heavy hashing.  Non-file sources
-    # (in-memory test frames, upstream shuffles) are left alone —
-    # shuffles already run at spark.sql.shuffle.partitions.
     if repartition:
-        files = docs.inputFiles()
-        if files:
-            import os
-            from urllib.parse import urlparse
-            total_bytes = 0
-            for f in files:
-                p = urlparse(f).path or f
-                try:
-                    total_bytes += os.path.getsize(p)
-                except OSError:
-                    total_bytes = -1   # remote/unstattable: trust the scan
-                    break
-            try:
-                max_pb = int(spark.conf.get(
-                    "spark.sql.files.maxPartitionBytes",
-                    "134217728").lower().rstrip("b"))
-            except ValueError:      # "128MB"-style units
-                max_pb = 128 * 1024 * 1024
-            est = max(len(files), -(-total_bytes // max_pb)) \
-                if total_bytes >= 0 else target
-            if est < target:
-                docs = docs.repartition(target, F.col(id_col))
+        docs = widen_underparallel(docs, id_col)
     return docs.select(F.col(id_col),
                        shingles_expr(text_col, shingle_n).alias("__shingles"))
 

@@ -480,3 +480,79 @@ def pairwise_ssd_topk(vec_df, id_col: str = "sid", arr_col: str = "arr",
         Window.partitionBy(a_col)
         .orderBy("ssd", b_col)).cast("int")
     return pairs.withColumn("rk", rk).where(F.col("rk") <= k)
+
+
+def mine_hard_negatives(emb: DataFrame, anchors: DataFrame, n_neg: int = 3,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        label_col: str = "label") -> DataFrame:
+    """Contrastive training-pair mining: for each anchor, the most-similar
+    same-label vector (the positive) and the ``n_neg`` most-similar
+    DIFFERENT-label vectors (the hard negatives — the near-miss examples
+    a contrastive/triplet objective learns most from).
+
+    ``anchors``: (anchor_id, embedding, label), expected to be a small
+    curated set — it is broadcast, so the scan is one linear pass over
+    the corpus regardless of corpus size (same scale shape as
+    ``brute_force_topk``; swap in ``ivf_topk`` per role for an ANN scale
+    path when the anchor set itself is large).  Returns
+    (anchor_id, role, rank, vec_id, cosine) with role in
+    {'positive', 'negative'}, rank 1..1 / 1..n_neg, ties broken by
+    vec_id for determinism.  The anchor itself is excluded.
+    """
+    a = anchors.select(F.col("anchor_id"),
+                       F.col(vec_col).alias("__avec"),
+                       F.col(label_col).alias("__albl"))
+    joined = (emb.crossJoin(F.broadcast(a))
+              .where(F.col(id_col) != F.col("anchor_id")))
+    role = F.when(F.col(label_col) == F.col("__albl"),
+                  F.lit("positive")).otherwise(F.lit("negative"))
+    sim = cosine_expr(F.col(vec_col), F.col("__avec"))
+    scored = joined.select("anchor_id", role.alias("role"), F.col(id_col),
+                           sim.alias("cosine"))
+    w = Window.partitionBy("anchor_id", "role") \
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+    keep = F.when(F.col("role") == "positive", 1).otherwise(F.lit(n_neg))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= keep)
+            .select("anchor_id", "role", F.col("rank").cast("int"),
+                    id_col, "cosine"))
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              n_sub: int, sub_dim: int,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization encoding against fixed per-subspace codebooks
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011): split each vector into ``n_sub`` contiguous ``sub_dim``
+    -wide subvectors and snap each to its nearest codeword by squared
+    L2 distance (ties -> lowest codeword id).
+
+    ``codebooks[s]`` is the list of codeword subvectors for subspace s.
+    Codebooks are shipped as literal arrays (codegen'd comparisons, no
+    UDF, no join) — in a production pipeline they are k-means-trained on
+    a sample and number `n_sub * k * sub_dim` floats (kilobytes), so the
+    encode pass is a pure map over the corpus: one row per
+    (vector, subspace) with the chosen code and its squared error.
+
+    Returns (id_col, subspace, code, ssd).
+    """
+    v = _as_double(F.col(vec_col))
+    rows = []
+    for s in range(n_sub):
+        sub = F.slice(v, s * sub_dim + 1, sub_dim)
+        best = None
+        for ci, word in enumerate(codebooks[s]):
+            lit = F.array(*[F.lit(float(x)) for x in word])
+            diffs = F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y))
+            ssd = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+            cand = F.struct(ssd.alias("ssd"), F.lit(ci).alias("code"))
+            best = cand if best is None else F.least(best, cand)
+        rows.append(F.struct(F.lit(s).alias("subspace"),
+                             best.getField("code").alias("code"),
+                             best.getField("ssd").alias("ssd")))
+    return (emb.select(F.col(id_col),
+                       F.explode(F.array(*rows)).alias("__pq"))
+            .select(id_col,
+                    F.col("__pq.subspace").alias("subspace"),
+                    F.col("__pq.code").alias("code"),
+                    F.col("__pq.ssd").alias("ssd")))

@@ -1,0 +1,106 @@
+"""Exact duplicated-substring span detection (Lee et al., "Deduplicating
+Training Data Makes Language Models Better", ACL 2022 — the ExactSubstr
+variant, re-expressed for Spark).
+
+The paper removes every substring of >= N tokens that appears more than
+once in the corpus.  The suffix-array construction it uses is a global
+sequential structure; the distributed equivalent is sliding k-token
+window hashing: a substring of >= k tokens is duplicated iff EVERY
+k-token window inside it is duplicated, so the maximal duplicated spans
+are exactly the merged islands of duplicated k-windows.
+
+Scale shape (100 TB corpus):
+
+- window frame: one row per (doc, token position) carrying a 32-byte md5
+  — linear in corpus tokens, embarrassingly parallel projection.
+- duplicated-window detection: hash-groupBy on the window hash with a
+  map-side-combinable ``count >= 2`` — one shuffle keyed on md5 (uniform
+  by construction, no skew).  A boilerplate window shared by millions of
+  docs stays ONE group row; the join back is a left-semi (linear, no
+  pair blowup — contrast the all-pairs join this op deliberately avoids).
+- island merge: a window partitioned by doc_id ordered by position —
+  bounded by single-document length, never corpus-scale.
+
+Reference: the quantrocket reference has no corpus operator surface;
+this is part of the beyond-reference LLM-datapipe layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["window_hashes", "duplicate_spans"]
+
+
+def window_hashes(docs: DataFrame, k: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, window_md5) for every full k-token window at stride 1.
+
+    ``pos`` is the 0-based token index of the window start; the window
+    covers tokens [pos, pos + k - 1].  Docs shorter than k tokens emit
+    no rows.  The window text never leaves the map side — only its md5.
+
+    The hash array is built per DOC row with ``transform`` and only then
+    exploded, so each exploded row carries a 32-char digest + position —
+    never the document's token array (exploding positions first and
+    slicing afterwards would copy the full token array into every one of
+    the ~doc_len output rows: measured 5.1 s -> 1.3 s at sf0.1).
+    """
+    from moonshot_spark.datapipe.dedup import widen_underparallel
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # materialize the token array behind a projection boundary: inlining
+    # the split into the transform lambda re-splits the text once PER
+    # POSITION (O(doc_len^2) splitting)
+    base = (widen_underparallel(docs, id_col)
+            .where(n >= k)
+            .select(F.col(id_col), toks.alias("__toks")))
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - k),
+        lambda p: F.md5(F.encode(
+            F.concat_ws(" ", F.slice(F.col("__toks"), p + 1, k)), "UTF-8")))
+    return base.select(F.col(id_col),
+                       F.posexplode(hashes).alias("pos", "window_md5"))
+
+
+def duplicate_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    A k-token window is *duplicated* when its hash occurs >= 2 times in
+    the corpus (in another doc, or elsewhere in the same doc — both count,
+    matching the paper's "any other occurrence" rule).  Overlapping or
+    adjacent duplicated windows merge: windows at positions i < j belong
+    to one span when ``j - i <= k`` (their token intervals touch or
+    overlap).  Returns one row per (doc, span):
+
+    ``(id_col, span_start, span_end, span_len, n_windows)``
+
+    with span_end inclusive and span_len = span_end - span_start + 1
+    tokens — the exact removal intervals an ExactSubstr dedup pass cuts.
+    """
+    wins = window_hashes(docs, k=k, text_col=text_col, id_col=id_col)
+    dup = (wins.groupBy("window_md5")
+           .agg(F.count("*").alias("__n"))
+           .where(F.col("__n") >= 2)
+           .select("window_md5"))
+    hits = wins.join(dup, "window_md5", "left_semi")
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(by_doc) > k, 1).otherwise(0)
+    island = F.sum("__brk").over(
+        by_doc.rowsBetween(Window.unboundedPreceding, 0))
+    # the lag and its running sum are two window stages over the SAME
+    # (doc) partitioning — one shuffle, Catalyst reuses the sort
+    spans = (hits.select(id_col, "pos")
+             .withColumn("__brk", brk)
+             .withColumn("__island", island)
+             .groupBy(id_col, "__island")
+             .agg(F.min("pos").cast("bigint").alias("span_start"),
+                  (F.max("pos") + k - 1).cast("bigint").alias("span_end"),
+                  F.count("*").cast("bigint").alias("n_windows")))
+    return spans.select(
+        id_col, "span_start", "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        "n_windows")

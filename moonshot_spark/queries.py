@@ -11644,3 +11644,293 @@ def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("change")
             .agg(F.count("*").cast("bigint").alias("n_keys"))
             .orderBy("change"))
+
+
+# --------------------------------------------------------------------- #
+# LLM datapipe wave 7: exact-substring spans, contrastive mining, PQ,   #
+# duplication-aware loss weighting, model-based filtering               #
+# --------------------------------------------------------------------- #
+
+@register("duplicate_text_spans", """
+WITH all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1,
+               len(string_split(text, ' ')) // 2), ' ') AS text
+    FROM documents WHERE doc_id < 25
+), t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+), w AS (
+    SELECT doc_id, unnest(range(0, len(toks) - 8 + 1)) AS pos, toks
+    FROM t WHERE len(toks) >= 8
+), h AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' '))
+               AS wh
+    FROM w
+), dup AS (
+    SELECT wh FROM h GROUP BY wh HAVING count(*) >= 2
+), d AS (
+    SELECT doc_id, pos FROM h SEMI JOIN dup USING (wh)
+), isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     > 8 THEN 1 ELSE 0 END AS brk
+    FROM d
+), g AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM g GROUP BY doc_id, island
+""")
+def duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup spans (Lee et al., ACL 2022): the maximal token
+    spans whose every 8-token window occurs >= 2 times in the corpus —
+    the exact intervals an exact-substring dedup pass removes.  Clone-
+    seeded with the FIRST HALF of each of the first 25 docs so the span
+    machinery produces partial-doc spans (original docs show a first-half
+    span; the natural corpus alone has none at small SF).  Scale shape in
+    datapipe/spans.py: window hashing is a map, duplicate detection one
+    uniform-key hash aggregate + left-semi, island merge a per-doc window.
+    """
+    from moonshot_spark.datapipe.spans import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    half = F.slice(toks, 1, F.floor(F.size(toks) / 2).cast("int"))
+    clones = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.array_join(half, " ").alias("text"))
+    return duplicate_spans(docs.unionByName(clones), k=8)
+
+
+@register("hard_negative_mining", """
+WITH corpus AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), anch AS (
+    SELECT vec_id AS anchor_id, label AS albl, v AS a
+    FROM corpus WHERE vec_id % 100 = 0
+), sims AS (
+    SELECT anchor_id,
+           CASE WHEN c.label = albl THEN 'positive' ELSE 'negative' END
+               AS role,
+           c.vec_id,
+           list_reduce(list_transform(range(1, len(c.v) + 1),
+               i -> c.v[i] * a[i]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, len(c.v) + 1),
+                  i -> c.v[i] * c.v[i]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, len(a) + 1),
+                  i -> a[i] * a[i]), (x, y) -> x + y))) AS cosine
+    FROM corpus c CROSS JOIN anch
+    WHERE c.vec_id <> anchor_id
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id, role
+                                 ORDER BY cosine DESC, vec_id) AS rank
+    FROM sims
+)
+SELECT anchor_id, role, CAST(rank AS INT) AS rank, vec_id, cosine
+FROM r
+WHERE rank <= CASE WHEN role = 'positive' THEN 1 ELSE 3 END
+""")
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining over the embedding corpus: per anchor
+    (every 100th vector), the nearest same-label vector (positive) and
+    the 3 nearest different-label vectors (hard negatives) by cosine.
+    Broadcast anchor set -> one linear corpus scan (see
+    datapipe/similarity.py::mine_hard_negatives for the scale shape and
+    the IVF escape hatch for large anchor sets)."""
+    from moonshot_spark.datapipe.similarity import mine_hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = (emb.where(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("anchor_id"),
+                       "embedding", "label"))
+    return mine_hard_negatives(emb, anchors, n_neg=3)
+
+
+@register("pq_encode_report", """
+WITH corpus AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), cents AS (
+    SELECT vec_id AS cid, v AS c FROM corpus WHERE vec_id < 4
+), sub AS (
+    SELECT vec_id, label, cid, s.s AS subspace,
+           list_reduce(list_transform(range(1, 9),
+               i -> (v[s.s * 8 + i] - c[s.s * 8 + i])
+                    * (v[s.s * 8 + i] - c[s.s * 8 + i])),
+               (x, y) -> x + y) AS ssd
+    FROM corpus CROSS JOIN cents
+    CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+), best AS (
+    SELECT vec_id, label, subspace,
+           min([ssd, CAST(cid AS DOUBLE)]) AS m
+    FROM sub GROUP BY vec_id, label, subspace
+)
+SELECT label, CAST(subspace AS INT) AS subspace, CAST(m[2] AS INT) AS code,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       min(m[1]) AS min_ssd, max(m[1]) AS max_ssd
+FROM best GROUP BY label, subspace, code
+""")
+def pq_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode pass (Jegou et al., TPAMI 2011): 8
+    subspaces x 8 dims, 4 codewords per subspace (deterministically the
+    subvectors of vec_id 0-3 so the oracle can rebuild the codebooks in
+    SQL; production swaps in k-means-trained books — same encode plan).
+    Per (label, subspace, codeword): assignment count and the min/max
+    squared reconstruction error (min/max are association-order-free, so
+    the doubles compare bit-exactly; the per-pair SSD is a fixed
+    left-to-right 8-term fold on both engines)."""
+    from moonshot_spark.datapipe.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_rows = (emb.where(F.col("vec_id") < 4)
+               .select("vec_id", "embedding").orderBy("vec_id").collect())
+    codebooks = [[[float(x) for x in r["embedding"][s * 8:(s + 1) * 8]]
+                  for r in cb_rows] for s in range(8)]
+    enc = pq_encode(emb, codebooks, n_sub=8, sub_dim=8)
+    return (enc.join(emb.select("vec_id", "label"), "vec_id")
+            .groupBy("label", "subspace", "code")
+            .agg(F.count("*").cast("bigint").alias("n_vecs"),
+                 F.min("ssd").alias("min_ssd"),
+                 F.max("ssd").alias("max_ssd")))
+
+
+@register("dup_aware_loss_weights", """
+WITH all_docs AS (
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id < 25
+    UNION ALL
+    SELECT doc_id + 2000000, text, lang FROM documents WHERE doc_id < 10
+), fp AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+    FROM all_docs
+), sizes AS (
+    SELECT f, CAST(count(*) AS BIGINT) AS cluster_size FROM fp GROUP BY f
+)
+SELECT lang, cluster_size,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tok) AS DOUBLE) / CAST(cluster_size AS DOUBLE)
+           AS eff_tokens
+FROM fp JOIN sizes USING (f)
+GROUP BY lang, cluster_size
+""")
+def dup_aware_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware loss weighting: instead of dropping duplicates,
+    weight each doc 1/cluster_size so a cluster contributes one doc's
+    worth of gradient (the soft-dedup alternative used when exact dedup
+    is too destructive).  Clone-seeded at two depths so sizes 1, 2 and 3
+    all appear.  Report grain is (lang, cluster_size): the effective
+    token count is total_tokens/cluster_size — a SINGLE division of two
+    integer-exact aggregates, so the double is bit-identical across
+    engines (no order-dependent float summation anywhere)."""
+    from moonshot_spark.datapipe.text import fingerprint_expr, token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang")
+    c1 = docs.where(F.col("doc_id") < 25) \
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    c2 = docs.where(F.col("doc_id") < 10) \
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000))
+    fp = (docs.unionByName(c1).unionByName(c2)
+          .select("lang",
+                  token_count_expr("text").cast("bigint").alias("n_tok"),
+                  fingerprint_expr("text").alias("f")))
+    sizes = (fp.groupBy("f")
+             .agg(F.count("*").cast("bigint").alias("cluster_size")))
+    return (fp.join(sizes, "f")
+            .groupBy("lang", "cluster_size")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("total_tokens"))
+            .withColumn("eff_tokens",
+                        F.col("total_tokens").cast("double")
+                        / F.col("cluster_size").cast("double")))
+
+
+@register("model_filter_report", """
+WITH feats AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the', 'of', 'and', 'to', 'a', 'in', 'is', 'it')))
+               AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+           CAST(length(text) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_tok_len,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS digit_ratio
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang,
+           3.0 * stop_ratio + -0.2 * mean_tok_len + -5.0 * digit_ratio + 1.0
+               AS score
+    FROM feats
+), bucketed AS (
+    SELECT CAST(floor(score * 20) AS BIGINT) AS bucket, doc_id, lang
+    FROM scored
+), agg AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM bucketed GROUP BY bucket
+)
+SELECT bucket, n_docs, n_langs,
+       CAST(sum(n_docs) OVER (ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_docs,
+       CAST(sum(n_docs) OVER (ORDER BY bucket DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / CAST(sum(n_docs) OVER () AS DOUBLE) AS retention
+FROM agg
+""")
+def model_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering sweep: score every doc with a fixed
+    linear quality model over rational text features (stopword ratio,
+    mean token length, digit ratio — all single divisions of integer
+    aggregates, and the score a fixed left-to-right weighted sum, so the
+    doubles are bit-exact with no transcendentals), bucket scores, and
+    report the retention curve per threshold.  The cumulative window runs
+    over the POST-AGG bucket grid (bounded by the score range, ~tens of
+    rows at any corpus size) — the corpus-scale work is the one map +
+    one groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    stops = ("the", "of", "and", "to", "a", "in", "is", "it")
+    stop_ratio = (F.size(F.filter(
+        toks, lambda t: t.isin(*stops))).cast("double") / n_tok)
+    mean_tok_len = F.length("text").cast("double") / n_tok
+    digit_ratio = ((F.length("text")
+                    - F.length(F.regexp_replace("text", "[0-9]", "")))
+                   .cast("double") / F.length("text").cast("double"))
+    score = (F.lit(3.0) * stop_ratio + F.lit(-0.2) * mean_tok_len
+             + F.lit(-5.0) * digit_ratio + F.lit(1.0))
+    agg = (docs.select("lang",
+                       F.floor(score * 20).cast("bigint").alias("bucket"))
+           .groupBy("bucket")
+           .agg(F.count("*").cast("bigint").alias("n_docs"),
+                F.countDistinct("lang").cast("bigint").alias("n_langs")))
+    cum_w = Window.orderBy(F.desc("bucket")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    tot_w = Window.partitionBy()
+    return (agg
+            .withColumn("cum_docs",
+                        F.sum("n_docs").over(cum_w).cast("bigint"))
+            .withColumn("retention",
+                        F.sum("n_docs").over(cum_w).cast("double")
+                        / F.sum("n_docs").over(tot_w).cast("double")))

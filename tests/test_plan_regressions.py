@@ -359,6 +359,8 @@ def test_catalog_wide_no_unbounded_single_partition_funnels():
     ALLOWED = {
         "benchmark_returns": "one row per date (benchmark series)",
         "kaplan_meier_retention": "distinct gap lengths",
+        "model_filter_report": "post-agg score-bucket grid (bounded by "
+                               "the fixed weight range, ~tens of rows)",
         "pairs_spread_zscore": "one pair's date series",
         "purged_kfold_splits": "fold boundaries (dates)",
         "salted_heavy_hitters": "post-agg top-k candidates",
