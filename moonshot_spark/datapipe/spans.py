@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["window_hashes", "duplicate_spans"]
+__all__ = ["window_hashes", "duplicate_spans", "scrub_spans"]
 
 
 def window_hashes(docs: DataFrame, k: int = 8, text_col: str = "text",
@@ -104,3 +104,40 @@ def duplicate_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
         id_col, "span_start", "span_end",
         (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         "n_windows")
+
+
+def scrub_spans(docs: DataFrame, spans: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Apply ExactSubstr removal: cut every token whose position falls
+    inside one of the doc's duplicated spans (the output of
+    ``duplicate_spans``) and reassemble the text.
+
+    Returns the input columns plus ``scrubbed_text``, ``n_tok`` (original
+    token count) and ``kept_tok`` (tokens surviving the cut).  Docs with
+    no spans pass through unchanged (left join + empty-array coalesce).
+
+    Scale shape: the spans-per-doc array is bounded by document length
+    (spans are disjoint, so at most n_tok/k of them); the join is keyed
+    on doc id; the filtering is a nested higher-order function — pure
+    codegen, no shuffle beyond the one doc-keyed join.
+    """
+    span_arr = (spans.groupBy(id_col)
+                .agg(F.collect_list(F.struct("span_start", "span_end"))
+                     .alias("__spans")))
+    toks = F.split(F.col(text_col), " ")
+    with_spans = (docs.join(span_arr, id_col, "left")
+                  .withColumn("__spans", F.coalesce(
+                      F.col("__spans"),
+                      F.array().cast(
+                          "array<struct<span_start:bigint,span_end:bigint>>"))))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"])))
+    return (with_spans
+            .withColumn("n_tok", F.size(toks).cast("bigint"))
+            .withColumn("__kept", kept)
+            .withColumn("kept_tok", F.size("__kept").cast("bigint"))
+            .withColumn("scrubbed_text", F.concat_ws(" ", "__kept"))
+            .drop("__spans", "__kept"))

@@ -11934,3 +11934,182 @@ def model_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("retention",
                         F.sum("n_docs").over(cum_w).cast("double")
                         / F.sum("n_docs").over(tot_w).cast("double")))
+
+
+def _logreg_oracle_sql(iters: int = 3, lr: float = 0.5) -> str:
+    """Generate the chained-CTE DuckDB replay of train_gd_classifier:
+    iteration k's gradient CTE reads the betas CTE of iteration k-1,
+    with every float operation in the IDENTICAL order as the Spark
+    trainer (see datapipe/classifier.py docstring for why the match is
+    bit-exact: rational link + integer-quantized gradient sums)."""
+    resid = "((0.5 + z / (2.0 * (1.0 + abs(z)))) - y)"
+    parts = ["""
+WITH feats AS (
+    SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the', 'of', 'and', 'to', 'a', 'in', 'is', 'it')))
+               AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS f1,
+           CAST(length(text) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS f2,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS f3
+    FROM documents
+    WHERE length(text) > 0 AND len(string_split(text, ' ')) > 0
+), i0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", s{k} AS (
+    SELECT y, f1, f2, f3, b0 + b1 * f1 + b2 * f2 + b3 * f3 AS z
+    FROM feats CROSS JOIN i{k - 1}
+), g{k} AS (
+    SELECT count(*) AS n,
+           sum(CAST(floor({resid} * 1000000000.0) AS BIGINT)) AS g0,
+           sum(CAST(floor({resid} * f1 * 1000000000.0) AS BIGINT)) AS g1,
+           sum(CAST(floor({resid} * f2 * 1000000000.0) AS BIGINT)) AS g2,
+           sum(CAST(floor({resid} * f3 * 1000000000.0) AS BIGINT)) AS g3
+    FROM s{k}
+), i{k} AS (
+    SELECT b0 - {lr} * ((g0 / 1000000000.0) / n) AS b0,
+           b1 - {lr} * ((g1 / 1000000000.0) / n) AS b1,
+           b2 - {lr} * ((g2 / 1000000000.0) / n) AS b2,
+           b3 - {lr} * ((g3 / 1000000000.0) / n) AS b3
+    FROM g{k} CROSS JOIN i{k - 1})""")
+    parts.append(f""", acc AS (
+    SELECT sum(CASE WHEN (z > 0.0) = (y = 1.0) THEN 1 ELSE 0 END) AS correct,
+           count(*) AS n
+    FROM (SELECT y, b0 + b1 * f1 + b2 * f2 + b3 * f3 AS z
+          FROM feats CROSS JOIN i{iters})
+)""")
+    rows = []
+    for k in range(1, iters + 1):
+        for j in range(4):
+            rows.append(f"SELECT CAST({k} AS INT) AS iter, 'b{j}' AS coef, "
+                        f"b{j} AS beta FROM i{k}")
+    rows.append(f"SELECT CAST({iters} AS INT) AS iter, 'accuracy' AS coef, "
+                "CAST(correct AS DOUBLE) / n AS beta FROM acc")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register("logreg_quality_train", _logreg_oracle_sql(iters=3, lr=0.5))
+def logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRAINING of a model-based language/quality filter
+    (GPT-3 Appendix A pattern): full-batch gradient descent, 3
+    iterations at lr=0.5, on label y = (lang = 'en') over three rational
+    text features (English-stopword ratio, mean token length, digit
+    ratio).  Each iteration is one map-side-combinable aggregate over
+    the persisted feature frame; the rational fast-sigmoid link and
+    integer-quantized gradient sums make the whole trajectory bit-exact
+    against the oracle's chained-CTE replay (datapipe/classifier.py).
+    Output: (iter, coef, beta) per update plus the final model's exact
+    training accuracy — 13 rows.
+    Beyond-reference: the reference's ML surface is inference-only
+    (reference moonshot/strategies/ml.py:37-99 loads pre-trained
+    models); this adds the distributed training half."""
+    from moonshot_spark.datapipe.classifier import train_gd_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    stops = ("the", "of", "and", "to", "a", "in", "is", "it")
+    stop_ratio = (F.size(F.filter(
+        toks, lambda t: t.isin(*stops))).cast("double") / n_tok)
+    mean_tok_len = F.length("text").cast("double") / n_tok
+    digit_ratio = ((F.length("text")
+                    - F.length(F.regexp_replace("text", "[0-9]", "")))
+                   .cast("double") / F.length("text").cast("double"))
+    feats = (docs
+             .where((F.length("text") > 0) & (F.size(toks) > 0))
+             .select(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+                     .alias("y"),
+                     stop_ratio.alias("f1"),
+                     mean_tok_len.alias("f2"),
+                     digit_ratio.alias("f3")))
+    fit = train_gd_classifier(feats, ["f1", "f2", "f3"], "y",
+                              lr=0.5, iters=3)
+    rows = [(it, f"b{j}", b)
+            for it, betas in fit.history for j, b in enumerate(betas)]
+    rows.append((3, "accuracy", fit.accuracy))
+    return spark.createDataFrame(rows, "iter int, coef string, beta double")
+
+
+@register("exact_substr_scrub", """
+WITH all_docs AS (
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(list_slice(string_split(text, ' '), 1,
+               len(string_split(text, ' ')) // 2), ' ') AS text,
+           lang
+    FROM documents WHERE doc_id < 25
+), t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+), w AS (
+    SELECT doc_id, unnest(range(0, len(toks) - 8 + 1)) AS pos, toks
+    FROM t WHERE len(toks) >= 8
+), h AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' '))
+               AS wh
+    FROM w
+), dup AS (
+    SELECT wh FROM h GROUP BY wh HAVING count(*) >= 2
+), d AS (
+    SELECT doc_id, pos FROM h SEMI JOIN dup USING (wh)
+), isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     > 8 THEN 1 ELSE 0 END AS brk
+    FROM d
+), g AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, max(pos) + 8 - min(pos) AS span_len
+    FROM g GROUP BY doc_id, island
+), per_doc AS (
+    SELECT doc_id, sum(span_len) AS removed FROM spans GROUP BY doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN removed IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_spans,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tok,
+       CAST(sum(len(string_split(text, ' ')) - COALESCE(removed, 0))
+           AS BIGINT) AS kept_tok
+FROM all_docs LEFT JOIN per_doc USING (doc_id)
+GROUP BY lang
+""")
+def exact_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al., ACL 2022):
+    detect maximal duplicated spans (duplicate_text_spans' machinery),
+    then actually cut the spanned tokens out of each document with a
+    nested higher-order filter (datapipe/spans.py::scrub_spans — pure
+    codegen, one doc-keyed join, no extra shuffle) and report per-lang
+    token accounting.  The oracle recomputes the span intervals in SQL
+    and checks kept = total - sum(span_len) — so a filtering bug on the
+    Spark side (off-by-one span boundary, double-cut overlap) breaks the
+    kept_tok column.  Clone-seeded like duplicate_text_spans so spans
+    exist at small SF."""
+    from moonshot_spark.datapipe.spans import duplicate_spans, scrub_spans
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang")
+    toks = F.split(F.col("text"), " ")
+    half = F.slice(toks, 1, F.floor(F.size(toks) / 2).cast("int"))
+    clones = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.array_join(half, " ").alias("text"),
+        F.col("lang"))
+    corpus = docs.unionByName(clones)
+    spans = duplicate_spans(corpus, k=8)
+    scrubbed = scrub_spans(corpus, spans)
+    return (scrubbed.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum((F.col("kept_tok") < F.col("n_tok")).cast("int"))
+                 .cast("bigint").alias("docs_with_spans"),
+                 F.sum("n_tok").cast("bigint").alias("total_tok"),
+                 F.sum("kept_tok").cast("bigint").alias("kept_tok")))

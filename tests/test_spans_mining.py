@@ -117,3 +117,24 @@ def test_pq_encode_exact_and_tiebreak(spark):
     assert enc[(2, 1)] == (1, 0.0)
     code, ssd = enc[(2, 0)]               # equidistant -> lowest code wins
     assert code == 0 and ssd == pytest.approx(0.5)
+
+
+def test_scrub_spans_cuts_exact_intervals(span_docs):
+    """Scrubbing removes exactly the spanned tokens and leaves the rest
+    in order; span-free docs pass through byte-identical."""
+    from moonshot_spark.datapipe.spans import duplicate_spans, scrub_spans
+
+    spans = duplicate_spans(span_docs, k=8)
+    out = {r["doc_id"]: r for r in
+           scrub_spans(span_docs, spans).collect()}
+    w = [f"w{i}" for i in range(20)]
+    u = [f"u{i}" for i in range(8)]
+    v = [f"v{i}" for i in range(8)]
+    # doc 0: span [4, 13] cut -> w0..w3 + w14..w19
+    assert out[0]["scrubbed_text"] == _doc(w[:4] + w[14:])
+    assert (out[0]["n_tok"], out[0]["kept_tok"]) == (20, 10)
+    # doc 1: span [8, 17] cut -> the 8 u tokens + the 8 v tokens
+    assert out[1]["scrubbed_text"] == _doc(u + v)
+    # doc 2: no spans -> unchanged
+    assert out[2]["scrubbed_text"] == out[2]["text"]
+    assert out[2]["kept_tok"] == out[2]["n_tok"] == 15
