@@ -138,3 +138,64 @@ def test_scrub_spans_cuts_exact_intervals(span_docs):
     # doc 2: no spans -> unchanged
     assert out[2]["scrubbed_text"] == out[2]["text"]
     assert out[2]["kept_tok"] == out[2]["n_tok"] == 15
+
+
+def test_hypothesis_spans_and_scrub_match_bruteforce(spark):
+    """Random small-alphabet corpora (dense natural duplicates): the
+    distributed span detection + scrub must match a pure-Python
+    suffix-scan reference exactly — positions, merges, and the
+    reconstructed text."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from moonshot_spark.datapipe.spans import duplicate_spans, scrub_spans
+
+    K = 3
+
+    def ref(docs):
+        cnt = Counter()
+        for _, toks in docs:
+            for p in range(len(toks) - K + 1):
+                cnt[tuple(toks[p:p + K])] += 1
+        spans, scrubbed = {}, {}
+        for did, toks in docs:
+            dup = [p for p in range(len(toks) - K + 1)
+                   if cnt[tuple(toks[p:p + K])] >= 2]
+            islands = []
+            for p in dup:
+                if islands and p - islands[-1][-1] <= K:
+                    islands[-1].append(p)
+                else:
+                    islands.append([p])
+            sp = [(i[0], i[-1] + K - 1) for i in islands]
+            if sp:
+                spans[did] = sorted(sp)
+            cut = {t for s, e in sp for t in range(s, e + 1)}
+            scrubbed[did] = " ".join(
+                t for i, t in enumerate(toks) if i not in cut)
+        return spans, scrubbed
+
+    doc_strat = st.lists(st.sampled_from(["a", "b", "c"]),
+                         min_size=0, max_size=14)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc_strat, min_size=1, max_size=4))
+    def check(tok_docs):
+        docs = [(i, toks) for i, toks in enumerate(tok_docs)]
+        sdf = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in docs],
+            "doc_id long, text string")
+        exp_spans, exp_scrub = ref(docs)
+        spans = duplicate_spans(sdf, k=K)
+        got = {}
+        for r in spans.collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"]))
+        assert {d: sorted(v) for d, v in got.items()} == exp_spans
+        out = {r["doc_id"]: r["scrubbed_text"]
+               for r in scrub_spans(sdf, spans).collect()}
+        assert out == exp_scrub
+
+    check()
