@@ -1,0 +1,88 @@
+"""Distributed BPE merge training (Sennrich et al., "Neural Machine
+Translation of Rare Words with Subword Units", ACL 2016 — the merge-rule
+learning loop, re-expressed for Spark at corpus scale over whitespace
+symbols).
+
+Each merge round is the canonical two-step:
+
+1. **count**: one explode of adjacent symbol pairs + one hash groupBy
+   (map-side combinable; the driver receives a single argmax row, not
+   the count table),
+2. **merge**: one pure-map `replace` over the corpus applying the won
+   pair everywhere.
+
+So ``n_merges`` rounds cost n_merges corpus scans + n_merges tiny
+shuffles — the exact shape production distributed tokenizer trainers
+use; driver state is one (left, right) pair per round.
+
+Determinism / cross-engine exactness (what makes a DuckDB oracle replay
+possible):
+
+- ties in the pair-count argmax break on (count DESC, left ASC, right
+  ASC) under binary string comparison — identical in Spark and DuckDB.
+- the merge is applied on a DOUBLE-SPACED string form: symbols joined
+  by two spaces with two-space ends, pattern ``" L  R "`` replaced by
+  ``" L\\x01R "``.  Every occurrence keeps one boundary space on each
+  side, so all matches are character-disjoint and the replacement is
+  order-independent — leftmost-non-overlapping (both engines' replace)
+  equals simultaneous replacement equals classic BPE's greedy
+  left-to-right merge (verified on the "A A A" overlap case: only the
+  first pair merges).  No regex anywhere — literal replace only.
+
+Beyond-reference operator (the quantrocket reference has no corpus /
+tokenizer surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_state", "bpe_train"]
+
+MERGE_MARK = "\x01"
+
+
+def bpe_state(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Initial double-spaced symbol string per document: whitespace
+    tokens become the starting symbols (phrase-BPE grain; swap in a
+    character split for classic subword BPE — the loop is identical)."""
+    s = F.concat(F.lit("  "),
+                 F.replace(F.col(text_col), F.lit(" "), F.lit("  ")),
+                 F.lit("  "))
+    return docs.select(s.alias("__s"))
+
+
+def _pairs(state: DataFrame) -> DataFrame:
+    toks = F.split(F.trim(F.col("__s")), "  ")
+    base = state.select(toks.alias("__toks")).where(F.size("__toks") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - 2),
+        lambda i: F.struct(F.col("__toks")[i].alias("l"),
+                           F.col("__toks")[i + 1].alias("r")))
+    return (base.select(F.explode(pairs).alias("__p"))
+            .select(F.col("__p.l").alias("l"), F.col("__p.r").alias("r")))
+
+
+def bpe_train(docs: DataFrame, n_merges: int,
+              text_col: str = "text") -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` merge rules; returns
+    ``[(round, left, right, pair_count), ...]`` in round order.  Stops
+    early if no pair occurs (corpus exhausted).  Symbols produced by
+    earlier merges carry the \\x01 mark and participate in later rounds
+    like any other symbol (hierarchical merges, per the paper)."""
+    state = bpe_state(docs, text_col)
+    rules: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        top = (_pairs(state)
+               .groupBy("l", "r").agg(F.count("*").alias("cnt"))
+               .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+               .limit(1).collect())
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        rules.append((rnd, l, r, cnt))
+        state = state.select(F.replace(
+            F.col("__s"),
+            F.lit(f" {l}  {r} "),
+            F.lit(f" {l}{MERGE_MARK}{r} ")).alias("__s"))
+    return rules

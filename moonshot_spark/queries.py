@@ -12113,3 +12113,52 @@ def exact_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("docs_with_spans"),
                  F.sum("n_tok").cast("bigint").alias("total_tok"),
                  F.sum("kept_tok").cast("bigint").alias("kept_tok")))
+
+
+def _bpe_oracle_sql(n_merges: int = 4) -> str:
+    """Chained-CTE DuckDB replay of bpe_train (datapipe/bpe.py): round
+    k's pair counts read the merged state of round k-1; the argmax tie
+    break (cnt DESC, l, r — binary collation) and the double-spaced
+    literal replace match the Spark trainer exactly."""
+    parts = ["""
+WITH s0 AS (
+    SELECT '  ' || replace(text, ' ', '  ') || '  ' AS s FROM documents
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""", t{k} AS (
+    SELECT string_split(trim(s), '  ') AS toks FROM s{k - 1}
+), w{k} AS (
+    SELECT unnest(range(1, len(toks))) AS i, toks
+    FROM t{k} WHERE len(toks) >= 2
+), c{k} AS (
+    SELECT toks[i] AS l, toks[i + 1] AS r, count(*) AS cnt
+    FROM w{k} GROUP BY 1, 2
+), m{k} AS (
+    SELECT l, r, cnt FROM c{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+), s{k} AS (
+    SELECT replace(s, ' ' || l || '  ' || r || ' ',
+                   ' ' || l || chr(1) || r || ' ') AS s
+    FROM s{k - 1} CROSS JOIN m{k}
+)""")
+    rows = [f"SELECT CAST({k} AS INT) AS rnd, l AS merge_left, "
+            f"r AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
+            for k in range(1, n_merges + 1)]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register("bpe_phrase_merges", _bpe_oracle_sql(n_merges=4))
+def bpe_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-rule training (Sennrich et al., ACL 2016)
+    over the documents corpus at whitespace-symbol grain: 4 merge
+    rounds, each ONE pair-explode + hash-groupBy (driver receives only
+    the argmax pair) and ONE literal-replace map (datapipe/bpe.py —
+    the double-spaced string form makes the greedy merge
+    order-independent and engine-exact).  Output: the learned merge
+    table (rnd, merge_left, merge_right, pair_count)."""
+    from moonshot_spark.datapipe.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    rules = bpe_train(docs, n_merges=4)
+    return spark.createDataFrame(
+        [(rnd, l, r, cnt) for rnd, l, r, cnt in rules],
+        "rnd int, merge_left string, merge_right string, pair_count bigint")
