@@ -11936,12 +11936,40 @@ def model_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.sum("n_docs").over(tot_w).cast("double")))
 
 
-def _logreg_oracle_sql(iters: int = 3, lr: float = 0.5) -> str:
-    """Generate the chained-CTE DuckDB replay of train_gd_classifier:
+def _doc_quality_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared feature frame for the quality-classifier queries: label
+    y = (lang = 'en') plus three rational text features (English-
+    stopword ratio, mean token length, digit ratio — all single
+    divisions of integer counts, bit-exact across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    stops = ("the", "of", "and", "to", "a", "in", "is", "it")
+    stop_ratio = (F.size(F.filter(
+        toks, lambda t: t.isin(*stops))).cast("double") / n_tok)
+    mean_tok_len = F.length("text").cast("double") / n_tok
+    digit_ratio = ((F.length("text")
+                    - F.length(F.regexp_replace("text", "[0-9]", "")))
+                   .cast("double") / F.length("text").cast("double"))
+    return (docs
+            .where((F.length("text") > 0) & (F.size(toks) > 0))
+            .select(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+                    .alias("y"),
+                    stop_ratio.alias("f1"),
+                    mean_tok_len.alias("f2"),
+                    digit_ratio.alias("f3")))
+
+
+def _logreg_cte_chain(iters: int = 3, lr: float = 0.5) -> str:
+    """The shared chained-CTE DuckDB replay of train_gd_classifier:
     iteration k's gradient CTE reads the betas CTE of iteration k-1,
     with every float operation in the IDENTICAL order as the Spark
     trainer (see datapipe/classifier.py docstring for why the match is
-    bit-exact: rational link + integer-quantized gradient sums)."""
+    bit-exact: rational link + integer-quantized gradient sums).
+    Returns the WITH-chain up to the final betas CTE ``i{iters}``;
+    callers append their own reporting CTEs (training trajectory for
+    logreg_quality_train, scoring + reliability buckets for
+    classifier_calibration)."""
     resid = "((0.5 + z / (2.0 * (1.0 + abs(z)))) - y)"
     parts = ["""
 WITH feats AS (
@@ -11975,6 +12003,12 @@ WITH feats AS (
            b2 - {lr} * ((g2 / 1000000000.0) / n) AS b2,
            b3 - {lr} * ((g3 / 1000000000.0) / n) AS b3
     FROM g{k} CROSS JOIN i{k - 1})""")
+    return "".join(parts)
+
+
+def _logreg_oracle_sql(iters: int = 3, lr: float = 0.5) -> str:
+    """Training-trajectory report on top of the shared CTE chain."""
+    parts = [_logreg_cte_chain(iters, lr)]
     parts.append(f""", acc AS (
     SELECT sum(CASE WHEN (z > 0.0) = (y = 1.0) THEN 1 ELSE 0 END) AS correct,
            count(*) AS n
@@ -12008,23 +12042,7 @@ def logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     models); this adds the distributed training half."""
     from moonshot_spark.datapipe.classifier import train_gd_classifier
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_tok = F.size(toks).cast("double")
-    stops = ("the", "of", "and", "to", "a", "in", "is", "it")
-    stop_ratio = (F.size(F.filter(
-        toks, lambda t: t.isin(*stops))).cast("double") / n_tok)
-    mean_tok_len = F.length("text").cast("double") / n_tok
-    digit_ratio = ((F.length("text")
-                    - F.length(F.regexp_replace("text", "[0-9]", "")))
-                   .cast("double") / F.length("text").cast("double"))
-    feats = (docs
-             .where((F.length("text") > 0) & (F.size(toks) > 0))
-             .select(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
-                     .alias("y"),
-                     stop_ratio.alias("f1"),
-                     mean_tok_len.alias("f2"),
-                     digit_ratio.alias("f3")))
+    feats = _doc_quality_feats(spark, sf_dir)
     fit = train_gd_classifier(feats, ["f1", "f2", "f3"], "y",
                               lr=0.5, iters=3)
     rows = [(it, f"b{j}", b)
@@ -12162,3 +12180,54 @@ def bpe_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(rnd, l, r, cnt) for rnd, l, r, cnt in rules],
         "rnd int, merge_left string, merge_right string, pair_count bigint")
+
+
+def _calibration_oracle_sql(iters: int = 3, lr: float = 0.5) -> str:
+    """Reliability-diagram report on top of the shared logreg chain:
+    score every doc with the final betas and bucket predicted
+    probabilities; mean_p uses the same integer-quantized exact sum as
+    training so the double is order-free."""
+    return _logreg_cte_chain(iters, lr) + f""", sc AS (
+    SELECT y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+    FROM (SELECT y, b0 + b1 * f1 + b2 * f2 + b3 * f3 AS z
+          FROM feats CROSS JOIN i{iters})
+)
+SELECT CAST(floor(p * 20) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       (sum(CAST(floor(p * 1000000000.0) AS BIGINT)) / 1000000000.0)
+           / count(*) AS mean_p,
+       sum(y) / count(*) AS obs_rate
+FROM sc GROUP BY 1"""
+
+
+@register("classifier_calibration", _calibration_oracle_sql(iters=3, lr=0.5))
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the trained quality/lang classifier
+    (train -> score -> calibrate, the full model-based-filter loop):
+    train 3 GD iterations (same bit-exact trajectory as
+    logreg_quality_train), score the corpus with the final betas, and
+    per predicted-probability bucket report doc count, positive count,
+    mean predicted probability (integer-quantized exact sum) and the
+    observed positive rate.  The scoring pass is one map + one
+    groupBy over the feature frame — the production shape for applying
+    a quality filter at 100 TB."""
+    from moonshot_spark.datapipe.classifier import (
+        fast_sigmoid, train_gd_classifier)
+
+    feats = _doc_quality_feats(spark, sf_dir)
+    fit = train_gd_classifier(feats, ["f1", "f2", "f3"], "y",
+                              lr=0.5, iters=3)
+    b = fit.betas
+    z = (F.lit(b[0]) + F.lit(b[1]) * F.col("f1")
+         + F.lit(b[2]) * F.col("f2") + F.lit(b[3]) * F.col("f3"))
+    p = fast_sigmoid(z)
+    return (feats
+            .select("y", p.alias("p"))
+            .groupBy(F.floor(F.col("p") * 20).cast("bigint").alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("y").cast("bigint").alias("n_pos"),
+                 ((F.sum(F.floor(F.col("p") * F.lit(1_000_000_000.0))
+                         .cast("bigint")) / F.lit(1_000_000_000.0))
+                  / F.count("*")).alias("mean_p"),
+                 (F.sum("y") / F.count("*")).alias("obs_rate")))
