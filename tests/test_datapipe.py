@@ -1079,3 +1079,23 @@ def test_kmeans_rejects_null_and_ragged_vectors(spark):
         kmeans_fit_predict(
             spark.createDataFrame([], "vec_id long, embedding array<double>"),
             k=2)
+
+
+def test_widen_underparallel_contract(spark, tmp_path):
+    """One tiny parquet file would serialize CPU-heavy per-row work onto
+    one core: widen_underparallel reshuffles it to defaultParallelism.
+    Non-file sources (in-memory frames) and well-partitioned scans pass
+    through untouched — no widening shuffle at scale."""
+    from moonshot_spark.datapipe.dedup import widen_underparallel
+
+    mem = spark.createDataFrame([(i, f"t{i}") for i in range(10)],
+                                "doc_id long, text string")
+    assert widen_underparallel(mem) is mem          # no inputFiles: no-op
+
+    p = str(tmp_path / "one_file")
+    mem.coalesce(1).write.parquet(p)
+    one = spark.read.parquet(p)
+    widened = widen_underparallel(one)
+    assert (widened.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)
+    assert sorted(r["doc_id"] for r in widened.collect()) == list(range(10))
