@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from moonshot_spark.ml_models import LinearModel, LogisticModel
 
-__all__ = ["fit_ols", "fit_logistic_irls"]
+__all__ = ["fit_ols", "fit_logistic_irls", "fit_ols_grouped"]
 
 
 def _design_cols(feature_cols: list[str]):
@@ -102,3 +102,75 @@ def fit_logistic_irls(df: DataFrame, feature_cols: list[str],
         xtx = xtx + l2 * np.eye(k)
         beta = np.linalg.solve(xtx, xtz)
     return LogisticModel(weights=beta[1:], bias=float(beta[0]))
+
+
+def fit_ols_grouped(df: DataFrame, group_cols: list[str],
+                    feature_cols: list[str], label_col: str,
+                    min_rows: int = 8, quant: float = 1e9) -> DataFrame:
+    """ONE regression PER GROUP, fully distributed: no driver loop over
+    groups, no UDF, no numpy in the data path.
+
+    Restricted to two features (+ intercept) so the 3x3 normal-equation
+    solve is a closed-form Cramer expression evaluated as Catalyst
+    columns — per-group sufficient statistics from one
+    map-side-combinable groupBy, then pure column arithmetic.  At 100 TB
+    with millions of groups this is a single shuffle keyed on the group;
+    contrast ``fit_ols`` (one GLOBAL model, driver k x k solve).  For
+    k > 2 features use applyInPandas per group instead — the closed form
+    stops being readable and per-group numpy batches win.
+
+    Cross-engine exactness: each product term is quantized to integer
+    nano-units before summing (floor(x * 1e9) as BIGINT — exact,
+    order-free addition), then the Cramer determinants are computed in
+    doubles with a pinned operation order, so a SQL oracle lands on
+    bit-identical coefficients.  Groups with fewer than ``min_rows``
+    complete rows or |det| <= 1e-12 are dropped (singular systems).
+
+    Returns (group_cols..., n, b0, b1, b2) with b0 the intercept.
+    """
+    if len(feature_cols) != 2:
+        raise ValueError("fit_ols_grouped supports exactly 2 features; "
+                         "use fit_ols (global) or applyInPandas for "
+                         f"other widths, got {feature_cols!r}")
+    f1 = F.col(feature_cols[0]).cast("double")
+    f2 = F.col(feature_cols[1]).cast("double")
+    y = F.col(label_col).cast("double")
+    clean = _complete_rows(df, feature_cols + [label_col])
+
+    def qsum(expr, name):
+        return F.sum(F.floor(expr * F.lit(quant)).cast("bigint")).alias(name)
+
+    agg = clean.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        qsum(f1, "q01"), qsum(f2, "q02"),
+        qsum(f1 * f1, "q11"), qsum(f1 * f2, "q12"), qsum(f2 * f2, "q22"),
+        qsum(y, "qy0"), qsum(f1 * y, "qy1"), qsum(f2 * y, "qy2"))
+
+    def s(name):
+        return F.col(name) / F.lit(quant)
+
+    s00 = F.col("n").cast("double")
+    s01, s02 = s("q01"), s("q02")
+    s11, s12, s22 = s("q11"), s("q12"), s("q22")
+    sy0, sy1, sy2 = s("qy0"), s("qy1"), s("qy2")
+    # symmetric 3x3 Cramer; parenthesization pinned — mirrored verbatim
+    # in the SQL oracle
+    det = (s00 * (s11 * s22 - s12 * s12)
+           - s01 * (s01 * s22 - s12 * s02)
+           + s02 * (s01 * s12 - s11 * s02))
+    n0 = (sy0 * (s11 * s22 - s12 * s12)
+          - s01 * (sy1 * s22 - s12 * sy2)
+          + s02 * (sy1 * s12 - s11 * sy2))
+    n1 = (s00 * (sy1 * s22 - s12 * sy2)
+          - sy0 * (s01 * s22 - s12 * s02)
+          + s02 * (s01 * sy2 - sy1 * s02))
+    n2 = (s00 * (s11 * sy2 - sy1 * s12)
+          - s01 * (s01 * sy2 - sy1 * s02)
+          + sy0 * (s01 * s12 - s11 * s02))
+    out = (agg.withColumn("__det", det)
+           .where((F.col("n") >= min_rows)
+                  & (F.abs(F.col("__det")) > F.lit(1e-12))))
+    return out.select(*group_cols, F.col("n").cast("bigint").alias("n"),
+                      (n0 / F.col("__det")).alias("b0"),
+                      (n1 / F.col("__det")).alias("b1"),
+                      (n2 / F.col("__det")).alias("b2"))

@@ -12231,3 +12231,82 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("bigint")) / F.lit(1_000_000_000.0))
                   / F.count("*")).alias("mean_p"),
                  (F.sum("y") / F.count("*")).alias("obs_rate")))
+
+
+@register("grouped_ols_sources", """
+WITH feats AS (
+    SELECT source,
+           CAST(len(list_filter(string_split(text, ' '),
+               t -> t IN ('the', 'of', 'and', 'to', 'a', 'in', 'is', 'it')))
+               AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS f1,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS f2,
+           CAST(length(text) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
+    FROM documents
+    WHERE length(text) > 0 AND len(string_split(text, ' ')) > 0
+), q AS (
+    SELECT source, count(*) AS n,
+           sum(CAST(floor(f1 * 1000000000.0) AS BIGINT)) AS q01,
+           sum(CAST(floor(f2 * 1000000000.0) AS BIGINT)) AS q02,
+           sum(CAST(floor(f1 * f1 * 1000000000.0) AS BIGINT)) AS q11,
+           sum(CAST(floor(f1 * f2 * 1000000000.0) AS BIGINT)) AS q12,
+           sum(CAST(floor(f2 * f2 * 1000000000.0) AS BIGINT)) AS q22,
+           sum(CAST(floor(y * 1000000000.0) AS BIGINT)) AS qy0,
+           sum(CAST(floor(f1 * y * 1000000000.0) AS BIGINT)) AS qy1,
+           sum(CAST(floor(f2 * y * 1000000000.0) AS BIGINT)) AS qy2
+    FROM feats GROUP BY source
+), s AS (
+    SELECT source, n, CAST(n AS DOUBLE) AS s00,
+           q01 / 1000000000.0 AS s01, q02 / 1000000000.0 AS s02,
+           q11 / 1000000000.0 AS s11, q12 / 1000000000.0 AS s12,
+           q22 / 1000000000.0 AS s22,
+           qy0 / 1000000000.0 AS sy0, qy1 / 1000000000.0 AS sy1,
+           qy2 / 1000000000.0 AS sy2
+    FROM q
+), d AS (
+    SELECT *,
+           (s00 * (s11 * s22 - s12 * s12)
+            - s01 * (s01 * s22 - s12 * s02)
+            + s02 * (s01 * s12 - s11 * s02)) AS det
+    FROM s
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       ((sy0 * (s11 * s22 - s12 * s12)
+         - s01 * (sy1 * s22 - s12 * sy2)
+         + s02 * (sy1 * s12 - s11 * sy2)) / det) AS b0,
+       ((s00 * (sy1 * s22 - s12 * sy2)
+         - sy0 * (s01 * s22 - s12 * s02)
+         + s02 * (s01 * sy2 - sy1 * s02)) / det) AS b1,
+       ((s00 * (s11 * sy2 - sy1 * s12)
+         - s01 * (s01 * sy2 - sy1 * s02)
+         + sy0 * (s01 * s12 - s11 * s02)) / det) AS b2
+FROM d WHERE n >= 8 AND abs(det) > 1e-12
+""")
+def grouped_ols_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One OLS regression PER SOURCE, fully distributed (operators/
+    ols.py::fit_ols_grouped): mean token length regressed on stopword
+    ratio + type-token ratio within each source.  Per-group sufficient
+    statistics from ONE map-side-combinable groupBy (integer-quantized
+    exact sums), then a closed-form 3x3 Cramer solve as pure column
+    arithmetic — no driver loop over groups, no UDF; with millions of
+    groups this is still a single shuffle keyed on the group column.
+    The oracle replays the identical quantized sums and pinned Cramer
+    parenthesization -> bit-identical coefficients."""
+    from moonshot_spark.operators.ols import fit_ols_grouped
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    stops = ("the", "of", "and", "to", "a", "in", "is", "it")
+    stop_ratio = (F.size(F.filter(
+        toks, lambda t: t.isin(*stops))).cast("double") / n_tok)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    mean_tok_len = F.length("text").cast("double") / n_tok
+    feats = (docs
+             .where((F.length("text") > 0) & (F.size(toks) > 0))
+             .select("source", stop_ratio.alias("f1"),
+                     ttr.alias("f2"), mean_tok_len.alias("y")))
+    return fit_ols_grouped(feats, ["source"], ["f1", "f2"], "y",
+                           min_rows=8)

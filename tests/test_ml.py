@@ -475,3 +475,56 @@ def test_fit_ols_null_features_complete_case(spark):
     m_clean = fit_ols(df_clean, ["x1", "x2"], "y")
     assert abs(m_all.bias - m_clean.bias) < 1e-12
     assert np.allclose(m_all.weights, m_clean.weights, atol=1e-12)
+
+
+def test_fit_ols_grouped_matches_numpy_per_group(spark):
+    """Each group's Cramer-solved coefficients match an independent
+    numpy lstsq fit of that group (within the 1e-9 quantization)."""
+    import numpy as np
+
+    from moonshot_spark.operators.ols import fit_ols_grouped
+
+    rng = np.random.default_rng(7)
+    rows, expect = [], {}
+    for g, (b0, b1, b2) in enumerate([(1.0, 2.0, -0.5), (-3.0, 0.3, 4.0)]):
+        x1 = rng.uniform(-2, 2, 40)
+        x2 = rng.uniform(-2, 2, 40)
+        y = b0 + b1 * x1 + b2 * x2 + rng.normal(0, 0.01, 40)
+        rows += [(f"g{g}", float(a), float(b), float(c))
+                 for a, b, c in zip(x1, x2, y)]
+        X = np.column_stack([np.ones(40), x1, x2])
+        expect[f"g{g}"] = np.linalg.lstsq(X, y, rcond=None)[0]
+    df = spark.createDataFrame(rows, "grp string, x1 double, x2 double, y double")
+    out = {r["grp"]: (r["b0"], r["b1"], r["b2"]) for r in
+           fit_ols_grouped(df, ["grp"], ["x1", "x2"], "y").collect()}
+    assert set(out) == set(expect)
+    for g, (eb0, eb1, eb2) in expect.items():
+        assert out[g][0] == pytest.approx(eb0, abs=1e-5)
+        assert out[g][1] == pytest.approx(eb1, abs=1e-5)
+        assert out[g][2] == pytest.approx(eb2, abs=1e-5)
+
+
+def test_fit_ols_grouped_drops_singular_and_small_groups(spark):
+    """A constant-feature (singular) group and an under-min_rows group
+    are dropped; a healthy group survives."""
+    import numpy as np
+
+    from moonshot_spark.operators.ols import fit_ols_grouped
+
+    rng = np.random.default_rng(3)
+    rows = [("ok", float(x1), float(x2), float(1 + x1 - x2))
+            for x1, x2 in zip(rng.uniform(0, 1, 20), rng.uniform(0, 1, 20))]
+    rows += [("flat", float(x), 0.0, float(x))
+             for x in rng.uniform(0, 1, 20)]       # x2 constant -> singular
+    rows += [("tiny", 0.1, 0.2, 0.3)] * 3           # n < min_rows
+    df = spark.createDataFrame(rows, "grp string, x1 double, x2 double, y double")
+    out = fit_ols_grouped(df, ["grp"], ["x1", "x2"], "y", min_rows=8)
+    assert [r["grp"] for r in out.collect()] == ["ok"]
+
+
+def test_fit_ols_grouped_rejects_wrong_width(spark):
+    from moonshot_spark.operators.ols import fit_ols_grouped
+
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    with pytest.raises(ValueError, match="exactly 2 features"):
+        fit_ols_grouped(df, [], ["x"], "y")
