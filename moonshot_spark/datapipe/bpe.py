@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 __all__ = ["bpe_state", "bpe_train"]
 
@@ -72,17 +73,33 @@ def bpe_train(docs: DataFrame, n_merges: int,
     like any other symbol (hierarchical merges, per the paper)."""
     state = bpe_state(docs, text_col)
     rules: list[tuple[int, str, str, int]] = []
-    for rnd in range(1, n_merges + 1):
-        top = (_pairs(state)
-               .groupBy("l", "r").agg(F.count("*").alias("cnt"))
-               .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-               .limit(1).collect())
-        if not top:
-            break
-        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-        rules.append((rnd, l, r, cnt))
-        state = state.select(F.replace(
-            F.col("__s"),
-            F.lit(f" {l}  {r} "),
-            F.lit(f" {l}{MERGE_MARK}{r} ")).alias("__s"))
+    prev = None
+    try:
+        for rnd in range(1, n_merges + 1):
+            # persist each round's state: round k's count otherwise
+            # re-executes ALL k-1 prior replaces from the raw scan
+            # (O(n_merges^2) corpus passes over a long training run).
+            # The cached state is one string column — comparable to the
+            # input corpus size, MEMORY_AND_DISK spills if needed; the
+            # previous round's cache is dropped as soon as the new one
+            # is materialized by this round's aggregate.
+            state = state.persist(StorageLevel.MEMORY_AND_DISK)
+            top = (_pairs(state)
+                   .groupBy("l", "r").agg(F.count("*").alias("cnt"))
+                   .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                   .limit(1).collect())
+            if prev is not None:
+                prev.unpersist()
+            prev = state
+            if not top:
+                break
+            l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            rules.append((rnd, l, r, cnt))
+            state = state.select(F.replace(
+                F.col("__s"),
+                F.lit(f" {l}  {r} "),
+                F.lit(f" {l}{MERGE_MARK}{r} ")).alias("__s"))
+    finally:
+        if prev is not None:
+            prev.unpersist()
     return rules

@@ -547,7 +547,8 @@ def mine_hard_negatives(emb: DataFrame, anchors: DataFrame, n_neg: int = 3,
 
 def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
               n_sub: int, sub_dim: int,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              carry_cols: list[str] | None = None) -> DataFrame:
     """Product-quantization encoding against fixed per-subspace codebooks
     (Jégou et al., "Product Quantization for Nearest Neighbor Search",
     TPAMI 2011): split each vector into ``n_sub`` contiguous ``sub_dim``
@@ -561,8 +562,11 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
     encode pass is a pure map over the corpus: one row per
     (vector, subspace) with the chosen code and its squared error.
 
-    Returns (id_col, subspace, code, ssd).
+    Returns (id_col, *carry_cols, subspace, code, ssd) — ``carry_cols``
+    ride along through the map so downstream reports need no
+    corpus-scale join back to the source table for their grouping keys.
     """
+    carry = list(carry_cols or [])
     v = _as_double(F.col(vec_col))
     rows = []
     for s in range(n_sub):
@@ -577,9 +581,9 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
         rows.append(F.struct(F.lit(s).alias("subspace"),
                              best.getField("code").alias("code"),
                              best.getField("ssd").alias("ssd")))
-    return (emb.select(F.col(id_col),
+    return (emb.select(F.col(id_col), *[F.col(c) for c in carry],
                        F.explode(F.array(*rows)).alias("__pq"))
-            .select(id_col,
+            .select(id_col, *carry,
                     F.col("__pq.subspace").alias("subspace"),
                     F.col("__pq.code").alias("code"),
                     F.col("__pq.ssd").alias("ssd")))

@@ -11720,7 +11720,7 @@ WITH corpus AS (
     FROM embeddings
 ), anch AS (
     SELECT vec_id AS anchor_id, label AS albl, v AS a
-    FROM corpus WHERE vec_id % 100 = 0
+    FROM corpus WHERE vec_id % 100 = 0 AND vec_id < 100000
 ), sims AS (
     SELECT anchor_id,
            CASE WHEN c.label = albl THEN 'positive' ELSE 'negative' END
@@ -11745,15 +11745,19 @@ WHERE rank <= CASE WHEN role = 'positive' THEN 1 ELSE 3 END
 """)
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining over the embedding corpus: per anchor
-    (every 100th vector), the nearest same-label vector (positive) and
-    the 3 nearest different-label vectors (hard negatives) by cosine.
+    (every 100th vector, HARD-CAPPED at id < 100k so the anchor set
+    stays broadcastable no matter the corpus size — in production the
+    anchors are a fixed curated set, not a corpus percentage), the
+    nearest same-label vector (positive) and the 3 nearest
+    different-label vectors (hard negatives) by cosine.
     Broadcast anchor set -> one linear corpus scan (see
     datapipe/similarity.py::mine_hard_negatives for the scale shape and
     the IVF escape hatch for large anchor sets)."""
     from moonshot_spark.datapipe.similarity import mine_hard_negatives
 
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = (emb.where(F.col("vec_id") % 100 == 0)
+    anchors = (emb.where((F.col("vec_id") % 100 == 0)
+                     & (F.col("vec_id") < 100_000))
                .select(F.col("vec_id").alias("anchor_id"),
                        "embedding", "label"))
     return mine_hard_negatives(emb, anchors, n_neg=3)
@@ -11800,8 +11804,11 @@ def pq_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("vec_id", "embedding").orderBy("vec_id").collect())
     codebooks = [[[float(x) for x in r["embedding"][s * 8:(s + 1) * 8]]
                   for r in cb_rows] for s in range(8)]
-    enc = pq_encode(emb, codebooks, n_sub=8, sub_dim=8)
-    return (enc.join(emb.select("vec_id", "label"), "vec_id")
+    # label rides through the encode map (carry_cols) — no corpus-scale
+    # join back to the source table for the report's grouping key
+    enc = pq_encode(emb, codebooks, n_sub=8, sub_dim=8,
+                    carry_cols=["label"])
+    return (enc
             .groupBy("label", "subspace", "code")
             .agg(F.count("*").cast("bigint").alias("n_vecs"),
                  F.min("ssd").alias("min_ssd"),
