@@ -11859,9 +11859,13 @@ def dup_aware_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("lang",
                   token_count_expr("text").cast("bigint").alias("n_tok"),
                   fingerprint_expr("text").alias("f")))
-    sizes = (fp.groupBy("f")
-             .agg(F.count("*").cast("bigint").alias("cluster_size")))
-    return (fp.join(sizes, "f")
+    # cluster size as a windowed count over the fingerprint partition
+    # (same one-shuffle pattern as datapipe/spans.py duplicate
+    # detection): groupBy+join-back would shuffle the same narrow rows
+    # AND compute the corpus-wide fingerprint md5 twice
+    cluster_size = (F.count("*")
+                    .over(Window.partitionBy("f")).cast("bigint"))
+    return (fp.withColumn("cluster_size", cluster_size)
             .groupBy("lang", "cluster_size")
             .agg(F.count("*").cast("bigint").alias("n_docs"),
                  F.sum("n_tok").cast("bigint").alias("total_tokens"))
