@@ -54,3 +54,52 @@ def test_merge_count_reflects_post_merge_state(spark):
     # binary order: 'p\x01q' < 'r'
     assert rules[1] == (2, pq, "r", 2)
     assert rules[2] == (3, f"{pq}{MERGE_MARK}r", pq, 2)
+
+
+def test_hypothesis_bpe_matches_reference_trainer(spark):
+    """Random small-alphabet corpora: the distributed trainer must match
+    a pure-Python BPE reference (overlapping pair counts, argmax with
+    (count desc, left, right) ties, greedy-left non-overlapping merge)
+    rule-for-rule."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def ref_bpe(corpus, n_merges):
+        docs = [list(d) for d in corpus]
+        rules = []
+        for rnd in range(1, n_merges + 1):
+            cnt = {}
+            for toks in docs:
+                for i in range(len(toks) - 1):
+                    cnt[(toks[i], toks[i + 1])] = \
+                        cnt.get((toks[i], toks[i + 1]), 0) + 1
+            if not cnt:
+                break
+            (l, r), c = min(cnt.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            rules.append((rnd, l, r, c))
+            merged_docs = []
+            for toks in docs:
+                out, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks)
+                            and toks[i] == l and toks[i + 1] == r):
+                        out.append(l + MERGE_MARK + r)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                merged_docs.append(out)
+            docs = merged_docs
+        return rules
+
+    doc_strat = st.lists(st.sampled_from(["a", "b", "c"]),
+                         min_size=1, max_size=10)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc_strat, min_size=1, max_size=4))
+    def check(tok_docs):
+        sdf = _df(spark, [" ".join(toks) for toks in tok_docs])
+        assert bpe_train(sdf, n_merges=3) == ref_bpe(tok_docs, 3)
+
+    check()
