@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 from moonshot_spark.ml_models import LinearModel, LogisticModel
 
-__all__ = ["fit_ols", "fit_logistic_irls", "fit_ols_grouped"]
+__all__ = ["fit_ols", "fit_logistic_irls", "fit_ols_grouped",
+           "fit_ols_grouped_pandas"]
 
 
 def _design_cols(feature_cols: list[str]):
@@ -174,3 +175,57 @@ def fit_ols_grouped(df: DataFrame, group_cols: list[str],
                       (n0 / F.col("__det")).alias("b0"),
                       (n1 / F.col("__det")).alias("b1"),
                       (n2 / F.col("__det")).alias("b2"))
+
+
+def fit_ols_grouped_pandas(df: DataFrame, group_cols: list[str],
+                           feature_cols: list[str], label_col: str,
+                           min_rows: int | None = None) -> DataFrame:
+    """Per-group OLS for ARBITRARY feature width via ``applyInPandas``:
+    the Arrow-batched grouped-map ships each group to a numpy
+    normal-equation solve.  This is the documented k > 2 fallback of
+    ``fit_ols_grouped`` (whose closed-form Cramer columns stop at two
+    features); use the closed form when it fits — it keeps the whole
+    plan in codegen and its coefficients oracle-replayable, while this
+    path pays one Arrow hop per group batch.
+
+    Scale shape: one shuffle keyed on the group columns; per-task
+    memory is bounded by the largest single group (same contract as any
+    grouped-map — document the group grain, don't point it at an
+    unbounded key).  Rank-deficient or under-``min_rows`` groups are
+    dropped, matching the closed form's singular-guard semantics.
+
+    Returns (group_cols..., n, b0..bk) with b0 the intercept.
+    """
+    import pandas as pd
+
+    k = len(feature_cols)
+    if min_rows is None:
+        min_rows = max(k + 2, 8)
+    group_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema if f.name in group_cols)
+    beta_fields = ", ".join(f"b{i} double" for i in range(k + 1))
+    schema = f"{group_fields}, n bigint, {beta_fields}"
+
+    def fit(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cols = list(feature_cols) + [label_col]
+        clean = pdf.dropna(subset=cols)
+        n = len(clean)
+        empty = pd.DataFrame(columns=list(group_cols) + ["n"]
+                             + [f"b{i}" for i in range(k + 1)])
+        if n < min_rows:
+            return empty
+        X = np.column_stack(
+            [np.ones(n)] + [clean[c].to_numpy(dtype=float)
+                            for c in feature_cols])
+        y = clean[label_col].to_numpy(dtype=float)
+        beta, _, rank, _ = np.linalg.lstsq(X, y, rcond=None)
+        if rank < k + 1:
+            return empty
+        row = dict(zip(group_cols, key))
+        row["n"] = n
+        for i, b in enumerate(beta):
+            row[f"b{i}"] = float(b)
+        return pd.DataFrame([row])
+
+    return df.groupBy(*group_cols).applyInPandas(fit, schema)

@@ -528,3 +528,59 @@ def test_fit_ols_grouped_rejects_wrong_width(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
     with pytest.raises(ValueError, match="exactly 2 features"):
         fit_ols_grouped(df, [], ["x"], "y")
+
+
+def test_fit_ols_grouped_pandas_matches_closed_form_and_numpy(spark):
+    """The Arrow grouped-map fallback agrees with the closed-form
+    2-feature path (within its 1e-9 quantization) and handles 3
+    features against numpy directly."""
+    import numpy as np
+
+    from moonshot_spark.operators.ols import (fit_ols_grouped,
+                                              fit_ols_grouped_pandas)
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in ("g0", "g1"):
+        x1, x2, x3 = (rng.uniform(-1, 1, 30) for _ in range(3))
+        y = 0.5 + 1.5 * x1 - 2.0 * x2 + 0.25 * x3 \
+            + rng.normal(0, 0.01, 30)
+        rows += [(g, float(a), float(b), float(c), float(d))
+                 for a, b, c, d in zip(x1, x2, x3, y)]
+    df = spark.createDataFrame(
+        rows, "grp string, x1 double, x2 double, x3 double, y double")
+
+    closed = {r["grp"]: (r["b0"], r["b1"], r["b2"]) for r in
+              fit_ols_grouped(df, ["grp"], ["x1", "x2"], "y").collect()}
+    arrow2 = {r["grp"]: (r["b0"], r["b1"], r["b2"]) for r in
+              fit_ols_grouped_pandas(df, ["grp"], ["x1", "x2"], "y").collect()}
+    assert set(closed) == set(arrow2) == {"g0", "g1"}
+    for g in closed:
+        for a, b in zip(closed[g], arrow2[g]):
+            assert a == pytest.approx(b, abs=1e-5)
+
+    arrow3 = fit_ols_grouped_pandas(df, ["grp"], ["x1", "x2", "x3"], "y")
+    out3 = {r["grp"]: [r[f"b{i}"] for i in range(4)]
+            for r in arrow3.collect()}
+    for g in ("g0", "g1"):
+        pdf = [r for r in rows if r[0] == g]
+        X = np.column_stack([np.ones(len(pdf))]
+                            + [[r[i] for r in pdf] for i in (1, 2, 3)])
+        yv = np.array([r[4] for r in pdf])
+        exp = np.linalg.lstsq(X, yv, rcond=None)[0]
+        assert out3[g] == pytest.approx(list(exp), abs=1e-8)
+
+
+def test_fit_ols_grouped_pandas_drops_rank_deficient(spark):
+    import numpy as np
+
+    from moonshot_spark.operators.ols import fit_ols_grouped_pandas
+
+    rng = np.random.default_rng(5)
+    rows = [("dup", float(x), float(2 * x), float(x))   # x2 = 2*x1
+            for x in rng.uniform(0, 1, 20)]
+    rows += [("ok", float(a), float(b), float(a - b)) for a, b in
+             zip(rng.uniform(0, 1, 20), rng.uniform(0, 1, 20))]
+    df = spark.createDataFrame(rows, "grp string, x1 double, x2 double, y double")
+    out = fit_ols_grouped_pandas(df, ["grp"], ["x1", "x2"], "y")
+    assert [r["grp"] for r in out.collect()] == ["ok"]
