@@ -15,7 +15,7 @@ bucket expression whole-stage-codegens next to the scan, so splitting a
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -163,3 +163,38 @@ def corpus_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 0,
         ranked = ranked.withColumn(
             "shard", ((F.col("position") - 1) % num_shards).cast("int"))
     return ranked
+
+
+def uniform_hash_expr(col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform in the OPEN interval (0, 1): the first 52
+    bits of ``md5(salt || id)`` mapped to (v + 1) / (2^52 + 2).  Like
+    every sampler here, bit-identical across engines — no RNG state,
+    no partition sensitivity."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.encode(F.concat(F.lit(salt), c.cast("string")), "UTF-8"))
+    v = F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint").cast("double")
+    return (v + F.lit(1.0)) / F.lit(4503599627370498.0)
+
+
+def weighted_sample_without_replacement(
+        df: DataFrame, group_col: str, weight_col: str, k: int,
+        id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Efraimidis-Spirakis A-ES weighted sampling WITHOUT replacement,
+    k per group: each row draws the deterministic uniform u = h(id) and
+    the k rows with the largest u^(1/w) win — provably equivalent to
+    sequential weighted draws without replacement (Efraimidis &
+    Spirakis, IPL 2006).  Ranked on the monotone-equivalent key
+    ln(u)/w (descending) to avoid pow(); ties break on id.
+
+    One map + one per-group top-k window — a single shuffle keyed on
+    the group, any corpus size; non-positive weights are excluded (the
+    scheme is undefined for them).  Adds ``es_key`` and ``rank``.
+    """
+    w = F.col(weight_col).cast("double")
+    key = F.log(uniform_hash_expr(id_col, salt)) / w
+    ranked = (df.where(w > 0)
+              .withColumn("es_key", key)
+              .withColumn("rank", F.row_number().over(
+                  Window.partitionBy(group_col)
+                  .orderBy(F.desc("es_key"), F.asc(id_col))).cast("int")))
+    return ranked.where(F.col("rank") <= k)

@@ -12321,3 +12321,42 @@ def grouped_ols_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ttr.alias("f2"), mean_tok_len.alias("y")))
     return fit_ols_grouped(feats, ["source"], ["f1", "f2"], "y",
                            min_rows=8)
+
+
+@register("weighted_sample_es", """
+WITH keyed AS (
+    SELECT lang, doc_id, n_chars,
+           ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                    AS BIGINT) + 1.0) / 4503599627370498.0)
+           / CAST(n_chars AS DOUBLE) AS es_key
+    FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+), ranked AS (
+    SELECT lang, doc_id, n_chars, es_key,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY es_key DESC, doc_id) AS INT)
+               AS rank
+    FROM keyed
+)
+SELECT lang, rank, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rank <= 10
+""")
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement, 10
+    docs per language weighted by document length (the corpus-mixing
+    primitive for 'sample long docs proportionally more, never twice'):
+    deterministic md5-uniforms, key ln(u)/w, per-group top-k window —
+    one map + one shuffle at any scale
+    (datapipe/sampling.py::weighted_sample_without_replacement)."""
+    from moonshot_spark.datapipe.sampling import (
+        weighted_sample_without_replacement)
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("lang", "doc_id", "n_chars")
+    out = weighted_sample_without_replacement(
+        docs, "lang", "n_chars", k=10)
+    # es_key itself is excluded from the compared output: Spark's
+    # Math.log and DuckDB's std::log disagree in the LAST ULP
+    # (~1e-18), which cannot flip a rank (md5-uniform keys are never
+    # that close) but fails a bit-exact value compare
+    return out.select("lang", "rank", "doc_id",
+                      F.col("n_chars").cast("bigint").alias("n_chars"))

@@ -1099,3 +1099,40 @@ def test_widen_underparallel_contract(spark, tmp_path):
     assert (widened.rdd.getNumPartitions()
             == spark.sparkContext.defaultParallelism)
     assert sorted(r["doc_id"] for r in widened.collect()) == list(range(10))
+
+
+def test_weighted_sample_without_replacement_contract(spark):
+    """Exactly k per group, no duplicates, partition-invariant, and
+    weight-sensitive: across independent salts a 100x-weight item is
+    drawn far more often than a 1x item."""
+    from moonshot_spark.datapipe.sampling import (
+        weighted_sample_without_replacement)
+
+    rows = [("g", i, 100.0 if i < 5 else 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, w double")
+
+    out = weighted_sample_without_replacement(df, "grp", "w", k=10,
+                                              id_col="doc_id")
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == 10 and len(set(got)) == 10
+
+    shuffled = weighted_sample_without_replacement(
+        df.repartition(13), "grp", "w", k=10, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in shuffled.collect()) == sorted(got)
+
+    heavy_hits = light_hits = 0
+    for s in range(20):
+        sel = {r["doc_id"] for r in weighted_sample_without_replacement(
+            df, "grp", "w", k=5, id_col="doc_id", salt=f"s{s}").collect()}
+        heavy_hits += len(sel & set(range(5)))
+        light_hits += len(sel - set(range(5)))
+    # 5 heavy items at weight 100 vs 45 light at weight 1: heavy should
+    # dominate the k=5 draws
+    assert heavy_hits > light_hits * 2
+
+    # zero/negative weights are excluded entirely
+    zdf = spark.createDataFrame(
+        [("g", 1, 0.0), ("g", 2, -1.0), ("g", 3, 2.0)],
+        "grp string, doc_id long, w double")
+    assert [r["doc_id"] for r in weighted_sample_without_replacement(
+        zdf, "grp", "w", k=5, id_col="doc_id").collect()] == [3]
