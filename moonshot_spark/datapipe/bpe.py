@@ -73,7 +73,7 @@ def bpe_train(docs: DataFrame, n_merges: int,
     like any other symbol (hierarchical merges, per the paper)."""
     state = bpe_state(docs, text_col)
     rules: list[tuple[int, str, str, int]] = []
-    prev = None
+    live: list[DataFrame] = []     # persisted, not yet unpersisted
     try:
         for rnd in range(1, n_merges + 1):
             # persist each round's state: round k's count otherwise
@@ -82,15 +82,18 @@ def bpe_train(docs: DataFrame, n_merges: int,
             # The cached state is one string column — comparable to the
             # input corpus size, MEMORY_AND_DISK spills if needed; the
             # previous round's cache is dropped as soon as the new one
-            # is materialized by this round's aggregate.
+            # is materialized by this round's aggregate.  Every persisted
+            # frame sits in ``live`` until explicitly dropped, so a
+            # mid-round failure (executor loss, cancel) can't leak the
+            # current round's partially materialized cache blocks.
             state = state.persist(StorageLevel.MEMORY_AND_DISK)
+            live.append(state)
             top = (_pairs(state)
                    .groupBy("l", "r").agg(F.count("*").alias("cnt"))
                    .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
                    .limit(1).collect())
-            if prev is not None:
-                prev.unpersist()
-            prev = state
+            while len(live) > 1:   # new round materialized → drop older
+                live.pop(0).unpersist()
             if not top:
                 break
             l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
@@ -100,6 +103,6 @@ def bpe_train(docs: DataFrame, n_merges: int,
                 F.lit(f" {l}  {r} "),
                 F.lit(f" {l}{MERGE_MARK}{r} ")).alias("__s"))
     finally:
-        if prev is not None:
-            prev.unpersist()
+        for frame in live:
+            frame.unpersist()
     return rules

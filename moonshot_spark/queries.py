@@ -11651,22 +11651,30 @@ def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplication-aware loss weighting, model-based filtering               #
 # --------------------------------------------------------------------- #
 
-@register("duplicate_text_spans", """
-WITH all_docs AS (
-    SELECT doc_id, text FROM documents
+def _span_oracle_prefix(k: int = 8, carry_lang: bool = False) -> str:
+    """Shared DuckDB CTE chain for the ExactSubstr span oracles
+    (duplicate_text_spans + exact_substr_scrub): clone-seeded corpus →
+    tokenize → k-token windows → window hash → duplicated-hash semi-join
+    → island segmentation.  One definition so the two oracles (which
+    must replay the identical datapipe/spans.py machinery) can't drift.
+    Returns the ``WITH all_docs ... g`` prefix; callers append their own
+    reporting CTEs / final SELECT."""
+    lang_sel = ", lang" if carry_lang else ""
+    return f"""WITH all_docs AS (
+    SELECT doc_id, text{lang_sel} FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id,
            array_to_string(list_slice(string_split(text, ' '), 1,
-               len(string_split(text, ' ')) // 2), ' ') AS text
+               len(string_split(text, ' ')) // 2), ' ') AS text{lang_sel}
     FROM documents WHERE doc_id < 25
 ), t AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
 ), w AS (
-    SELECT doc_id, unnest(range(0, len(toks) - 8 + 1)) AS pos, toks
-    FROM t WHERE len(toks) >= 8
+    SELECT doc_id, unnest(range(0, len(toks) - {k} + 1)) AS pos, toks
+    FROM t WHERE len(toks) >= {k}
 ), h AS (
     SELECT doc_id, pos,
-           md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' '))
+           md5(array_to_string(list_slice(toks, pos + 1, pos + {k}), ' '))
                AS wh
     FROM w
 ), dup AS (
@@ -11676,7 +11684,7 @@ WITH all_docs AS (
 ), isl AS (
     SELECT doc_id, pos,
            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                     > 8 THEN 1 ELSE 0 END AS brk
+                     > {k} THEN 1 ELSE 0 END AS brk
     FROM d
 ), g AS (
     SELECT doc_id, pos,
@@ -11684,7 +11692,10 @@ WITH all_docs AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS island
     FROM isl
-)
+)"""
+
+
+@register("duplicate_text_spans", _span_oracle_prefix(k=8) + """
 SELECT doc_id,
        CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + 7 AS BIGINT) AS span_end,
@@ -11920,17 +11931,9 @@ def model_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows at any corpus size) — the corpus-scale work is the one map +
     one groupBy."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_tok = F.size(toks).cast("double")
-    stops = ("the", "of", "and", "to", "a", "in", "is", "it")
-    stop_ratio = (F.size(F.filter(
-        toks, lambda t: t.isin(*stops))).cast("double") / n_tok)
-    mean_tok_len = F.length("text").cast("double") / n_tok
-    digit_ratio = ((F.length("text")
-                    - F.length(F.regexp_replace("text", "[0-9]", "")))
-                   .cast("double") / F.length("text").cast("double"))
-    score = (F.lit(3.0) * stop_ratio + F.lit(-0.2) * mean_tok_len
-             + F.lit(-5.0) * digit_ratio + F.lit(1.0))
+    fx = _quality_feature_exprs()
+    score = (F.lit(3.0) * fx["stop_ratio"] + F.lit(-0.2) * fx["mean_tok_len"]
+             + F.lit(-5.0) * fx["digit_ratio"] + F.lit(1.0))
     agg = (docs.select("lang",
                        F.floor(score * 20).cast("bigint").alias("bucket"))
            .groupBy("bucket")
@@ -11947,28 +11950,42 @@ def model_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.sum("n_docs").over(tot_w).cast("double")))
 
 
-def _doc_quality_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared feature frame for the quality-classifier queries: label
-    y = (lang = 'en') plus three rational text features (English-
-    stopword ratio, mean token length, digit ratio — all single
-    divisions of integer counts, bit-exact across engines)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _quality_feature_exprs() -> dict:
+    """The rational text-quality feature expressions shared by
+    model_filter_report, _doc_quality_feats and grouped_ols_sources —
+    one definition so the three queries (and their oracle SQL, which
+    must stay bit-identical) can never drift apart: English-stopword
+    ratio, mean token length, digit ratio, type-token ratio — all
+    single divisions of integer counts, bit-exact across engines."""
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks).cast("double")
     stops = ("the", "of", "and", "to", "a", "in", "is", "it")
-    stop_ratio = (F.size(F.filter(
-        toks, lambda t: t.isin(*stops))).cast("double") / n_tok)
-    mean_tok_len = F.length("text").cast("double") / n_tok
-    digit_ratio = ((F.length("text")
-                    - F.length(F.regexp_replace("text", "[0-9]", "")))
-                   .cast("double") / F.length("text").cast("double"))
+    return {
+        "toks": toks,
+        "n_tok": n_tok,
+        "stop_ratio": (F.size(F.filter(
+            toks, lambda t: t.isin(*stops))).cast("double") / n_tok),
+        "mean_tok_len": F.length("text").cast("double") / n_tok,
+        "digit_ratio": ((F.length("text")
+                         - F.length(F.regexp_replace("text", "[0-9]", "")))
+                        .cast("double") / F.length("text").cast("double")),
+        "ttr": F.size(F.array_distinct(toks)).cast("double") / n_tok,
+    }
+
+
+def _doc_quality_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared feature frame for the quality-classifier queries: label
+    y = (lang = 'en') plus three rational text features (see
+    _quality_feature_exprs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fx = _quality_feature_exprs()
     return (docs
-            .where((F.length("text") > 0) & (F.size(toks) > 0))
+            .where((F.length("text") > 0) & (F.size(fx["toks"]) > 0))
             .select(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
                     .alias("y"),
-                    stop_ratio.alias("f1"),
-                    mean_tok_len.alias("f2"),
-                    digit_ratio.alias("f3")))
+                    fx["stop_ratio"].alias("f1"),
+                    fx["mean_tok_len"].alias("f2"),
+                    fx["digit_ratio"].alias("f3")))
 
 
 def _logreg_cte_chain(iters: int = 3, lr: float = 0.5) -> str:
@@ -12062,41 +12079,8 @@ def logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "iter int, coef string, beta double")
 
 
-@register("exact_substr_scrub", """
-WITH all_docs AS (
-    SELECT doc_id, text, lang FROM documents
-    UNION ALL
-    SELECT doc_id + 1000000 AS doc_id,
-           array_to_string(list_slice(string_split(text, ' '), 1,
-               len(string_split(text, ' ')) // 2), ' ') AS text,
-           lang
-    FROM documents WHERE doc_id < 25
-), t AS (
-    SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
-), w AS (
-    SELECT doc_id, unnest(range(0, len(toks) - 8 + 1)) AS pos, toks
-    FROM t WHERE len(toks) >= 8
-), h AS (
-    SELECT doc_id, pos,
-           md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' '))
-               AS wh
-    FROM w
-), dup AS (
-    SELECT wh FROM h GROUP BY wh HAVING count(*) >= 2
-), d AS (
-    SELECT doc_id, pos FROM h SEMI JOIN dup USING (wh)
-), isl AS (
-    SELECT doc_id, pos,
-           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                     > 8 THEN 1 ELSE 0 END AS brk
-    FROM d
-), g AS (
-    SELECT doc_id, pos,
-           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-    FROM isl
-), spans AS (
+@register("exact_substr_scrub", _span_oracle_prefix(k=8, carry_lang=True)
+          + """, spans AS (
     SELECT doc_id, max(pos) + 8 - min(pos) AS span_len
     FROM g GROUP BY doc_id, island
 ), per_doc AS (
@@ -12308,17 +12292,11 @@ def grouped_ols_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moonshot_spark.operators.ols import fit_ols_grouped
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_tok = F.size(toks).cast("double")
-    stops = ("the", "of", "and", "to", "a", "in", "is", "it")
-    stop_ratio = (F.size(F.filter(
-        toks, lambda t: t.isin(*stops))).cast("double") / n_tok)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
-    mean_tok_len = F.length("text").cast("double") / n_tok
+    fx = _quality_feature_exprs()
     feats = (docs
-             .where((F.length("text") > 0) & (F.size(toks) > 0))
-             .select("source", stop_ratio.alias("f1"),
-                     ttr.alias("f2"), mean_tok_len.alias("y")))
+             .where((F.length("text") > 0) & (F.size(fx["toks"]) > 0))
+             .select("source", fx["stop_ratio"].alias("f1"),
+                     fx["ttr"].alias("f2"), fx["mean_tok_len"].alias("y")))
     return fit_ols_grouped(feats, ["source"], ["f1", "f2"], "y",
                            min_rows=8)
 

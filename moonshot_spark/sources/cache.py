@@ -32,10 +32,62 @@ def _fingerprint(prefix: str, kwargs: dict) -> str:
     return f"{prefix}_{digest}"
 
 
-class _FileLock:
-    """O_EXCL lock-file serialization of concurrent cache writers
-    (reference _cache.py:147-151,181-184 uses ``FileLock``; this is the
-    stdlib-only equivalent).  Spin-waits for a held lock; a lock older
+try:
+    import fcntl
+except ImportError:          # non-POSIX: fall back to the O_EXCL protocol
+    fcntl = None
+
+
+class _FlockLock:
+    """``flock``-based serialization of concurrent cache writers
+    (reference _cache.py:147-151,181-184 uses the ``FileLock`` package).
+
+    The kernel owns the lock state: it is released when the holder's fd
+    closes — including on process crash — so there is no stale-lock
+    condition and no takeover protocol to race on.  The lock file itself
+    is never unlinked (unlinking while waiters block on the old inode
+    would let a new acquirer open a fresh inode and two holders enter);
+    a leftover ``.lock`` file in the cache dir is inert.  Works on local
+    filesystems and NFSv4; platforms without ``fcntl`` use the
+    ``_ExclLock`` fallback below."""
+
+    def __init__(self, path: str, timeout: float = 60.0,
+                 stale_after: float = 300.0):
+        self.path = path
+        self.timeout = timeout
+        self._fd: int | None = None
+
+    def __enter__(self):
+        deadline = time.time() + self.timeout
+        fd = os.open(self.path, os.O_CREAT | os.O_WRONLY, 0o644)
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                # pid breadcrumb for humans inspecting a busy cache dir
+                try:
+                    os.truncate(fd, 0)
+                    os.pwrite(fd, str(os.getpid()).encode(), 0)
+                except OSError:
+                    pass
+                self._fd = fd
+                return self
+            except OSError:
+                if time.time() > deadline:
+                    os.close(fd)
+                    raise TimeoutError(
+                        f"cache lock {self.path} not acquired within "
+                        f"{self.timeout:.0f}s")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        if self._fd is not None:
+            os.close(self._fd)           # kernel releases the flock
+            self._fd = None
+
+
+class _ExclLock:
+    """O_EXCL lock-file fallback for platforms without ``fcntl``.
+    Spin-waits for a held lock; a lock older
     than ``stale_after`` seconds is treated as abandoned (crashed
     writer) and taken over.
 
@@ -45,7 +97,14 @@ class _FileLock:
     token it observed as stale.  If the holder released-and-reacquired
     in between (fresh token), the file is linked back into place, so a
     live lock is never destroyed by a racing takeover.  ``__exit__``
-    likewise only removes a lock that still carries our own token."""
+    likewise only removes a lock that still carries our own token.
+
+    Known residual race (why ``_FlockLock`` is preferred wherever
+    ``fcntl`` exists): if a fresh holder's ``__exit__`` runs in the
+    instant its lock sits renamed-aside, the restore re-links a token
+    whose holder already exited, and the lock stays orphaned until
+    ``stale_after`` passes.  No POSIX compare-and-delete exists to close
+    this atomically with lock files alone."""
 
     def __init__(self, path: str, timeout: float = 60.0,
                  stale_after: float = 300.0):
@@ -115,6 +174,9 @@ class _FileLock:
                 pass
 
 
+_FileLock = _FlockLock if fcntl is not None else _ExclLock
+
+
 def _source_mtime(paths: list[str]) -> float:
     """Max mtime across source files/dirs (recursive), 0 if none exist."""
     latest = 0.0
@@ -166,10 +228,20 @@ class Cache:
                 return None
         try:
             return spark.read.parquet(data_path)
-        except Exception:
+        except Exception as exc:
             # a concurrent set() may swap the entry (rmtree+rename) between
-            # our exists() check and the scan's file listing — treat the
-            # in-flight read failure as a miss (recompute), not an error
+            # our exists() check and the schema read — treat the in-flight
+            # failure as a miss (recompute).  This guard covers only plan
+            # construction; a reader whose executed scan lands mid-swap
+            # still fails in-job and recomputes on retry.  A PERSISTENT
+            # failure (corrupt footer, permissions) is not silent: warn so
+            # an always-missing cache is visible, and miss.
+            if os.path.exists(data_path):
+                import warnings
+                warnings.warn(
+                    f"cache entry {data_path} exists but is unreadable "
+                    f"({type(exc).__name__}: {exc}); treating as a miss",
+                    RuntimeWarning, stacklevel=2)
             return None
 
     def set(self, prefix: str, kwargs: dict, df: DataFrame,
@@ -181,9 +253,11 @@ class Cache:
         same key can never interleave into a half-written entry.
         Readers don't lock: meta is replaced atomically LAST, so a read
         sees either the complete old entry or the complete new one.  A
-        reader whose scan is in flight DURING the rmtree+rename swap can
-        hit a transient listing failure — ``get`` catches it and reports
-        a miss (a recompute, never corruption)."""
+        reader overlapping the rmtree+rename swap can hit a transient
+        failure — at plan-construction time ``get`` reports it as a miss;
+        a scan already executing mid-swap fails in-job and recomputes on
+        retry.  Either way the result is a recompute, never a
+        half-written read."""
         key = _fingerprint(prefix, kwargs)
         data_path, meta_path = self._paths(key)
         tmp_path = f"{data_path}.tmp-{os.getpid()}-{int(time.time()*1e6)}"

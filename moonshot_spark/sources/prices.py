@@ -188,9 +188,13 @@ def get_prices(spark: SparkSession, path: str,
     # DB_DATA_FREQUENCY twin (reference base.py:1246-1251 forwards
     # data_frequency to the history service, which rolls intraday bars up
     # to daily): "daily" on an intraday panel aggregates each (sid, date)
-    # group — open = first bar, close/others = last bar, high/low = extrema,
-    # volume = sum.  One map-side-combinable groupBy; at 100 TB this is the
-    # same pre-aggregation the service would do, pushed into the plan.
+    # group — open = first non-null bar, close/others = last non-null bar
+    # (pandas groupby().first()/.last() semantics: a spine-filled NULL at
+    # the day's edge must not null out the daily value), high/low =
+    # extrema, volume = sum.  Conditioning the min_by/max_by KEY on value
+    # non-nullness gives exactly that — min_by skips null keys.  One
+    # map-side-combinable groupBy; at 100 TB this is the same
+    # pre-aggregation the service would do, pushed into the plan.
     if data_frequency is not None:
         if data_frequency not in ("daily", "minute"):
             raise MoonshotParameterError(
@@ -202,16 +206,17 @@ def get_prices(spark: SparkSession, path: str,
                 if c in ("sid", "date", "time"):
                     continue
                 lc = c.lower()
+                nn_time = F.when(F.col(c).isNotNull(), F.col("time"))
                 if lc == "open":
-                    aggs.append(F.min_by(c, "time").alias(c))
+                    aggs.append(F.min_by(c, nn_time).alias(c))
                 elif lc == "high":
                     aggs.append(F.max(c).alias(c))
                 elif lc == "low":
                     aggs.append(F.min(c).alias(c))
                 elif lc == "volume":
                     aggs.append(F.sum(c).alias(c))
-                else:                       # close, wap, custom: last bar
-                    aggs.append(F.max_by(c, "time").alias(c))
+                else:                   # close, wap, custom: last non-null
+                    aggs.append(F.max_by(c, nn_time).alias(c))
             df = df.groupBy("sid", "date").agg(*aggs)
 
     if cache is not None:

@@ -24,8 +24,8 @@ At 100 TB that is two exchanges total, each streaming — no driver
 materialization anywhere (the reference materializes every stage in RAM,
 base.py:1335-1351).  One exception: a once-a-day strategy over an
 INTRADAY panel with caps or commissions adds first-bar-contract-value
-aggregations + joins (built once per backtest, ``_cv_caps_daily`` /
-``_cv_commissions_daily``), mirroring the reference's earliest-bar
+aggregations + joins (built once per backtest, ``_cv_caps`` /
+``_cv_commissions``), mirroring the reference's earliest-bar
 pricing.
 
 Hook surface (the reference's UDF surface, base.py:298,336,389,437,483):

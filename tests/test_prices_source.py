@@ -369,6 +369,31 @@ def test_data_frequency_daily_rolls_up_intraday(spark, intraday_path):
     assert day["volume"] == 600.0          # summed
 
 
+def test_data_frequency_daily_skips_null_edge_bars(spark, tmp_path):
+    """Spine-filled panels carry NULL bars at the day's edge (late open /
+    early halt).  Daily rollup must use the first/last NON-NULL bar for
+    open/close — pandas groupby().first()/.last() semantics — not a NULL
+    that happens to sit at the extremal time."""
+    path = str(tmp_path / "gappy")
+    rows = [
+        # sid 1, one day: NULL open at 09:30, NULL close at 15:45
+        ("1", "2024-01-10", "09:30:00", None, 10.5, 9.5, 10.2, 100.0),
+        ("1", "2024-01-10", "12:00:00", 11.0, 11.5, 10.5, 11.2, 100.0),
+        ("1", "2024-01-10", "15:45:00", 12.0, 12.5, 11.5, None, None),
+    ]
+    spark.createDataFrame(
+        rows, "sid string, date string, time string, open double, "
+              "high double, low double, close double, volume double") \
+        .withColumn("date", F.col("date").cast("date")).write.parquet(path)
+
+    df = get_prices(spark, path, data_frequency="daily", no_cache=True)
+    day = df.collect()[0]
+    assert day["open"] == 11.0      # first NON-null open (12:00 bar)
+    assert day["close"] == 11.2     # last NON-null close (12:00 bar)
+    assert day["high"] == 12.5 and day["low"] == 9.5
+    assert day["volume"] == 200.0   # sum skips the NULL
+
+
 def test_data_frequency_kwarg_and_noop_on_daily_panel(spark, panel_path):
     """data_frequency kwarg twin; a panel with no time column passes
     through unchanged, and 'minute' never aggregates."""
