@@ -1,0 +1,148 @@
+"""Distributed PCA top principal component by power iteration, built
+for bit-reproducibility across engines (the DuckDB oracle replays the
+identical iterations in SQL and lands on identical doubles) — the same
+determinism plumbing as datapipe/classifier.py's GD trainer.
+
+Why this shape at 100 TB:
+
+- The covariance matrix is NEVER materialized.  Each power-iteration
+  step computes C·v directly as one map + one map-side-combinable
+  aggregate over the corpus: per row, the scalar projection
+  d_i = (x_i - mu)·v (a 64-term integer sum, codegen'd), then d
+  per-component contributions (x_ij - mu_j)·d_i summed per dimension.
+  That is O(n·d) per iteration with d sums on the wire — the textbook
+  distributed power-iteration shape (same data movement as MLlib's
+  RowMatrix covariance-free multiplication), vs O(n·d^2) to build C.
+- The driver holds only the d-vector between iterations (here d = 64
+  doubles); the embedding frame is persisted once so iterations
+  re-scan the narrow projected columns, not the source table.
+- No Python UDFs anywhere: the projection, quantization and update are
+  Catalyst column expressions inside whole-stage codegen.
+
+Determinism plumbing (what makes the oracle possible):
+
+- every corpus-scale float sum is quantized to integer nano-units
+  (floor(x * 1e9) as BIGINT) and summed as EXACT integers, so
+  summation order — partial aggregation, AQE, partitioning — cannot
+  perturb the result.  Per-ROW reductions over the d dimensions use
+  the same trick (an integer sum of 64 floor'd terms), making the
+  projection d_i order-free too.
+- the driver-side update (w_j = (S_j/1e9)/n, norm^2 = (sum_j
+  floor(w_j^2 * 1e9))/1e9, v'_j = w_j/sqrt(norm^2)) uses only IEEE
+  ops that Python and DuckDB evaluate identically; the oracle mirrors
+  the parenthesization verbatim.
+- quantized sums stay exact in an int64 while n·|x|·1e9 < 2^63 and
+  convert exactly to double while < 2^53; for corpora beyond ~10^12
+  rows, raise the sums to DECIMAL(38,0) on both engines (the pattern
+  stays identical).
+
+Beyond-reference operator (the quantrocket reference has no embedding
+surface; moonshot/strategies/ml.py is inference-only): this is the
+whitening/compression front half of an embedding-dedup or
+matryoshka-truncation pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+__all__ = ["power_iteration_top_component", "PCAFit"]
+
+QUANT = 1_000_000_000.0  # nano-unit quantization, as datapipe/classifier.py
+
+
+class PCAFit:
+    """Result of power_iteration_top_component: the unit top component
+    (list of d floats), the Rayleigh-quotient eigenvalue estimate, the
+    total variance (trace of C), and the row count."""
+
+    def __init__(self, component, eigval, trace, n_rows, history):
+        self.component = component
+        self.eigval = eigval
+        self.trace = trace
+        self.n_rows = n_rows
+        self.history = history          # [(iter, component_after), ...]
+
+    @property
+    def explained_variance_ratio(self) -> float:
+        return self.eigval / self.trace if self.trace else float("nan")
+
+
+def power_iteration_top_component(emb: DataFrame, dim: int,
+                                  vec_col: str = "embedding",
+                                  iters: int = 3) -> PCAFit:
+    """Top principal component of the ``vec_col`` array column
+    (length ``dim``) by ``iters`` rounds of power iteration from the
+    deterministic start v0 = (1/sqrt(dim), ...).
+
+    One Spark job for the mean pass, then one job per iteration (the
+    first iteration's aggregate also carries the per-dimension centered
+    sum of squares for the trace).  All corpus-scale sums are exact
+    integers — see module docstring.
+    """
+    xs = [F.col(vec_col)[j].cast("double").alias(f"x{j}")
+          for j in range(dim)]
+    feats = emb.select(*xs).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # pass 0: n + quantized per-dimension sums -> mean vector
+        aggs = [F.count("*").alias("__n")] + [
+            F.sum(F.floor(F.col(f"x{j}") * F.lit(QUANT)).cast("bigint"))
+            .alias(f"s{j}") for j in range(dim)]
+        row = feats.agg(*aggs).collect()[0]
+        n = row["__n"]
+        if not n:
+            raise ValueError("power_iteration_top_component: empty input")
+        mu = [(row[f"s{j}"] / QUANT) / n for j in range(dim)]
+
+        v = [1.0 / math.sqrt(float(dim))] * dim
+        history = []
+        trace = None
+        eigval = None
+        for it in range(1, iters + 1):
+            # per-row projection d = (x - mu)·v as an exact integer sum
+            d_q = None
+            for j in range(dim):
+                term = F.floor((F.col(f"x{j}") - F.lit(mu[j]))
+                               * F.lit(v[j]) * F.lit(QUANT)).cast("bigint")
+                d_q = term if d_q is None else d_q + term
+            d = (d_q.cast("double") / F.lit(QUANT)).alias("__d")
+            proj = feats.select("*", d)
+            aggs = [F.sum(F.floor((F.col(f"x{j}") - F.lit(mu[j]))
+                                  * F.col("__d") * F.lit(QUANT))
+                          .cast("bigint")).alias(f"w{j}")
+                    for j in range(dim)]
+            if it == 1:   # trace rides the first iteration's aggregate
+                aggs += [F.sum(F.floor((F.col(f"x{j}") - F.lit(mu[j]))
+                                       * (F.col(f"x{j}") - F.lit(mu[j]))
+                                       * F.lit(QUANT)).cast("bigint"))
+                         .alias(f"q{j}") for j in range(dim)]
+            out = proj.agg(*aggs).collect()[0]
+            if it == 1:
+                trace_q = 0
+                for j in range(dim):
+                    trace_q += out[f"q{j}"]
+                trace = (trace_q / QUANT) / n
+            w = [(out[f"w{j}"] / QUANT) / n for j in range(dim)]
+            # Rayleigh estimate BEFORE normalization: lambda = v·w,
+            # pinned via the same integer quantization
+            lam_q = 0
+            for j in range(dim):
+                lam_q += math.floor(v[j] * w[j] * QUANT)
+            eigval = lam_q / QUANT
+            norm_q = 0
+            for j in range(dim):
+                norm_q += math.floor(w[j] * w[j] * QUANT)
+            norm = math.sqrt(norm_q / QUANT)
+            if norm == 0.0:
+                raise ValueError(
+                    "power_iteration_top_component: zero C*v — degenerate "
+                    "input or v orthogonal to the top component")
+            v = [wj / norm for wj in w]
+            history.append((it, list(v)))
+        return PCAFit(v, eigval, trace, n, history)
+    finally:
+        feats.unpersist()

@@ -12338,3 +12338,112 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that close) but fails a bit-exact value compare
     return out.select("lang", "rank", "doc_id",
                       F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+# --------------------------------------------------------------------- #
+# distributed PCA: top principal component by power iteration           #
+# --------------------------------------------------------------------- #
+
+def _pca_oracle_sql(dim: int = 64, iters: int = 3) -> str:
+    """Chained-CTE DuckDB replay of datapipe/pca.py's power iteration:
+    iteration k's projection CTE reads the v CTE of iteration k-1, with
+    every float operation in the IDENTICAL order as the Spark trainer
+    (integer nano-unit quantization makes all corpus-scale sums
+    order-free; driver-side update arithmetic is mirrored verbatim —
+    see datapipe/pca.py docstring)."""
+    q = "1000000000.0"
+    parts = [f"""WITH flat AS (
+    SELECT vec_id, CAST(s.dim AS INT) AS dim, CAST(s.val AS DOUBLE) AS val
+    FROM (SELECT vec_id,
+                 unnest(list_transform(embedding,
+                        (x, i) -> {{'dim': i - 1, 'val': x}})) AS s
+          FROM embeddings)
+), nrows AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+), mu AS (
+    SELECT dim,
+           (CAST(sum(CAST(floor(val * {q}) AS BIGINT)) AS DOUBLE) / {q})
+               / (SELECT n FROM nrows) AS mu
+    FROM flat GROUP BY dim
+), trq AS (
+    SELECT f.dim,
+           sum(CAST(floor((f.val - m.mu) * (f.val - m.mu) * {q})
+                    AS BIGINT)) AS sq
+    FROM flat f JOIN mu m USING (dim) GROUP BY f.dim
+), trace AS (
+    SELECT (CAST(sum(sq) AS DOUBLE) / {q}) / (SELECT n FROM nrows) AS tr
+    FROM trq
+), v0 AS (
+    SELECT unnest(range(0, {dim})) AS dim,
+           1.0 / sqrt(CAST({dim} AS DOUBLE)) AS v
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", d{k} AS (
+    SELECT f.vec_id,
+           CAST(sum(CAST(floor((f.val - m.mu) * v.v * {q}) AS BIGINT))
+                AS DOUBLE) / {q} AS d
+    FROM flat f JOIN mu m USING (dim) JOIN v{k - 1} v USING (dim)
+    GROUP BY f.vec_id
+), w{k} AS (
+    SELECT f.dim,
+           ((CAST(sum(CAST(floor((f.val - m.mu) * d.d * {q}) AS BIGINT))
+                  AS DOUBLE) / {q}) / (SELECT n FROM nrows)) AS w
+    FROM flat f JOIN mu m USING (dim) JOIN d{k} d USING (vec_id)
+    GROUP BY f.dim
+), norm{k} AS (
+    SELECT sqrt(CAST(sum(CAST(floor(w * w * {q}) AS BIGINT)) AS DOUBLE)
+                / {q}) AS nrm
+    FROM w{k}
+), v{k} AS (
+    SELECT dim, w / (SELECT nrm FROM norm{k}) AS v FROM w{k}
+)""")
+    parts.append(f""", lam AS (
+    SELECT CAST(sum(CAST(floor(v.v * w.w * {q}) AS BIGINT)) AS DOUBLE)
+           / {q} AS lam
+    FROM v{iters - 1} v JOIN w{iters} w USING (dim)
+)
+SELECT CAST(v.dim AS INT) AS dim,
+       m.mu AS mean_val,
+       v.v AS loading,
+       (SELECT lam FROM lam) AS eigval,
+       (SELECT lam FROM lam) / (SELECT tr FROM trace) AS evr
+FROM v{iters} v JOIN mu m USING (dim)""")
+    return "".join(parts)
+
+
+@register("embedding_pca_power", _pca_oracle_sql(dim=64, iters=3))
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by DISTRIBUTED
+    power iteration (datapipe/pca.py): the covariance matrix is never
+    built — each of the 3 iterations computes C*v as one map + one
+    map-side-combinable aggregate (O(n*d) work, d sums on the wire),
+    the canonical covariance-free multiply that scales to corpus-size n
+    with the driver holding only 64 doubles between rounds.  Integer
+    nano-unit quantization of every corpus-scale sum makes the whole
+    trajectory bit-exact against the oracle's chained-CTE replay.
+    Output: one row per dimension — mean, final unit loading, and the
+    (repeated) Rayleigh eigenvalue + explained-variance ratio.
+    Beyond-reference: PCA whitening is the front half of embedding
+    compression/dedup pipelines; the reference has no embedding
+    surface."""
+    from moonshot_spark.datapipe.pca import power_iteration_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = power_iteration_top_component(emb, dim=64, iters=3)
+    # recompute mu for the report from the fit's own pass-0 arithmetic:
+    # the fit object does not retain it, so re-derive identically
+    rows = [(j, fit.component[j]) for j in range(64)]
+    comp = spark.createDataFrame(rows, "dim int, loading double")
+    xs = [F.col("embedding")[j].cast("double").alias(f"x{j}")
+          for j in range(64)]
+    aggs = [F.count("*").alias("__n")] + [
+        F.sum(F.floor(F.col(f"x{j}") * F.lit(1_000_000_000.0))
+              .cast("bigint")).alias(f"s{j}") for j in range(64)]
+    srow = emb.select(*xs).agg(*aggs).collect()[0]
+    mu_rows = [(j, (srow[f"s{j}"] / 1_000_000_000.0) / srow["__n"])
+               for j in range(64)]
+    mus = spark.createDataFrame(mu_rows, "dim int, mean_val double")
+    return (comp.join(mus, "dim")
+            .select("dim", "mean_val", "loading",
+                    F.lit(fit.eigval).alias("eigval"),
+                    F.lit(fit.eigval / fit.trace).alias("evr")))
