@@ -12447,3 +12447,60 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("dim", "mean_val", "loading",
                     F.lit(fit.eigval).alias("eigval"),
                     F.lit(fit.eigval / fit.trace).alias("evr")))
+
+
+# --------------------------------------------------------------------- #
+# label propagation: community detection on the co-purchase graph       #
+# --------------------------------------------------------------------- #
+
+def _lpa_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled-CTE DuckDB replay of datapipe/graph.py::
+    label_propagation over the shared co-purchase graph: round k's
+    top-label CTE reads round k-1's labels, with the identical
+    deterministic tie-break (count DESC, label ASC).  Pure integer
+    logic — no float-parity plumbing needed."""
+    parts = [f"""WITH {COPURCHASE_GRAPH_SQL},
+l0 AS (
+    SELECT node, node AS label FROM deg
+)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""", c{k} AS (
+    SELECT e.src AS node, l.label, count(*) AS c
+    FROM edges e JOIN l{k - 1} l ON e.dst = l.node
+    GROUP BY e.src, l.label
+), l{k} AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c{k})
+    WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(label AS BIGINT) AS community,
+       CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+           AS community_size
+FROM l{rounds}""")
+    return "".join(parts)
+
+
+@register("label_propagation_communities", _lpa_oracle_sql(rounds=3))
+def label_propagation_communities(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph by 3 rounds of
+    synchronous label propagation (Raghavan et al. 2007) with a pinned
+    smallest-label tie-break (datapipe/graph.py::label_propagation) —
+    the clustering complement to dedup_clusters' connected components:
+    CC merges anything touching, LPA splits a connected graph into
+    densely-linked segments.  Each round is one |E|-linear shuffle
+    join + count + per-node top-1 window, all integers, no driver
+    state; the oracle replays the identical rounds as unrolled CTEs."""
+    from moonshot_spark.datapipe.graph import label_propagation
+
+    edges, _ = _copurchase_edges(spark, sf_dir)
+    out = label_propagation(edges, rounds=3)
+    return out.select(F.col("node").cast("bigint").alias("node"),
+                      F.col("community").cast("bigint").alias("community"),
+                      F.col("community_size").cast("bigint")
+                      .alias("community_size"))

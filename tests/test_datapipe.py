@@ -1136,3 +1136,35 @@ def test_weighted_sample_without_replacement_contract(spark):
         "grp string, doc_id long, w double")
     assert [r["doc_id"] for r in weighted_sample_without_replacement(
         zdf, "grp", "w", k=5, id_col="doc_id").collect()] == [3]
+
+
+def test_label_propagation_splits_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: connected components
+    would merge them into one; LPA keeps them as two communities, each
+    labeled by its smallest member id."""
+    from moonshot_spark.datapipe.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) \
+        + [(4, 10), (10, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = label_propagation(df, rounds=4).collect()
+    comm = {r["node"]: r["community"] for r in out}
+    assert comm[1] == comm[2] == comm[3] == comm[4] == 1
+    assert comm[11] == comm[12] == comm[13] == 10
+    sizes = {r["node"]: r["community_size"] for r in out}
+    assert sizes[1] == 4 and sizes[11] >= 3
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    from moonshot_spark.datapipe.graph import label_propagation
+
+    edges = [(a, b) for a in range(8) for b in range(8)
+             if a != b and (a + b) % 3 != 0]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, label_propagation(df, rounds=3).collect()))
+    b = sorted(map(tuple, label_propagation(
+        df.repartition(7), rounds=3).collect()))
+    assert a == b
