@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["bpe_state", "bpe_train"]
+__all__ = ["bpe_state", "bpe_train", "bpe_apply"]
 
 MERGE_MARK = "\x01"
 
@@ -106,3 +106,28 @@ def bpe_train(docs: DataFrame, n_merges: int,
         for frame in live:
             frame.unpersist()
     return rules
+
+
+def bpe_apply(docs: DataFrame, rules: list, text_col: str = "text",
+              carry_cols: tuple = ()) -> DataFrame:
+    """Encode documents with an already-learned merge table: apply the
+    rules' literal replaces in round order and return ``carry_cols``
+    plus ``n_symbols`` (symbol count before any merge — the whitespace
+    token count) and ``n_encoded`` (after all merges).
+
+    One narrow map over the corpus — the rules are driver-held literals
+    baked into the plan (a few dozen replaces chained inside
+    whole-stage codegen), so encoding scales embarrassingly: no join,
+    no shuffle, no UDF.  This is the inference half of bpe_train, the
+    same split as classifier.py's train/score."""
+    s = F.concat(F.lit("  "),
+                 F.replace(F.col(text_col), F.lit(" "), F.lit("  ")),
+                 F.lit("  "))
+    n0 = F.size(F.split(F.col(text_col), " "))
+    for _rnd, l, r, _cnt in rules:
+        s = F.replace(s, F.lit(f" {l}  {r} "),
+                      F.lit(f" {l}{MERGE_MARK}{r} "))
+    n1 = F.size(F.split(F.trim(s), "  "))
+    return docs.select(*carry_cols,
+                       n0.alias("n_symbols"),
+                       n1.alias("n_encoded"))

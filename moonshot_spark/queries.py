@@ -12128,14 +12128,21 @@ def exact_substr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("kept_tok").cast("bigint").alias("kept_tok")))
 
 
-def _bpe_oracle_sql(n_merges: int = 4) -> str:
+def _bpe_cte_chain(n_merges: int = 4,
+                   carry: tuple = ()) -> str:
     """Chained-CTE DuckDB replay of bpe_train (datapipe/bpe.py): round
     k's pair counts read the merged state of round k-1; the argmax tie
     break (cnt DESC, l, r — binary collation) and the double-spaced
-    literal replace match the Spark trainer exactly."""
-    parts = ["""
+    literal replace match the Spark trainer exactly.  One definition
+    shared by bpe_phrase_merges and bpe_encode_report (callers append
+    their own final SELECT).  ``carry``: (name, s0_expr) pairs carried
+    through every state CTE (e.g. lang, the original token count)."""
+    s0_cols = "".join(f"{expr} AS {name}, " for name, expr in carry)
+    sk_cols = "".join(f"{name}, " for name, _ in carry)
+    parts = [f"""
 WITH s0 AS (
-    SELECT '  ' || replace(text, ' ', '  ') || '  ' AS s FROM documents
+    SELECT {s0_cols}'  ' || replace(text, ' ', '  ') || '  ' AS s
+    FROM documents
 )"""]
     for k in range(1, n_merges + 1):
         parts.append(f""", t{k} AS (
@@ -12149,14 +12156,18 @@ WITH s0 AS (
 ), m{k} AS (
     SELECT l, r, cnt FROM c{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
 ), s{k} AS (
-    SELECT replace(s, ' ' || l || '  ' || r || ' ',
+    SELECT {sk_cols}replace(s, ' ' || l || '  ' || r || ' ',
                    ' ' || l || chr(1) || r || ' ') AS s
     FROM s{k - 1} CROSS JOIN m{k}
 )""")
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int = 4) -> str:
     rows = [f"SELECT CAST({k} AS INT) AS rnd, l AS merge_left, "
             f"r AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
             for k in range(1, n_merges + 1)]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+    return _bpe_cte_chain(n_merges) + "\n" + "\nUNION ALL\n".join(rows)
 
 
 @register("bpe_phrase_merges", _bpe_oracle_sql(n_merges=4))
@@ -12504,3 +12515,38 @@ def label_propagation_communities(spark: SparkSession,
                       F.col("community").cast("bigint").alias("community"),
                       F.col("community_size").cast("bigint")
                       .alias("community_size"))
+
+
+@register("bpe_encode_report", _bpe_cte_chain(
+    n_merges=4, carry=(("lang", "lang"),
+                       ("n0", "len(string_split(text, ' '))"))) + """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n0) AS BIGINT) AS total_symbols,
+       CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT)
+           AS total_encoded,
+       CAST(sum(len(string_split(trim(s), '  '))) AS DOUBLE)
+           / CAST(sum(n0) AS DOUBLE) AS compression
+FROM s4 GROUP BY lang
+""")
+def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE half of BPE (datapipe/bpe.py::bpe_apply): learn 4
+    merge rules on the corpus, then ENCODE the corpus with them — the
+    rules are driver-held literals baked into one narrow map (chained
+    literal replaces inside whole-stage codegen: no join, no shuffle,
+    no UDF), so encoding scales embarrassingly at any corpus size.
+    Reports per-language token accounting: symbols before/after and
+    the compression ratio a tokenizer-budget planner needs.  The
+    oracle re-trains the identical rules in the shared chained-CTE
+    replay and re-applies them in SQL."""
+    from moonshot_spark.datapipe.bpe import bpe_apply, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    rules = bpe_train(docs.select("text"), n_merges=4)
+    enc = bpe_apply(docs, rules, carry_cols=("lang",))
+    return (enc.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_symbols").cast("bigint").alias("total_symbols"),
+                 F.sum("n_encoded").cast("bigint").alias("total_encoded"),
+                 (F.sum("n_encoded").cast("double")
+                  / F.sum("n_symbols").cast("double")).alias("compression")))

@@ -103,3 +103,31 @@ def test_hypothesis_bpe_matches_reference_trainer(spark):
         assert bpe_train(sdf, n_merges=3) == ref_bpe(tok_docs, 3)
 
     check()
+
+
+def test_bpe_apply_matches_manual_encode(spark):
+    """bpe_apply's symbol counts equal a hand-applied merge sequence."""
+    from moonshot_spark.datapipe.bpe import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [("g1", "a b a b c"), ("g2", "a b"), ("g3", "c c c")],
+        "grp string, text string")
+    rules = bpe_train(docs.select("text"), n_merges=2)
+    out = {r["grp"]: r for r in
+           bpe_apply(docs, rules, carry_cols=("grp",)).collect()}
+    # rule 1 merges the most frequent pair ('a','b'): 3 occurrences
+    assert (rules[0][1], rules[0][2]) == ("a", "b")
+    assert out["g1"]["n_symbols"] == 5
+    # "a b a b c" -> "ab ab c" (2 merges applied) = 3 symbols
+    assert out["g1"]["n_encoded"] <= 4
+    assert out["g2"]["n_symbols"] == 2 and out["g2"]["n_encoded"] == 1
+    # no rule touches g3's lone 'c c' pair unless it won a round
+    assert out["g3"]["n_encoded"] >= 1
+
+
+def test_bpe_apply_empty_rules_is_identity(spark):
+    from moonshot_spark.datapipe.bpe import bpe_apply
+
+    docs = spark.createDataFrame([("x", "p q r")], "grp string, text string")
+    r = bpe_apply(docs, [], carry_cols=("grp",)).collect()[0]
+    assert r["n_symbols"] == r["n_encoded"] == 3
