@@ -12550,3 +12550,214 @@ def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_encoded").cast("bigint").alias("total_encoded"),
                  (F.sum("n_encoded").cast("double")
                   / F.sum("n_symbols").cast("double")).alias("compression")))
+
+
+# --------------------------------------------------------------------- #
+# Engle-Granger cointegration screen over price-level-blocked pairs     #
+# --------------------------------------------------------------------- #
+
+@register("cointegration_screen", f"""
+WITH panel AS ({PANEL_SQL}),
+lvl AS (
+    SELECT sid,
+           floor((CAST(sum(CAST(close AS DECIMAL(18,2))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) / 20.0) AS bucket
+    FROM panel GROUP BY sid
+),
+lvl2 AS (
+    SELECT sid, bucket,
+           CAST(('0x' || substr(md5(sid), 1, 13)) AS BIGINT)
+           % CAST(floor((CAST(count(*) OVER (PARTITION BY bucket)
+                              AS DOUBLE) + 31.0) / 32.0) AS BIGINT)
+               AS shard
+    FROM lvl
+),
+pa AS (
+    SELECT p.sid, p.date, p.close, l.bucket, l.shard
+    FROM panel p JOIN lvl2 l ON p.sid = l.sid
+),
+pp AS (
+    SELECT a.sid AS sid_a, b.sid AS sid_b, a.date,
+           a.close AS ca, b.close AS cb
+    FROM pa a JOIN pa b
+      ON a.bucket = b.bucket AND a.shard = b.shard
+     AND a.date = b.date AND a.sid < b.sid
+),
+s1 AS (
+    SELECT sid_a, sid_b,
+           count(*) AS n,
+           sum(CAST(cb AS DECIMAL(18,2))) AS sx,
+           sum(CAST(ca AS DECIMAL(18,2))) AS sy,
+           sum(CAST(cb AS DECIMAL(18,2)) * CAST(cb AS DECIMAL(18,2)))
+               AS sxx,
+           sum(CAST(ca AS DECIMAL(18,2)) * CAST(cb AS DECIMAL(18,2)))
+               AS sxy
+    FROM pp GROUP BY 1, 2
+    HAVING count(*) >= 20
+),
+coef AS (
+    SELECT sid_a, sid_b, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+           CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+    FROM s1
+    WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+),
+coef2 AS (
+    SELECT sid_a, sid_b, n, beta,
+           (syd - beta * sxd) / CAST(n AS DOUBLE) AS alpha
+    FROM coef
+),
+resid AS (
+    SELECT p.sid_a, p.sid_b, p.date,
+           p.ca - (c.alpha + c.beta * p.cb) AS e
+    FROM pp p JOIN coef2 c USING (sid_a, sid_b)
+),
+lagd AS (
+    SELECT sid_a, sid_b, e,
+           lag(e) OVER (PARTITION BY sid_a, sid_b ORDER BY date) AS elag
+    FROM resid
+),
+adf AS (
+    SELECT sid_a, sid_b,
+           count(*) AS n_adf,
+           sum(CAST(floor(elag * (e - elag) * 1000000000.0) AS BIGINT))
+               AS sxde,
+           sum(CAST(floor(elag * elag * 1000000000.0) AS BIGINT)) AS sx2,
+           sum(CAST(floor((e - elag) * (e - elag) * 1000000000.0)
+                    AS BIGINT)) AS sde2
+    FROM lagd WHERE elag IS NOT NULL
+    GROUP BY 1, 2 HAVING count(*) >= 10
+),
+t1 AS (
+    SELECT sid_a, sid_b, n_adf,
+           (CAST(sxde AS DOUBLE) / 1000000000.0)
+           / (CAST(sx2 AS DOUBLE) / 1000000000.0) AS slope,
+           CAST(sxde AS DOUBLE) / 1000000000.0 AS sxded,
+           CAST(sx2 AS DOUBLE) / 1000000000.0 AS sx2d,
+           CAST(sde2 AS DOUBLE) / 1000000000.0 AS sde2d
+    FROM adf WHERE sx2 > 0
+),
+t2 AS (
+    SELECT sid_a, sid_b, n_adf, slope,
+           (sde2d - slope * sxded) / (CAST(n_adf AS DOUBLE) - 1.0) AS s2,
+           sx2d
+    FROM t1
+)
+SELECT c.sid_a, c.sid_b,
+       CAST(c.n AS BIGINT) AS n_obs,
+       c.beta, c.alpha,
+       CAST(t.n_adf AS BIGINT) AS n_adf,
+       CASE WHEN t.s2 > 0.0
+            THEN t.slope / sqrt(t.s2 / t.sx2d) END AS adf_t,
+       CASE WHEN t.s2 > 0.0
+            THEN t.slope / sqrt(t.s2 / t.sx2d) < -2.86 END AS cointegrated
+FROM coef2 c JOIN t2 t USING (sid_a, sid_b)
+""")
+def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration screen over sid pairs
+    (Engle & Granger 1987): step 1 regresses close_a on close_b per
+    pair (closed-form OLS from DECIMAL-exact sufficient statistics —
+    the grouped-OLS discipline of operators/ols.py, zero driver loops);
+    step 2 runs an ADF-lite unit-root test on the residual spread
+    (slope t-stat of de_t on e_{t-1}, no intercept), with every
+    corpus-scale float sum integer-quantized so the t-stat is bit-exact
+    across engines.
+
+    Scale: the pair space is BLOCKED by average price level
+    (floor(mean/20) buckets), and an oversized bucket is SHARDED into
+    <= 32-sid blocks by a deterministic md5 hash — the same
+    hot-bucket-cap discipline as the LSH join (datapipe/dedup.py), so
+    the candidate pair count stays LINEAR in the universe (~16 pairs
+    per sid) no matter how the price distribution clusters; at 100 TB
+    you'd block on sector/liquidity the same way.  The pair frame is
+    localCheckpoint-ed between the two passes (OLS stats, residual
+    ADF) so the self-join runs once.  Everything is joins + groupBy
+    aggregates + one per-pair lag window; no collect, no UDF."""
+    panel = events_to_panel(spark, sf_dir).select("sid", "date", "close")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    Q = F.lit(1_000_000_000.0)
+
+    lvl = (panel.groupBy("sid")
+           .agg(F.floor((F.sum(dec("close")).cast("double")
+                         / F.count("*").cast("double")) / F.lit(20.0))
+                .alias("bucket")))
+    n_shards = F.floor((F.count("*").over(Window.partitionBy("bucket"))
+                        .cast("double") + F.lit(31.0)) / F.lit(32.0)) \
+        .cast("bigint")
+    sid_hash = F.conv(F.substring(F.md5(F.col("sid")), 1, 13), 16, 10) \
+        .cast("bigint")
+    lvl2 = lvl.select("sid", "bucket", (sid_hash % n_shards).alias("shard"))
+    pa = panel.join(lvl2, "sid")
+    a = pa.select(F.col("sid").alias("sid_a"), "date", "bucket", "shard",
+                  F.col("close").alias("ca"))
+    b = pa.select(F.col("sid").alias("sid_b"), "date", "bucket", "shard",
+                  F.col("close").alias("cb"))
+    pp = (a.join(b, ["bucket", "shard", "date"])
+          .where(F.col("sid_a") < F.col("sid_b"))
+          .select("sid_a", "sid_b", "date", "ca", "cb"))
+    # both passes (OLS sufficient stats, residual ADF) read the pair
+    # frame; checkpoint it once instead of re-running the self-join
+    # (the pagerank/CC idiom) — measured 2x at sf0.1
+    pp = pp.localCheckpoint(eager=False)
+
+    s1 = (pp.groupBy("sid_a", "sid_b")
+          .agg(F.count("*").alias("n"),
+               F.sum(dec("cb")).alias("sx"),
+               F.sum(dec("ca")).alias("sy"),
+               F.sum(dec("cb") * dec("cb")).alias("sxx"),
+               F.sum(dec("ca") * dec("cb")).alias("sxy"))
+          .where(F.col("n") >= 20))
+    nd = F.col("n").cast("double")
+    den = (nd * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    beta = ((nd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / den)
+    coef = (s1.where(den > 0.0)
+            .withColumn("beta", beta)
+            .withColumn("alpha", (F.col("sy").cast("double")
+                                  - F.col("beta")
+                                  * F.col("sx").cast("double")) / nd)
+            .select("sid_a", "sid_b", "n", "beta", "alpha"))
+
+    resid = (pp.join(coef, ["sid_a", "sid_b"])
+             .select("sid_a", "sid_b", "date",
+                     (F.col("ca") - (F.col("alpha")
+                                     + F.col("beta") * F.col("cb")))
+                     .alias("e")))
+    w = Window.partitionBy("sid_a", "sid_b").orderBy("date")
+    lagd = resid.withColumn("elag", F.lag("e").over(w))
+    de = F.col("e") - F.col("elag")
+    adf = (lagd.where(F.col("elag").isNotNull())
+           .groupBy("sid_a", "sid_b")
+           .agg(F.count("*").alias("n_adf"),
+                F.sum(F.floor(F.col("elag") * de * Q).cast("bigint"))
+                .alias("sxde"),
+                F.sum(F.floor(F.col("elag") * F.col("elag") * Q)
+                      .cast("bigint")).alias("sx2"),
+                F.sum(F.floor(de * de * Q).cast("bigint")).alias("sde2"))
+           .where((F.col("n_adf") >= 10) & (F.col("sx2") > 0)))
+    sxded = F.col("sxde").cast("double") / Q
+    sx2d = F.col("sx2").cast("double") / Q
+    sde2d = F.col("sde2").cast("double") / Q
+    t1 = adf.select("sid_a", "sid_b", "n_adf",
+                    (sxded / sx2d).alias("slope"),
+                    sxded.alias("sxded"), sx2d.alias("sx2d"),
+                    sde2d.alias("sde2d"))
+    t2 = t1.withColumn(
+        "s2", (F.col("sde2d") - F.col("slope") * F.col("sxded"))
+        / (F.col("n_adf").cast("double") - F.lit(1.0)))
+    adf_t = F.when(F.col("s2") > 0.0,
+                   F.col("slope") / F.sqrt(F.col("s2") / F.col("sx2d")))
+    return (coef.join(t2, ["sid_a", "sid_b"])
+            .select("sid_a", "sid_b",
+                    F.col("n").cast("bigint").alias("n_obs"),
+                    "beta", "alpha",
+                    F.col("n_adf").cast("bigint").alias("n_adf"),
+                    adf_t.alias("adf_t"),
+                    F.when(F.col("s2") > 0.0, adf_t < F.lit(-2.86))
+                    .alias("cointegrated")))

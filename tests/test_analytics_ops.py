@@ -260,3 +260,43 @@ def test_snapshot_diff_hash_is_injective_across_columns(spark):
                                 "k long, a string, b string")
     [row] = snapshot_diff(old, new, ["k"]).collect()
     assert row["change"] == "changed"
+
+
+def test_cointegration_screen_flags_cointegrated_pair(spark, tmp_path):
+    """Engle-Granger screen on a synthetic panel: sid 'a' tracks sid
+    'b' (same random walk + small stationary noise -> cointegrated),
+    sid 'c' is an independent walk (spread with b is itself a walk ->
+    not cointegrated).  All three share one price-level bucket so the
+    blocked self-join pairs them."""
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from moonshot_spark.queries import QUERIES
+
+    rng = np.random.default_rng(11)
+    T = 150
+    walk_b = 50.0 + np.cumsum(rng.normal(0, 0.5, T))
+    walk_c = 50.0 + np.cumsum(rng.normal(0, 0.5, T))
+    a = walk_b + rng.normal(0, 0.3, T)          # cointegrated with b
+    rows = []
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    for t in range(T):
+        ts = t0 + timedelta(days=t)
+        for sid, series in (("a", a), ("b", walk_b), ("c", walk_c)):
+            rows.append((sid, ts, round(float(series[t]), 2)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, "
+                                     "value double")
+    sf_dir = str(tmp_path / "sf")
+    import os
+    os.makedirs(sf_dir)
+    df.write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    out = {(r["sid_a"], r["sid_b"]): r
+           for r in QUERIES["cointegration_screen"](spark, sf_dir).collect()}
+    ab = out[("a", "b")]
+    assert ab["cointegrated"] is True and ab["adf_t"] < -2.86
+    assert ab["beta"] == pytest.approx(1.0, abs=0.15)
+    # the independent pair must NOT look cointegrated
+    bc = out.get(("b", "c"))
+    if bc is not None:
+        assert not bc["cointegrated"]
