@@ -123,7 +123,11 @@ def bpe_apply(docs: DataFrame, rules: list, text_col: str = "text",
     s = F.concat(F.lit("  "),
                  F.replace(F.col(text_col), F.lit(" "), F.lit("  ")),
                  F.lit("  "))
-    n0 = F.size(F.split(F.col(text_col), " "))
+    # count BOTH sides on the trimmed double-spaced form: a naive
+    # split(text, ' ') keeps boundary empty tokens that trim() later
+    # eats, so zero rules would report phantom compression on text
+    # with leading/trailing spaces
+    n0 = F.size(F.split(F.trim(s), "  "))
     for _rnd, l, r, _cnt in rules:
         s = F.replace(s, F.lit(f" {l}  {r} "),
                       F.lit(f" {l}{MERGE_MARK}{r} "))

@@ -57,11 +57,13 @@ QUANT = 1_000_000_000.0  # nano-unit quantization, as datapipe/classifier.py
 
 class PCAFit:
     """Result of power_iteration_top_component: the unit top component
-    (list of d floats), the Rayleigh-quotient eigenvalue estimate, the
-    total variance (trace of C), and the row count."""
+    (list of d floats), the mean vector from pass 0, the Rayleigh-
+    quotient eigenvalue estimate, the total variance (trace of C), and
+    the row count."""
 
-    def __init__(self, component, eigval, trace, n_rows, history):
+    def __init__(self, component, mean, eigval, trace, n_rows, history):
         self.component = component
+        self.mean = mean
         self.eigval = eigval
         self.trace = trace
         self.n_rows = n_rows
@@ -143,6 +145,6 @@ def power_iteration_top_component(emb: DataFrame, dim: int,
                     "input or v orthogonal to the top component")
             v = [wj / norm for wj in w]
             history.append((it, list(v)))
-        return PCAFit(v, eigval, trace, n, history)
+        return PCAFit(v, mu, eigval, trace, n, history)
     finally:
         feats.unpersist()

@@ -12156,9 +12156,14 @@ WITH s0 AS (
 ), m{k} AS (
     SELECT l, r, cnt FROM c{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
 ), s{k} AS (
-    SELECT {sk_cols}replace(s, ' ' || l || '  ' || r || ' ',
-                   ' ' || l || chr(1) || r || ' ') AS s
-    FROM s{k - 1} CROSS JOIN m{k}
+    -- LEFT JOIN, not CROSS JOIN: an exhausted round (empty m{{k}})
+    -- must pass the state through unchanged, exactly as the Spark
+    -- trainer's early-stop does — a CROSS JOIN with an empty rule
+    -- table would wipe the corpus CTE and every downstream consumer
+    SELECT {sk_cols}CASE WHEN m.l IS NULL THEN s
+           ELSE replace(s, ' ' || m.l || '  ' || m.r || ' ',
+                        ' ' || m.l || chr(1) || m.r || ' ') END AS s
+    FROM s{k - 1} LEFT JOIN m{k} m ON TRUE
 )""")
     return "".join(parts)
 
@@ -12441,23 +12446,12 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     fit = power_iteration_top_component(emb, dim=64, iters=3)
-    # recompute mu for the report from the fit's own pass-0 arithmetic:
-    # the fit object does not retain it, so re-derive identically
-    rows = [(j, fit.component[j]) for j in range(64)]
-    comp = spark.createDataFrame(rows, "dim int, loading double")
-    xs = [F.col("embedding")[j].cast("double").alias(f"x{j}")
-          for j in range(64)]
-    aggs = [F.count("*").alias("__n")] + [
-        F.sum(F.floor(F.col(f"x{j}") * F.lit(1_000_000_000.0))
-              .cast("bigint")).alias(f"s{j}") for j in range(64)]
-    srow = emb.select(*xs).agg(*aggs).collect()[0]
-    mu_rows = [(j, (srow[f"s{j}"] / 1_000_000_000.0) / srow["__n"])
-               for j in range(64)]
-    mus = spark.createDataFrame(mu_rows, "dim int, mean_val double")
-    return (comp.join(mus, "dim")
+    rows = [(j, fit.mean[j], fit.component[j]) for j in range(64)]
+    return (spark.createDataFrame(
+                rows, "dim int, mean_val double, loading double")
             .select("dim", "mean_val", "loading",
                     F.lit(fit.eigval).alias("eigval"),
-                    F.lit(fit.eigval / fit.trace).alias("evr")))
+                    F.lit(fit.explained_variance_ratio).alias("evr")))
 
 
 # --------------------------------------------------------------------- #
@@ -12518,8 +12512,10 @@ def label_propagation_communities(spark: SparkSession,
 
 
 @register("bpe_encode_report", _bpe_cte_chain(
-    n_merges=4, carry=(("lang", "lang"),
-                       ("n0", "len(string_split(text, ' '))"))) + """
+    n_merges=4, carry=(
+        ("lang", "lang"),
+        ("n0", "len(string_split(trim('  ' || replace(text, ' ', '  ')"
+               " || '  '), '  '))"))) + """
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n0) AS BIGINT) AS total_symbols,
@@ -12654,7 +12650,7 @@ SELECT c.sid_a, c.sid_b,
        CASE WHEN t.s2 > 0.0
             THEN t.slope / sqrt(t.s2 / t.sx2d) END AS adf_t,
        CASE WHEN t.s2 > 0.0
-            THEN t.slope / sqrt(t.s2 / t.sx2d) < -2.86 END AS cointegrated
+            THEN t.slope / sqrt(t.s2 / t.sx2d) < -3.37 END AS cointegrated
 FROM coef2 c JOIN t2 t USING (sid_a, sid_b)
 """)
 def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12665,7 +12661,11 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     step 2 runs an ADF-lite unit-root test on the residual spread
     (slope t-stat of de_t on e_{t-1}, no intercept), with every
     corpus-scale float sum integer-quantized so the t-stat is bit-exact
-    across engines.
+    across engines.  The cointegration flag uses the RESIDUAL-BASED
+    critical value (-3.37, the MacKinnon 5% tau for a 2-variable
+    Engle-Granger regression with estimated coefficients — NOT the
+    plain ADF -2.86, which would over-reject toward false positives
+    because the OLS step already minimized the residual variance).
 
     Scale: the pair space is BLOCKED by average price level
     (floor(mean/20) buckets), and an oversized bucket is SHARDED into
@@ -12759,5 +12759,5 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "beta", "alpha",
                     F.col("n_adf").cast("bigint").alias("n_adf"),
                     adf_t.alias("adf_t"),
-                    F.when(F.col("s2") > 0.0, adf_t < F.lit(-2.86))
+                    F.when(F.col("s2") > 0.0, adf_t < F.lit(-3.37))
                     .alias("cointegrated")))

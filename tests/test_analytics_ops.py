@@ -294,7 +294,7 @@ def test_cointegration_screen_flags_cointegrated_pair(spark, tmp_path):
     out = {(r["sid_a"], r["sid_b"]): r
            for r in QUERIES["cointegration_screen"](spark, sf_dir).collect()}
     ab = out[("a", "b")]
-    assert ab["cointegrated"] is True and ab["adf_t"] < -2.86
+    assert ab["cointegrated"] is True and ab["adf_t"] < -3.37
     assert ab["beta"] == pytest.approx(1.0, abs=0.15)
     # the independent pair must NOT look cointegrated
     bc = out.get(("b", "c"))

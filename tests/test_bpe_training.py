@@ -131,3 +131,36 @@ def test_bpe_apply_empty_rules_is_identity(spark):
     docs = spark.createDataFrame([("x", "p q r")], "grp string, text string")
     r = bpe_apply(docs, [], carry_cols=("grp",)).collect()[0]
     assert r["n_symbols"] == r["n_encoded"] == 3
+
+
+def test_encode_report_oracle_survives_exhausted_rounds(spark, tmp_path):
+    """A corpus whose merges exhaust before round 4 must still produce
+    the per-lang report on BOTH engines: the oracle's per-round state
+    CTE passes through unchanged on an empty rule round (LEFT JOIN),
+    matching bpe_train's early stop."""
+    import os
+    import duckdb
+
+    from moonshot_spark.queries import QUERIES, ORACLES
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "a b", "en"), (3, "c", "fr")],
+        "doc_id long, text string, lang string")
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    docs.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    spark_rows = sorted(
+        (r["lang"], r["n_docs"], r["total_symbols"], r["total_encoded"])
+        for r in QUERIES["bpe_encode_report"](spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+    duck_rows = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(ORACLES["bpe_encode_report"]).fetchall())
+    assert spark_rows == duck_rows
+    assert len(spark_rows) == 2          # en + fr, not an empty wipe
+    # 'a b' merges to one symbol; 'c' is untouched
+    assert dict((l, (ts, te)) for l, _, ts, te in spark_rows) == {
+        "en": (4, 2), "fr": (1, 1)}
