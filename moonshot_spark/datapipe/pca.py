@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["power_iteration_top_component", "PCAFit"]
+__all__ = ["power_iteration_top_component", "project_component", "PCAFit"]
 
 QUANT = 1_000_000_000.0  # nano-unit quantization, as datapipe/classifier.py
 
@@ -148,3 +148,21 @@ def power_iteration_top_component(emb: DataFrame, dim: int,
         return PCAFit(v, mu, eigval, trace, n, history)
     finally:
         feats.unpersist()
+
+
+def project_component(emb: DataFrame, fit: PCAFit,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Project every vector onto the fitted component: pc1 = (x - mu)·v
+    as the same exact integer-quantized 64-term sum the trainer's
+    per-row projection uses, so scores are bit-identical across engines
+    and across partitionings.  One narrow map (fit's mean/component are
+    driver-held literals baked into the plan) — no join, no shuffle;
+    the inference half of the PCA train/score split."""
+    d_q = None
+    for j, (mj, vj) in enumerate(zip(fit.mean, fit.component)):
+        term = F.floor((F.col(vec_col)[j].cast("double") - F.lit(mj))
+                       * F.lit(vj) * F.lit(QUANT)).cast("bigint")
+        d_q = term if d_q is None else d_q + term
+    return emb.select(F.col(id_col),
+                      (d_q.cast("double") / F.lit(QUANT)).alias("pc1"))

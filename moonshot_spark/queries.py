@@ -12360,13 +12360,15 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributed PCA: top principal component by power iteration           #
 # --------------------------------------------------------------------- #
 
-def _pca_oracle_sql(dim: int = 64, iters: int = 3) -> str:
+def _pca_cte_chain(dim: int = 64, iters: int = 3) -> str:
     """Chained-CTE DuckDB replay of datapipe/pca.py's power iteration:
     iteration k's projection CTE reads the v CTE of iteration k-1, with
     every float operation in the IDENTICAL order as the Spark trainer
     (integer nano-unit quantization makes all corpus-scale sums
     order-free; driver-side update arithmetic is mirrored verbatim —
-    see datapipe/pca.py docstring)."""
+    see datapipe/pca.py docstring).  Shared by embedding_pca_power and
+    embedding_pc1_outliers; callers append their own final SELECT after
+    the ``flat/mu/trace/v{{iters}}/lam`` CTEs."""
     q = "1000000000.0"
     parts = [f"""WITH flat AS (
     SELECT vec_id, CAST(s.dim AS INT) AS dim, CAST(s.val AS DOUBLE) AS val
@@ -12417,14 +12419,18 @@ def _pca_oracle_sql(dim: int = 64, iters: int = 3) -> str:
     SELECT CAST(sum(CAST(floor(v.v * w.w * {q}) AS BIGINT)) AS DOUBLE)
            / {q} AS lam
     FROM v{iters - 1} v JOIN w{iters} w USING (dim)
-)
+)""")
+    return "".join(parts)
+
+
+def _pca_oracle_sql(dim: int = 64, iters: int = 3) -> str:
+    return _pca_cte_chain(dim, iters) + f"""
 SELECT CAST(v.dim AS INT) AS dim,
        m.mu AS mean_val,
        v.v AS loading,
        (SELECT lam FROM lam) AS eigval,
        (SELECT lam FROM lam) / (SELECT tr FROM trace) AS evr
-FROM v{iters} v JOIN mu m USING (dim)""")
-    return "".join(parts)
+FROM v{iters} v JOIN mu m USING (dim)"""
 
 
 @register("embedding_pca_power", _pca_oracle_sql(dim=64, iters=3))
@@ -12761,3 +12767,40 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                     adf_t.alias("adf_t"),
                     F.when(F.col("s2") > 0.0, adf_t < F.lit(-3.37))
                     .alias("cointegrated")))
+
+
+@register("embedding_pc1_outliers", _pca_cte_chain(dim=64, iters=3) + """
+, proj AS (
+    SELECT f.vec_id,
+           CAST(sum(CAST(floor((f.val - m.mu) * v.v * 1000000000.0)
+                         AS BIGINT)) AS DOUBLE) / 1000000000.0 AS pc1
+    FROM flat f JOIN mu m USING (dim) JOIN v3 v USING (dim)
+    GROUP BY f.vec_id
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, pc1,
+       abs(pc1) > 3.0 * sqrt((SELECT lam FROM lam)) AS is_outlier
+FROM proj
+""")
+def embedding_pc1_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level quality gate: fit the top principal component
+    (datapipe/pca.py), project every vector onto it
+    (project_component — one narrow map, the fit baked in as literals,
+    no join), and flag vectors beyond 3 standard deviations along PC1
+    (sigma = sqrt(Rayleigh eigenvalue)) — the cheap first-pass filter
+    that catches degenerate/corrupted embeddings before they poison an
+    ANN index or a semantic-dedup centroid.  Train-once/score-anywhere:
+    at 100 TB the fit is a handful of aggregates and the scoring pass
+    is embarrassingly parallel.  Scores are bit-exact vs the oracle's
+    chained-CTE replay (shared _pca_cte_chain)."""
+    from moonshot_spark.datapipe.pca import (power_iteration_top_component,
+                                             project_component)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = power_iteration_top_component(emb, dim=64, iters=3)
+    import math as _math
+    thr = 3.0 * _math.sqrt(fit.eigval)
+    proj = project_component(emb, fit)
+    return proj.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                       "pc1",
+                       (F.abs(F.col("pc1")) > F.lit(thr))
+                       .alias("is_outlier"))

@@ -79,3 +79,26 @@ def test_no_percorpus_collect_and_narrow_scan(spark):
     fit = power_iteration_top_component(wide, dim=8, iters=2)
     assert len(fit.component) == 8
     assert fit.n_rows == 100
+
+
+def test_project_component_scores(spark):
+    """Projection scores: bit-deterministic under repartition, unit-
+    variance-consistent with the eigenvalue (sd of pc1 ~ sqrt(eigval)),
+    and centered near zero."""
+    import numpy as np
+
+    from moonshot_spark.datapipe.pca import (power_iteration_top_component,
+                                             project_component)
+
+    df, data, _ = _make_emb(spark, n=300)
+    emb = df.withColumnRenamed("vec_id", "vec_id")
+    fit = power_iteration_top_component(emb, dim=8, iters=6)
+    scores = {r["vec_id"]: r["pc1"]
+              for r in project_component(emb, fit).collect()}
+    again = {r["vec_id"]: r["pc1"]
+             for r in project_component(emb.repartition(9), fit).collect()}
+    assert scores == again                        # bit-identical
+    vals = np.array([scores[i] for i in range(300)])
+    assert abs(float(vals.mean())) < 0.2
+    assert float(vals.std()) == pytest.approx(
+        fit.eigval ** 0.5, rel=0.05)
