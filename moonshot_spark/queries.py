@@ -12804,3 +12804,175 @@ def embedding_pc1_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "pc1",
                        (F.abs(F.col("pc1")) > F.lit(thr))
                        .alias("is_outlier"))
+
+
+@register("mean_variance_weights", f"""
+WITH panel AS ({PANEL_SQL}),
+r AS (
+    SELECT sid, date,
+           (close - lag(close) OVER (PARTITION BY sid ORDER BY date))
+           / lag(close) OVER (PARTITION BY sid ORDER BY date) AS r
+    FROM panel WHERE sid IN ('1', '2', '3')
+),
+piv AS (
+    SELECT date,
+           max(CASE WHEN sid = '1' THEN r END) AS r1,
+           max(CASE WHEN sid = '2' THEN r END) AS r2,
+           max(CASE WHEN sid = '3' THEN r END) AS r3
+    FROM r GROUP BY date
+),
+cl AS (
+    SELECT r1, r2, r3 FROM piv
+    WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL
+),
+q AS (
+    SELECT count(*) AS n,
+           sum(CAST(floor(r1 * 1000000000.0) AS BIGINT)) AS q1,
+           sum(CAST(floor(r2 * 1000000000.0) AS BIGINT)) AS q2,
+           sum(CAST(floor(r3 * 1000000000.0) AS BIGINT)) AS q3,
+           sum(CAST(floor(r1 * r1 * 1000000000.0) AS BIGINT)) AS q11,
+           sum(CAST(floor(r1 * r2 * 1000000000.0) AS BIGINT)) AS q12,
+           sum(CAST(floor(r1 * r3 * 1000000000.0) AS BIGINT)) AS q13,
+           sum(CAST(floor(r2 * r2 * 1000000000.0) AS BIGINT)) AS q22,
+           sum(CAST(floor(r2 * r3 * 1000000000.0) AS BIGINT)) AS q23,
+           sum(CAST(floor(r3 * r3 * 1000000000.0) AS BIGINT)) AS q33
+    FROM cl
+),
+mo AS (
+    SELECT CAST(n AS DOUBLE) AS nd,
+           (CAST(q1 AS DOUBLE) / 1000000000.0) / CAST(n AS DOUBLE) AS m1,
+           (CAST(q2 AS DOUBLE) / 1000000000.0) / CAST(n AS DOUBLE) AS m2,
+           (CAST(q3 AS DOUBLE) / 1000000000.0) / CAST(n AS DOUBLE) AS m3,
+           CAST(q11 AS DOUBLE) / 1000000000.0 AS s11,
+           CAST(q12 AS DOUBLE) / 1000000000.0 AS s12,
+           CAST(q13 AS DOUBLE) / 1000000000.0 AS s13,
+           CAST(q22 AS DOUBLE) / 1000000000.0 AS s22,
+           CAST(q23 AS DOUBLE) / 1000000000.0 AS s23,
+           CAST(q33 AS DOUBLE) / 1000000000.0 AS s33,
+           CAST(q1 AS DOUBLE) / 1000000000.0 AS t1,
+           CAST(q2 AS DOUBLE) / 1000000000.0 AS t2,
+           CAST(q3 AS DOUBLE) / 1000000000.0 AS t3
+    FROM q
+),
+cov AS (
+    SELECT nd, m1, m2, m3,
+           (s11 - t1 * t1 / nd) / (nd - 1.0) AS c11,
+           (s12 - t1 * t2 / nd) / (nd - 1.0) AS c12,
+           (s13 - t1 * t3 / nd) / (nd - 1.0) AS c13,
+           (s22 - t2 * t2 / nd) / (nd - 1.0) AS c22,
+           (s23 - t2 * t3 / nd) / (nd - 1.0) AS c23,
+           (s33 - t3 * t3 / nd) / (nd - 1.0) AS c33
+    FROM mo
+),
+sol AS (
+    SELECT nd, m1, m2, m3,
+           c11 * (c22 * c33 - c23 * c23)
+           - c12 * (c12 * c33 - c23 * c13)
+           + c13 * (c12 * c23 - c22 * c13) AS det,
+           m1 * (c22 * c33 - c23 * c23)
+           - c12 * (m2 * c33 - c23 * m3)
+           + c13 * (m2 * c23 - c22 * m3) AS w1n,
+           c11 * (m2 * c33 - c23 * m3)
+           - m1 * (c12 * c33 - c23 * c13)
+           + c13 * (c12 * m3 - m2 * c13) AS w2n,
+           c11 * (c22 * m3 - m2 * c23)
+           - c12 * (c12 * m3 - m2 * c13)
+           + m1 * (c12 * c23 - c22 * c13) AS w3n
+    FROM cov
+),
+w AS (
+    SELECT nd, m1, m2, m3,
+           w1n / det AS w1, w2n / det AS w2, w3n / det AS w3
+    FROM sol WHERE abs(det) > 1e-30
+)
+SELECT '1' AS sid, CAST(nd AS BIGINT) AS n_obs, m1 AS mean_ret,
+       w1 AS raw_weight, w1 / (w1 + w2 + w3) AS weight FROM w
+UNION ALL
+SELECT '2', CAST(nd AS BIGINT), m2, w2, w2 / (w1 + w2 + w3) FROM w
+UNION ALL
+SELECT '3', CAST(nd AS BIGINT), m3, w3, w3 / (w1 + w2 + w3) FROM w
+""")
+def mean_variance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form Markowitz tangency-direction weights for a 3-asset
+    sleeve: sample mean vector and covariance matrix from
+    integer-quantized exact sufficient statistics (ONE
+    map-side-combinable aggregate over the joint return frame), then
+    the unnormalized solve C w = mu as a pinned 3x3 Cramer expression
+    IN THE PLAN (the fit_ols_grouped discipline — no driver linear
+    algebra, no numpy), weights normalized to sum 1.  At scale the
+    same shape runs per group (per book / per sector sleeve) as one
+    shuffle keyed on the group column.  Bit-exact vs the oracle's CTE
+    replay; |det| guard drops singular covariance."""
+    panel = events_to_panel(spark, sf_dir).select("sid", "date", "close")
+    w_sid = Window.partitionBy("sid").orderBy("date")
+    r = (panel.where(F.col("sid").isin("1", "2", "3"))
+         .select("sid", "date",
+                 ((F.col("close") - F.lag("close").over(w_sid))
+                  / F.lag("close").over(w_sid)).alias("r")))
+    piv = (r.groupBy("date")
+           .agg(F.max(F.when(F.col("sid") == "1", F.col("r"))).alias("r1"),
+                F.max(F.when(F.col("sid") == "2", F.col("r"))).alias("r2"),
+                F.max(F.when(F.col("sid") == "3", F.col("r"))).alias("r3"))
+           .where(F.col("r1").isNotNull() & F.col("r2").isNotNull()
+                  & F.col("r3").isNotNull()))
+    Q = F.lit(1_000_000_000.0)
+
+    def qsum(expr, name):
+        return F.sum(F.floor(expr * Q).cast("bigint")).alias(name)
+
+    c = F.col
+    q = piv.agg(F.count("*").alias("n"),
+                qsum(c("r1"), "q1"), qsum(c("r2"), "q2"),
+                qsum(c("r3"), "q3"),
+                qsum(c("r1") * c("r1"), "q11"),
+                qsum(c("r1") * c("r2"), "q12"),
+                qsum(c("r1") * c("r3"), "q13"),
+                qsum(c("r2") * c("r2"), "q22"),
+                qsum(c("r2") * c("r3"), "q23"),
+                qsum(c("r3") * c("r3"), "q33"))
+    nd = c("n").cast("double")
+    t = {i: c(f"q{i}").cast("double") / Q for i in (1, 2, 3)}
+    s = {ij: c(f"q{ij}").cast("double") / Q
+         for ij in ("11", "12", "13", "22", "23", "33")}
+    mo = q.select(
+        nd.alias("nd"),
+        (t[1] / nd).alias("m1"), (t[2] / nd).alias("m2"),
+        (t[3] / nd).alias("m3"),
+        ((s["11"] - t[1] * t[1] / nd) / (nd - F.lit(1.0))).alias("c11"),
+        ((s["12"] - t[1] * t[2] / nd) / (nd - F.lit(1.0))).alias("c12"),
+        ((s["13"] - t[1] * t[3] / nd) / (nd - F.lit(1.0))).alias("c13"),
+        ((s["22"] - t[2] * t[2] / nd) / (nd - F.lit(1.0))).alias("c22"),
+        ((s["23"] - t[2] * t[3] / nd) / (nd - F.lit(1.0))).alias("c23"),
+        ((s["33"] - t[3] * t[3] / nd) / (nd - F.lit(1.0))).alias("c33"))
+    c11, c12, c13 = c("c11"), c("c12"), c("c13")
+    c22, c23, c33 = c("c22"), c("c23"), c("c33")
+    m1, m2, m3 = c("m1"), c("m2"), c("m3")
+    sol = mo.select(
+        "nd", "m1", "m2", "m3",
+        (c11 * (c22 * c33 - c23 * c23)
+         - c12 * (c12 * c33 - c23 * c13)
+         + c13 * (c12 * c23 - c22 * c13)).alias("det"),
+        (m1 * (c22 * c33 - c23 * c23)
+         - c12 * (m2 * c33 - c23 * m3)
+         + c13 * (m2 * c23 - c22 * m3)).alias("w1n"),
+        (c11 * (m2 * c33 - c23 * m3)
+         - m1 * (c12 * c33 - c23 * c13)
+         + c13 * (c12 * m3 - m2 * c13)).alias("w2n"),
+        (c11 * (c22 * m3 - m2 * c23)
+         - c12 * (c12 * m3 - m2 * c13)
+         + m1 * (c12 * c23 - c22 * c13)).alias("w3n"))
+    w = (sol.where(F.abs(c("det")) > F.lit(1e-30))
+         .select("nd", "m1", "m2", "m3",
+                 (c("w1n") / c("det")).alias("w1"),
+                 (c("w2n") / c("det")).alias("w2"),
+                 (c("w3n") / c("det")).alias("w3")))
+    tot = c("w1") + c("w2") + c("w3")
+    out = None
+    for i in ("1", "2", "3"):
+        part = w.select(F.lit(i).alias("sid"),
+                        c("nd").cast("bigint").alias("n_obs"),
+                        c(f"m{i}").alias("mean_ret"),
+                        c(f"w{i}").alias("raw_weight"),
+                        (c(f"w{i}") / tot).alias("weight"))
+        out = part if out is None else out.unionByName(part)
+    return out

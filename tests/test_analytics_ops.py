@@ -300,3 +300,35 @@ def test_cointegration_screen_flags_cointegrated_pair(spark, tmp_path):
     bc = out.get(("b", "c"))
     if bc is not None:
         assert not bc["cointegrated"]
+
+
+def test_mean_variance_weights_matches_numpy(spark):
+    """The in-plan Cramer solve equals numpy's linalg.solve(C, mu) on
+    the driver testdata (up to quantization of the moment sums)."""
+    import numpy as np
+
+    from moonshot_spark.queries import QUERIES
+    from moonshot_spark.sources.parquet import events_to_panel
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["sid"]: r for r in
+           QUERIES["mean_variance_weights"](spark, sf).collect()}
+    assert set(out) == {"1", "2", "3"}
+
+    pdf = (events_to_panel(spark, sf)
+           .where(F.col("sid").isin("1", "2", "3"))
+           .select("sid", "date", "close").toPandas()
+           .sort_values(["sid", "date"]))
+    # per-sid pct_change over each sid's OWN observed dates (the
+    # operator's lag-per-sid definition), then align on shared dates
+    pdf["r"] = pdf.groupby("sid")["close"].pct_change()
+    rets = (pdf.pivot(index="date", columns="sid", values="r")
+            .sort_index().dropna())
+    mu = rets.mean().values
+    C = np.cov(rets.values.T, ddof=1)
+    w = np.linalg.solve(C, mu)
+    w = w / w.sum()
+    got = np.array([out[s]["weight"] for s in ("1", "2", "3")])
+    assert np.allclose(got, w, rtol=1e-4, atol=1e-6)
+    assert sum(out[s]["weight"] for s in ("1", "2", "3")) == \
+        pytest.approx(1.0, abs=1e-12)
