@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from moonshot_spark.operators.ranking import grouped_topk
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -94,10 +96,11 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     joined = corpus.crossJoin(F.broadcast(q))
     sim = cosine_expr(F.col(vec_col), F.col("__qvec"))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (joined.select(query_id_col, id_col, sim.alias("cosine"))
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+    scored = joined.select(query_id_col, id_col, sim.alias("cosine"))
+    # two-phase reduce: a plain per-query window would funnel |corpus|
+    # rows per query into one task; grouped_topk bounds every partition.
+    return (grouped_topk(scored, [query_id_col],
+                         [F.desc("cosine"), F.asc(id_col)], k)
             .select(query_id_col, id_col, "cosine", F.col("rank").cast("int")))
 
 
@@ -131,10 +134,11 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, planes: list[list[f
          .withColumn("__bucket", hyperplane_signature_expr(F.col("__qvec"), planes)))
     joined = c.join(F.broadcast(q), "__bucket")
     sim = cosine_expr(F.col(vec_col), F.col("__qvec"))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (joined.select(query_id_col, id_col, sim.alias("cosine"))
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+    scored = joined.select(query_id_col, id_col, sim.alias("cosine"))
+    # bucket-sized candidate sets still funnel through one task per query
+    # under a plain window; two-phase keeps partitions bounded.
+    return (grouped_topk(scored, [query_id_col],
+                         [F.desc("cosine"), F.asc(id_col)], k)
             .select(query_id_col, id_col, "cosine", F.col("rank").cast("int")))
 
 
@@ -305,11 +309,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
              ivf_probe_col("__qvec", centroids, nprobe))))
     joined = c.join(F.broadcast(q), "__cell")
     sim = _cosine_udf(F.col(vec_col), F.col("__qvec"))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"),
-                                                 F.asc(id_col))
-    return (joined.select(query_id_col, id_col, sim.alias("cosine"))
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+    scored = joined.select(query_id_col, id_col, sim.alias("cosine"))
+    return (grouped_topk(scored, [query_id_col],
+                         [F.desc("cosine"), F.asc(id_col)], k)
             .select(query_id_col, id_col, "cosine", F.col("rank").cast("int")))
 
 
@@ -484,20 +486,34 @@ def pairwise_ssd_topk(vec_df, id_col: str = "sid", arr_col: str = "arr",
 
 def mine_hard_negatives(emb: DataFrame, anchors: DataFrame, n_neg: int = 3,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        label_col: str = "label") -> DataFrame:
+                        label_col: str = "label",
+                        ivf_centroids: list[list[float]] | None = None,
+                        nprobe: int | None = None,
+                        ivf_anchor_threshold: int | None = None) -> DataFrame:
     """Contrastive training-pair mining: for each anchor, the most-similar
     same-label vector (the positive) and the ``n_neg`` most-similar
     DIFFERENT-label vectors (the hard negatives — the near-miss examples
     a contrastive/triplet objective learns most from).
 
-    ``anchors``: (anchor_id, embedding, label), expected to be a small
-    curated set — it is broadcast, so the scan is one linear pass over
-    the corpus regardless of corpus size (same scale shape as
-    ``brute_force_topk``; swap in ``ivf_topk`` per role for an ANN scale
-    path when the anchor set itself is large).  Returns
+    ``anchors``: (anchor_id, embedding, label).  It is broadcast, so the
+    scan is one linear pass over the corpus regardless of corpus size
+    (same scale shape as ``brute_force_topk``).  Returns
     (anchor_id, role, rank, vec_id, cosine) with role in
     {'positive', 'negative'}, rank 1..1 / 1..n_neg, ties broken by
     vec_id for determinism.  The anchor itself is excluded.
+
+    IVF dispatch (the ANN scale path for LARGE anchor sets, where the
+    broadcast cross product's |corpus| x |anchors| scoring dominates):
+    pass ``ivf_centroids`` to restrict each anchor's candidates to its
+    ``nprobe`` nearest cells (cell assignment replaces the cross join
+    with an equi-join on cell id), or pass ``ivf_anchor_threshold`` to
+    auto-train a codebook and switch when ``anchors`` exceeds it.
+    ``nprobe=None`` means full probe — every cell, so every
+    (corpus row, anchor) pair is scored exactly once and the result is
+    BIT-IDENTICAL to the cross-join path (the structural correctness
+    contract, mirrored from ``ivf_topk``); smaller ``nprobe`` trades
+    positive/negative recall for a |corpus| * nprobe / n_cells candidate
+    set.  Scoring is the same fold either way.
     """
     # factor the norms out of the pair loop: each side's L2 norm is
     # computed ONCE per row/anchor instead of once per (row, anchor)
@@ -525,8 +541,22 @@ def mine_hard_negatives(emb: DataFrame, anchors: DataFrame, n_neg: int = 3,
                        F.col(label_col).alias("__albl"),
                        _norm(F.col(vec_col)).alias("__an"))
     corpus = emb.withColumn("__vn", _norm(F.col(vec_col)))
-    joined = (corpus.crossJoin(F.broadcast(a))
-              .where(F.col(id_col) != F.col("anchor_id")))
+    if ivf_centroids is None and ivf_anchor_threshold is not None:
+        # bounded count on the (small) anchor frame, not the corpus
+        if anchors.count() > ivf_anchor_threshold:
+            ivf_centroids = train_ivf_centroids(
+                emb, vec_col=vec_col, id_col=id_col)
+    if ivf_centroids is not None:
+        take = len(ivf_centroids) if nprobe is None else nprobe
+        c = corpus.withColumn(
+            "__cell", ivf_assign_col(vec_col, ivf_centroids))
+        a = a.withColumn("__cell", F.explode(
+            ivf_probe_col("__avec", ivf_centroids, take)))
+        joined = (c.join(F.broadcast(a), "__cell")
+                  .where(F.col(id_col) != F.col("anchor_id")))
+    else:
+        joined = (corpus.crossJoin(F.broadcast(a))
+                  .where(F.col(id_col) != F.col("anchor_id")))
     role = F.when(F.col(label_col) == F.col("__albl"),
                   F.lit("positive")).otherwise(F.lit("negative"))
     dvec = _as_double(F.col(vec_col))
@@ -536,11 +566,15 @@ def mine_hard_negatives(emb: DataFrame, anchors: DataFrame, n_neg: int = 3,
     sim = dot / (F.col("__vn") * F.col("__an"))
     scored = joined.select("anchor_id", role.alias("role"), F.col(id_col),
                            sim.alias("cosine"))
-    w = Window.partitionBy("anchor_id", "role") \
-        .orderBy(F.desc("cosine"), F.asc(id_col))
+    # two-phase reduce (grouped_topk): phase-1 prunes to the max keep
+    # (n_neg) within each (scan partition, anchor, role); the final exact
+    # window then sees a bounded partition instead of the anchor's full
+    # scored corpus.  The role-dependent keep narrows only the FINAL
+    # filter — phase 1 never prunes below it.
     keep = F.when(F.col("role") == "positive", 1).otherwise(F.lit(n_neg))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= keep)
+    return (grouped_topk(scored, ["anchor_id", "role"],
+                         [F.desc("cosine"), F.asc(id_col)],
+                         max(n_neg, 1), keep=keep)
             .select("anchor_id", "role", F.col("rank").cast("int"),
                     id_col, "cosine"))
 

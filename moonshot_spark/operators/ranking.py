@@ -27,7 +27,46 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exact_ntile", "exact_rank"]
+__all__ = ["exact_ntile", "exact_rank", "grouped_topk"]
+
+
+def grouped_topk(df: DataFrame, group_cols: list[str | Column],
+                 order_cols: list[str | Column], k: int,
+                 rank_col: str = "rank",
+                 keep: Column | int | None = None) -> DataFrame:
+    """Exact per-group top-k WITHOUT the per-group single-task funnel.
+
+    ``Window.partitionBy(group).orderBy(...)`` ships every scored row of a
+    group into ONE task before keeping k — invisible at small SF, a
+    guaranteed straggler when a group is corpus-sized (brute-force ANN
+    scores |corpus| rows per query).  Two phases, bit-identical result:
+
+    1. per-partition prune: rank within (spark_partition_id, group) and
+       keep k.  Any row in a group's GLOBAL top-k ranks <= k within every
+       subset it belongs to, so it always survives; at most
+       n_partitions * k rows per group continue.
+    2. exact window over the survivors — the same (order_cols) total
+       order, now over a bounded partition.
+
+    ``order_cols`` must be a total order within each group (include a
+    unique tiebreak) or phase-1 pruning would be partition-dependent.
+    ``keep`` optionally narrows the FINAL filter per row (e.g. a
+    role-dependent k); it must be <= k everywhere or phase 1 would have
+    pruned rows the final filter wants.
+    """
+    gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    pruned = (df.withColumn("__tp_pid", F.spark_partition_id())
+              .withColumn("__tp_r", F.row_number().over(
+                  Window.partitionBy(F.col("__tp_pid"), *gcols)
+                  .orderBy(*ocols)))
+              .where(F.col("__tp_r") <= k)
+              .drop("__tp_pid", "__tp_r"))
+    w = Window.partitionBy(*gcols).orderBy(*ocols)
+    out = pruned.withColumn(rank_col, F.row_number().over(w))
+    keep_expr = F.lit(k) if keep is None else \
+        (F.lit(keep) if isinstance(keep, int) else keep)
+    return out.where(F.col(rank_col) <= keep_expr)
 
 
 def _two_phase_rank(df: DataFrame, order_cols: list[str | Column],
