@@ -113,25 +113,58 @@ def parity_upsample(df: DataFrame, strata_col: str, id_col: str = "doc_id",
 
 
 def cap_per_group(df: DataFrame, group_col: str, cap: int,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  prefilter_margin: float | None = None) -> DataFrame:
     """Keep at most ``cap`` rows per group, chosen by deterministic hash
     order of the id — the per-domain/per-language cap that stops a single
     source from dominating a training mix.  Hash order (not arrival
     order) makes the kept subset stable across runs and partitionings.
 
-    One shuffle on ``group_col``; the per-group top-``cap`` is a
-    windowed row_number, which AQE skew-splits if one group is huge.
-    For extreme skew (one group = half the corpus), pre-filter with an
-    approximate per-group count and sample before the exact window.
+    The reduction is the two-phase grouped top-k (operators/ranking.py):
+    one shuffle keyed on (scan partition, group) then an exact window
+    over ≤ n_partitions × cap survivors per group — no group ever
+    funnels its full row set through one task, however skewed.
+
+    ``prefilter_margin`` additionally cuts the SHUFFLE VOLUME for
+    extreme skew (one group = half the corpus): per-group counts (one
+    map-side-combinable aggregate, group-cardinality result — this op
+    caps per domain/language, so the count table broadcasts) give each
+    group a hash threshold ``min(1, margin·cap/n)``; only rows whose
+    uniform hash falls below it enter the shuffle, ~margin·cap rows per
+    group instead of n.  EXACTNESS is preserved, not probabilistic: the
+    uniform hash is a monotone prefix of the md5 sort key, so the
+    survivor set is always a prefix of the hash order, and a survivor
+    count ≥ min(cap, n) proves the true top-``cap`` survived.  Groups
+    failing that check (vanishingly rare at margin ≥ 2 — a lower-tail
+    binomial event) are re-admitted in full via a union, so the result
+    is identical to the unfiltered path in every case.
     """
-    from pyspark.sql import Window
+    from moonshot_spark.operators.ranking import grouped_topk
+
+    base = df
+    if prefilter_margin is not None:
+        counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+        thr = F.least(F.lit(1.0),
+                      F.lit(float(prefilter_margin) * cap) / F.col("__n"))
+        lim = counts.select(group_col, thr.alias("__thr"),
+                            F.col("__n"))
+        pre = (df.join(F.broadcast(lim), group_col)
+               .where(uniform_hash_expr(id_col) < F.col("__thr")))
+        surv = pre.groupBy(group_col).agg(F.count("*").alias("__s"))
+        deficient = (lim.join(surv, group_col, "left")
+                     .where(F.coalesce(F.col("__s"), F.lit(0))
+                            < F.least(F.lit(cap), F.col("__n")))
+                     .select(group_col))
+        bad = [r[0] for r in deficient.collect()]
+        base = pre.drop("__thr", "__n")
+        if bad:
+            base = (base.where(~F.col(group_col).isin(bad))
+                    .unionByName(df.where(F.col(group_col).isin(bad))))
 
     order = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(group_col).orderBy(order.asc(),
-                                              F.col(id_col).asc())
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= cap)
-            .drop("__rn"))
+    return grouped_topk(base, [group_col],
+                        [order.asc(), F.col(id_col).asc()], cap,
+                        rank_col="__rn").drop("__rn").select(*df.columns)
 
 
 def corpus_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 0,

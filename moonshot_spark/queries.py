@@ -638,13 +638,16 @@ def cap_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     by deterministic md5-of-id order so the kept subset is stable across
     runs and partitionings — the anti-domination cap of a training mix.
     See ``datapipe.sampling.cap_per_group``."""
+    from moonshot_spark.operators.ranking import grouped_topk
+
     docs = load_table(spark, sf_dir, "documents")
     order = F.md5(F.col("doc_id").cast("string"))
-    rn = F.row_number().over(
-        Window.partitionBy("lang").orderBy(order.asc(), F.col("doc_id").asc()))
-    return (docs.withColumn("rn", rn.cast("int"))
-            .where(F.col("rn") <= 50)      # = cap_per_group(docs,'lang',50)
-            .select("doc_id", "lang", "rn"))
+    # two-phase grouped top-k: same rows/ranks as the plain window the
+    # oracle replays, but no per-lang single-task funnel (r8)
+    return (grouped_topk(docs.select("doc_id", "lang"), ["lang"],
+                         [order.asc(), F.col("doc_id").asc()], 50,
+                         rank_col="rn")
+            .select("doc_id", "lang", F.col("rn").cast("int").alias("rn")))
 
 
 @register("table_column_stats", """
