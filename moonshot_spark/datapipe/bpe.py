@@ -38,15 +38,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["bpe_state", "bpe_train", "bpe_apply"]
+__all__ = ["bpe_state", "bpe_train", "bpe_apply",
+           "bpe_save_rules", "bpe_load_rules"]
 
 MERGE_MARK = "\x01"
 
 
-def bpe_state(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Initial double-spaced symbol string per document: whitespace
-    tokens become the starting symbols (phrase-BPE grain; swap in a
-    character split for classic subword BPE — the loop is identical)."""
+def bpe_state(docs: DataFrame, text_col: str = "text",
+              grain: str = "word") -> DataFrame:
+    """Initial double-spaced symbol string per training row.
+
+    ``grain='word'``: whitespace tokens are the starting symbols
+    (phrase-BPE — merges learn multi-word units).  ``grain='char'``:
+    classic subword BPE (Sennrich ACL'16): each WORD becomes one
+    training row whose symbols are its characters, so merges never
+    cross word boundaries — exactly the paper's word-frequency-dict
+    formulation, with the explode standing in for the dict (same
+    counts, since the dict is weighted by frequency).  The merge loop
+    is identical for both grains."""
+    if grain == "char":
+        word = F.explode(F.filter(F.split(F.col(text_col), " "),
+                                  lambda w: F.length(w) > 0))
+        chars = F.split(F.col("__w"), "")
+        s = F.concat(F.lit("  "), F.array_join(chars, "  "), F.lit("  "))
+        return docs.select(word.alias("__w")).select(s.alias("__s"))
+    if grain != "word":
+        raise ValueError(f"grain must be 'word' or 'char', got {grain!r}")
     s = F.concat(F.lit("  "),
                  F.replace(F.col(text_col), F.lit(" "), F.lit("  ")),
                  F.lit("  "))
@@ -65,13 +82,15 @@ def _pairs(state: DataFrame) -> DataFrame:
 
 
 def bpe_train(docs: DataFrame, n_merges: int,
-              text_col: str = "text") -> list[tuple[int, str, str, int]]:
+              text_col: str = "text",
+              grain: str = "word") -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` merge rules; returns
     ``[(round, left, right, pair_count), ...]`` in round order.  Stops
     early if no pair occurs (corpus exhausted).  Symbols produced by
     earlier merges carry the \\x01 mark and participate in later rounds
-    like any other symbol (hierarchical merges, per the paper)."""
-    state = bpe_state(docs, text_col)
+    like any other symbol (hierarchical merges, per the paper).
+    ``grain='char'`` trains classic subword BPE (see bpe_state)."""
+    state = bpe_state(docs, text_col, grain)
     rules: list[tuple[int, str, str, int]] = []
     live: list[DataFrame] = []     # persisted, not yet unpersisted
     try:
@@ -109,17 +128,41 @@ def bpe_train(docs: DataFrame, n_merges: int,
 
 
 def bpe_apply(docs: DataFrame, rules: list, text_col: str = "text",
-              carry_cols: tuple = ()) -> DataFrame:
+              carry_cols: tuple = (), grain: str = "word") -> DataFrame:
     """Encode documents with an already-learned merge table: apply the
     rules' literal replaces in round order and return ``carry_cols``
-    plus ``n_symbols`` (symbol count before any merge — the whitespace
-    token count) and ``n_encoded`` (after all merges).
+    plus ``n_symbols`` (symbol count before any merge) and
+    ``n_encoded`` (after all merges).
 
     One narrow map over the corpus — the rules are driver-held literals
     baked into the plan (a few dozen replaces chained inside
     whole-stage codegen), so encoding scales embarrassingly: no join,
     no shuffle, no UDF.  This is the inference half of bpe_train, the
-    same split as classifier.py's train/score."""
+    same split as classifier.py's train/score.
+
+    ``grain='char'`` mirrors the char-grain trainer: the replace chain
+    runs on each word's character string inside a ``transform`` lambda,
+    so merges stay within word boundaries and the row stays per-DOC
+    (still no explode/shuffle — word handling is array-local)."""
+    if grain == "char":
+        words = F.filter(F.split(F.col(text_col), " "),
+                         lambda w: F.length(w) > 0)
+
+        def encode_word(w):
+            s = F.concat(F.lit("  "), F.array_join(F.split(w, ""), "  "),
+                         F.lit("  "))
+            for _rnd, l, r, _cnt in rules:
+                s = F.replace(s, F.lit(f" {l}  {r} "),
+                              F.lit(f" {l}{MERGE_MARK}{r} "))
+            return F.size(F.split(F.trim(s), "  "))
+
+        zero = F.lit(0)
+        n0 = F.aggregate(words, zero, lambda acc, w: acc + F.length(w))
+        n1 = F.aggregate(F.transform(words, encode_word), zero,
+                         lambda acc, n: acc + n)
+        return docs.select(*carry_cols, n0.alias("n_symbols"),
+                           n1.alias("n_encoded"))
+
     s = F.concat(F.lit("  "),
                  F.replace(F.col(text_col), F.lit(" "), F.lit("  ")),
                  F.lit("  "))
@@ -135,3 +178,23 @@ def bpe_apply(docs: DataFrame, rules: list, text_col: str = "text",
     return docs.select(*carry_cols,
                        n0.alias("n_symbols"),
                        n1.alias("n_encoded"))
+
+
+def bpe_save_rules(spark, rules: list, path: str) -> None:
+    """Persist a learned merge table as parquet (round, left, right,
+    cnt) so the encode half can run in a different session/cluster —
+    the tokenizer-artifact round-trip every production pipeline needs.
+    Tiny (one row per merge), written as a single file."""
+    df = spark.createDataFrame(
+        [(int(rnd), l, r, int(cnt)) for rnd, l, r, cnt in rules],
+        "round int, left string, right string, cnt bigint")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load_rules(spark, path: str) -> list[tuple[int, str, str, int]]:
+    """Load a merge table saved by ``bpe_save_rules``, in round order —
+    returns the exact ``bpe_train`` output shape, directly feedable to
+    ``bpe_apply``."""
+    rows = spark.read.parquet(path).orderBy("round").collect()
+    return [(r["round"], r["left"], r["right"], int(r["cnt"]))
+            for r in rows]

@@ -164,3 +164,105 @@ def test_encode_report_oracle_survives_exhausted_rounds(spark, tmp_path):
     # 'a b' merges to one symbol; 'c' is untouched
     assert dict((l, (ts, te)) for l, _, ts, te in spark_rows) == {
         "en": (4, 2), "fr": (1, 1)}
+
+
+def test_char_grain_matches_reference_subword_bpe(spark):
+    """grain='char' is classic Sennrich subword BPE: merges learned over
+    per-word character sequences, never crossing word boundaries —
+    rule-for-rule vs a pure-Python reference trainer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from moonshot_spark.datapipe.bpe import bpe_train
+
+    def ref_char_bpe(corpus, n_merges):
+        # word-level training rows, char symbols (the paper's
+        # word-frequency dict, expanded)
+        docs = [list(w) for text in corpus for w in text.split(" ") if w]
+        rules = []
+        for rnd in range(1, n_merges + 1):
+            cnt = {}
+            for toks in docs:
+                for i in range(len(toks) - 1):
+                    cnt[(toks[i], toks[i + 1])] = \
+                        cnt.get((toks[i], toks[i + 1]), 0) + 1
+            if not cnt:
+                break
+            (l, r), c = min(cnt.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            rules.append((rnd, l, r, c))
+            merged = []
+            for toks in docs:
+                out, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks)
+                            and toks[i] == l and toks[i + 1] == r):
+                        out.append(l + MERGE_MARK + r)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                merged.append(out)
+            docs = merged
+        return rules
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    doc_strat = st.lists(word, min_size=1, max_size=4).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc_strat, min_size=1, max_size=3))
+    def check(texts):
+        sdf = _df(spark, texts)
+        assert bpe_train(sdf, n_merges=3, grain="char") \
+            == ref_char_bpe(texts, 3)
+
+    check()
+
+
+def test_char_grain_never_merges_across_words(spark):
+    """'ab ba' char-grain: (a,b) occurs once (inside 'ab'), (b,a) once —
+    the cross-word adjacency b|b must NOT be counted."""
+    from moonshot_spark.datapipe.bpe import bpe_train
+
+    rules = bpe_train(_df(spark, ["ab ba"] * 3), n_merges=1, grain="char")
+    assert rules[0][1:3] == ("a", "b") and rules[0][3] == 3
+
+
+def test_char_grain_apply_matches_train_state(spark):
+    """bpe_apply(grain='char') reproduces the trainer's encoding:
+    n_symbols = char count, n_encoded reflects within-word merges."""
+    from moonshot_spark.datapipe.bpe import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [("d1", "aa aa b"), ("d2", "aa")], "grp string, text string")
+    rules = bpe_train(docs.select("text"), n_merges=1, grain="char")
+    assert rules[0][1:3] == ("a", "a")
+    out = {r["grp"]: r for r in
+           bpe_apply(docs, rules, carry_cols=("grp",),
+                     grain="char").collect()}
+    assert out["d1"]["n_symbols"] == 5      # a a a a b
+    assert out["d1"]["n_encoded"] == 3      # aa aa b
+    assert out["d2"]["n_symbols"] == 2 and out["d2"]["n_encoded"] == 1
+
+
+def test_rules_save_load_roundtrip(spark, tmp_path):
+    """Learned rules survive a parquet round-trip exactly, and the
+    reloaded table encodes identically (the cross-session artifact
+    contract)."""
+    from moonshot_spark.datapipe.bpe import (bpe_apply, bpe_load_rules,
+                                             bpe_save_rules, bpe_train)
+
+    docs = spark.createDataFrame(
+        [("g", "a b a b c d a b")], "grp string, text string")
+    rules = bpe_train(docs.select("text"), n_merges=3)
+    path = str(tmp_path / "rules.parquet")
+    bpe_save_rules(spark, rules, path)
+    loaded = bpe_load_rules(spark, path)
+    assert loaded == rules
+    a = bpe_apply(docs, rules, carry_cols=("grp",)).collect()
+    b = bpe_apply(docs, loaded, carry_cols=("grp",)).collect()
+    assert a == b
+    # empty table round-trips too (early-stopped training)
+    empty_path = str(tmp_path / "empty.parquet")
+    bpe_save_rules(spark, [], empty_path)
+    assert bpe_load_rules(spark, empty_path) == []
