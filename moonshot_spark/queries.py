@@ -13033,3 +13033,96 @@ def mean_variance_weights_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in sids:
         cond = cond & F.col(f"r{s}").isNotNull()
     return markowitz_weights(piv.where(cond).drop("date"), 5)
+
+
+@register("dedup_exact_incremental", """
+WITH all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25
+), fp AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM all_docs
+), g AS (
+    SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM fp GROUP BY fingerprint HAVING count(*) > 1
+)
+SELECT g.fingerprint, g.n_docs, g.keep_id, f.doc_id AS dup_id
+FROM fp f JOIN g USING (fingerprint)
+WHERE f.doc_id != g.keep_id AND f.doc_id % 5 = 0
+""")
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup (datapipe/incremental_dedup.py): docs with
+    doc_id % 5 == 0 arrive as the new batch; the rest are the already-
+    indexed corpus (fingerprint index = the mergeable (n, min) aggregate).
+    The emitted duplicate rows carry POST-merge union stats, so the
+    oracle is simply the FULL-recompute mapping restricted to new doc
+    ids — the incremental-equals-batch contract, value-checked.  The
+    id-shifted clone union (as in dedup_exact) guarantees real duplicate
+    groups at every SF, including cross-batch ones."""
+    from moonshot_spark.datapipe.incremental_dedup import (
+        exact_fingerprint_index, incremental_exact_dups)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = (docs.where(F.col("doc_id") < 25)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    full = docs.unionByName(clones)
+    new = full.where(F.col("doc_id") % 5 == 0)
+    existing = full.where(F.col("doc_id") % 5 != 0)
+    return incremental_exact_dups(new, exact_fingerprint_index(existing))
+
+
+@register("minhash_incremental_pairs", """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2),
+        i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS shingles
+    FROM toks
+), sl AS (
+    SELECT doc_id, list_transform(shingles, s -> flatten(list_transform(
+        [md5(s), md5('a|' || s), md5('b|' || s), md5('c|' || s)],
+        h -> [substr(h, 1, 8), substr(h, 9, 8), substr(h, 17, 8),
+              substr(h, 25, 8)]))) AS slices
+    FROM sh
+), sigs AS (
+    SELECT doc_id, list_transform(range(1, 17),
+        i -> list_min(list_transform(slices, a -> a[i]))) AS sig
+    FROM sl
+), bands AS (
+    SELECT doc_id, sig, b.band_id,
+           md5(array_to_string(list_slice(sig, b.band_id * 4 + 1,
+                                          b.band_id * 4 + 4), '|')) AS band_hash
+    FROM sigs, (SELECT unnest(range(0, 4)) AS band_id) b
+), pairs AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           l.sig AS sig_a, r.sig AS sig_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+           / 16 AS est_jaccard
+FROM pairs
+WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+""")
+def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash-LSH: the doc_id % 5 == 0 batch probes a
+    persisted signature index of the rest of the corpus
+    (datapipe/incremental_dedup.py).  md5-deterministic signatures make
+    the incremental pair set EXACTLY the full-recompute LSH pairs that
+    involve >=1 new doc — which is what the oracle computes (the
+    minhash_lsh_pairs replay, filtered to pairs touching the batch)."""
+    from moonshot_spark.datapipe.dedup import minhash_signatures
+    from moonshot_spark.datapipe.incremental_dedup import (
+        incremental_minhash_pairs)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    existing = docs.where(F.col("doc_id") % 5 != 0)
+    index_sigs = minhash_signatures(existing, num_hashes=16, shingle_n=3)
+    return incremental_minhash_pairs(new, index_sigs,
+                                     num_hashes=16, bands=4, shingle_n=3)

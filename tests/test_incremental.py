@@ -88,3 +88,73 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     # day 2's partition files were not rewritten
     assert {f: os.path.getmtime(f) for f in
             glob.glob(f"{path}/date=1970-01-03/*.parquet")} == day2_files
+
+
+# --------------------------------------------------------------------- #
+# incremental dedup (datapipe/incremental_dedup.py)                      #
+# --------------------------------------------------------------------- #
+
+def test_merge_exact_index_equals_full_rebuild(spark):
+    """Index merge algebra: merge(index(existing), batch) must equal
+    index(existing ∪ batch) exactly — including a new doc DETHRONING an
+    old survivor (smaller id arrives late)."""
+    from moonshot_spark.datapipe.incremental_dedup import (
+        exact_fingerprint_index, merge_exact_index)
+
+    existing = spark.createDataFrame(
+        [(10, "same text"), (11, "same text"), (12, "other")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(5, "same text"),          # dethrones keep_id 10 -> 5
+         (13, "other"), (14, "brand new")],
+        "doc_id long, text string")
+    merged = sorted(map(tuple, merge_exact_index(
+        exact_fingerprint_index(existing), batch).collect()))
+    full = sorted(map(tuple, exact_fingerprint_index(
+        existing.unionByName(batch)).collect()))
+    assert merged == full
+    by_n = {r[1] for r in merged}
+    assert by_n == {1, 2, 3}
+
+
+def test_incremental_exact_dups_equals_full_recompute(spark):
+    """Emitted rows = full-recompute mapping restricted to batch ids,
+    with POST-merge (union) stats."""
+    from moonshot_spark.datapipe.dedup import exact_duplicate_mapping
+    from moonshot_spark.datapipe.incremental_dedup import (
+        exact_fingerprint_index, incremental_exact_dups)
+
+    rows = [(i, f"text {i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = df.where(F.col("doc_id") % 3 == 0)
+    existing = df.where(F.col("doc_id") % 3 != 0)
+    inc = sorted(map(tuple, incremental_exact_dups(
+        new, exact_fingerprint_index(existing)).collect()))
+    full = sorted(map(tuple, exact_duplicate_mapping(df)
+                      .where(F.col("dup_id") % 3 == 0).collect()))
+    assert inc == full and len(inc) > 0
+
+
+def test_incremental_minhash_equals_full_recompute(spark):
+    """Incremental LSH pairs = full-recompute pairs touching the batch
+    (md5 determinism makes this exact, est_jaccard included)."""
+    from moonshot_spark.datapipe.dedup import (lsh_candidate_pairs,
+                                               minhash_signatures)
+    from moonshot_spark.datapipe.incremental_dedup import (
+        incremental_minhash_pairs)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + (" extra" if i % 4 == 0 else "")
+             + (f" tail{i % 3}" if i % 2 else "")) for i in range(12)] \
+        + [(100, "completely different content about spark joins here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = df.where(F.col("doc_id") % 3 == 0)
+    existing = df.where(F.col("doc_id") % 3 != 0)
+    idx = minhash_signatures(existing, num_hashes=16, shingle_n=3)
+    inc = sorted(map(tuple, incremental_minhash_pairs(
+        new, idx, num_hashes=16, bands=4, shingle_n=3).collect()))
+    full = sorted(map(tuple, lsh_candidate_pairs(
+        df, num_hashes=16, bands=4, shingle_n=3)
+        .where((F.col("doc_a") % 3 == 0) | (F.col("doc_b") % 3 == 0))
+        .collect()))
+    assert inc == full and len(inc) > 0
