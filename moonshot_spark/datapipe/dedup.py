@@ -20,6 +20,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _parse_byte_conf(value: str, default: int = 128 * 1024 * 1024) -> int:
+    """Spark byte-size conf → bytes, honoring the full unit grammar
+    ("64m", "1g", "128MB", plain digits).  The previous lower()+rstrip('b')
+    parse raised on '64m'/'1g' and silently fell back to 128 MB, skewing
+    the under-parallelism estimate on unit-suffixed clusters (ADVICE r7)."""
+    units = {"": 1, "b": 1,
+             "k": 1 << 10, "kb": 1 << 10,
+             "m": 1 << 20, "mb": 1 << 20,
+             "g": 1 << 30, "gb": 1 << 30,
+             "t": 1 << 40, "tb": 1 << 40}
+    s = value.strip().lower()
+    num = s.rstrip("kmgtb")
+    try:
+        return int(num) * units[s[len(num):]]
+    except (ValueError, KeyError):
+        return default
+
+
 def widen_underparallel(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Widen an under-parallel FILE source before CPU-heavy per-row work.
 
@@ -48,12 +66,8 @@ def widen_underparallel(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         except OSError:
             total_bytes = -1   # remote/unstattable: trust the scan
             break
-    try:
-        max_pb = int(spark.conf.get(
-            "spark.sql.files.maxPartitionBytes",
-            "134217728").lower().rstrip("b"))
-    except ValueError:      # "128MB"-style units
-        max_pb = 128 * 1024 * 1024
+    max_pb = _parse_byte_conf(spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"))
     est = max(len(files), -(-total_bytes // max_pb)) \
         if total_bytes >= 0 else target
     if est < target:

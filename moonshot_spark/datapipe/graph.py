@@ -246,7 +246,12 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
     replayable on any engine, at the cost of the known LPA bias toward
     small ids, which is fine for a dedup/segmentation primitive).
 
-    ``edges`` must be symmetric (both directions present).  Returns
+    ``edges`` is treated as UNDIRECTED: it is symmetrized internally
+    (union with reversed copies), so an asymmetric edge list no longer
+    silently drops dst-only nodes (ADVICE r7).  For an already-symmetric
+    input this doubles every (node, label) count UNIFORMLY, which cannot
+    change the (count desc, label asc) argmax — labels, communities and
+    sizes are identical to the pre-symmetrized run.  Returns
     (node, community, community_size) after ``rounds`` synchronous
     updates; community = the final label.
 
@@ -261,9 +266,9 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
     """
     from pyspark.sql import Window
 
-    edges = (edges.select(F.col(src).alias("src"),
-                          F.col(dst).alias("dst"))
-             .localCheckpoint(eager=True))
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     for _ in range(rounds):

@@ -226,22 +226,39 @@ class Cache:
         if unless_modified:
             if _source_mtime(unless_modified) > meta["written_at"]:
                 return None
+        from pyspark.errors.exceptions.captured import AnalysisException
         try:
             return spark.read.parquet(data_path)
-        except Exception as exc:
+        except AnalysisException:
             # a concurrent set() may swap the entry (rmtree+rename) between
-            # our exists() check and the schema read — treat the in-flight
-            # failure as a miss (recompute).  This guard covers only plan
-            # construction; a reader whose executed scan lands mid-swap
-            # still fails in-job and recomputes on retry.  A PERSISTENT
-            # failure (corrupt footer, permissions) is not silent: warn so
-            # an always-missing cache is visible, and miss.
+            # our exists() check and the schema read — PATH_NOT_FOUND /
+            # unable-to-infer-schema here is the in-flight swap: a
+            # transient miss (recompute), never delete — the writer is
+            # mid-install.  This guard covers only plan construction; a
+            # reader whose executed scan lands mid-swap still fails
+            # in-job and recomputes on retry.
+            return None
+        except Exception as exc:
+            # anything else with the entry still on disk is a PERSISTENT
+            # failure (corrupt footer, permissions).  Not silent, and not
+            # a warn-forever loop either (ADVICE r7): warn once and
+            # DELETE the entry under the writer lock so the next set()
+            # repairs it.  Deleting a cache entry is always
+            # correctness-safe — entries are recomputable by definition.
             if os.path.exists(data_path):
                 import warnings
                 warnings.warn(
                     f"cache entry {data_path} exists but is unreadable "
-                    f"({type(exc).__name__}: {exc}); treating as a miss",
+                    f"({type(exc).__name__}: {exc}); deleting it so the "
+                    "next set() repairs it; treating as a miss",
                     RuntimeWarning, stacklevel=2)
+                try:
+                    with _FileLock(data_path + ".lock"):
+                        shutil.rmtree(data_path, ignore_errors=True)
+                        if os.path.exists(meta_path):
+                            os.remove(meta_path)
+                except (TimeoutError, OSError):
+                    pass     # a live writer holds the lock: it will repair
             return None
 
     def set(self, prefix: str, kwargs: dict, df: DataFrame,

@@ -201,12 +201,19 @@ def get_prices(spark: SparkSession, path: str,
                 f"invalid data_frequency {data_frequency!r} "
                 "(daily or minute)")
         if data_frequency == "daily" and "time" in df.columns:
+            # (length, value) struct key, not the raw string: the same
+            # defense-in-depth Moonshot._time_key() applies to its daily
+            # aggregates — an unpadded "9:30:00" must not sort after
+            # "15:30:00" and flip first/last-bar selection (ADVICE r7)
+            from moonshot_spark.strategies.base import Moonshot
+
+            tkey = Moonshot._time_key()
             aggs = []
             for c in df.columns:
                 if c in ("sid", "date", "time"):
                     continue
                 lc = c.lower()
-                nn_time = F.when(F.col(c).isNotNull(), F.col("time"))
+                nn_time = F.when(F.col(c).isNotNull(), tkey)
                 if lc == "open":
                     aggs.append(F.min_by(c, nn_time).alias(c))
                 elif lc == "high":

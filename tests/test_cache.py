@@ -340,3 +340,13 @@ def test_get_warns_on_persistent_unreadable_entry(spark, cache, df):
         warnings.simplefilter("always")
         assert cache.get(spark, "p", {"k": 1}) is None
     assert any("unreadable" in str(x.message) for x in w)
+    # self-repair (ADVICE r7): the corrupt entry was deleted, so the next
+    # get() is a clean quiet miss — not a warn-forever loop — and a
+    # fresh set() restores a working entry
+    assert not os.path.exists(data_dir)
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        assert cache.get(spark, "p", {"k": 1}) is None
+    assert not any("unreadable" in str(x.message) for x in w2)
+    cache.set("p", {"k": 1}, df)
+    assert cache.get(spark, "p", {"k": 1}) is not None

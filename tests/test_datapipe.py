@@ -1212,3 +1212,39 @@ def test_label_propagation_deterministic_under_repartition(spark):
     b = sorted(map(tuple, label_propagation(
         df.repartition(7), rounds=3).collect()))
     assert a == b
+
+
+def test_label_propagation_symmetrizes_asymmetric_edges(spark):
+    """Directed edge lists are treated as undirected: (a) dst-only nodes
+    appear in the output, (b) a one-direction edge list produces the
+    same communities as its explicit symmetric closure, and (c) an
+    already-symmetric input is unchanged by the internal reversal
+    (uniform count doubling can't flip the argmax) — ADVICE r7."""
+    from moonshot_spark.datapipe.graph import label_propagation
+
+    def clique_oneway(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    one_way = clique_oneway([1, 2, 3]) + clique_oneway([10, 11, 12])
+    df1 = spark.createDataFrame(one_way, "src long, dst long")
+    sym = one_way + [(b, a) for a, b in one_way]
+    df2 = spark.createDataFrame(sym, "src long, dst long")
+    out1 = sorted(map(tuple, label_propagation(df1, rounds=3).collect()))
+    out2 = sorted(map(tuple, label_propagation(df2, rounds=3).collect()))
+    assert out1 == out2
+    nodes = {n for n, _, _ in out1}
+    assert nodes == {1, 2, 3, 10, 11, 12}      # dst-only 3/12 included
+
+
+def test_parse_byte_conf_units():
+    """'64m'/'1g'-style configs must parse, not fall back to 128MB
+    (ADVICE r7)."""
+    from moonshot_spark.datapipe.dedup import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728") == 134217728
+    assert _parse_byte_conf("64m") == 64 * 1024 * 1024
+    assert _parse_byte_conf("64MB") == 64 * 1024 * 1024
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("2k") == 2048
+    assert _parse_byte_conf("128b") == 128
+    assert _parse_byte_conf("garbage") == 128 * 1024 * 1024

@@ -426,3 +426,24 @@ def test_db_fields_attr_projects_panel(spark, intraday_path):
     df2 = get_prices(spark, intraday_path, strategy=Untouched(),
                      no_cache=True)
     assert "wap" in df2.columns          # default not forced
+
+
+def test_data_frequency_daily_unpadded_times(spark, tmp_path):
+    """Unpadded times ('9:30:00') must still pick the true first/last
+    bar: the rollup orders by the (length, value) struct key
+    (Moonshot._time_key defense-in-depth), not raw lexicographic time —
+    raw order would sort '9:30:00' AFTER '15:30:00' (ADVICE r7)."""
+    path = str(tmp_path / "unpadded")
+    rows = [
+        ("1", "2024-01-10", "9:30:00", 10.0, 10.5, 9.5, 10.2, 100.0),
+        ("1", "2024-01-10", "15:30:00", 11.0, 11.5, 10.5, 11.2, 100.0),
+    ]
+    spark.createDataFrame(
+        rows, "sid string, date string, time string, open double, "
+              "high double, low double, close double, volume double") \
+        .withColumn("date", F.col("date").cast("date")).write.parquet(path)
+
+    df = get_prices(spark, path, data_frequency="daily", no_cache=True)
+    day = df.collect()[0]
+    assert day["open"] == 10.0      # the 9:30 bar, not 15:30
+    assert day["close"] == 11.2     # the 15:30 bar
