@@ -219,15 +219,16 @@ def weighted_sample_without_replacement(
     Spirakis, IPL 2006).  Ranked on the monotone-equivalent key
     ln(u)/w (descending) to avoid pow(); ties break on id.
 
-    One map + one per-group top-k window — a single shuffle keyed on
-    the group, any corpus size; non-positive weights are excluded (the
-    scheme is undefined for them).  Adds ``es_key`` and ``rank``.
+    One map + one two-phase per-group top-k (operators/ranking.py:
+    grouped_topk — a corpus-sized group never funnels its full row set
+    through one task); non-positive weights are excluded (the scheme is
+    undefined for them).  Adds ``es_key`` and ``rank``.
     """
+    from moonshot_spark.operators.ranking import grouped_topk
+
     w = F.col(weight_col).cast("double")
     key = F.log(uniform_hash_expr(id_col, salt)) / w
-    ranked = (df.where(w > 0)
-              .withColumn("es_key", key)
-              .withColumn("rank", F.row_number().over(
-                  Window.partitionBy(group_col)
-                  .orderBy(F.desc("es_key"), F.asc(id_col))).cast("int")))
-    return ranked.where(F.col("rank") <= k)
+    scored = df.where(w > 0).withColumn("es_key", key)
+    out = grouped_topk(scored, [group_col],
+                       [F.desc("es_key"), F.asc(id_col)], k)
+    return out.withColumn("rank", F.col("rank").cast("int"))

@@ -488,3 +488,54 @@ def test_stream_scores_against_trained_kmeans_centroids(spark, tmp_path):
     got = {r["vec_id"]: r["cluster"]
            for r in spark.read.parquet(out).collect()}
     assert got == expect
+
+
+def test_stream_incremental_exact_dedup(spark, tmp_path):
+    """Micro-batched corpus ingestion deduped against the versioned
+    fingerprint index: (keep, dup) pairs over the run equal the batch
+    full-recompute mapping, and the final index equals a from-scratch
+    rebuild."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from moonshot_spark.datapipe.dedup import exact_duplicate_mapping
+    from moonshot_spark.datapipe.incremental_dedup import (
+        exact_fingerprint_index)
+    from moonshot_spark.streaming.pipeline import (
+        stream_incremental_exact_dedup)
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    b1 = [(i, f"text {i % 4}") for i in range(10)]
+    b2 = [(i, f"text {i % 4}") for i in range(10, 18)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    index_root = str(tmp_path / "index")
+    dups_path = str(tmp_path / "dups")
+    q = stream_incremental_exact_dedup(
+        stream, index_root, dups_path,
+        str(tmp_path / "ckpt")).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    want_pairs = sorted((r["keep_id"], r["dup_id"]) for r in
+                        exact_duplicate_mapping(full).collect())
+    got_pairs = sorted((r["keep_id"], r["dup_id"]) for r in
+                       spark.read.parquet(dups_path).collect())
+    assert got_pairs == want_pairs and len(got_pairs) == 14
+
+    import re
+    versions = sorted(int(re.fullmatch(r"v=(\d+)", n).group(1))
+                      for n in os.listdir(index_root)
+                      if re.fullmatch(r"v=(\d+)", n))
+    final_idx = sorted(map(tuple, spark.read.parquet(
+        f"{index_root}/v={versions[-1]}").collect()))
+    rebuilt = sorted(map(tuple, exact_fingerprint_index(full).collect()))
+    assert final_idx == rebuilt
