@@ -367,16 +367,24 @@ def centroid_outliers(emb: DataFrame, vec_col: str = "embedding",
     cos = (dot.cast("double")
            / (F.sqrt(nv.cast("double")) * F.sqrt(nc.cast("double"))))
     scored = j.select(id_col, group_col, cos.alias("cosine_to_centroid"))
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("cosine_to_centroid").asc(), F.col(id_col).asc())
-    n_grp = F.count("*").over(Window.partitionBy(group_col))
-    return (scored
-            .withColumn("rank", F.row_number().over(w).cast("int"))
+    # every row needs a rank (not a top-k prune), so the reduction is the
+    # grouped two-phase exact rank — a mega-cluster never funnels its
+    # full membership through one window task (r8; see ranking.py)
+    from moonshot_spark.operators.ranking import grouped_exact_rank
+
+    ranked = grouped_exact_rank(
+        scored, [group_col],
+        [F.col("cosine_to_centroid").asc(), F.col(id_col).asc()],
+        out_col="rank", size_col="__n_grp")
+    return (ranked
+            .withColumn("rank", F.col("rank").cast("int"))
             .withColumn(
                 "is_outlier",
                 (F.col("rank") <= F.greatest(
                     F.lit(1),
-                    F.floor(n_grp * F.lit(outlier_frac)))).cast("int")))
+                    F.floor(F.col("__n_grp") * F.lit(outlier_frac))))
+                .cast("int"))
+            .drop("__n_grp"))
 
 
 def pairwise_ssd_topk(vec_df, id_col: str = "sid", arr_col: str = "arr",

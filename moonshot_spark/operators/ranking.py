@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exact_ntile", "exact_rank", "grouped_topk"]
+__all__ = ["exact_ntile", "exact_rank", "grouped_topk",
+           "grouped_exact_rank"]
 
 
 def grouped_topk(df: DataFrame, group_cols: list[str | Column],
@@ -67,6 +68,61 @@ def grouped_topk(df: DataFrame, group_cols: list[str | Column],
     keep_expr = F.lit(k) if keep is None else \
         (F.lit(keep) if isinstance(keep, int) else keep)
     return out.where(F.col(rank_col) <= keep_expr)
+
+
+def grouped_exact_rank(df: DataFrame, group_cols: list[str],
+                       order_cols: list[str | Column],
+                       out_col: str = "rank",
+                       size_col: str | None = None) -> DataFrame:
+    """Exact per-group 1-based rank over a total order WITHOUT the
+    per-group single-task window — the grouped sibling of
+    ``exact_rank`` for when every row needs a rank (top-k pruning via
+    ``grouped_topk`` doesn't apply).
+
+    Phase 1 ranks within (scan partition, group) — a partitioned
+    window whose tasks are bounded by partition size, not group size.
+    Phase 2 adds each (partition, group) cell's offset: the number of
+    same-group rows ordering entirely before the cell.  Offsets come
+    from a per-cell (min, max, count) aggregate joined back on the same
+    (partition, group) key (Catalyst reuses the phase-1 exchange); the
+    running sum runs on the CELL table (n_partitions rows per group),
+    never on row-level data.
+
+    Correctness requires cells to be ORDER-DISJOINT per group, so
+    phase 0 range-partitions by (group, order) — same-group rows land
+    in order-contiguous partitions (the TeraSort discipline of
+    ``exact_rank``, keyed by group first so a group's range is split
+    only by order position).  ``order_cols`` must be a total order
+    within each group; ``group_cols`` are column NAMES (they key the
+    offset join).  ``size_col`` optionally adds the exact group size
+    (free from the cell table — no second window).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    part = (df.repartitionByRange(n_part, *gcols, *ocols)
+            .localCheckpoint()
+            .withColumn("__gr_pid", F.spark_partition_id()))
+    local = F.row_number().over(
+        Window.partitionBy(F.col("__gr_pid"), *gcols).orderBy(*ocols))
+    ranked = part.withColumn("__gr_local", local)
+    cells = (ranked.groupBy(F.col("__gr_pid"), *gcols)
+             .agg(F.count("*").alias("__gr_n")))
+    # running offset over the tiny cell table: n_partitions rows/group
+    off = (F.sum("__gr_n").over(
+        Window.partitionBy(*gcols).orderBy("__gr_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    tot = F.sum("__gr_n").over(Window.partitionBy(*gcols))
+    cells = cells.select(
+        "__gr_pid", *gcols,
+        F.coalesce(off, F.lit(0)).alias("__gr_off"),
+        tot.alias("__gr_tot"))
+    joined = ranked.join(cells, ["__gr_pid"] + list(group_cols))
+    out = joined.withColumn(
+        out_col, (F.col("__gr_off") + F.col("__gr_local")).cast("bigint"))
+    if size_col is not None:
+        out = out.withColumn(size_col, F.col("__gr_tot"))
+    return out.drop("__gr_pid", "__gr_local", "__gr_off", "__gr_tot")
 
 
 def _two_phase_rank(df: DataFrame, order_cols: list[str | Column],

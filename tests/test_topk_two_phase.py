@@ -149,3 +149,38 @@ def test_mine_hard_negatives_ivf_threshold_dispatch(spark):
     auto = sorted(map(tuple, mine_hard_negatives(
         emb, anchors, n_neg=2, ivf_anchor_threshold=3).collect()))
     assert auto == base
+
+
+def test_grouped_exact_rank_matches_naive_window(spark):
+    """grouped_exact_rank = row_number() OVER (PARTITION BY g ORDER BY
+    ...) exactly, plus the group size, with no per-group funnel."""
+    import random as _r
+    from moonshot_spark.operators.ranking import grouped_exact_rank
+
+    rng = _r.Random(19)
+    rows = [(f"g{i % 5}", i, rng.random()) for i in range(800)]
+    df = spark.createDataFrame(rows, "g string, i int, v double") \
+        .repartition(8)
+    got = {(r["g"], r["i"]): (r["rank"], r["n"]) for r in grouped_exact_rank(
+        df, ["g"], [F.col("v").asc(), F.col("i").asc()],
+        size_col="n").collect()}
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("i").asc())
+    want = {(r["g"], r["i"]): (r["rank"], r["n"]) for r in
+            df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .withColumn("n", F.count("*").over(Window.partitionBy("g")))
+            .collect()}
+    assert got == want
+
+
+def test_grouped_exact_rank_no_per_group_sort_funnel(spark):
+    """The physical plan must contain no Window partitioned by the group
+    alone over row-level data: the row-level window is keyed by
+    (__gr_pid, group), and the group-only windows run on the cell
+    table."""
+    from moonshot_spark.operators.ranking import grouped_exact_rank
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(50)], "g string, i int, v double")
+    out = grouped_exact_rank(df, ["g"], [F.col("v").asc(), F.col("i").asc()])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__gr_pid" in plan, plan
