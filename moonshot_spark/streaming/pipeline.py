@@ -275,3 +275,62 @@ def stream_incremental_exact_dedup(doc_stream: DataFrame, index_root: str,
             .foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append"))
+
+
+def stream_incremental_minhash_pairs(doc_stream: DataFrame,
+                                     sig_index_root: str, pairs_path: str,
+                                     checkpoint_dir: str,
+                                     text_col: str = "text",
+                                     id_col: str = "doc_id",
+                                     num_hashes: int = 16, bands: int = 4,
+                                     shingle_n: int = 3):
+    """Streaming near-dup detection: each micro-batch's MinHash
+    signatures probe the persisted signature index, candidate pairs
+    involving the batch land in ``pairs_path/batch_id=N``, and the index
+    gains the batch's signatures — the MinHash sibling of
+    ``stream_incremental_exact_dedup`` with the same versioned-index /
+    read-below-own-batch replay protocol.  Signatures are pure md5
+    functions of the text, so the union of all emitted batches equals
+    the full-recompute ``lsh_candidate_pairs`` over everything ingested
+    (each pair surfaces exactly once, in the batch its LATER member
+    arrives — ids assumed unique across batches)."""
+    import os
+    import re
+
+    from moonshot_spark.datapipe.dedup import minhash_signatures
+    from moonshot_spark.datapipe.incremental_dedup import (
+        incremental_minhash_pairs)
+
+    def _load_sigs(spark, below: int):
+        if os.path.isdir(sig_index_root):
+            versions = [int(m.group(1)) for n in os.listdir(sig_index_root)
+                        if (m := re.fullmatch(r"v=(\d+)", n))
+                        and int(m.group(1)) < below]
+            if versions:
+                return spark.read.parquet(
+                    f"{sig_index_root}/v={max(versions)}")
+        return spark.createDataFrame(
+            [], f"{id_col} bigint, minhash_sig array<string>")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        docs = batch_df.select(F.col(id_col), F.col(text_col))
+        index_sigs = _load_sigs(spark, batch_id)
+        pairs = incremental_minhash_pairs(
+            docs, index_sigs, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+        # drop new-new pairs' duplicates vs prior batches is unnecessary:
+        # prior pairs never involve this batch's ids (unique-id contract)
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/batch_id={batch_id}")
+        new_sigs = minhash_signatures(docs, text_col, id_col,
+                                      num_hashes, shingle_n)
+        index_sigs.unionByName(new_sigs).write.mode("overwrite").parquet(
+            f"{sig_index_root}/v={batch_id}")
+
+    return (doc_stream.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append"))

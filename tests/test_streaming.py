@@ -539,3 +539,41 @@ def test_stream_incremental_exact_dedup(spark, tmp_path):
         f"{index_root}/v={versions[-1]}").collect()))
     rebuilt = sorted(map(tuple, exact_fingerprint_index(full).collect()))
     assert final_idx == rebuilt
+
+
+def test_stream_incremental_minhash_pairs(spark, tmp_path):
+    """Union of per-batch LSH pair outputs equals the batch
+    full-recompute lsh_candidate_pairs over everything ingested."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from moonshot_spark.datapipe.dedup import lsh_candidate_pairs
+    from moonshot_spark.streaming.pipeline import (
+        stream_incremental_minhash_pairs)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + (" extra" if i % 4 == 0 else "")
+             + (f" tail{i % 3}" if i % 2 else "")) for i in range(12)]
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    spark.createDataFrame(rows[:7], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(rows[7:], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    pairs_path = str(tmp_path / "pairs")
+    q = stream_incremental_minhash_pairs(
+        stream, str(tmp_path / "sigs"), pairs_path,
+        str(tmp_path / "ckpt")).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    got = sorted(map(tuple, spark.read.parquet(pairs_path)
+                     .select("doc_a", "doc_b", "est_jaccard").collect()))
+    want = sorted(map(tuple, lsh_candidate_pairs(
+        spark.createDataFrame(rows, schema),
+        num_hashes=16, bands=4, shingle_n=3).collect()))
+    assert got == want and len(got) > 0
