@@ -138,27 +138,104 @@ def markowitz_step_chain(k: int):
     return agg_exprs, steps, guard
 
 
+def _compile_steps_numpy(k: int):
+    """Compile the generated step text into ONE vectorized numpy
+    function over the aggregate columns.
+
+    Bit-exactness argument: every step is two-operand double arithmetic
+    (+, -, *, /) plus abs and an exact int64→double cast.  numpy float64
+    ufuncs perform strict per-op IEEE-754 round-to-nearest with no FMA
+    contraction — the same semantics Spark SQL and DuckDB give the
+    identical expression TEXT — and Python's parser assigns the same
+    precedence/associativity as SQL to these operators, so evaluating
+    the step strings as Python yields bit-identical doubles.  (Pinned
+    by the oracle hash-compare and test_markowitz.py's _eval_steps
+    replay.)
+    """
+    import re
+
+    agg_exprs, steps, guard = markowitz_step_chain(k)
+    lines = []
+    for name, txt in steps:
+        expr = re.sub(r"\bCAST\((\w+) AS DOUBLE\)",
+                      r"\1.astype('float64')", txt)
+        lines.append(f"    {name} = {expr}")
+    g = "(" + guard.replace(" AND ", ") & (") + ")"
+    g = re.sub(r"\babs\(", "_np.abs(", g)
+    in_names = [name for name, _ in agg_exprs]
+    src = ("def _solve(_np, " + ", ".join(in_names) + "):\n"
+           + "\n".join(lines)
+           + f"\n    _mask = {g}\n"
+           + "    return _mask, nd, ["
+           + ", ".join(f"(m_{i}, w_{i}, wn_{i})"
+                       for i in range(1, k + 1)) + "]\n")
+    ns: dict = {}
+    exec(src, ns)          # noqa: S102 — generated from our own literals
+    return ns["_solve"], in_names
+
+
 def markowitz_weights(piv: DataFrame, k: int,
                       group_cols: list[str] | None = None) -> DataFrame:
     """Mean-variance weights for a k-asset sleeve from a pivoted
     complete-case return frame (columns r1..rk, one row per date, plus
     optional ``group_cols``).  Returns one row per (group, sid 1..k):
-    (group_cols..., sid, n_obs, mean_ret, raw_weight, weight)."""
+    (group_cols..., sid, n_obs, mean_ret, raw_weight, weight).
+
+    Execution shape: the only data-sized stage is the sufficient-
+    statistics aggregate (map-side combinable, one shuffle when
+    grouped).  The solve chain then runs as ONE Arrow-batched
+    ``mapInPandas`` kernel over the GROUP-CARDINALITY aggregate rows —
+    vectorized across sleeves, never touching corpus rows.  An earlier
+    all-Catalyst variant expressed the ~100 chained scalar steps as
+    column projections; Spark spent ~2.5 s PER RUN regenerating and
+    janino-compiling 17 hundred-column interpreted projections for what
+    is microseconds of arithmetic (PERF.md r8) — the same reasoning as
+    the ivf_probe_col "numpy-heavy" exception, from the opposite
+    direction: a deep SCALAR chain on tiny cardinality belongs in one
+    compiled kernel, not in the plan.  Weights stay bit-identical to
+    the oracle's CTE replay (see _compile_steps_numpy).
+    """
+    import pandas as pd
+
     gcols = list(group_cols or [])
-    agg_exprs, steps, guard = markowitz_step_chain(k)
+    agg_exprs, _steps, _guard = markowitz_step_chain(k)
     aggs = [F.expr(txt).alias(name) for name, txt in agg_exprs]
     agg = piv.groupBy(*gcols).agg(*aggs) if gcols else piv.agg(*aggs)
-    out = agg
-    for name, txt in steps:
-        out = out.selectExpr("*", f"{txt} AS {name}")
-    out = out.where(F.expr(guard))
-    stack_args = ", ".join(
-        f"'{i}', m_{i}, w_{i}, wn_{i}" for i in range(1, k + 1))
-    return out.selectExpr(
-        *gcols, "CAST(nd AS BIGINT) AS n_obs",
-        f"stack({k}, {stack_args}) AS "
-        "(sid, mean_ret, raw_weight, weight)"
-    ).select(*gcols, "sid", "n_obs", "mean_ret", "raw_weight", "weight")
+    solve, in_names = _compile_steps_numpy(k)
+
+    gfields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in agg.schema if f.name in gcols)
+    out_schema = (f"{gfields}, " if gfields else "") + \
+        "sid string, n_obs bigint, mean_ret double, " \
+        "raw_weight double, weight double"
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cols = [pdf[n].to_numpy() for n in in_names]
+            mask, nd, per_sid = solve(np, *cols)
+            keep = np.asarray(mask, dtype=bool)
+            if not keep.any():
+                continue
+            n_obs = nd[keep].astype("int64")
+            out = {c: np.tile(pdf[c].to_numpy()[keep], k) for c in gcols}
+            out["sid"] = np.repeat([str(i) for i in range(1, k + 1)],
+                                   int(keep.sum()))
+            out["n_obs"] = np.tile(n_obs, k)
+            out["mean_ret"] = np.concatenate(
+                [m[keep] for m, _, _ in per_sid])
+            out["raw_weight"] = np.concatenate(
+                [w[keep] for _, w, _ in per_sid])
+            out["weight"] = np.concatenate(
+                [wn[keep] for _, _, wn in per_sid])
+            yield pd.DataFrame(out)
+
+    return (agg.mapInPandas(kernel, out_schema)
+            .select(*gcols, "sid", "n_obs", "mean_ret",
+                    "raw_weight", "weight"))
 
 
 def markowitz_cte_sql(k: int, base_cte: str, base_name: str = "cl") -> str:
