@@ -275,10 +275,14 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
         nb = (edges.join(labels, edges.dst == labels.node)
               .select(F.col("src").alias("node"), "label"))
         cnt = nb.groupBy("node", "label").agg(F.count("*").alias("c"))
-        top = Window.partitionBy("node").orderBy(F.desc("c"),
-                                                 F.asc("label"))
-        labels = (cnt.withColumn("__rn", F.row_number().over(top))
-                  .where(F.col("__rn") == 1).select("node", "label"))
+        # top-1 as a min_by AGGREGATE, not a per-node window: the
+        # (-count, label) struct key makes min_by exactly the
+        # (count desc, label asc) argmax, and the partial aggregate
+        # combines map-side — a hub node's label votes never buffer in
+        # one window task (r8)
+        labels = cnt.groupBy("node").agg(
+            F.min_by("label", F.struct((-F.col("c")).alias("nc"),
+                                       F.col("label"))).alias("label"))
     return (labels
             .select(F.col("node"), F.col("label").alias("community"))
             .withColumn("community_size",
