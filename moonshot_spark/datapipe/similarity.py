@@ -106,6 +106,26 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select(query_id_col, id_col, "cosine", F.col("rank").cast("int")))
 
 
+def brute_force_l2_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k EUCLIDEAN neighbors (squared L2, no sqrt — monotone)
+    per query: the metric twin of ``brute_force_topk`` for hybrid
+    retrieval stacks (datapipe/fusion.py).  Same scale shape: broadcast
+    query set, one linear corpus pass, two-phase reduction.  Returns
+    (query_id, vec_id, ssd, rank), ties by vec_id."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    joined = corpus.crossJoin(F.broadcast(q))
+    a = _as_double(F.col(vec_col))
+    b = _as_double(F.col("__qvec"))
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    ssd = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    scored = joined.select(query_id_col, id_col, ssd.alias("ssd"))
+    return (grouped_topk(scored, [query_id_col],
+                         [F.asc("ssd"), F.asc(id_col)], k)
+            .select(query_id_col, id_col, "ssd", F.col("rank").cast("int")))
+
+
 def hyperplane_signature_expr(vec_col, planes: list[list[float]]):
     """Random-hyperplane LSH signature: bit j = sign(vec · plane_j).
 

@@ -13126,3 +13126,74 @@ def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_sigs = minhash_signatures(existing, num_hashes=16, shingle_n=3)
     return incremental_minhash_pairs(new, index_sigs,
                                      num_hashes=16, bands=4, shingle_n=3)
+
+
+@register("rrf_hybrid_topk", """
+WITH corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), queries AS (
+    SELECT vec_id AS query_id, v AS q FROM corpus WHERE vec_id < 8
+), cos AS (
+    SELECT q.query_id, c.vec_id,
+           list_reduce(list_transform(range(1, len(c.v) + 1),
+               i -> c.v[i] * q.q[i]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, len(c.v) + 1),
+                  i -> c.v[i] * c.v[i]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, len(q.q) + 1),
+                  i -> q.q[i] * q.q[i]), (x, y) -> x + y))) AS s
+    FROM corpus c CROSS JOIN queries q
+), l2 AS (
+    SELECT q.query_id, c.vec_id,
+           list_reduce(list_transform(range(1, len(c.v) + 1),
+               i -> (c.v[i] - q.q[i]) * (c.v[i] - q.q[i])),
+               (x, y) -> x + y) AS s
+    FROM corpus c CROSS JOIN queries q
+), r1 AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, vec_id) AS rank
+    FROM cos
+), r2 AS (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s ASC, vec_id) AS rank
+    FROM l2
+), contrib AS (
+    SELECT query_id, vec_id,
+           CAST(floor(1000000000000000.0 / (60.0 + rank)) AS BIGINT) AS c
+    FROM r1 WHERE rank <= 20
+    UNION ALL
+    SELECT query_id, vec_id,
+           CAST(floor(1000000000000000.0 / (60.0 + rank)) AS BIGINT) AS c
+    FROM r2 WHERE rank <= 20
+), fused AS (
+    SELECT query_id, vec_id, sum(c) AS rrf_score,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM contrib GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+       n_lists, CAST(rank AS INT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, vec_id) AS rank
+    FROM fused
+) WHERE rank <= 5
+""")
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via reciprocal-rank fusion (Cormack et al.
+    SIGIR'09; datapipe/fusion.py): a dense cosine retriever and a
+    Euclidean retriever each produce exact top-20 lists per query,
+    fused by integer-quantized RRF and re-ranked to a final top-5.
+    Order-free exact integer score sum -> bit-identical oracle replay;
+    every reduction two-phase (no per-query funnel anywhere in the
+    retrievers or the fusion)."""
+    from moonshot_spark.datapipe.fusion import reciprocal_rank_fusion
+    from moonshot_spark.datapipe.similarity import (brute_force_l2_topk,
+                                                    brute_force_topk)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = (emb.where(F.col("vec_id") < 8)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    dense = brute_force_topk(emb, queries_df, k=20)
+    lexical_stand_in = brute_force_l2_topk(emb, queries_df, k=20)
+    return reciprocal_rank_fusion([dense, lexical_stand_in], top_k=5)

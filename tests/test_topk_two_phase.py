@@ -184,3 +184,68 @@ def test_grouped_exact_rank_no_per_group_sort_funnel(spark):
     out = grouped_exact_rank(df, ["g"], [F.col("v").asc(), F.col("i").asc()])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "__gr_pid" in plan, plan
+
+
+def test_hypothesis_grouped_reducers_match_naive(spark):
+    """Property: for random data, group counts, k, and partitioning,
+    grouped_topk and grouped_exact_rank equal their naive-window
+    definitions exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from moonshot_spark.operators.ranking import (grouped_exact_rank,
+                                                  grouped_topk)
+
+    row = st.tuples(st.integers(0, 4), st.integers(0, 10_000),
+                    st.floats(allow_nan=False, allow_infinity=False,
+                              width=32))
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=120, unique_by=lambda r: r[1]),
+           st.integers(1, 6), st.integers(1, 7))
+    def check(rows, k, n_parts):
+        df = spark.createDataFrame(
+            rows, "g int, i long, v double").repartition(n_parts)
+        order = [F.desc("v"), F.asc("i")]
+        w = Window.partitionBy("g").orderBy(*order)
+        naive_top = sorted(map(tuple,
+                               df.withColumn("rank", F.row_number().over(w))
+                               .where(F.col("rank") <= k).collect()))
+        got_top = sorted(map(tuple, grouped_topk(df, ["g"], order, k)
+                             .collect()))
+        assert got_top == naive_top
+        naive_rank = sorted(map(tuple,
+                                df.withColumn(
+                                    "rank",
+                                    F.row_number().over(w).cast("bigint"))
+                                .collect()))
+        got_rank = sorted(map(tuple, grouped_exact_rank(df, ["g"], order)
+                              .collect()))
+        assert got_rank == naive_rank
+
+    check()
+
+
+def test_reciprocal_rank_fusion_manual(spark):
+    """RRF on two hand-built lists: scores are the integer-quantized
+    1/(60+r) sums, candidates in both lists outrank singletons, ties by
+    id."""
+    from moonshot_spark.datapipe.fusion import reciprocal_rank_fusion
+
+    l1 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id int, vec_id int, rank int")
+    l2 = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 10, 3)],
+        "query_id int, vec_id int, rank int")
+    out = {r["vec_id"]: r for r in
+           reciprocal_rank_fusion([l1, l2], top_k=4).collect()}
+
+    def c(rank):
+        import math
+        return math.floor(1e15 / (60.0 + rank))
+
+    assert out[11]["rrf_score"] == c(2) + c(1) and out[11]["rank"] == 1
+    assert out[10]["rrf_score"] == c(1) + c(3) and out[10]["rank"] == 2
+    assert out[11]["n_lists"] == 2 and out[12]["n_lists"] == 1
+    assert out[13]["rank"] == 3 and out[12]["rank"] == 4   # c(2) > c(3)
