@@ -288,3 +288,35 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
             .withColumn("community_size",
                         F.count("*").over(
                             Window.partitionBy("community"))))
+
+
+def incremental_components(prior: DataFrame, new_edges: DataFrame,
+                           src: str = "src", dst: str = "dst",
+                           max_iter: int = 25) -> DataFrame:
+    """Incremental connected components: fold a batch of NEW edges into a
+    PRIOR (node, comp) cluster map without re-reading historical edges —
+    the cluster-resolution half of the incremental dedup story
+    (datapipe/incremental_dedup.py emits the incremental pairs).
+
+    Correctness algebra: each prior component is contracted to its STAR
+    (member → comp edges).  CC over (star edges ∪ new edges) equals CC
+    over (all historical edges ∪ new edges): the star preserves exactly
+    the connectivity of its component, and with min-id labels the star
+    center IS the component min, so merged clusters land on the global
+    min id — the incremental map is IDENTICAL to a full recompute, not
+    just isomorphic.  Prior singletons (node == comp, untouched by the
+    batch) carry no star edge; they are re-admitted by an anti-join.
+
+    Scale: the star table is |prior nodes| rows and the CC rounds run on
+    (star ∪ batch) — proportional to corpus dup-structure + batch, never
+    to historical EDGES (which can be a large multiple of nodes for
+    clique-ish duplicate groups).  Uses the topology-adaptive CC."""
+    star = (prior.select(F.col("node").alias(src),
+                         F.col("comp").alias(dst))
+            .where(F.col(src) != F.col(dst)))
+    edges = star.unionByName(new_edges.select(F.col(src), F.col(dst)))
+    labels = connected_components_adaptive(edges, src=src, dst=dst,
+                                           max_iter=max_iter)
+    untouched = prior.join(labels, "node", "left_anti") \
+        .select("node", "comp")
+    return labels.unionByName(untouched)

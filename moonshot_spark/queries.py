@@ -13197,3 +13197,48 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = brute_force_topk(emb, queries_df, k=20)
     lexical_stand_in = brute_force_l2_topk(emb, queries_df, k=20)
     return reciprocal_rank_fusion([dense, lexical_stand_in], top_k=5)
+
+
+@register("dedup_clusters_incremental", None)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cluster maintenance (datapipe/graph.py::
+    incremental_components): prior clusters (from pairs among the
+    already-ingested corpus, doc_id % 5 != 0) are contracted to star
+    edges and merged with the batch-touching pairs — no historical edge
+    is re-read.  The oracle is dedup_clusters' FULL-recompute recursive
+    CTE verbatim: the incremental map must equal the from-scratch result
+    exactly (same min-id cluster ids, same sizes), which is the
+    contraction-algebra contract, value-checked."""
+    from moonshot_spark.datapipe.dedup import (
+        lsh_candidate_pairs, ngram_jaccard_pairs, shingle_frame)
+    from moonshot_spark.datapipe.graph import (
+        connected_components_adaptive, incremental_components)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = (docs.where(F.col("doc_id") < 25)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    corpus = docs.unionByName(clones)
+    sh = shingle_frame(corpus).persist()
+    cand = lsh_candidate_pairs(corpus, shingles=sh,
+                               include_est_jaccard=False)
+    verified = (ngram_jaccard_pairs(corpus, cand, shingles=sh)
+                .where(F.col("jaccard") >= 0.5)
+                .select("doc_a", "doc_b")
+                .persist())
+    is_new_a = F.col("doc_a") % 5 == 0
+    is_new_b = F.col("doc_b") % 5 == 0
+    old_pairs = verified.where(~is_new_a & ~is_new_b)
+    new_pairs = verified.where(is_new_a | is_new_b)
+    prior = connected_components_adaptive(old_pairs,
+                                          src="doc_a", dst="doc_b")
+    labels = incremental_components(prior, new_pairs,
+                                    src="doc_a", dst="doc_b")
+    return (labels.select(F.col("node").alias("doc_id"),
+                          F.col("comp").alias("cluster_id"))
+            .withColumn("cluster_size",
+                        F.count("*").over(
+                            Window.partitionBy("cluster_id"))
+                        .cast("bigint")))
+
+
+ORACLES["dedup_clusters_incremental"] = ORACLES["dedup_clusters"]

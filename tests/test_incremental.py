@@ -158,3 +158,31 @@ def test_incremental_minhash_equals_full_recompute(spark):
         .where((F.col("doc_a") % 3 == 0) | (F.col("doc_b") % 3 == 0))
         .collect()))
     assert inc == full and len(inc) > 0
+
+
+def test_incremental_components_equals_full_cc(spark):
+    """Contraction algebra: CC(prior stars ∪ new edges) == CC(all edges),
+    including min-id cluster ids, chain merges across the split, and
+    untouched prior singleton clusters."""
+    import random
+
+    from moonshot_spark.datapipe.graph import (
+        connected_components_adaptive, incremental_components)
+
+    rng = random.Random(23)
+    edges = [(i, i + 1) for i in range(0, 30, 3)]            # 3-chains
+    edges += [(a, a + 40) for a in range(0, 20, 2)]          # pairs
+    edges += [(rng.randrange(60), rng.randrange(60)) for _ in range(25)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # arbitrary split: "old" = both endpoints even, "new" = the rest
+    old = df.where((F.col("src") % 2 == 0) & (F.col("dst") % 2 == 0))
+    new = df.where((F.col("src") % 2 != 0) | (F.col("dst") % 2 != 0))
+    prior = connected_components_adaptive(old)
+    # add an untouched singleton cluster to the prior map
+    prior = prior.unionByName(
+        spark.createDataFrame([(999, 999)], "node long, comp long"))
+    inc = sorted(map(tuple, incremental_components(prior, new).collect()))
+    full = sorted(map(tuple, connected_components_adaptive(df).collect()))
+    assert (999, 999) in inc
+    assert [r for r in inc if r[0] != 999] == full
