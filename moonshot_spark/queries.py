@@ -13242,3 +13242,98 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["dedup_clusters_incremental"] = ORACLES["dedup_clusters"]
+
+
+@register("lsh_recall_report", """
+WITH toks0 AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        list_distinct(list_transform(range(0, len(t) - 2),
+            i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))
+        ELSE [] END AS shingles
+    FROM toks0
+), sl AS (
+    SELECT doc_id, list_transform(shingles, s -> flatten(list_transform(
+        [md5(s), md5('a|' || s), md5('b|' || s), md5('c|' || s)],
+        h -> [substr(h, 1, 8), substr(h, 9, 8), substr(h, 17, 8),
+              substr(h, 25, 8)]))) AS slices
+    FROM sh WHERE len(shingles) > 0
+), sigs AS (
+    SELECT doc_id, list_transform(range(1, 17),
+        i -> list_min(list_transform(slices, a -> a[i]))) AS sig
+    FROM sl
+), bands AS (
+    SELECT doc_id, b.band_id,
+           md5(array_to_string(list_slice(sig, b.band_id * 4 + 1,
+                                          b.band_id * 4 + 4), '|')) AS band_hash
+    FROM sigs, (SELECT unnest(range(0, 4)) AS band_id) b
+), cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.shingles, b.shingles)) AS inter,
+           len(a.shingles) AS sa, len(b.shingles) AS sb
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+), truth AS (
+    SELECT doc_a, doc_b FROM pairs
+    WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) >= 0.8
+), joined AS (
+    SELECT coalesce(c.doc_a, t.doc_a) AS doc_a,
+           CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_cand,
+           CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth
+    FROM cand c FULL OUTER JOIN truth t
+      ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT CAST(sum(in_cand) AS BIGINT) AS n_candidates,
+       CAST(sum(in_truth) AS BIGINT) AS n_truth,
+       CAST(sum(in_cand * in_truth) AS BIGINT) AS tp,
+       CAST(sum(in_truth * (1 - in_cand)) AS BIGINT) AS fn,
+       CAST(sum(in_cand * in_truth) AS DOUBLE)
+           / CAST(sum(in_truth) AS DOUBLE) AS recall,
+       CAST(sum(in_cand * in_truth) AS DOUBLE)
+           / CAST(sum(in_cand) AS DOUBLE) AS candidate_precision
+FROM joined
+""")
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning report: candidate pairs from the 16-hash/4-band MinHash
+    index scored against the EXACT Jaccard >= 0.8 pair set (brute-force
+    ground truth, the quality the PPJoin path guarantees) — the
+    recall/precision measurement that picks (num_hashes, bands) for a
+    corpus.  Counts are exact integers; the two ratios are single
+    divisions of those integers, so the report hash-matches the oracle.
+    Scale: the candidate side is the banded equi-join; the truth side is
+    the exact all-pairs — at 100 TB you run this on a deterministic
+    hash-sample of the corpus (stratified_sample), which changes no
+    plumbing."""
+    from moonshot_spark.datapipe.dedup import (
+        lsh_candidate_pairs, prefix_filter_jaccard_pairs)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = (lsh_candidate_pairs(docs, include_est_jaccard=False)
+            .withColumn("in_cand", F.lit(1)))
+    # ground truth via the PPJoin prefix filter: the exact Jaccard>=0.8
+    # pair set with ZERO false negatives and no cartesian product — the
+    # oracle states the same set as brute-force all-pairs SQL
+    truth = (prefix_filter_jaccard_pairs(docs, threshold=0.8)
+             .select("doc_a", "doc_b")
+             .withColumn("in_truth", F.lit(1)))
+    joined = cand.select("doc_a", "doc_b", "in_cand").join(
+        truth, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_cand", F.lit(0)).alias("in_cand"),
+        F.coalesce("in_truth", F.lit(0)).alias("in_truth"))
+    return joined.agg(
+        F.sum("in_cand").cast("bigint").alias("n_candidates"),
+        F.sum("in_truth").cast("bigint").alias("n_truth"),
+        F.sum(F.col("in_cand") * F.col("in_truth")).cast("bigint")
+        .alias("tp"),
+        F.sum(F.col("in_truth") * (F.lit(1) - F.col("in_cand")))
+        .cast("bigint").alias("fn"),
+        (F.sum(F.col("in_cand") * F.col("in_truth")).cast("double")
+         / F.sum("in_truth").cast("double")).alias("recall"),
+        (F.sum(F.col("in_cand") * F.col("in_truth")).cast("double")
+         / F.sum("in_cand").cast("double")).alias("candidate_precision"))
