@@ -232,3 +232,58 @@ def weighted_sample_without_replacement(
     out = grouped_topk(scored, [group_col],
                        [F.desc("es_key"), F.asc(id_col)], k)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def waterfill_allocation(domains: DataFrame, budget_col: str = "budget",
+                         weight_col: str = "weight",
+                         avail_col: str = "avail",
+                         key_cols: tuple = ("domain",)) -> DataFrame:
+    """Token-budget allocation across domains: proportional to ``weight``
+    but capped by ``avail`` (the waterfilling / proportional-with-caps
+    solve every corpus-mixing recipe needs: "allocate B tokens 5:2:2:1
+    across en/de/es/fr, but a low-resource domain can't give more than
+    it has — redistribute its shortfall proportionally").
+
+    Closed form, no iteration: domains saturate in ascending
+    avail/weight order, so sorting by that ratio and prefix-summing
+    (weight, avail) identifies the saturated prefix in one pass —
+    domain p saturates iff avail_p * W_rem_p <= weight_p * B_rem_p with
+    the remainders taken after the prefix before p (exact BIGINT
+    cross-multiplication, no division), guarded prefix-closed by a
+    running min.  Non-saturated domains get
+    floor(weight_i * B_final / W_final).  All decisions are integer
+    arithmetic — bit-identical in any engine.
+
+    ``domains`` is domain-cardinality (languages/sources — a dim table),
+    so the unpartitioned ordering windows are bounded by construction;
+    ``budget_col`` rides every row (cross-join a 1-row total upstream).
+    Returns (key_cols..., avail, weight, saturated INT, allocated).
+    """
+    keys = list(key_cols)
+    ratio = (F.col(avail_col).cast("double")
+             / F.col(weight_col).cast("double"))
+    w_ord = Window.orderBy(ratio.asc(), *[F.col(k) for k in keys])
+    prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    full = w_ord.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    cum_w_prev = F.coalesce(F.sum(weight_col).over(prev), F.lit(0))
+    cum_a_prev = F.coalesce(F.sum(avail_col).over(prev), F.lit(0))
+    w_total = F.sum(weight_col).over(full)
+    cond = (F.col(avail_col) * (w_total - cum_w_prev)
+            <= F.col(weight_col) * (F.col(budget_col) - cum_a_prev))
+    staged = domains.withColumn("__c", cond.cast("int"))
+    sat = F.min("__c").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    staged = staged.withColumn("__sat", sat)
+    sat_a = F.coalesce(F.sum(F.when(F.col("__sat") == 1,
+                                    F.col(avail_col))).over(full), F.lit(0))
+    sat_w = F.coalesce(F.sum(F.when(F.col("__sat") == 1,
+                                    F.col(weight_col))).over(full), F.lit(0))
+    b_final = F.col(budget_col) - sat_a
+    w_final = F.sum(F.col(weight_col)).over(full) - sat_w
+    alloc = F.when(F.col("__sat") == 1, F.col(avail_col)).otherwise(
+        F.floor((F.col(weight_col) * b_final).cast("double")
+                / w_final.cast("double")).cast("bigint"))
+    return staged.select(*keys, F.col(avail_col), F.col(weight_col),
+                         F.col("__sat").alias("saturated"),
+                         alloc.alias("allocated"))

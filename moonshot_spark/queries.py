@@ -13337,3 +13337,87 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.sum("in_truth").cast("double")).alias("recall"),
         (F.sum(F.col("in_cand") * F.col("in_truth")).cast("double")
          / F.sum("in_cand").cast("double")).alias("candidate_precision"))
+
+
+@register("token_budget_waterfill", """
+WITH avail AS (
+    SELECT lang,
+           sum(CAST(floor(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT))
+               AS avail
+    FROM documents GROUP BY lang
+), weighted AS (
+    SELECT lang, avail,
+           CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2
+                     WHEN 'es' THEN 2 ELSE 1 END AS weight
+    FROM avail
+), budgeted AS (
+    SELECT *, (SELECT CAST(floor(CAST(sum(avail) AS DOUBLE) * 0.6)
+                           AS BIGINT) FROM weighted) AS budget
+    FROM weighted
+), ordered AS (
+    SELECT *,
+           coalesce(sum(weight) OVER (ORDER BY
+               CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE), lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_w_prev,
+           coalesce(sum(avail) OVER (ORDER BY
+               CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE), lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_a_prev,
+           sum(weight) OVER () AS w_total
+    FROM budgeted
+), cond AS (
+    SELECT *, CASE WHEN avail * (w_total - cum_w_prev)
+                        <= weight * (budget - cum_a_prev)
+                   THEN 1 ELSE 0 END AS c
+    FROM ordered
+), satd AS (
+    SELECT *, min(c) OVER (ORDER BY
+        CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE), lang
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sat
+    FROM cond
+), finals AS (
+    SELECT *,
+           coalesce(sum(CASE WHEN sat = 1 THEN avail END) OVER (), 0)
+               AS sat_a,
+           coalesce(sum(CASE WHEN sat = 1 THEN weight END) OVER (), 0)
+               AS sat_w
+    FROM satd
+)
+SELECT lang, CAST(avail AS BIGINT) AS avail,
+       CAST(weight AS BIGINT) AS weight,
+       CAST(sat AS INT) AS saturated,
+       CAST(CASE WHEN sat = 1 THEN avail
+            ELSE floor(CAST(weight * (budget - sat_a) AS DOUBLE)
+                       / CAST(w_total - sat_w AS DOUBLE)) END
+            AS BIGINT) AS allocated
+FROM finals
+""")
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing budget solve (datapipe/sampling.py::
+    waterfill_allocation): allocate a 60%-of-corpus token budget across
+    languages 5:2:2:1 (en:de:es:others), capped by each language's
+    availability, shortfall redistributed proportionally — the
+    closed-form waterfilling every mixing recipe needs.  Availability is
+    the integer token estimate sum(floor(n_chars/4)) per lang (one
+    map-side-combinable aggregate over the corpus — the only data-sized
+    stage); the solve runs on the language dim.  Exact BIGINT
+    cross-multiplications -> bit-identical oracle replay."""
+    from moonshot_spark.datapipe.sampling import waterfill_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = (docs.groupBy("lang")
+             .agg(F.sum(F.floor(F.col("n_chars").cast("double") / 4.0)
+                        .cast("bigint")).alias("avail")))
+    weight = (F.when(F.col("lang") == "en", 5)
+              .when(F.col("lang") == "de", 2)
+              .when(F.col("lang") == "es", 2)
+              .otherwise(1)).cast("bigint")
+    dom = avail.withColumn("weight", weight)
+    budget = dom.agg(F.floor(F.sum("avail").cast("double") * 0.6)
+                     .cast("bigint").alias("budget"))
+    dom = dom.crossJoin(F.broadcast(budget))
+    out = waterfill_allocation(dom, key_cols=("lang",))
+    return out.select("lang", F.col("avail").cast("bigint"),
+                      F.col("weight").cast("bigint"),
+                      "saturated", "allocated")

@@ -1248,3 +1248,47 @@ def test_parse_byte_conf_units():
     assert _parse_byte_conf("2k") == 2048
     assert _parse_byte_conf("128b") == 128
     assert _parse_byte_conf("garbage") == 128 * 1024 * 1024
+
+
+def test_waterfill_allocation_matches_iterative_reference(spark):
+    """Property: the closed-form (sort + prefix-sum) waterfilling equals
+    the obviously-correct ITERATIVE algorithm (repeatedly saturate any
+    domain whose proportional share exceeds its cap) on random inputs,
+    including all-saturated (budget > total) and none-saturated cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from moonshot_spark.datapipe.sampling import waterfill_allocation
+
+    def ref(domains, budget):
+        # domains: dict name -> (avail, weight)
+        sat, alloc = set(), {}
+        while True:
+            w_rem = sum(w for n, (a, w) in domains.items() if n not in sat)
+            b_rem = budget - sum(domains[n][0] for n in sat)
+            newly = [n for n, (a, w) in domains.items()
+                     if n not in sat and a * w_rem <= w * b_rem]
+            if not newly:
+                break
+            sat.update(newly)
+        w_rem = sum(w for n, (a, w) in domains.items() if n not in sat)
+        b_rem = budget - sum(domains[n][0] for n in sat)
+        for n, (a, w) in domains.items():
+            alloc[n] = a if n in sat else (w * b_rem) // w_rem
+        return {n: (int(n in sat), alloc[n]) for n in domains}
+
+    pair = st.tuples(st.integers(0, 10_000), st.integers(1, 9))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(pair, min_size=1, max_size=6),
+           st.integers(0, 40_000))
+    def check(pairs, budget):
+        domains = {f"d{i}": p for i, p in enumerate(pairs)}
+        rows = [(n, a, w, budget) for n, (a, w) in domains.items()]
+        df = spark.createDataFrame(
+            rows, "domain string, avail bigint, weight bigint, budget bigint")
+        got = {r["domain"]: (r["saturated"], r["allocated"])
+               for r in waterfill_allocation(df).collect()}
+        assert got == ref(domains, budget)
+
+    check()

@@ -366,6 +366,7 @@ def test_catalog_wide_no_unbounded_single_partition_funnels():
         "salted_heavy_hitters": "post-agg top-k candidates",
         "session_path_trigrams": "event-type^3 path vocabulary",
         "sid_liquidity_screen": "one row per sid",
+        "token_budget_waterfill": "one row per language (domain dim)",
         "universe_churn_weekly": "one row per week",
         "walkforward_ar1_cv": "fold grid",
     }
