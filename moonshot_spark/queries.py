@@ -13421,3 +13421,51 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", F.col("avail").cast("bigint"),
                       F.col("weight").cast("bigint"),
                       "saturated", "allocated")
+
+
+@register("corpus_datasheet", """
+WITH fp AS (
+    SELECT doc_id, lang, n_chars,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+    FROM documents
+), cnt AS (
+    SELECT *, count(*) OVER (PARTITION BY f) AS n_same
+    FROM fp
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(floor(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT))
+            AS BIGINT) AS token_est,
+       CAST(floor(CAST(sum(CAST(floor(CAST(n_chars AS DOUBLE) / 4.0)
+                                AS BIGINT)) AS DOUBLE) / count(*))
+            AS BIGINT) AS avg_doc_tokens,
+       CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+       CAST(floor(1000.0 * sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END)
+                  / count(*)) AS BIGINT) AS dup_permille
+FROM cnt GROUP BY lang
+""")
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary per language: doc counts, integer token
+    estimates, and exact-duplicate exposure (docs whose normalized
+    fingerprint occurs more than once ANYWHERE in the corpus — the
+    cross-language window count, one shuffle) — the per-release
+    datasheet table a corpus ships with.  All integers; the two derived
+    ratios are floored single divisions, so the report hash-matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    from moonshot_spark.datapipe.text import fingerprint_expr
+
+    fp = docs.select("doc_id", "lang", "n_chars",
+                     fingerprint_expr("text").alias("f"))
+    n_same = F.count("*").over(Window.partitionBy("f"))
+    cnt = fp.withColumn("__n_same", n_same)
+    tok = F.floor(F.col("n_chars").cast("double") / 4.0).cast("bigint")
+    is_dup = F.when(F.col("__n_same") > 1, 1).otherwise(0)
+    return (cnt.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum(tok).alias("token_est"),
+                 F.floor(F.sum(tok).cast("double") / F.count("*"))
+                 .cast("bigint").alias("avg_doc_tokens"),
+                 F.sum(is_dup).cast("bigint").alias("n_dup_docs"),
+                 F.floor(F.lit(1000.0) * F.sum(is_dup) / F.count("*"))
+                 .cast("bigint").alias("dup_permille")))
