@@ -298,7 +298,13 @@ def test_fourth_wave_no_cartesian_or_global_scan_joins():
                  "pareto_skyline_parts", "bm25_top_terms",
                  "market_model_rolling_beta", "fama_macbeth_momentum",
                  "var_exceedance_backtest", "kelly_sizing_weights",
-                 "minhash_estimate_accuracy"):
+                 "minhash_estimate_accuracy",
+                 # round-8 wave: only single-row (budget) or broadcast-
+                 # query-set BNLJ sides allowed, never a cartesian
+                 "rrf_hybrid_topk", "lsh_recall_report",
+                 "token_budget_waterfill", "dedup_clusters_incremental",
+                 "minhash_incremental_pairs", "dedup_exact_incremental",
+                 "corpus_datasheet"):
         plan = plan_of(name)
         assert "CartesianProduct" not in plan, name
 
