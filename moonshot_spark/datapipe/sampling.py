@@ -281,9 +281,14 @@ def waterfill_allocation(domains: DataFrame, budget_col: str = "budget",
                                     F.col(weight_col))).over(full), F.lit(0))
     b_final = F.col(budget_col) - sat_a
     w_final = F.sum(F.col(weight_col)).over(full) - sat_w
+    # exact BIGINT floor division (SQL `div`), not floor(double/double):
+    # past 2^53 the double floor can differ from the true proportional
+    # floor (ADVICE r8).  w_final > 0 whenever the branch is taken: a
+    # sat=0 row's own weight is excluded from sat_w by definition.
+    staged = (staged.withColumn("__bf", b_final)
+              .withColumn("__wf", w_final))
     alloc = F.when(F.col("__sat") == 1, F.col(avail_col)).otherwise(
-        F.floor((F.col(weight_col) * b_final).cast("double")
-                / w_final.cast("double")).cast("bigint"))
+        F.expr(f"`{weight_col}` * __bf div __wf").cast("bigint"))
     return staged.select(*keys, F.col(avail_col), F.col(weight_col),
                          F.col("__sat").alias("saturated"),
                          alloc.alias("allocated"))

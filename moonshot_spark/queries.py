@@ -13388,8 +13388,7 @@ SELECT lang, CAST(avail AS BIGINT) AS avail,
        CAST(weight AS BIGINT) AS weight,
        CAST(sat AS INT) AS saturated,
        CAST(CASE WHEN sat = 1 THEN avail
-            ELSE floor(CAST(weight * (budget - sat_a) AS DOUBLE)
-                       / CAST(w_total - sat_w AS DOUBLE)) END
+            ELSE (weight * (budget - sat_a)) // (w_total - sat_w) END
             AS BIGINT) AS allocated
 FROM finals
 """)

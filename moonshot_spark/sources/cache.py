@@ -226,7 +226,7 @@ class Cache:
         if unless_modified:
             if _source_mtime(unless_modified) > meta["written_at"]:
                 return None
-        from pyspark.errors.exceptions.captured import AnalysisException
+        from pyspark.errors import AnalysisException
         try:
             return spark.read.parquet(data_path)
         except AnalysisException:
@@ -239,21 +239,29 @@ class Cache:
             # in-job and recomputes on retry.
             return None
         except Exception as exc:
-            # anything else with the entry still on disk is a PERSISTENT
-            # failure (corrupt footer, permissions).  Not silent, and not
-            # a warn-forever loop either (ADVICE r7): warn once and
-            # DELETE the entry under the writer lock so the next set()
-            # repairs it.  Deleting a cache entry is always
-            # correctness-safe — entries are recomputable by definition.
+            # anything else with the entry still on disk MAY be a
+            # persistent failure (corrupt footer, permissions) — but a
+            # concurrent set() swap can also surface as Py4JJavaError /
+            # SparkException (not AnalysisException), so don't condemn
+            # the entry on the first read: re-attempt the read while
+            # HOLDING the writer lock (the writer has finished its swap
+            # once we acquire it) and delete only if it still fails.
+            # Deleting a cache entry is always correctness-safe —
+            # entries are recomputable by definition.
             if os.path.exists(data_path):
-                import warnings
-                warnings.warn(
-                    f"cache entry {data_path} exists but is unreadable "
-                    f"({type(exc).__name__}: {exc}); deleting it so the "
-                    "next set() repairs it; treating as a miss",
-                    RuntimeWarning, stacklevel=2)
                 try:
                     with _FileLock(data_path + ".lock"):
+                        try:
+                            return spark.read.parquet(data_path)
+                        except Exception:
+                            pass  # still unreadable with no writer live
+                        import warnings
+                        warnings.warn(
+                            f"cache entry {data_path} exists but is "
+                            f"unreadable ({type(exc).__name__}: {exc}); "
+                            "deleting it so the next set() repairs it; "
+                            "treating as a miss",
+                            RuntimeWarning, stacklevel=2)
                         shutil.rmtree(data_path, ignore_errors=True)
                         if os.path.exists(meta_path):
                             os.remove(meta_path)
