@@ -52,6 +52,15 @@ def _compact_payload(total: float, n_queries: int, timings: dict, sf: float) -> 
 
 
 def main():
+    # `bench.py --scale N[,M,...]`: the replicated scale-up mode — builds
+    # N×-key-shifted copies of the driver tables and checks that the
+    # heaviest queries keep their plan shape and throughput (SCALE.md).
+    # The no-argument form (the driver's contract) is unchanged.
+    if len(sys.argv) > 1 and sys.argv[1] in ("--scale", "--scales"):
+        from tools.scale_bench import main as scale_main
+        scales = sys.argv[2] if len(sys.argv) > 2 else "1,10,50"
+        raise SystemExit(scale_main(["--scales", scales] + sys.argv[3:]))
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from moonshot_spark.queries import QUERIES
     from moonshot_spark.session import get_spark

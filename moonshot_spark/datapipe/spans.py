@@ -30,7 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["window_hashes", "duplicate_spans", "scrub_spans"]
+__all__ = ["window_hashes", "duplicate_spans", "scrub_spans",
+           "window_hash_index", "merge_window_index",
+           "incremental_duplicate_spans"]
 
 
 def window_hashes(docs: DataFrame, k: int = 8, text_col: str = "text",
@@ -94,13 +96,22 @@ def duplicate_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
     n_occ = F.count("*").over(Window.partitionBy("window_md5"))
     hits = (wins.withColumn("__n", n_occ)
             .where(F.col("__n") >= 2))
+    return _merge_islands(hits.select(id_col, "pos"), k=k, id_col=id_col)
+
+
+def _merge_islands(hits: DataFrame, k: int, id_col: str) -> DataFrame:
+    """(id, pos) duplicated-window rows -> maximal merged spans.
+
+    Windows at positions i < j belong to one span when ``j - i <= k``.
+    The lag and its running sum are two window stages over the SAME
+    (doc) partitioning — one shuffle, Catalyst reuses the sort; the
+    frame is bounded by single-document length, never corpus-scale.
+    """
     by_doc = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(by_doc) > k, 1).otherwise(0)
     island = F.sum("__brk").over(
         by_doc.rowsBetween(Window.unboundedPreceding, 0))
-    # the lag and its running sum are two window stages over the SAME
-    # (doc) partitioning — one shuffle, Catalyst reuses the sort
-    spans = (hits.select(id_col, "pos")
+    spans = (hits
              .withColumn("__brk", brk)
              .withColumn("__island", island)
              .groupBy(id_col, "__island")
@@ -111,6 +122,70 @@ def duplicate_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
         id_col, "span_start", "span_end",
         (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         "n_windows")
+
+
+def window_hash_index(docs: DataFrame, k: int = 8, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The persisted ExactSubstr state: ``(window_md5, n_occ)`` for every
+    distinct k-token window hash in the corpus, singletons included (a
+    window seen once today makes tomorrow's re-occurrence a duplicate).
+
+    One map-side-combinable hash aggregate — the mergeable-index sibling
+    of ``exact_fingerprint_index`` (incremental_dedup.py), at window
+    rather than document grain.  Linear in corpus tokens; at scale,
+    persist bucketed on ``window_md5`` so batch probes shuffle only the
+    batch side.
+    """
+    wins = window_hashes(docs, k=k, text_col=text_col, id_col=id_col)
+    return (wins.groupBy("window_md5")
+            .agg(F.count("*").alias("n_occ")))
+
+
+def merge_window_index(index: DataFrame, new_docs: DataFrame, k: int = 8,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Index after absorbing a batch: occurrence counts ADD (the
+    partial-aggregate merge), so the result is identical to
+    ``window_hash_index`` over the unioned corpus."""
+    batch = window_hash_index(new_docs, k=k, text_col=text_col,
+                              id_col=id_col)
+    i = index.select("window_md5", F.col("n_occ").alias("__ni"))
+    b = batch.select("window_md5", F.col("n_occ").alias("__nb"))
+    return (i.join(b, "window_md5", "full_outer")
+            .select("window_md5",
+                    (F.coalesce("__ni", F.lit(0))
+                     + F.coalesce("__nb", F.lit(0))).alias("n_occ")))
+
+
+def incremental_duplicate_spans(new_docs: DataFrame, index: DataFrame,
+                                k: int = 8, text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr spans for a NEW batch against a persisted window-hash
+    index — the incremental mode of ``duplicate_spans`` (VERDICT r8 #2:
+    real pipelines scrub new documents against the k-token window-hash
+    index of everything already ingested, not by full-corpus recompute).
+
+    A batch window is duplicated iff its hash occurs >= 2 times in the
+    UNION corpus: ``n_occ(index) + n_occ(batch) >= 2``.  Window hashes
+    are pure md5 functions of the text, so the emitted spans are
+    BIT-EQUAL to ``duplicate_spans(existing ∪ batch)`` restricted to
+    batch doc ids (the equals-full-recompute contract of
+    incremental_dedup.py).  Spans of OLD docs newly duplicated by the
+    batch surface through the merged index on their next touch, not as
+    re-emitted rows — old docs were scrubbed at their own ingest time.
+
+    Shape per batch: batch window hashing (map) + one batch-keyed window
+    count + ONE equi-join against the index on window_md5 + a batch-doc
+    island merge.  Nothing re-reads the historical corpus.
+    """
+    wins = window_hashes(new_docs, k=k, text_col=text_col, id_col=id_col)
+    n_batch = F.count("*").over(Window.partitionBy("window_md5"))
+    staged = wins.withColumn("__nb", n_batch)
+    hits = (staged.join(index.select("window_md5",
+                                     F.col("n_occ").alias("__ni")),
+                        "window_md5", "left")
+            .where(F.col("__nb") + F.coalesce("__ni", F.lit(0)) >= 2))
+    return _merge_islands(hits.select(id_col, "pos"), k=k, id_col=id_col)
 
 
 def scrub_spans(docs: DataFrame, spans: DataFrame, text_col: str = "text",

@@ -3249,6 +3249,41 @@ def duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs.unionByName(clones), k=8)
 
 
+@register("exact_substr_incremental", _span_oracle_prefix(k=8) + """
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM g WHERE doc_id >= 1000000
+GROUP BY doc_id, island
+""")
+def exact_substr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr scrub planning (datapipe/spans.py::
+    incremental_duplicate_spans, VERDICT r8 #2): the cloned first-half
+    docs arrive as a NEW ingest batch and are scrubbed against the
+    PERSISTED window-hash index of the original corpus — no full-corpus
+    recompute.  Window hashes are pure md5 functions of the text, so the
+    batch's spans are bit-equal to the full-recompute
+    ``duplicate_text_spans`` restricted to the batch ids — which is
+    exactly what the oracle states (the same union-corpus CTE chain,
+    filtered to the cloned ids).  Shape per batch: batch window hashing
+    (map) + one equi-join against the index on window_md5 + a batch-doc
+    island merge; the historical corpus is touched only through the
+    index."""
+    from moonshot_spark.datapipe.spans import (
+        incremental_duplicate_spans, window_hash_index)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    half = F.slice(toks, 1, F.floor(F.size(toks) / 2).cast("int"))
+    batch = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.array_join(half, " ").alias("text"))
+    index = window_hash_index(docs, k=8)
+    return incremental_duplicate_spans(batch, index, k=8)
+
+
 @register("hard_negative_mining", """
 WITH corpus AS (
     SELECT vec_id, label,

@@ -345,3 +345,50 @@ def stream_incremental_minhash_pairs(doc_stream: DataFrame,
             .foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append"))
+
+
+def stream_incremental_exactsubstr(doc_stream: DataFrame, index_root: str,
+                                   spans_path: str, checkpoint_dir: str,
+                                   k: int = 8, text_col: str = "text",
+                                   id_col: str = "doc_id"):
+    """Streaming ExactSubstr scrub planning: each micro-batch's k-token
+    windows probe the persisted window-hash index
+    (``datapipe/spans.py::window_hash_index``), the batch's duplicated
+    spans land in ``spans_path/batch_id=N``, and the index absorbs the
+    batch's window counts — the span-grain sibling of
+    ``stream_incremental_exact_dedup`` with the same versioned-index /
+    read-below-own-batch crash-replay protocol.
+
+    Window hashes are pure md5 functions of the text, so each emitted
+    batch equals ``duplicate_spans(everything ingested so far)``
+    restricted to that batch's doc ids (docs assumed unique across
+    batches; a doc is scrubbed once, at its own ingest time)."""
+    from moonshot_spark.datapipe.spans import (
+        incremental_duplicate_spans, merge_window_index)
+
+    def _load_index(spark, below: int):
+        version = _latest_index_version(spark, index_root, below)
+        if version is not None:
+            return spark.read.parquet(f"{index_root}/v={version}")
+        return spark.createDataFrame(
+            [], "window_md5 string, n_occ bigint")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        docs = batch_df.select(F.col(id_col), F.col(text_col))
+        index = _load_index(spark, batch_id)
+        spans = incremental_duplicate_spans(docs, index, k=k,
+                                            text_col=text_col,
+                                            id_col=id_col)
+        spans.write.mode("overwrite").parquet(
+            f"{spans_path}/batch_id={batch_id}")
+        merge_window_index(index, docs, k=k, text_col=text_col,
+                           id_col=id_col).write.mode("overwrite").parquet(
+            f"{index_root}/v={batch_id}")
+
+    return (doc_stream.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append"))

@@ -186,3 +186,96 @@ def test_incremental_components_equals_full_cc(spark):
     full = sorted(map(tuple, connected_components_adaptive(df).collect()))
     assert (999, 999) in inc
     assert [r for r in inc if r[0] != 999] == full
+
+
+# --------------------------------------------------------------------- #
+# incremental ExactSubstr spans (datapipe/spans.py)                      #
+# --------------------------------------------------------------------- #
+
+def _span_corpus(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"{shared} one extra tail with unique words here now"),
+        (2, f"prefix words differ then {shared} and a different ending"),
+        (3, "completely unrelated content with no overlap at all in "
+            "any eight token window of this document text"),
+        # new batch: doc 10 repeats the shared phrase (dup vs index),
+        # doc 11 repeats doc 10's OWN tail inside the same batch,
+        # doc 12 is clean
+        (10, f"{shared} and some closing words repeated tail segment "
+             "zero one two three four five six seven eight nine"),
+        (11, "other lead-in text then repeated tail segment "
+             "zero one two three four five six seven eight nine"),
+        (12, "twelve has nothing in common with any other document "
+             "in this corpus whatsoever truly nothing shared here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_merge_window_index_equals_full_rebuild(spark):
+    from moonshot_spark.datapipe.spans import (
+        merge_window_index, window_hash_index)
+
+    df = _span_corpus(spark)
+    existing = df.where(F.col("doc_id") < 10)
+    batch = df.where(F.col("doc_id") >= 10)
+    merged = sorted(map(tuple, merge_window_index(
+        window_hash_index(existing, k=8), batch, k=8).collect()))
+    full = sorted(map(tuple, window_hash_index(df, k=8).collect()))
+    assert merged == full and len(full) > 0
+
+
+def test_incremental_duplicate_spans_equals_full_recompute(spark):
+    """Batch spans = duplicate_spans(existing ∪ batch) restricted to the
+    batch ids — covering batch-vs-index dups (doc 10 vs 1/2),
+    batch-internal dups (10 vs 11), and a clean doc (12, no rows)."""
+    from moonshot_spark.datapipe.spans import (
+        duplicate_spans, incremental_duplicate_spans, window_hash_index)
+
+    df = _span_corpus(spark)
+    existing = df.where(F.col("doc_id") < 10)
+    batch = df.where(F.col("doc_id") >= 10)
+    inc = sorted(map(tuple, incremental_duplicate_spans(
+        batch, window_hash_index(existing, k=8), k=8).collect()))
+    full = sorted(map(tuple, duplicate_spans(df, k=8)
+                      .where(F.col("doc_id") >= 10).collect()))
+    assert inc == full and len(inc) > 0
+    ids = {r[0] for r in inc}
+    assert 10 in ids and 11 in ids and 12 not in ids
+
+
+def test_incremental_spans_empty_index_equals_batch_recompute(spark):
+    """Bootstrap case: an empty index reduces to plain duplicate_spans
+    over the batch alone."""
+    from moonshot_spark.datapipe.spans import (
+        duplicate_spans, incremental_duplicate_spans)
+
+    batch = _span_corpus(spark).where(F.col("doc_id") >= 10)
+    empty = spark.createDataFrame([], "window_md5 string, n_occ bigint")
+    inc = sorted(map(tuple, incremental_duplicate_spans(
+        batch, empty, k=8).collect()))
+    full = sorted(map(tuple, duplicate_spans(batch, k=8).collect()))
+    assert inc == full and len(inc) > 0
+
+
+def test_incremental_spans_scrub_composition(spark):
+    """End-to-end ingest shape: scrub the batch with its incremental
+    spans — the scrubbed text equals scrubbing with the full-recompute
+    spans of the union corpus."""
+    from moonshot_spark.datapipe.spans import (
+        duplicate_spans, incremental_duplicate_spans, scrub_spans,
+        window_hash_index)
+
+    df = _span_corpus(spark)
+    existing = df.where(F.col("doc_id") < 10)
+    batch = df.where(F.col("doc_id") >= 10)
+    inc_spans = incremental_duplicate_spans(
+        batch, window_hash_index(existing, k=8), k=8)
+    full_spans = duplicate_spans(df, k=8).where(F.col("doc_id") >= 10)
+    got = {r["doc_id"]: r["scrubbed_text"]
+           for r in scrub_spans(batch, inc_spans).collect()}
+    want = {r["doc_id"]: r["scrubbed_text"]
+            for r in scrub_spans(batch, full_spans).collect()}
+    assert got == want
+    assert got[12] == [r["text"] for r in
+                       batch.where("doc_id = 12").collect()][0]

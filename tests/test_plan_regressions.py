@@ -376,24 +376,15 @@ def test_catalog_wide_no_unbounded_single_partition_funnels():
         "universe_churn_weekly": "one row per week",
         "walkforward_ar1_cv": "fold grid",
     }
+    from moonshot_spark.plans.audit import (
+        executed_plan, single_partition_funnels)
+
     spark = get_spark("plan_audit")
     offenders = {}
     for name, fn in QUERIES.items():
-        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
-        lines = plan.split("\n")
-        for i, line in enumerate(lines):
-            if "Exchange SinglePartition" not in line:
-                continue
-            indent = len(line) - len(line.lstrip(" :+-"))
-            for j in range(i - 1, -1, -1):
-                up = lines[j]
-                ui = len(up) - len(up.lstrip(" :+-"))
-                if ui < indent and up.strip():
-                    op = up.strip().lstrip(":+- ")
-                    if (op.startswith("Sort") or op.startswith("Window")) \
-                            and name not in ALLOWED:
-                        offenders.setdefault(name, []).append(op[:80])
-                    break
+        funnels = single_partition_funnels(executed_plan(fn(spark, SF)))
+        if funnels and name not in ALLOWED:
+            offenders[name] = funnels
     assert not offenders, offenders
 
 

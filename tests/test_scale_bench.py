@@ -1,0 +1,76 @@
+"""Scale-invariance gate: the heaviest catalog queries must keep their
+plan shape and their throughput floor when the data is replicated.
+
+The expensive end-to-end sweep is opt-in (like the full oracle sweep):
+
+    MOONSHOT_SCALE=1 python -m pytest -m scale -q
+
+It replicates the tables 1x/10x with distinct keys (tools/scale_bench)
+and fails on any CartesianProduct/BNLJ appearing at the larger scale,
+growth in single-partition funnels, or a >20% rows/s drop on a
+linear-output query.  The pure plan-string audits below are always-on.
+"""
+import os
+
+import pytest
+
+from moonshot_spark.plans.audit import (
+    plan_shape, shape_regressions, single_partition_funnels,
+)
+
+PLAN = """AdaptiveSparkPlan isFinalPlan=true
++- == Final Plan ==
+   *(4) Sort [rank ASC NULLS FIRST], true, 0
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=42]
+      +- *(3) Project [a, b]
+         +- *(3) BroadcastHashJoin [k], [k], Inner, BuildRight
+            :- Exchange hashpartitioning(k, 32)
+            :  +- Window [sum(v) windowspecdefinition(k, ...)], [k]
+            :     +- *(1) ColumnarToRow
+            :        +- FileScan parquet [k,v]
+            +- BroadcastExchange HashedRelationBroadcastMode
+               +- *(2) FileScan parquet [k]
+"""
+
+
+def test_single_partition_funnel_detection():
+    offs = single_partition_funnels(PLAN)
+    assert offs and offs[0].startswith("Sort"), offs
+    # the hash-partitioned Window is NOT a funnel
+    assert not any("Window" in o for o in offs), offs
+
+
+def test_plan_shape_counts():
+    shape = plan_shape(PLAN)
+    assert shape["BroadcastHashJoin"] == 1
+    assert shape["CartesianProduct"] == 0
+    assert shape["ExchangeSinglePartition"] == 1
+    assert shape["SinglePartitionFunnels"] == 1
+    # BroadcastExchange / Exchange hashpartitioning both count as Exchange
+    assert shape["Exchange"] == 2
+
+
+def test_shape_regressions_flags_dangerous_directions_only():
+    small = plan_shape(PLAN)
+    large = dict(small)
+    large["SortMergeJoin"] = 1
+    large["BroadcastHashJoin"] = 0   # AQE flip: legal
+    assert shape_regressions(small, large) == []
+    large["CartesianProduct"] = 1
+    large["SinglePartitionFunnels"] = 2
+    issues = shape_regressions(small, large)
+    assert any("CartesianProduct" in i for i in issues), issues
+    assert any("SinglePartitionFunnels" in i for i in issues), issues
+
+
+@pytest.mark.scale
+@pytest.mark.skipif(not os.environ.get("MOONSHOT_SCALE"),
+                    reason="replicated scale bench: set MOONSHOT_SCALE=1")
+def test_heavy_queries_scale_invariant():
+    from tools.scale_bench import HEAVY_QUERIES, run
+
+    base = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.01")
+    scales = [int(s) for s in os.environ.get(
+        "MOONSHOT_SCALE_FACTORS", "1,10").split(",")]
+    payload = run(base, scales, list(HEAVY_QUERIES))
+    assert not payload["violations"], payload["violations"]

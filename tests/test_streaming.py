@@ -577,3 +577,62 @@ def test_stream_incremental_minhash_pairs(spark, tmp_path):
         spark.createDataFrame(rows, schema),
         num_hashes=16, bands=4, shingle_n=3).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_incremental_exactsubstr(spark, tmp_path):
+    """Micro-batched ExactSubstr scrub planning against the versioned
+    window-hash index: each batch's emitted spans equal the
+    full-recompute duplicate_spans over everything ingested so far,
+    restricted to that batch; the final index equals a from-scratch
+    rebuild."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from moonshot_spark.datapipe.spans import (duplicate_spans,
+                                               window_hash_index)
+    from moonshot_spark.streaming.pipeline import (
+        stream_incremental_exactsubstr)
+
+    shared = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliet")
+    b1 = [(1, f"{shared} one extra tail with unique words here now"),
+          (2, "completely unrelated content with no overlap at all in "
+              "any eight token window of this document text")]
+    b2 = [(10, f"{shared} reprise plus some closing words of its own"),
+          (11, "novel second batch document with fresh vocabulary only "
+               "occurring once across the whole tiny corpus")]
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    index_root = str(tmp_path / "widx")
+    spans_path = str(tmp_path / "spans")
+    q = stream_incremental_exactsubstr(
+        stream, index_root, spans_path,
+        str(tmp_path / "ckpt")).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    # batch-2 docs' spans vs the full corpus; batch-1 docs had no dups
+    # at their own ingest time (the shared phrase was unique then)
+    want = sorted(map(tuple, duplicate_spans(full, k=8)
+                      .where(F.col("doc_id") >= 10).collect()))
+    got = sorted(map(tuple, spark.read.parquet(spans_path)
+                     .drop("batch_id").collect()))
+    assert got == want and len(got) > 0
+
+    import re
+    versions = sorted(int(re.fullmatch(r"v=(\d+)", n).group(1))
+                      for n in os.listdir(index_root)
+                      if re.fullmatch(r"v=(\d+)", n))
+    final_idx = sorted(map(tuple, spark.read.parquet(
+        f"{index_root}/v={versions[-1]}").collect()))
+    rebuilt = sorted(map(tuple, window_hash_index(full, k=8).collect()))
+    assert final_idx == rebuilt
