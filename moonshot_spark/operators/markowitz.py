@@ -238,16 +238,25 @@ def markowitz_weights(piv: DataFrame, k: int,
                     "raw_weight", "weight"))
 
 
-def markowitz_cte_sql(k: int, base_cte: str, base_name: str = "cl") -> str:
+def markowitz_cte_sql(k: int, base_cte: str, base_name: str = "cl",
+                      group_cols: list[str] | None = None) -> str:
     """The DuckDB oracle half: chained CTEs replaying the IDENTICAL step
     text.  ``base_cte`` must define ``base_name`` with columns r1..rk
-    (complete cases).  Emits a full query returning
-    (sid, n_obs, mean_ret, raw_weight, weight)."""
+    (complete cases) plus any ``group_cols``.  Emits a full query
+    returning (group_cols..., sid, n_obs, mean_ret, raw_weight, weight)
+    — one sleeve per group when grouped (the oracle twin of
+    ``markowitz_weights(..., group_cols=...)``): the sufficient-stats
+    CTE gains a GROUP BY and every generated step is a per-row
+    projection, so the identical step text replays per sleeve."""
+    gcols = list(group_cols or [])
+    gsel = (", ".join(gcols) + ", ") if gcols else ""
+    gby = f"\n    GROUP BY {', '.join(gcols)}" if gcols else ""
     agg_exprs, steps, guard = markowitz_step_chain(k)
     agg_sql = ",\n           ".join(f"{txt} AS {name}"
                                     for name, txt in agg_exprs)
     parts = [base_cte,
-             f"q AS (\n    SELECT {agg_sql}\n    FROM {base_name}\n)"]
+             f"q AS (\n    SELECT {gsel}{agg_sql}\n"
+             f"    FROM {base_name}{gby}\n)"]
     prev = "q"
     for idx, (name, txt) in enumerate(steps):
         cte = f"s{idx}"
@@ -255,7 +264,7 @@ def markowitz_cte_sql(k: int, base_cte: str, base_name: str = "cl") -> str:
         prev = cte
     parts.append(f"ok AS (SELECT * FROM {prev} WHERE {guard})")
     selects = "\nUNION ALL\n".join(
-        f"SELECT '{i}' AS sid, CAST(nd AS BIGINT) AS n_obs, "
+        f"SELECT {gsel}'{i}' AS sid, CAST(nd AS BIGINT) AS n_obs, "
         f"m_{i} AS mean_ret, w_{i} AS raw_weight, wn_{i} AS weight FROM ok"
         for i in range(1, k + 1))
     return "WITH " + ",\n".join(parts) + "\n" + selects

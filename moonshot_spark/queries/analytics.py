@@ -2640,6 +2640,65 @@ cl AS (
     return markowitz_cte_sql(5, base, "cl")
 
 
+def _mvw_by_book_oracle() -> str:
+    from moonshot_spark.operators.markowitz import markowitz_cte_sql
+    sids = ", ".join(f"'{i}'" for i in range(1, 4))
+    piv = ",\n           ".join(
+        f"max(CASE WHEN sid = '{i}' THEN r END) AS r{i}"
+        for i in range(1, 4))
+    nn = " AND ".join(f"r{i} IS NOT NULL" for i in range(1, 4))
+    base = f"""panel AS ({PANEL_SQL}),
+r AS (
+    SELECT sid, date,
+           (close - lag(close) OVER (PARTITION BY sid ORDER BY date))
+           / lag(close) OVER (PARTITION BY sid ORDER BY date) AS r
+    FROM panel WHERE sid IN ({sids})
+),
+piv AS (
+    SELECT date, CAST(day(date) % 3 AS INT) AS book,
+           {piv}
+    FROM r GROUP BY date
+),
+cl AS (
+    SELECT book, r1, r2, r3 FROM piv WHERE {nn}
+)"""
+    return markowitz_cte_sql(3, base, "cl", group_cols=["book"])
+
+
+@register("mean_variance_weights_by_book", _mvw_by_book_oracle())
+def mean_variance_weights_by_book(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """GROUPED Markowitz sleeves (VERDICT r8 #4): the same k=3
+    mean-variance solve fitted independently per "book" (here a
+    day-of-month hash of the date — three return-history subsets standing in
+    for millions of per-desk sleeves).  One map-side-combinable
+    sufficient-statistics aggregate SHUFFLED ON THE GROUP KEY is the
+    only data-sized stage; the numpy solve kernel vectorizes across the
+    group-cardinality aggregate rows (operators/markowitz.py), and the
+    oracle replays the identical generated step text per group via a
+    GROUP BY on the stats CTE — weights hash-match bit-exactly per
+    sleeve."""
+    from moonshot_spark.operators.markowitz import markowitz_weights
+
+    panel = events_to_panel(spark, sf_dir).select("sid", "date", "close")
+    sids = [str(i) for i in range(1, 4)]
+    w_sid = Window.partitionBy("sid").orderBy("date")
+    r = (panel.where(F.col("sid").isin(sids))
+         .select("sid", "date",
+                 ((F.col("close") - F.lag("close").over(w_sid))
+                  / F.lag("close").over(w_sid)).alias("r")))
+    piv = (r.groupBy("date")
+           .agg(*[F.max(F.when(F.col("sid") == s, F.col("r")))
+                  .alias(f"r{s}") for s in sids])
+           .withColumn("book", (F.dayofmonth("date") % 3).cast("int")))
+    cond = F.lit(True)
+    for s in sids:
+        cond = cond & F.col(f"r{s}").isNotNull()
+    return markowitz_weights(
+        piv.where(cond).select("book", *[f"r{s}" for s in sids]), 3,
+        group_cols=["book"])
+
+
 @register("mean_variance_weights_k5", _mvw_k5_oracle())
 def mean_variance_weights_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-ASSET Markowitz sleeve (k=5) — the generalization of

@@ -1179,6 +1179,158 @@ def ivf_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "full_probe_neighbors", "partial_not_better"))
 
 
+_IVF_COS = """list_reduce(list_transform(range(1, len({a}) + 1),
+               i -> {a}[i] * {b}[i]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, len({a}) + 1),
+                  i -> {a}[i] * {a}[i]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, len({b}) + 1),
+                  i -> {b}[i] * {b}[i]), (x, y) -> x + y)))"""
+
+
+@register("ivf_recall_report", f"""
+WITH corpus AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE))
+               AS v
+    FROM embeddings
+), dims AS (
+    SELECT label, i.i AS dim, v[i.i + 1] AS x
+    FROM corpus, (SELECT unnest(range(0, 64)) AS i) i
+), cd AS (
+    SELECT label, dim,
+           list_reduce(list_sort(list(x)), (a, b) -> a + b) / count(x) AS m
+    FROM dims GROUP BY label, dim
+), cents AS (
+    SELECT label AS cell, list(m ORDER BY dim) AS c FROM cd GROUP BY label
+), corpus_cells AS (
+    SELECT vec_id, cell, {_IVF_COS.format(a='v', b='c')} AS s
+    FROM corpus, cents
+), assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+            PARTITION BY vec_id ORDER BY s DESC, cell) AS r
+        FROM corpus_cells) WHERE r = 1
+), qs AS (
+    SELECT vec_id AS query_id, v AS q FROM corpus WHERE vec_id < 8
+), query_cells AS (
+    SELECT query_id, cell, {_IVF_COS.format(a='q', b='c')} AS s
+    FROM qs, cents
+), cell_rank AS (
+    SELECT query_id, cell, row_number() OVER (
+        PARTITION BY query_id ORDER BY s DESC, cell) AS cell_rank
+    FROM query_cells
+), sims AS (
+    SELECT query_id, c.vec_id, {_IVF_COS.format(a='v', b='q')} AS s
+    FROM corpus c, qs
+), truth AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank
+        FROM sims) WHERE rank <= 5
+), hits AS (
+    SELECT cr.cell_rank
+    FROM truth t JOIN assign a USING (vec_id)
+    JOIN cell_rank cr ON cr.query_id = t.query_id AND cr.cell = a.cell
+), spine AS (
+    SELECT row_number() OVER (ORDER BY cell) AS nprobe FROM cents
+), hist AS (
+    SELECT cell_rank, count(*) AS h FROM hits GROUP BY cell_rank
+)
+SELECT CAST(nprobe AS INT) AS nprobe,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       CAST(sum(coalesce(h, 0)) OVER (ORDER BY nprobe
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_recalled,
+       CAST(sum(coalesce(h, 0)) OVER (ORDER BY nprobe
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / (SELECT count(*) FROM truth) AS recall
+FROM spine LEFT JOIN hist ON spine.nprobe = hist.cell_rank
+""")
+def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning report (VERDICT r8 #3 — the LSH `lsh_recall_report`
+    discipline applied to the IVF path): measured recall@5 for EVERY
+    nprobe = 1..n_cells against exact brute-force cosine truth — the
+    curve an operator reads to pick nprobe.
+
+    The cells are the per-label centroids (the `ivf_label_centroids`
+    coarse quantizer) so the WHOLE report is SQL-expressible: centroid
+    means are sorted left-to-right folds, every cosine is the same
+    left-to-right fold on both engines, counts are exact integers and
+    recall is one division — full hash-match, unlike the KMeans-seeded
+    `ivf_topk_contract` which can pin only the full-probe set.
+
+    The per-truth-hit cell rank collapses the n_cells query reruns into
+    ONE pass: a truth neighbor is recalled at nprobe iff the rank of its
+    cell in the query's probe order is <= nprobe, so the whole curve is
+    a histogram of cell ranks + a running sum over the n_cells spine.
+    Scale shape: centroid build is one (label, dim) aggregate; the
+    centroid table is cells-cardinality and broadcast; assignment and
+    truth ranking are the ann two-phase reducers' shapes (per-vec
+    groups are n_cells-bounded; truth uses grouped_topk); the only
+    unpartitioned windows run on the n_cells spine (bounded)."""
+    from moonshot_spark.operators.ranking import grouped_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label",
+                   F.transform("embedding",
+                               lambda x: x.cast("double")).alias("v"))
+    dims = v.select("label", F.posexplode("v").alias("dim", "x"))
+    cd = dims.groupBy("label", "dim").agg(
+        (F.aggregate(F.array_sort(F.collect_list("x")), F.lit(0.0),
+                     lambda a, b: a + b) / F.count("x")).alias("m"))
+    cents = (cd.groupBy("label")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                 lambda s: s["m"]).alias("c"))
+             .withColumnRenamed("label", "cell"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    def cos(a, b):
+        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+    corpus_cells = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", cos(F.col("v"), F.col("c")).alias("s"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("s"),
+                                                    F.asc("cell"))
+    assign = (corpus_cells.withColumn("r", F.row_number().over(w_assign))
+              .where(F.col("r") == 1).select("vec_id", "cell"))
+
+    qs = v.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"))
+    query_cells = qs.crossJoin(F.broadcast(cents)).select(
+        "query_id", "cell", cos(F.col("q"), F.col("c")).alias("s"))
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("s"),
+                                                 F.asc("cell"))
+    cell_rank = (query_cells
+                 .withColumn("cell_rank", F.row_number().over(w_q))
+                 .select("query_id", "cell", "cell_rank"))
+
+    sims = v.crossJoin(F.broadcast(qs)).select(
+        "query_id", "vec_id", cos(F.col("v"), F.col("q")).alias("s"))
+    truth = grouped_topk(sims, ["query_id"],
+                         [F.desc("s"), F.asc("vec_id")], 5) \
+        .select("query_id", "vec_id")
+
+    hits = (truth.join(assign, "vec_id")
+            .join(cell_rank, ["query_id", "cell"]))
+    hist = hits.groupBy("cell_rank").agg(F.count("*").alias("h"))
+    spine = cents.select(
+        F.row_number().over(Window.orderBy("cell")).alias("nprobe"))
+    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    cum = Window.orderBy("nprobe").rowsBetween(Window.unboundedPreceding, 0)
+    return (spine.join(hist, spine["nprobe"] == hist["cell_rank"], "left")
+            .select("nprobe", F.coalesce("h", F.lit(0)).alias("h"))
+            .withColumn("n_recalled", F.sum("h").over(cum))
+            .crossJoin(F.broadcast(n_truth))
+            .select(F.col("nprobe").cast("int").alias("nprobe"),
+                    "n_truth",
+                    F.col("n_recalled").cast("bigint").alias("n_recalled"),
+                    (F.col("n_recalled").cast("double")
+                     / F.col("n_truth").cast("double")).alias("recall")))
+
+
 # --------------------------------------------------------------------- #
 # document fingerprinting: winnowing (rolling k-gram hash windows)      #
 # --------------------------------------------------------------------- #

@@ -304,7 +304,11 @@ def test_fourth_wave_no_cartesian_or_global_scan_joins():
                  "rrf_hybrid_topk", "lsh_recall_report",
                  "token_budget_waterfill", "dedup_clusters_incremental",
                  "minhash_incremental_pairs", "dedup_exact_incremental",
-                 "corpus_datasheet"):
+                 "corpus_datasheet",
+                 # round-9 wave: broadcast cells/queries/1-row-count BNLJ
+                 # sides only, never a cartesian
+                 "exact_substr_incremental", "ivf_recall_report",
+                 "mean_variance_weights_by_book"):
         plan = plan_of(name)
         assert "CartesianProduct" not in plan, name
 
@@ -373,6 +377,7 @@ def test_catalog_wide_no_unbounded_single_partition_funnels():
         "session_path_trigrams": "event-type^3 path vocabulary",
         "sid_liquidity_screen": "one row per sid",
         "token_budget_waterfill": "one row per language (domain dim)",
+        "ivf_recall_report": "one row per IVF cell (nprobe spine)",
         "universe_churn_weekly": "one row per week",
         "walkforward_ar1_cv": "fold grid",
     }
