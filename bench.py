@@ -78,14 +78,17 @@ def main():
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        df.count()  # warm-up: JIT, parquet footer cache, broadcast build
-        # min of two timed runs: the steady-state cost of the plan, robust
-        # to one-off GC pauses / CPU contention on a shared box
+        fn(spark, sf_dir).count()  # warm-up: JIT, parquet footers, broadcasts
+        # min of two timed runs, each on a FRESHLY constructed DataFrame:
+        # re-count()ing the same DataFrame object lets Spark skip already-
+        # computed shuffle map stages (MapOutputTracker reuse), which
+        # under-measures shuffle-heavy queries by ~2x (PERF.md r9).  A
+        # fresh plan per run times the real end-to-end execution
+        # (planning included), matching how the DuckDB baseline is timed.
         elapsed = float("inf")
         for _ in range(2):
             start = time.perf_counter()
-            df.count()
+            fn(spark, sf_dir).count()
             elapsed = min(elapsed, time.perf_counter() - start)
         timings[name] = round(elapsed, 4)
         total += elapsed

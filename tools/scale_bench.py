@@ -155,12 +155,15 @@ def run(base_dir: str, scales: list[int], query_names: list[str],
                     spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count())
             df = QUERIES[q](spark, sf_dir)
             out_rows = df.count()          # warm: JIT, footers, broadcasts
+            shape = plan_shape(executed_plan(df))
+            # fresh DataFrame per timed run: re-count()ing one DataFrame
+            # reuses its shuffle map outputs and under-measures the scan/
+            # shuffle work that dominates at scale (PERF.md r9)
             elapsed = float("inf")
             for _ in range(timed_runs):
                 t0 = time.perf_counter()
-                df.count()
+                QUERIES[q](spark, sf_dir).count()
                 elapsed = min(elapsed, time.perf_counter() - t0)
-            shape = plan_shape(executed_plan(df))
             rows_in = table_rows[n][tbl]
             results[q][n] = {
                 "rows_in": rows_in,
