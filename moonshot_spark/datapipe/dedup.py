@@ -418,7 +418,8 @@ def hamming_expr(sig_a, sig_b, bits: int = 32):
 def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
                                 text_col: str = "text",
                                 id_col: str = "doc_id",
-                                shingle_n: int = 3) -> DataFrame:
+                                shingle_n: int = 3,
+                                shingles: DataFrame | None = None) -> DataFrame:
     """EXACT all-pairs Jaccard similarity join via prefix filtering
     (PPJoin-style; Xiao et al., WWW'08) — the deterministic alternative
     to MinHash/LSH: no false negatives, no signatures.
@@ -444,9 +445,13 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     near-dups sharp.
     """
     # shingle_frame widens under-parallel sources before the CPU-heavy
-    # shingling — the explode is the hot projection of this operator
-    tok = (shingle_frame(docs, text_col, id_col, shingle_n)
-           .select(id_col, F.explode("__shingles").alias("token")))
+    # shingling — the explode is the hot projection of this operator.
+    # ``shingles``: callers running BOTH this and the MinHash path over
+    # one corpus (lsh_recall_report) pass the shared persisted frame so
+    # the corpus is shingled once, not twice.
+    if shingles is None:
+        shingles = shingle_frame(docs, text_col, id_col, shingle_n)
+    tok = shingles.select(id_col, F.explode("__shingles").alias("token"))
     freq = tok.groupBy("token").agg(F.count("*").alias("__f"))
     # ONE groupBy(doc) builds the rarity-sorted shingle array; prefixes
     # are then a map-side slice — no per-doc rank window, and the same

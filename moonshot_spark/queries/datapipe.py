@@ -4542,15 +4542,20 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-sample of the corpus (stratified_sample), which changes no
     plumbing."""
     from moonshot_spark.datapipe.dedup import (
-        lsh_candidate_pairs, prefix_filter_jaccard_pairs)
+        lsh_candidate_pairs, prefix_filter_jaccard_pairs, shingle_frame)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = (lsh_candidate_pairs(docs, include_est_jaccard=False)
+    # shingle the corpus ONCE for both sides (candidate index + exact
+    # truth): the shared persisted frame is one array row per doc; at
+    # 100 TB use DISK_ONLY or accept the map-only recompute
+    sh = shingle_frame(docs).persist()
+    cand = (lsh_candidate_pairs(docs, include_est_jaccard=False,
+                                shingles=sh)
             .withColumn("in_cand", F.lit(1)))
     # ground truth via the PPJoin prefix filter: the exact Jaccard>=0.8
     # pair set with ZERO false negatives and no cartesian product — the
     # oracle states the same set as brute-force all-pairs SQL
-    truth = (prefix_filter_jaccard_pairs(docs, threshold=0.8)
+    truth = (prefix_filter_jaccard_pairs(docs, threshold=0.8, shingles=sh)
              .select("doc_a", "doc_b")
              .withColumn("in_truth", F.lit(1)))
     joined = cand.select("doc_a", "doc_b", "in_cand").join(
