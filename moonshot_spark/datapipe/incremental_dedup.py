@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["exact_fingerprint_index", "merge_exact_index",
-           "incremental_exact_dups", "incremental_minhash_pairs"]
+           "incremental_exact_dups", "incremental_minhash_pairs",
+           "ppjoin_index", "merge_ppjoin_index",
+           "incremental_ppjoin_pairs"]
 
 
 def _fingerprints(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -158,3 +160,130 @@ def incremental_minhash_pairs(new_docs: DataFrame, index_sigs: DataFrame,
     return pairs.select(
         "doc_a", "doc_b",
         (matches.cast("double") / F.size("sig_a2")).alias("est_jaccard"))
+
+
+# --------------------------------------------------------------------- #
+# incremental PPJoin (exact Jaccard) — frozen-token-order index          #
+# --------------------------------------------------------------------- #
+
+def _frozen_sorted_sets(docs: DataFrame, frozen_freq: DataFrame,
+                        text_col: str, id_col: str,
+                        shingle_n: int) -> DataFrame:
+    """Per-doc shingle arrays sorted by the FROZEN (frequency, token)
+    order; tokens unseen at index-build time coalesce to frequency 0
+    (rarest — maximally selective prefixes for genuinely new content)."""
+    from moonshot_spark.datapipe.dedup import shingle_frame
+
+    tok = (shingle_frame(docs, text_col, id_col, shingle_n)
+           .select(F.col(id_col), F.explode("__shingles").alias("token")))
+    j = tok.join(frozen_freq, "token", "left")
+    return (j.groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.coalesce("__f", F.lit(0)).alias("__f"), "token"))),
+                lambda s: s["token"]).alias("__ts")))
+
+
+def ppjoin_index(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 shingle_n: int = 3) -> tuple[DataFrame, DataFrame]:
+    """The persisted exact-Jaccard state: ``(frozen_freq, sorted_sets)``.
+
+    ``frozen_freq`` — (token, __f) shingle frequencies of the corpus at
+    index-build time.  This order is FROZEN for the index's lifetime:
+    the PPJoin prefix-filter guarantee (Xiao et al., WWW'08) holds for
+    ANY fixed total token order, but both members of a pair must use the
+    SAME order — re-deriving frequencies per batch would silently break
+    the no-false-negative contract for new-vs-indexed pairs.  A drifted
+    corpus only makes prefixes less selective (more candidates, same
+    exact output); rebuild the index periodically to restore
+    selectivity.
+
+    ``sorted_sets`` — (id, __ts): each doc's distinct shingles sorted by
+    the frozen order, serving both prefix generation and exact
+    verification.  At scale, persist the prefix explosion bucketed by
+    token so batch probes shuffle only the batch side.
+    """
+    from moonshot_spark.datapipe.dedup import shingle_frame
+
+    sh = shingle_frame(docs, text_col, id_col, shingle_n)
+    frozen_freq = (sh.select(F.explode("__shingles").alias("token"))
+                   .groupBy("token").agg(F.count("*").alias("__f")))
+    sets = _frozen_sorted_sets(docs, frozen_freq, text_col, id_col,
+                               shingle_n)
+    return frozen_freq, sets
+
+
+def merge_ppjoin_index(sorted_sets: DataFrame, frozen_freq: DataFrame,
+                       new_docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       shingle_n: int = 3) -> DataFrame:
+    """Index after absorbing a batch: the batch's sets (sorted under the
+    SAME frozen order) are appended; ``frozen_freq`` is deliberately NOT
+    updated (see ppjoin_index — order stability is the correctness
+    device; output exactness never depends on the frequencies)."""
+    return sorted_sets.unionByName(_frozen_sorted_sets(
+        new_docs, frozen_freq, text_col, id_col, shingle_n))
+
+
+def incremental_ppjoin_pairs(new_docs: DataFrame, sorted_sets: DataFrame,
+                             frozen_freq: DataFrame,
+                             threshold: float = 0.8,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             shingle_n: int = 3) -> DataFrame:
+    """EXACT Jaccard >= threshold pairs INVOLVING at least one new doc,
+    against the persisted PPJoin index — the exact-similarity sibling of
+    ``incremental_minhash_pairs``, closing the last dedup mode without
+    an incremental path (exact, MinHash, clusters, and ExactSubstr spans
+    all have one).
+
+    Output contract: bit-equal to
+    ``prefix_filter_jaccard_pairs(existing ∪ batch, threshold)``
+    restricted to pairs touching the batch.  The prefix filter only
+    decides WHICH candidates are verified — verification is the exact
+    set intersection on full shingle arrays — so the frozen token order
+    affects candidate counts, never the emitted pairs or their jaccard
+    values (|∩|/|∪| is order-free).
+
+    Shape per batch: batch shingling (map) + one batch-keyed sort-array
+    aggregate + the prefix equi-join on token (probe side batch-sized;
+    build side the stored prefix table) + bounded-candidate
+    verification.  The historical corpus is touched only through the
+    index.
+    """
+    batch_sets = _frozen_sorted_sets(new_docs, frozen_freq, text_col,
+                                     id_col, shingle_n)
+    build_sets = sorted_sets.unionByName(batch_sets)
+
+    def prefixes(sets: DataFrame) -> DataFrame:
+        sz = F.size("__ts")
+        plen = sz - F.ceil(sz * F.lit(threshold)) + 1
+        return sets.select(F.col(id_col), sz.alias("__sz"),
+                           F.explode(F.slice("__ts", 1, plen))
+                           .alias("token"))
+
+    probe = prefixes(batch_sets)
+    build = prefixes(build_sets)
+    len_ok = (F.least(F.col("a.__sz"), F.col("b.__sz"))
+              >= F.lit(threshold)
+              * F.greatest(F.col("a.__sz"), F.col("b.__sz")))
+    cands = (probe.alias("a").join(build.alias("b"), "token")
+             .where((F.col(f"a.{id_col}") != F.col(f"b.{id_col}")) & len_ok)
+             .select(F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+                     .alias("doc_a"),
+                     F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+                     .alias("doc_b"))
+             .distinct())
+    a_sets = build_sets.select(F.col(id_col).alias("doc_a"),
+                               F.col("__ts").alias("__ta"))
+    b_sets = build_sets.select(F.col(id_col).alias("doc_b"),
+                               F.col("__ts").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    union = F.size("__ta") + F.size("__tb") - inter
+    return (cands.join(a_sets, "doc_a").join(b_sets, "doc_b")
+            .select("doc_a", "doc_b",
+                    inter.cast("bigint").alias("n_shared"),
+                    (inter.cast("double") / union.cast("double"))
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))

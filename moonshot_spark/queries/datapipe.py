@@ -552,6 +552,70 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
 
 
+@register("ppjoin_incremental_pairs", """
+WITH t0 AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), toks AS (
+    SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        list_distinct(list_transform(range(0, len(t) - 2),
+            i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))
+        ELSE [] END AS ts
+    FROM t0
+), tok AS (
+    SELECT doc_id, unnest(ts) AS token FROM toks
+), freq AS (
+    SELECT token, count(*) AS f FROM tok GROUP BY token
+), ranked AS (
+    SELECT t.doc_id, t.token,
+           row_number() OVER (PARTITION BY t.doc_id
+                              ORDER BY f.f, t.token) AS rn,
+           count(*) OVER (PARTITION BY t.doc_id) AS sz
+    FROM tok t JOIN freq f USING (token)
+), prefix AS (
+    SELECT doc_id, token FROM ranked
+    WHERE rn <= sz - ceil(0.8 * sz) + 1
+), cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM prefix a JOIN prefix b
+      ON a.token = b.token AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(x.ts, y.ts)) AS inter,
+           len(x.ts) AS sa, len(y.ts) AS sb
+    FROM cands
+    JOIN toks x ON x.doc_id = doc_a
+    JOIN toks y ON y.doc_id = doc_b
+)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS n_shared,
+       CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) >= 0.8
+  AND least(sa, sb) >= 0.8 * greatest(sa, sb)
+  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+""")
+def ppjoin_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT-Jaccard dedup gate (datapipe/incremental_dedup
+    .py::incremental_ppjoin_pairs): every fifth doc arrives as a NEW
+    batch and is verified against the persisted frozen-token-order
+    PPJoin index of the rest — the exact-similarity ingest check, no
+    LSH probabilities, no full-corpus recompute.  The prefix filter's
+    frozen order only selects candidates; verification is the exact set
+    intersection, so the output is bit-equal to the full-recompute
+    PPJoin over the union restricted to batch-touching pairs — which is
+    what the oracle states (the ppjoin_jaccard_pairs CTE chain + the
+    batch filter).  Shape per batch: batch shingle sort (one batch-keyed
+    aggregate) + prefix equi-join on token against the stored prefix
+    table + bounded-candidate verification."""
+    from moonshot_spark.datapipe.incremental_dedup import (
+        incremental_ppjoin_pairs, ppjoin_index)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    existing = docs.where(F.col("doc_id") % 5 != 0)
+    freq, sets = ppjoin_index(existing)
+    return incremental_ppjoin_pairs(new, sets, freq, threshold=0.8)
+
+
 @register("ppjoin_jaccard_pairs", """
 WITH t0 AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -279,3 +279,83 @@ def test_incremental_spans_scrub_composition(spark):
     assert got == want
     assert got[12] == [r["text"] for r in
                        batch.where("doc_id = 12").collect()][0]
+
+
+# --------------------------------------------------------------------- #
+# incremental PPJoin (frozen-token-order exact Jaccard)                  #
+# --------------------------------------------------------------------- #
+
+def _jacc_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + (" extra" if i % 4 == 0 else "")
+             + (f" tail{i % 3}" if i % 2 else "")) for i in range(12)]
+    rows += [(100, "completely different content about spark joins here "
+                   "with nothing shared at all"),
+             # batch doc with BRAND-NEW vocabulary near-dup of 101
+             (101, "novel words zeta eta theta iota kappa lambda mu nu "
+                   "xi omicron pi rho"),
+             (102, "novel words zeta eta theta iota kappa lambda mu nu "
+                   "xi omicron pi rho sigma")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_ppjoin_equals_full_recompute(spark):
+    """Emitted pairs = exact full-recompute PPJoin over the union,
+    restricted to pairs touching the batch — covering batch-vs-index,
+    batch-vs-batch, and unseen-token (frozen order rank 0) cases."""
+    from moonshot_spark.datapipe.dedup import prefix_filter_jaccard_pairs
+    from moonshot_spark.datapipe.incremental_dedup import (
+        incremental_ppjoin_pairs, ppjoin_index)
+
+    df = _jacc_corpus(spark)
+    new = df.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") > 100))
+    existing = df.subtract(new)
+    freq, sets = ppjoin_index(existing)
+    inc = sorted(map(tuple, incremental_ppjoin_pairs(
+        new, sets, freq, threshold=0.6).collect()))
+    full = sorted(map(tuple, prefix_filter_jaccard_pairs(
+        df, threshold=0.6)
+        .where((F.col("doc_a") % 3 == 0) | (F.col("doc_a") > 100)
+               | (F.col("doc_b") % 3 == 0) | (F.col("doc_b") > 100))
+        .collect()))
+    assert inc == full and len(inc) > 0
+    ids = {r[0] for r in inc} | {r[1] for r in inc}
+    assert 101 in ids and 102 in ids     # unseen-vocab pair surfaced
+
+
+def test_incremental_ppjoin_empty_index_bootstrap(spark):
+    from moonshot_spark.datapipe.dedup import prefix_filter_jaccard_pairs
+    from moonshot_spark.datapipe.incremental_dedup import (
+        incremental_ppjoin_pairs)
+
+    batch = _jacc_corpus(spark)
+    freq = spark.createDataFrame([], "token string, __f bigint")
+    sets = spark.createDataFrame([], "doc_id long, __ts array<string>")
+    inc = sorted(map(tuple, incremental_ppjoin_pairs(
+        batch, sets, freq, threshold=0.8).collect()))
+    full = sorted(map(tuple, prefix_filter_jaccard_pairs(
+        batch, threshold=0.8).collect()))
+    assert inc == full and len(inc) > 0
+
+
+def test_merge_ppjoin_index_then_next_batch_still_exact(spark):
+    """Two-batch ingest: merge batch 1 into the index (frozen order kept),
+    then batch 2's pairs still equal the full recompute restricted to
+    batch 2 — order staleness affects selectivity, never output."""
+    from moonshot_spark.datapipe.dedup import prefix_filter_jaccard_pairs
+    from moonshot_spark.datapipe.incremental_dedup import (
+        incremental_ppjoin_pairs, merge_ppjoin_index, ppjoin_index)
+
+    df = _jacc_corpus(spark)
+    b0 = df.where(F.col("doc_id") < 6)
+    b1 = df.where((F.col("doc_id") >= 6) & (F.col("doc_id") < 100))
+    b2 = df.where(F.col("doc_id") >= 100)
+    freq, sets = ppjoin_index(b0)
+    sets = merge_ppjoin_index(sets, freq, b1)
+    inc = sorted(map(tuple, incremental_ppjoin_pairs(
+        b2, sets, freq, threshold=0.6).collect()))
+    full = sorted(map(tuple, prefix_filter_jaccard_pairs(
+        df, threshold=0.6)
+        .where((F.col("doc_a") >= 100) | (F.col("doc_b") >= 100))
+        .collect()))
+    assert inc == full and len(inc) > 0

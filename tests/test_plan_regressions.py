@@ -308,7 +308,7 @@ def test_fourth_wave_no_cartesian_or_global_scan_joins():
                  # round-9 wave: broadcast cells/queries/1-row-count BNLJ
                  # sides only, never a cartesian
                  "exact_substr_incremental", "ivf_recall_report",
-                 "mean_variance_weights_by_book"):
+                 "mean_variance_weights_by_book", "ppjoin_incremental_pairs"):
         plan = plan_of(name)
         assert "CartesianProduct" not in plan, name
 
