@@ -61,8 +61,10 @@ def main():
         sql = oracles.get(name)
         if sql is None:
             continue
-        df = fn(spark, sf_dir)
-        s = timed(df.count)
+        # fresh DataFrame per timed run (PERF.md r9): re-count()ing one
+        # DataFrame object reuses shuffle map outputs, which would flatter
+        # Spark while DuckDB re-executes its whole query each run
+        s = timed(lambda: fn(spark, sf_dir).count())
         try:
             d = timed(lambda: con.execute(sql).fetchall())
         except duckdb.OutOfMemoryException:
