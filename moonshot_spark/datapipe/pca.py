@@ -86,49 +86,79 @@ def power_iteration_top_component(emb: DataFrame, dim: int,
     sum of squares for the trace).  All corpus-scale sums are exact
     integers — see module docstring.
     """
-    xs = [F.col(vec_col)[j].cast("double").alias(f"x{j}")
-          for j in range(dim)]
-    feats = emb.select(*xs).persist(StorageLevel.MEMORY_AND_DISK)
+    # NARROW shape (r9 rework): the original fit laid the vector out as
+    # 64 x{j} columns and aggregated 64-192 wide floor-sum expressions —
+    # past the codegen width limit, so every iteration's plan fell back
+    # to interpreted mode and paid ~2 s of janino recompilation PER
+    # AGGREGATE (the markowitz.py pathology; PERF.md r8/r9).  The array
+    # formulation below keeps each per-row reduction ONE higher-order-
+    # function expression and turns the per-dimension sums into a
+    # posexplode + groupBy(dim) (64 bounded groups, map-side combined).
+    # Every floor'd integer TERM is unchanged and integer sums are
+    # order-free, so mu/w/trace/eigval/v stay bit-identical — the DuckDB
+    # oracle replay is untouched.
+    feats = (emb.select(F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double"))
+                        .alias("__xs"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+
+    def _lit_arr(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
     try:
         # pass 0: n + quantized per-dimension sums -> mean vector
-        aggs = [F.count("*").alias("__n")] + [
-            F.sum(F.floor(F.col(f"x{j}") * F.lit(QUANT)).cast("bigint"))
-            .alias(f"s{j}") for j in range(dim)]
-        row = feats.agg(*aggs).collect()[0]
-        n = row["__n"]
-        if not n:
+        q0 = F.transform("__xs", lambda x: F.floor(x * F.lit(QUANT))
+                         .cast("bigint"))
+        p0 = (feats.select(F.posexplode(q0).alias("__j", "__t"))
+              .groupBy("__j")
+              .agg(F.sum("__t").alias("__s"), F.count("*").alias("__n"))
+              .collect())
+        if not p0:
             raise ValueError("power_iteration_top_component: empty input")
-        mu = [(row[f"s{j}"] / QUANT) / n for j in range(dim)]
+        n = p0[0]["__n"]
+        s = {r["__j"]: r["__s"] for r in p0}
+        mu = [(s[j] / QUANT) / n for j in range(dim)]
 
         v = [1.0 / math.sqrt(float(dim))] * dim
         history = []
         trace = None
         eigval = None
         for it in range(1, iters + 1):
+            mu_a = _lit_arr(mu)
+            v_a = _lit_arr(v)
             # per-row projection d = (x - mu)·v as an exact integer sum
-            d_q = None
-            for j in range(dim):
-                term = F.floor((F.col(f"x{j}") - F.lit(mu[j]))
-                               * F.lit(v[j]) * F.lit(QUANT)).cast("bigint")
-                d_q = term if d_q is None else d_q + term
+            d_q = F.aggregate(
+                F.transform("__xs", lambda x, j: F.floor(
+                    (x - F.element_at(mu_a, j + 1))
+                    * F.element_at(v_a, j + 1) * F.lit(QUANT))
+                    .cast("bigint")),
+                F.lit(0).cast("bigint"), lambda acc, t: acc + t)
             d = (d_q.cast("double") / F.lit(QUANT)).alias("__d")
-            proj = feats.select("*", d)
-            aggs = [F.sum(F.floor((F.col(f"x{j}") - F.lit(mu[j]))
-                                  * F.col("__d") * F.lit(QUANT))
-                          .cast("bigint")).alias(f"w{j}")
-                    for j in range(dim)]
+            proj = feats.select("__xs", d)
+            w_t = F.transform("__xs", lambda x, j: F.floor(
+                (x - F.element_at(mu_a, j + 1)) * F.col("__d")
+                * F.lit(QUANT)).cast("bigint"))
             if it == 1:   # trace rides the first iteration's aggregate
-                aggs += [F.sum(F.floor((F.col(f"x{j}") - F.lit(mu[j]))
-                                       * (F.col(f"x{j}") - F.lit(mu[j]))
-                                       * F.lit(QUANT)).cast("bigint"))
-                         .alias(f"q{j}") for j in range(dim)]
-            out = proj.agg(*aggs).collect()[0]
-            if it == 1:
-                trace_q = 0
-                for j in range(dim):
-                    trace_q += out[f"q{j}"]
+                q_t = F.transform("__xs", lambda x, j: F.floor(
+                    (x - F.element_at(mu_a, j + 1))
+                    * (x - F.element_at(mu_a, j + 1))
+                    * F.lit(QUANT)).cast("bigint"))
+                terms = F.zip_with(w_t, q_t, lambda a, b: F.struct(
+                    a.alias("w"), b.alias("q")))
+                rows = (proj.select(F.posexplode(terms).alias("__j", "__t"))
+                        .groupBy("__j")
+                        .agg(F.sum("__t.w").alias("__w"),
+                             F.sum("__t.q").alias("__q"))
+                        .collect())
+                trace_q = sum(r["__q"] for r in rows)
                 trace = (trace_q / QUANT) / n
-            w = [(out[f"w{j}"] / QUANT) / n for j in range(dim)]
+            else:
+                rows = (proj.select(F.posexplode(w_t).alias("__j", "__w0"))
+                        .groupBy("__j")
+                        .agg(F.sum("__w0").alias("__w"))
+                        .collect())
+            wq = {r["__j"]: r["__w"] for r in rows}
+            w = [(wq[j] / QUANT) / n for j in range(dim)]
             # Rayleigh estimate BEFORE normalization: lambda = v·w,
             # pinned via the same integer quantization
             lam_q = 0
