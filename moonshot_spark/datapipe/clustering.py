@@ -25,6 +25,7 @@ that fits nowhere.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -53,15 +54,57 @@ def _dist2(qcol: Column, centroid: list[int]) -> Column:
 def _dist_array(qcol: Column, centroids: list[list[int]]) -> Column:
     """array of the k exact distances (each computed once — a when-chain
     argmin would duplicate every distance expr k times and bloat the
-    task binary at O(k^2 * dim))."""
-    return F.array(*[_dist2(qcol, c) for c in centroids])
+    task binary at O(k^2 * dim)).
+
+    The codebook is ONE nested literal array with a single
+    transform-over-cells fold, not k separate fold expressions: the
+    per-iteration plans stay narrow, so re-planning cost is flat in k
+    (the janino-recompilation lesson of PERF.md r8/r9).  Distances are
+    exact BIGINTs either way — values identical."""
+    cents_lit = F.array(*[
+        F.array(*[F.lit(int(v)).cast("bigint") for v in c])
+        for c in centroids])
+    return F.transform(cents_lit, lambda c: F.aggregate(
+        F.zip_with(qcol, c, lambda x, cv: (x - cv) * (x - cv)),
+        F.lit(0).cast("bigint"), lambda acc, d: acc + d))
+
+
+def _assign_struct(qcol: Column, centroids: list[list[int]]) -> Column:
+    """(cluster, dist2) against the literal codebook as ONE Arrow-batched
+    int64 numpy kernel — the "numpy-heavy similarity" exception
+    (similarity.py::ivf_probe_col): the higher-order-function fold
+    evaluates interpreted at ~1 µs per lambda step, which is 1.4 s per
+    Lloyd's pass on a mere 2k x 64 x 8 problem; the matrix form is
+    milliseconds.  Distances stay EXACT (int64 products of micro-unit
+    ints — the same integers the fold produces; |x-c| <= ~2^22, so the
+    64-term sum is < 2^52, far inside int64), and ``argmin`` takes the
+    first minimum — the same lowest-index tie-break as
+    ``array_position(arr, array_min(arr))``."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.int64)
+
+    # (cluster, dist2) ride ONE array<bigint> cell: the Series->DataFrame
+    # struct signature isn't accepted by this pandas_udf hint parser
+    @F.pandas_udf("array<bigint>")
+    def assign(q: pd.Series) -> pd.Series:
+        if len(q) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(q.to_numpy()).astype(np.int64)
+        diff = X[:, None, :] - C[None, :, :]
+        d = (diff * diff).sum(axis=2)
+        cl = d.argmin(axis=1)
+        best = d[np.arange(len(cl)), cl]
+        return pd.Series([[int(c), int(b)] for c, b in zip(cl, best)])
+
+    a = assign(qcol)
+    return F.struct(a[0].cast("int").alias("cluster"),
+                    a[1].alias("dist2"))
 
 
 def _assign_expr(qcol: Column, centroids: list[list[int]]) -> Column:
-    """argmin over k exact distances, ties to the lowest index
-    (array_position returns the FIRST occurrence of the min)."""
-    darr = _dist_array(qcol, centroids)
-    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    """argmin over k exact distances, ties to the lowest index."""
+    return _assign_struct(qcol, centroids)["cluster"]
 
 
 def _update_centroids(assigned: DataFrame, centroids: list[list[int]]
@@ -137,10 +180,8 @@ def kmeans_fit_predict(df: DataFrame, k: int = 8, n_iter: int = 2,
         assigned = q.withColumn("__cluster", _assign_expr(F.col("__q"),
                                                           cents))
         cents = _update_centroids(assigned, cents)
-    darr = _dist_array(F.col("__q"), cents)
-    out = q.select(
-        F.col(id_col),
-        (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
-        .alias("cluster"),
-        F.array_min(darr).alias("dist2"))
+    out = (q.withColumn("__a", _assign_struct(F.col("__q"), cents))
+           .select(F.col(id_col),
+                   F.col("__a.cluster").alias("cluster"),
+                   F.col("__a.dist2").alias("dist2")))
     return (out, cents) if return_centroids else out

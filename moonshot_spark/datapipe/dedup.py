@@ -457,16 +457,19 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     # are then a map-side slice — no per-doc rank window, and the same
     # array serves verification (no third shingle pass).  The per-doc
     # collect is bounded by document length, never corpus size.
-    # the sorted-set frame feeds FOUR consumers (two candidate-join sides
-    # + two verification sides); materialize it once — its size is one
-    # shingle-array row per doc, the same class as the input corpus
+    # The sorted-set frame feeds FOUR consumers (two candidate-join
+    # sides + two verification sides), but they all hang off THIS one
+    # DataFrame, so its shuffle stages are computed once per job by the
+    # DAG scheduler — an eager localCheckpoint here was measured SLOWER
+    # at both sf0.1 (5.7 -> 3.9 s) and 50x (39 -> 27 s): serializing the
+    # array rows to block storage costs more than the shared recompute
+    # (PERF.md r9).
     sorted_sets = (tok.join(freq, "token")
                    .groupBy(id_col)
                    .agg(F.transform(
                        F.array_sort(F.collect_list(
                            F.struct("__f", "token"))),
-                       lambda s: s["token"]).alias("__ts"))
-                   .localCheckpoint())
+                       lambda s: s["token"]).alias("__ts")))
     sz = F.size("__ts")
     prefix_len = sz - F.ceil(sz * F.lit(threshold)) + 1
     prefix = (sorted_sets
