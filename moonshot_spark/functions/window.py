@@ -3,7 +3,7 @@
 Reference semantics (pandas, quantrocket-llc/moonshot):
 
 - ``shift(k)``      — reference base.py:434,480 (lag; NaN for first k rows)
-- ``pct_change()``  — reference base.py:480,1500 ((v - lag)/lag)
+- ``pct_change()``  — reference base.py:480,1500 (v/lag - 1, the pandas form)
 - ``diff()``        — reference base.py:713 (v - lag)
 - ``ffill()``       — reference base.py:935,1500,1623 (last non-null forward)
 - ``rolling(N).mean()`` — reference README.md:39-40; pandas default
@@ -56,14 +56,19 @@ def lead(col: ColumnOrName, periods: int = 1, w: WindowSpec | None = None) -> Co
 
 
 def pct_change(col: ColumnOrName, periods: int = 1, w: WindowSpec | None = None) -> Column:
-    """pandas ``pct_change()``: (v - v[-k]) / v[-k]; NULL at series start.
+    """pandas ``pct_change()``: v / v[-k] - 1; NULL at series start.
 
     Reference: base.py:479-481 (gross returns = close.pct_change() * shifted
     positions).  NULL/NULL propagation matches pandas NaN arithmetic.
+    The DIV-THEN-SUBTRACT form is deliberate: pandas implements
+    pct_change as ``self / self.shift(k) - 1``, and the algebraically
+    equal ``(v - prev) / prev`` differs in the last ULP (found by the
+    r9 hypothesis differential test: (7.5-46)/46 != 7.5/46-1 by 1 ulp).
+    Every oracle replays ``x / lag(x) - 1`` for the same reason.
     """
     w = w if w is not None else sid_window()
     prev = F.lag(_c(col), periods).over(w)
-    return (_c(col) - prev) / prev
+    return _c(col) / prev - F.lit(1.0)
 
 
 def diff(col: ColumnOrName, periods: int = 1, w: WindowSpec | None = None) -> Column:

@@ -52,7 +52,7 @@ def vwap_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH panel AS ({PANEL_SQL}),
 rets AS (
     SELECT sid, date,
-           (close - lag(close) OVER w) / lag(close) OVER w AS r
+           (close / lag(close) OVER w - 1) AS r
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ),
 series AS (
@@ -123,7 +123,7 @@ def return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH panel AS ({PANEL_SQL}),
 rets AS (
     SELECT sid, date,
-           (close - lag(close) OVER w) / lag(close) OVER w AS r
+           (close / lag(close) OVER w - 1) AS r
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ),
 bench AS (SELECT date, r AS rb FROM rets WHERE sid = '7' AND r IS NOT NULL),
@@ -526,7 +526,7 @@ def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH panel AS ({PANEL_SQL}),
 rets0 AS (
     SELECT sid, date,
-           (close - lag(close) OVER w) / lag(close) OVER w AS r
+           (close / lag(close) OVER w - 1) AS r
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ),
 rets AS (
@@ -741,7 +741,7 @@ def event_study_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH panel AS ({PANEL_SQL}),
 rets AS (
     SELECT sid, date,
-           (close - lag(close) OVER w) / lag(close) OVER w AS r
+           (close / lag(close) OVER w - 1) AS r
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ),
 lagged AS (
@@ -824,7 +824,7 @@ def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH panel AS ({PANEL_SQL}),
 rets AS (
     SELECT sid, date, close, volume,
-           (close - lag(close) OVER w) / lag(close) OVER w AS r
+           (close / lag(close) OVER w - 1) AS r
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ),
 daily AS (
@@ -977,8 +977,8 @@ def price_path_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH panel AS ({PANEL_SQL}),
 rets AS (
     SELECT sid, date,
-           (close - lag(close) OVER w) / lag(close) OVER w AS r1,
-           (close - lag(close, 5) OVER w) / lag(close, 5) OVER w AS r5
+           (close / lag(close) OVER w - 1) AS r1,
+           (close / lag(close, 5) OVER w - 1) AS r5
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ),
 sums AS (
@@ -1012,8 +1012,7 @@ def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = events_to_panel(spark, sf_dir)
     w = Window.partitionBy("sid").orderBy("date")
     r1 = pct_change("close", 1, w)
-    r5 = ((F.col("close") - F.lag("close", 5).over(w))
-          / F.lag("close", 5).over(w))
+    r5 = F.col("close") / F.lag("close", 5).over(w) - 1
     rets = panel.select("sid", "date", r1.alias("r1"), r5.alias("r5"))
 
     def fold_by(expr):
@@ -1203,7 +1202,7 @@ def gap_fade_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH panel AS ({PANEL_SQL}),
 rets AS (
     SELECT sid, date,
-           (close - lag(close) OVER w) / lag(close) OVER w AS r
+           (close / lag(close) OVER w - 1) AS r
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ),
 per_sid AS (
@@ -1658,7 +1657,7 @@ def ta_macd_stoch_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH panel AS ({PANEL_SQL}),
 rets AS (
     SELECT sid, date,
-           (close - lag(close) OVER w) / lag(close) OVER w AS r
+           (close / lag(close) OVER w - 1) AS r
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ), rr AS (
     SELECT sid, date, r FROM rets WHERE r IS NOT NULL
@@ -1717,7 +1716,7 @@ def market_model_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("close").over(ws)
     rr = (panel.select(
             "sid", "date",
-            ((F.col("close") - prev) / prev).alias("r"))
+            (F.col("close") / prev - 1).alias("r"))
           .where(F.col("r").isNotNull()))
     rs = F.transform(F.array_sort(F.collect_list(F.struct("sid", "r"))),
                      lambda x: x["r"])
@@ -1869,7 +1868,7 @@ WITH panel AS (
     FROM events GROUP BY 1, 2
 ), rets AS (
     SELECT sid, date,
-           (close - lag(close) OVER w) / lag(close) OVER w AS r
+           (close / lag(close) OVER w - 1) AS r
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ), series AS (
     SELECT sid, list(r ORDER BY date) AS rs
@@ -1931,7 +1930,7 @@ def newey_west_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = Window.partitionBy("sid").orderBy("date")
     prev = F.lag("close").over(ws)
     rets = (panel.select("sid", "date",
-                         ((F.col("close") - prev) / prev).alias("r"))
+                         (F.col("close") / prev - 1).alias("r"))
             .where(F.col("r").isNotNull()))
     series = (rets.groupBy("sid")
               .agg(F.transform(
@@ -1979,7 +1978,7 @@ def newey_west_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH panel AS ({PANEL_SQL}),
 rets AS (
     SELECT sid, date,
-           (close - lag(close) OVER w) / lag(close) OVER w AS r
+           (close / lag(close) OVER w - 1) AS r
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ), rr AS (
     SELECT sid, date, r FROM rets WHERE r IS NOT NULL
@@ -2035,7 +2034,7 @@ def bootstrap_sharpe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = Window.partitionBy("sid").orderBy("date")
     prev = F.lag("close").over(ws)
     rr = (panel.select("sid", "date",
-                       ((F.col("close") - prev) / prev).alias("r"))
+                       (F.col("close") / prev - 1).alias("r"))
           .where(F.col("r").isNotNull()))
     rs_date = F.transform(F.array_sort(F.collect_list(
         F.struct("sid", "r"))), lambda s: s["r"])
@@ -2447,8 +2446,7 @@ def embedding_pc1_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH panel AS ({PANEL_SQL}),
 r AS (
     SELECT sid, date,
-           (close - lag(close) OVER (PARTITION BY sid ORDER BY date))
-           / lag(close) OVER (PARTITION BY sid ORDER BY date) AS r
+           (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) AS r
     FROM panel WHERE sid IN ('1', '2', '3')
 ),
 piv AS (
@@ -2544,8 +2542,8 @@ def mean_variance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_sid = Window.partitionBy("sid").orderBy("date")
     r = (panel.where(F.col("sid").isin("1", "2", "3"))
          .select("sid", "date",
-                 ((F.col("close") - F.lag("close").over(w_sid))
-                  / F.lag("close").over(w_sid)).alias("r")))
+                 (F.col("close") / F.lag("close").over(w_sid)
+                  - 1).alias("r")))
     piv = (r.groupBy("date")
            .agg(F.max(F.when(F.col("sid") == "1", F.col("r"))).alias("r1"),
                 F.max(F.when(F.col("sid") == "2", F.col("r"))).alias("r2"),
@@ -2625,8 +2623,7 @@ def _mvw_k5_oracle() -> str:
     base = f"""panel AS ({PANEL_SQL}),
 r AS (
     SELECT sid, date,
-           (close - lag(close) OVER (PARTITION BY sid ORDER BY date))
-           / lag(close) OVER (PARTITION BY sid ORDER BY date) AS r
+           (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) AS r
     FROM panel WHERE sid IN ({sids})
 ),
 piv AS (
@@ -2650,8 +2647,7 @@ def _mvw_by_book_oracle() -> str:
     base = f"""panel AS ({PANEL_SQL}),
 r AS (
     SELECT sid, date,
-           (close - lag(close) OVER (PARTITION BY sid ORDER BY date))
-           / lag(close) OVER (PARTITION BY sid ORDER BY date) AS r
+           (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) AS r
     FROM panel WHERE sid IN ({sids})
 ),
 piv AS (
@@ -2685,8 +2681,8 @@ def mean_variance_weights_by_book(spark: SparkSession,
     w_sid = Window.partitionBy("sid").orderBy("date")
     r = (panel.where(F.col("sid").isin(sids))
          .select("sid", "date",
-                 ((F.col("close") - F.lag("close").over(w_sid))
-                  / F.lag("close").over(w_sid)).alias("r")))
+                 (F.col("close") / F.lag("close").over(w_sid)
+                  - 1).alias("r")))
     piv = (r.groupBy("date")
            .agg(*[F.max(F.when(F.col("sid") == s, F.col("r")))
                   .alias(f"r{s}") for s in sids])
@@ -2717,8 +2713,8 @@ def mean_variance_weights_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_sid = Window.partitionBy("sid").orderBy("date")
     r = (panel.where(F.col("sid").isin(sids))
          .select("sid", "date",
-                 ((F.col("close") - F.lag("close").over(w_sid))
-                  / F.lag("close").over(w_sid)).alias("r")))
+                 (F.col("close") / F.lag("close").over(w_sid)
+                  - 1).alias("r")))
     piv = (r.groupBy("date")
            .agg(*[F.max(F.when(F.col("sid") == s, F.col("r")))
                   .alias(f"r{s}") for s in sids]))

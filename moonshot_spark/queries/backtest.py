@@ -48,7 +48,7 @@ pos AS (
 ),
 gross AS (
     SELECT *,
-           (close - lag(close) OVER w) / lag(close) OVER w
+           (close / lag(close) OVER w - 1)
                * lag(position) OVER w AS gross_return,
            abs(coalesce(position, 0) - lag(coalesce(position, 0)) OVER w) AS turnover
     FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
@@ -453,7 +453,7 @@ pos AS (
 ),
 gross AS (
     SELECT *,
-           (close - lag(close) OVER w) / lag(close) OVER w
+           (close / lag(close) OVER w - 1)
                * lag(position) OVER w AS gross_return,
            abs(coalesce(position, 0) - lag(coalesce(position, 0)) OVER w) AS turnover
     FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
@@ -497,7 +497,7 @@ pos AS (
 ),
 gross AS (
     SELECT *,
-           (close - lag(close) OVER w) / lag(close) OVER w
+           (close / lag(close) OVER w - 1)
                * lag(position) OVER w AS gross_return,
            abs(coalesce(position, 0) - lag(coalesce(position, 0)) OVER w) AS turnover
     FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
@@ -585,7 +585,7 @@ pos AS (
     FROM cw
 )
 SELECT sid, date, cweight AS weight,
-       (close - lag(close) OVER w) / lag(close) OVER w
+       (close / lag(close) OVER w - 1)
            * lag(position) OVER w AS gross_return
 FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
 """
@@ -662,7 +662,7 @@ pos AS (
 ),
 gross AS (
     SELECT *,
-           (close - lag(close) OVER w) / lag(close) OVER w
+           (close / lag(close) OVER w - 1)
                * lag(position) OVER w AS gross_return,
            abs(coalesce(position, 0) - lag(coalesce(position, 0)) OVER w) AS turnover
     FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
@@ -764,7 +764,7 @@ pos AS (
 ),
 gross AS (
     SELECT *,
-           (close - lag(close) OVER w) / lag(close) OVER w
+           (close / lag(close) OVER w - 1)
                * lag(position) OVER w AS gross_return,
            coalesce(date_diff('day', lag(date) OVER w, date), 1) AS days_held
     FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
@@ -844,7 +844,7 @@ pos AS (
     SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts
 )
 SELECT sid, date, weight,
-       (close - lag(close) OVER w) / lag(close) OVER w
+       (close / lag(close) OVER w - 1)
            * lag(position) OVER w AS gross_return
 FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
 """
@@ -949,8 +949,7 @@ spine AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close
     FROM dates d LEFT JOIN bench b ON d.date = b.date
 )
-SELECT date, (close - lag(close) OVER (ORDER BY date))
-             / lag(close) OVER (ORDER BY date) AS benchmark
+SELECT date, (close / lag(close) OVER (ORDER BY date) - 1) AS benchmark
 FROM spine
 """)
 def benchmark_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,7 +965,7 @@ def benchmark_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = spine.withColumn("__c", filled)
     prev = F.lag("__c").over(w)
     return spine.select(
-        "date", ((F.col("__c") - prev) / prev).alias("benchmark"))
+        "date", (F.col("__c") / prev - 1).alias("benchmark"))
 
 
 # --------------------------------------------------------------------- #
@@ -1001,7 +1000,7 @@ pos AS (
 ),
 fin AS (
     SELECT *,
-           (close - lag(close) OVER w) / lag(close) OVER w
+           (close / lag(close) OVER w - 1)
                * lag(position) OVER w AS gross_return,
            abs(coalesce(position, 0) - lag(coalesce(position, 0)) OVER w) AS turnover
     FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date, time)
@@ -1155,7 +1154,7 @@ pos AS (
 ),
 rets AS (
     SELECT sid, date,
-           coalesce((close - lag(close) OVER w) / lag(close) OVER w
+           coalesce((close / lag(close) OVER w - 1)
                * lag(position) OVER w, 0) AS r
     FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
 ),
@@ -1216,7 +1215,7 @@ WITH panel AS (
     FROM events GROUP BY 1, 2
 ), rets AS (
     SELECT sid, date,
-           coalesce((close - lag(close) OVER w) / lag(close) OVER w, 0) AS r
+           coalesce((close / lag(close) OVER w - 1), 0) AS r
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ), series AS (
     SELECT sid, list(r ORDER BY date) AS rs FROM rets GROUP BY sid
@@ -1248,7 +1247,7 @@ def sharpe_per_sid(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("close").over(w)
     rets = panel.select(
         "sid", "date",
-        F.coalesce((F.col("close") - prev) / prev, F.lit(0.0)).alias("r"))
+        F.coalesce(F.col("close") / prev - 1, F.lit(0.0)).alias("r"))
     series = (rets.groupBy("sid")
               .agg(F.transform(
                   F.array_sort(F.collect_list(F.struct("date", "r"))),
@@ -1274,7 +1273,7 @@ def sharpe_per_sid(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH panel AS ({PANEL_SQL}),
 mom AS (
     SELECT sid, date, close,
-           (close - lag(close, 5) OVER w) / lag(close, 5) OVER w AS mom5
+           (close / lag(close, 5) OVER w - 1) AS mom5
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ),
 ranked AS (
@@ -1299,7 +1298,7 @@ pos AS (
     FROM wts
 ),
 fin AS (
-    SELECT *, (close - lag(close) OVER w) / lag(close) OVER w
+    SELECT *, (close / lag(close) OVER w - 1)
                * lag(position) OVER w AS gross_return
     FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
 )
@@ -1369,7 +1368,7 @@ pos AS (
 ),
 rets AS (
     SELECT sid, date,
-           coalesce((close - lag(close) OVER w) / lag(close) OVER w
+           coalesce((close / lag(close) OVER w - 1)
                * lag(position) OVER w, 0) AS r
     FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
 )
@@ -1423,7 +1422,7 @@ pos AS (
 ),
 rets AS (
     SELECT sid, date,
-           coalesce((close - lag(close) OVER w) / lag(close) OVER w
+           coalesce((close / lag(close) OVER w - 1)
                * lag(position) OVER w, 0) AS r,
            abs(coalesce(position, 0)
                - lag(coalesce(position, 0)) OVER w) AS turnover
@@ -1588,7 +1587,7 @@ pos AS (
 ),
 rets AS (
     SELECT sid, date, coalesce(position, 0) AS p,
-           coalesce((close - lag(close) OVER w) / lag(close) OVER w
+           coalesce((close / lag(close) OVER w - 1)
                * lag(position) OVER w, 0) AS r
     FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
 ),
@@ -1655,7 +1654,7 @@ def holding_period_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH panel AS ({PANEL_SQL}),
 rets AS (
     SELECT sid, date,
-           (close - lag(close) OVER w) / lag(close) OVER w AS r
+           (close / lag(close) OVER w - 1) AS r
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ),
 mom AS (
@@ -2049,7 +2048,7 @@ pos AS (
 ),
 rets AS (
     SELECT sid, date,
-           coalesce((close - lag(close) OVER w) / lag(close) OVER w
+           coalesce((close / lag(close) OVER w - 1)
                * lag(position) OVER w, 0) AS r
     FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
 ),
@@ -2137,7 +2136,7 @@ pos AS (
 ),
 gross AS (
     SELECT *,
-           (close - lag(close) OVER w) / lag(close) OVER w
+           (close / lag(close) OVER w - 1)
                * lag(position) OVER w AS gross_return,
            abs(coalesce(position, 0) - lag(coalesce(position, 0)) OVER w) AS turnover
     FROM pos WINDOW w AS (PARTITION BY sid ORDER BY date)
@@ -2185,7 +2184,7 @@ def backtest_bollinger_meanrev(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH panel AS ({PANEL_SQL}),
 rets AS (
     SELECT sid, date,
-           (close - lag(close) OVER w) / lag(close) OVER w AS r
+           (close / lag(close) OVER w - 1) AS r
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ), rr AS (
     SELECT sid, date, r FROM rets WHERE r IS NOT NULL
@@ -2224,7 +2223,7 @@ def var_exceedance_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = Window.partitionBy("sid").orderBy("date")
     prev = F.lag("close").over(ws)
     rr = (panel.select("sid", "date",
-                       ((F.col("close") - prev) / prev).alias("r"))
+                       (F.col("close") / prev - 1).alias("r"))
           .where(F.col("r").isNotNull()))
     hist = F.array_sort(F.collect_list("r").over(ws.rowsBetween(-60, -1)))
     framed = rr.select("sid", "date", "r", hist.alias("hist"))
@@ -2255,7 +2254,7 @@ WITH panel AS (
     FROM events GROUP BY 1, 2
 ), rets AS (
     SELECT sid, date,
-           coalesce((close - lag(close) OVER w) / lag(close) OVER w, 0) AS r
+           coalesce((close / lag(close) OVER w - 1), 0) AS r
     FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)
 ), series AS (
     SELECT sid, list(r ORDER BY date) AS rs FROM rets GROUP BY sid
@@ -2298,7 +2297,7 @@ def kelly_sizing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("close").over(ws)
     rets = panel.select(
         "sid", "date",
-        F.coalesce((F.col("close") - prev) / prev, F.lit(0.0)).alias("r"))
+        F.coalesce(F.col("close") / prev - 1, F.lit(0.0)).alias("r"))
     series = (rets.groupBy("sid")
               .agg(F.transform(
                   F.array_sort(F.collect_list(F.struct("date", "r"))),

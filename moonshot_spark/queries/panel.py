@@ -42,7 +42,7 @@ SELECT sid, date, close,
        lag(close, 2) OVER w AS close_lag2,
        lead(close, 1) OVER w AS close_lead1,
        close - lag(close, 1) OVER w AS close_diff,
-       (close - lag(close, 1) OVER w) / lag(close, 1) OVER w AS close_pct_change,
+       (close / lag(close, 1) OVER w - 1) AS close_pct_change,
        CAST(date_diff('day', lag(date, 1) OVER w, date) AS INT) AS days_since_prev
 FROM panel
 WINDOW w AS (PARTITION BY sid ORDER BY date)

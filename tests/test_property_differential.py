@@ -125,7 +125,7 @@ config_strategy = st.tuples(
 )
 
 
-@settings(max_examples=MAX_EXAMPLES, deadline=None,
+@settings(max_examples=MAX_EXAMPLES, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(panel=panel_strategy, config=config_strategy)
 def test_backtest_matches_pandas_reference(spark, panel, config):
