@@ -4610,9 +4610,12 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # shingle the corpus ONCE for both sides (candidate index + exact
-    # truth): the shared persisted frame is one array row per doc; at
-    # 100 TB use DISK_ONLY or accept the map-only recompute
-    sh = shingle_frame(docs).persist()
+    # truth): both consumers hang off this ONE DataFrame, so the DAG
+    # scheduler computes its stages once per job — no persist() needed
+    # (an explicit persist here leaked cached copies across repeated
+    # constructions and OOMed the 50x scale bench; same lesson as the
+    # PPJoin checkpoint removal, PERF.md r9)
+    sh = shingle_frame(docs)
     cand = (lsh_candidate_pairs(docs, include_est_jaccard=False,
                                 shingles=sh)
             .withColumn("in_cand", F.lit(1)))
