@@ -76,6 +76,7 @@ def main():
             pass
 
     timings: dict[str, float] = {}
+    split: dict[str, dict[str, float]] = {}
     total = 0.0
     for name, fn in QUERIES.items():
         fn(spark, sf_dir).count()  # warm-up: JIT, parquet footers, broadcasts
@@ -85,12 +86,24 @@ def main():
         # under-measures shuffle-heavy queries by ~2x (PERF.md r9).  A
         # fresh plan per run times the real end-to-end execution
         # (planning included), matching how the DuckDB baseline is timed.
+        # build = DataFrame construction (driver-only Py4J/analysis work,
+        # plus any bounded validation actions a builder runs eagerly);
+        # exec = count() on the fresh plan.  The split diagnoses fixed
+        # driver overhead vs data-dependent execution (VERDICT r9 item 1).
         elapsed = float("inf")
+        best_build = best_exec = float("inf")
         for _ in range(2):
             start = time.perf_counter()
-            fn(spark, sf_dir).count()
-            elapsed = min(elapsed, time.perf_counter() - start)
+            df = fn(spark, sf_dir)
+            mid = time.perf_counter()
+            df.count()
+            end = time.perf_counter()
+            if end - start < elapsed:
+                elapsed = end - start
+                best_build, best_exec = mid - start, end - mid
         timings[name] = round(elapsed, 4)
+        split[name] = {"build": round(best_build, 4),
+                       "exec": round(best_exec, 4)}
         total += elapsed
 
     with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as f:
@@ -100,6 +113,7 @@ def main():
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "build_exec_split": split,
                 "sf": sf,
             },
             f,

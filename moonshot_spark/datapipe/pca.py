@@ -115,7 +115,21 @@ def power_iteration_top_component(emb: DataFrame, dim: int,
               .collect())
         if not p0:
             raise ValueError("power_iteration_top_component: empty input")
-        n = p0[0]["__n"]
+        # fixed-width contract: every vector must carry all `dim`
+        # positions.  Ragged input would silently skew the mean (a short
+        # vector contributes to some dimensions only), so validate that
+        # each dimension saw every row instead of indexing blind
+        # (collect order after groupBy is unspecified — don't take n
+        # from an arbitrary group; ADVICE r9).
+        counts = {r["__j"]: r["__n"] for r in p0}
+        n = max(counts.values())
+        missing = [j for j in range(dim)
+                   if counts.get(j, 0) != n]
+        if missing or len(counts) != dim:
+            raise ValueError(
+                "power_iteration_top_component: ragged input — expected "
+                f"all {dim} positions in every vector; dimensions with "
+                f"missing entries: {missing[:10]}")
         s = {r["__j"]: r["__s"] for r in p0}
         mu = [(s[j] / QUANT) / n for j in range(dim)]
 

@@ -285,9 +285,18 @@ def waterfill_allocation(domains: DataFrame, budget_col: str = "budget",
     # past 2^53 the double floor can differ from the true proportional
     # floor (ADVICE r8).  w_final > 0 whenever the branch is taken: a
     # sat=0 row's own weight is excluded from sat_w by definition.
+    # DOMAIN: weights, availabilities, and the budget are nonnegative
+    # (asserted below) — required because SQL `div` truncates toward
+    # zero while the oracle's `//` floors toward -inf; the two only
+    # coincide on nonnegative operands (ADVICE r9).
     staged = (staged.withColumn("__bf", b_final)
               .withColumn("__wf", w_final))
-    alloc = F.when(F.col("__sat") == 1, F.col(avail_col)).otherwise(
+    neg_input = ((F.col(weight_col) < 0) | (F.col(avail_col) < 0)
+                 | (F.col(budget_col) < 0))
+    alloc = F.when(neg_input, F.raise_error(F.lit(
+        "waterfill_allocation requires nonnegative weight/avail/budget "
+        "(truncating `div` == floor division only on that domain)"))
+    ).when(F.col("__sat") == 1, F.col(avail_col)).otherwise(
         F.expr(f"`{weight_col}` * __bf div __wf").cast("bigint"))
     return staged.select(*keys, F.col(avail_col), F.col(weight_col),
                          F.col("__sat").alias("saturated"),

@@ -60,6 +60,11 @@ _NODE_RE = re.compile(r"^[\s:+*\-]*(?:\(\d+\)\s*)?([A-Za-z][A-Za-z0-9]*)")
 SHAPE_NODES = (
     "CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
     "BroadcastHashJoin", "ShuffledHashJoin", "Exchange",
+    # counted separately from (shuffle) Exchange: broadcast-exchange
+    # counts legitimately move when AQE flips SMJ<->BHJ, so they are
+    # informational; shuffle-Exchange growth is the scale signal
+    # (ADVICE r9: the old comment claimed they merged into Exchange)
+    "BroadcastExchange",
 )
 
 

@@ -13,6 +13,7 @@ from moonshot_spark.functions.window import (
 from moonshot_spark.queries._base import (
     PANEL_SQL, ORACLES, QUERIES, register,
 )
+from moonshot_spark.sources.local import local_df
 from moonshot_spark.sources.parquet import events_to_panel, load_table
 
 
@@ -140,8 +141,8 @@ def trade_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "signal", (F.col("close") < 100).cast("int"))
 
     panel = events_to_panel(spark, sf_dir)
-    balances = spark.createDataFrame(
-        [("U100", "USD", 1000000.0), ("U200", "USD", 500000.0)],
+    balances = local_df(
+        spark, [("U100", "USD", 1000000.0), ("U200", "USD", 500000.0)],
         "account string, currency string, net_liquidation double")
     orders = BuyBelow100().trade(panel, {"U100": 0.6, "U200": 0.4}, balances)
     return orders.select("sid", "account", "action", "order_ref",
@@ -211,8 +212,8 @@ def trade_orders_children(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "signal", (F.col("close") < 100).cast("int"))
 
     panel = events_to_panel(spark, sf_dir)
-    balances = spark.createDataFrame(
-        [("U100", "USD", 1000000.0)],
+    balances = local_df(
+        spark, [("U100", "USD", 1000000.0)],
         "account string, currency string, net_liquidation double")
     strat = BuyBelow100()
     orders = strat.trade(panel, {"U100": 1.0}, balances)
@@ -288,8 +289,8 @@ def trade_orders_no_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "signal", (F.col("close") < 100).cast("int"))
 
     panel = events_to_panel(spark, sf_dir)
-    balances = spark.createDataFrame(
-        [("U100", "USD", 1000000.0)],
+    balances = local_df(
+        spark, [("U100", "USD", 1000000.0)],
         "account string, currency string, net_liquidation double")
     positions = (panel.select("sid").distinct()
                  .select("sid", F.lit("U100").alias("account"),
@@ -359,11 +360,11 @@ def trade_orders_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
     master = (panel.select("sid").distinct()
               .select("sid", F.lit("STK").alias("sec_type"),
                       F.lit("USD").alias("currency")))
-    balances = spark.createDataFrame(
-        [("U900", "EUR", 250000.0)],
+    balances = local_df(
+        spark, [("U900", "EUR", 250000.0)],
         "account string, currency string, net_liquidation double")
-    rates = spark.createDataFrame(
-        [("EUR", "USD", 1.10)],
+    rates = local_df(
+        spark, [("EUR", "USD", 1.10)],
         "base_currency string, quote_currency string, rate double")
     orders = BuyBelow100FX().trade(panel, {"U900": 1.0}, balances,
                                    exchange_rates=rates, master=master)

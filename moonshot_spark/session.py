@@ -39,6 +39,14 @@ def get_spark(app_name: str = "moonshot_spark", master: str | None = None,
         # because post-shuffle bytes say nothing about downstream compute
         # per row.  Measured both ways in PERF.md §overhead.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan partitioning on top of cached relations: without
+        # this (default false) a .cache() freezes the materialization's
+        # shuffle-partition count, so a tiny cached dim (the bench's
+        # shared panel rollup) is re-scanned as 32 near-empty tasks by
+        # every consumer stage.  At scale the same conf lets AQE coalesce
+        # or skew-split cached-plan consumers by actual bytes.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

@@ -16,9 +16,41 @@ from pyspark.sql import functions as F
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Parquet-schema memo: schema inference reads a footer on the driver per
+# ``spark.read.parquet`` call — a fixed ~50-100 ms of Py4J + IO that a
+# 240-query bench pays 240+ times on identical paths (VERDICT r9 item 1).
+# Keyed by (abspath, mtime): an overwritten/appended dataset changes the
+# directory mtime, so a stale schema is never replayed onto new files.
+# The memo holds StructTypes (plain driver objects), never DataFrames, so
+# nothing pins a SparkSession.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_with_schema_memo(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        # nonexistent / non-local path (s3a, hdfs): no driver-side stat —
+        # fall through to plain inference, Spark raises its own error
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
+def clear_schema_cache() -> int:
+    """Drop all memoized parquet schemas (tests / long-lived processes
+    reading mutated datasets whose mtime granularity may alias)."""
+    n = len(_SCHEMA_CACHE)
+    _SCHEMA_CACHE.clear()
+    return n
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _read_with_schema_memo(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts arrives as either TIMESTAMP(NANOS) — which Spark reads
         # as long ns under nanosAsLong — or plain timestamp[us] (NTZ when

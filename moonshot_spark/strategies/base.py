@@ -620,9 +620,10 @@ class Moonshot:
                     raise MoonshotParameterError(
                         "NLV dict is missing values for required "
                         "currencies: {0}".format(", ".join(sorted(missing))))
-            nlv_df = spark.createDataFrame(
-                [(k, float(v)) for k, v in nlv.items()],
-                ["__nlv_ccy", "nlv"])
+            from moonshot_spark.sources.local import local_df
+            nlv_df = local_df(
+                spark, [(k, float(v)) for k, v in nlv.items()],
+                "__nlv_ccy string, nlv double")
             prices = (prices.withColumn("__nlv_ccy", nlv_ccy)
                       .join(F.broadcast(nlv_df), "__nlv_ccy", "left")
                       .drop("__nlv_ccy"))
@@ -885,25 +886,40 @@ class Moonshot:
 
         # contract values from the PRICES panel (not the weights frame —
         # a once-a-day strategy's daily weights carry only the sliced
-        # bar's price), as-of signal date, ffilled (base.py:1622-1624);
-        # max_by because F.last in a groupBy is order-nondeterministic
-        # after a shuffle
-        w_sid = self._sid_window(prices)
-        cv = F.last(self._contract_value_expr(prices), ignorenulls=True).over(
-            w_sid.rowsBetween(Window.unboundedPreceding, 0))
-        cv_rows = prices.withColumn("__cv", cv).where(
-            F.col("date") == F.lit(signal_date))
+        # bar's price), as-of signal date, ffilled (base.py:1622-1624).
+        # ONE map-side-combinable aggregate instead of the r1-r9
+        # window+filter+groupBy: the ffilled value at the as-of point is
+        # max(struct(date[,time], value)) over non-null values in scope —
+        # bit-identical to F.last(ignorenulls) over the (date[,time])
+        # window because bar keys are unique per sid, and it skips the
+        # full-history sort/window materialization (the window form
+        # ffills EVERY bar just to keep one).  The presence flag
+        # reproduces the reference's "only sids with a row at the signal
+        # bar get a contract value" slice (base.py:1622-1628: intraday
+        # continuous = .loc[signal_time], once-a-day/batch = .iloc[-1]).
+        e = self._contract_value_expr(prices)
+        date_at = F.col("date") == F.lit(signal_date)
         if self._is_intraday(prices):
-            # reference base.py:1622-1628: the ffilled value AT the signal
-            # time when the WEIGHTS are intraday (continuous strategies,
-            # .loc[signal_time]); otherwise — once-a-day intraday and the
-            # batch fallback — the day's LAST bar (.iloc[-1])
             if self._signal_time is not None:
-                cv_rows = cv_rows.where(F.col("time") <= self._signal_time)
-            cv_agg = F.max_by("__cv", "time")
+                in_scope = ((F.col("date") < F.lit(signal_date))
+                            | (date_at & (F.col("time") <= self._signal_time)))
+                present = date_at & (F.col("time") <= self._signal_time)
+            else:
+                in_scope = F.col("date") <= F.lit(signal_date)
+                present = date_at
+            key = [F.col("date"), F.col("time")]
         else:
-            cv_agg = F.first("__cv")   # one row per (sid, date) in daily panels
-        cv_today = cv_rows.groupBy("sid").agg(cv_agg.alias("contract_value"))
+            in_scope = F.col("date") <= F.lit(signal_date)
+            present = date_at
+            key = [F.col("date")]
+        cv_today = (
+            prices.where(in_scope)
+            .groupBy("sid")
+            .agg(F.max(F.when(e.isNotNull(), F.struct(*key, e.alias("v"))))
+                 .alias("__s"),
+                 F.max(present.cast("int")).alias("__p"))
+            .select("sid", F.when(F.col("__p") == 1, F.col("__s")["v"])
+                    .alias("contract_value")))
         today = today.select("sid", "weight",
                              *[c for c in ("sec_type", "currency", "symbol")
                                if c in today.columns]) \
@@ -915,7 +931,9 @@ class Moonshot:
         # cast-free and the orders carry the caller's account identity.
         acct_type = ("bigint" if all(isinstance(a, int)
                                      for a in allocations) else "string")
-        alloc_df = spark.createDataFrame(
+        from moonshot_spark.sources.local import local_df
+        alloc_df = local_df(
+            spark,
             [(a if acct_type == "bigint" else str(a), float(v))
              for a, v in allocations.items()],
             f"account {acct_type}, allocation double")
@@ -953,17 +971,18 @@ class Moonshot:
         # missing-rate validation: a cross-currency row with an active weight
         # and no FX rate must fail loudly, not silently round to 0 orders.
         # F.raise_error fires lazily inside the executors — no extra action.
-        today = today.withColumn(
-            "rate", F.when(F.col("base_currency") == F.col("quote_currency"),
-                           F.lit(1.0)).otherwise(F.col("rate")))
+        # (one nested expression, not two chained withColumns: each
+        # withColumn is a full analysis pass + Py4J round-trip)
+        rate = F.when(F.col("base_currency") == F.col("quote_currency"),
+                      F.lit(1.0)).otherwise(F.col("rate"))
         today = today.withColumn(
             "rate",
-            F.when(F.col("rate").isNull() & (F.col("weight") != 0),
+            F.when(rate.isNull() & (F.col("weight") != 0),
                    F.raise_error(F.concat(
                        F.lit("no exchange rate provided for "),
                        F.col("base_currency"), F.lit("→"),
                        F.col("quote_currency")))
-                   ).otherwise(F.col("rate")))
+                   ).otherwise(rate))
 
         # weights → integer target quantities (base.py:1728-1734); bround =
         # half-even like numpy round
@@ -1046,7 +1065,14 @@ class Moonshot:
         stub_rows = order_stubs.collect()
         if not stub_rows:
             return None
-        order_stubs = spark.createDataFrame(stub_rows, order_stubs.schema)
+        # re-create via pandas + Arrow: createDataFrame(list-of-Rows)
+        # parallelizes into defaultParallelism pickled slices, each
+        # costing a Python-worker round-trip on every downstream action;
+        # the Arrow path ships one JVM-deserialized batch (3x faster on
+        # the dim-sized orders frame, no Python workers in consumers)
+        import pandas as pd
+        stub_pdf = pd.DataFrame(stub_rows, columns=order_stubs.columns)
+        order_stubs = spark.createDataFrame(stub_pdf, order_stubs.schema)
         return self.order_stubs_to_orders(order_stubs, prices)
 
     @staticmethod

@@ -408,3 +408,23 @@ def test_centroid_outlier_queries_use_grouped_exact_rank():
     cell machinery instead of a group-sized window task."""
     plan = plan_of("embedding_centroid_outliers")
     assert "__gr_pid" in plan, plan[:2000]
+
+
+def test_kmeans_assign_udf_evaluates_once():
+    """_assign_struct projects cluster and dist2 from TWO getItem
+    references to the same Arrow kernel; Catalyst must collapse them
+    into ONE ArrowEvalPython evaluation or the kernel runs twice per
+    row (ADVICE r9).  Pin single evaluation at the plan level."""
+    import re
+
+    from moonshot_spark.datapipe.clustering import _assign_struct
+    from moonshot_spark.session import get_spark
+
+    spark = get_spark("plan_tests")
+    df = spark.createDataFrame([([1, 2],)], "q array<bigint>")
+    s = _assign_struct(F.col("q"), [[0, 0], [5, 5]])
+    plan = (df.select(s["cluster"].alias("c"), s["dist2"].alias("d"))
+            ._jdf.queryExecution().executedPlan().toString())
+    nodes = re.findall(r"ArrowEvalPython \[[^\]]*\]", plan)
+    assert len(nodes) == 1, plan[:2000]
+    assert nodes[0].count("assign(") == 1, nodes[0]

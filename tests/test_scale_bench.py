@@ -46,8 +46,10 @@ def test_plan_shape_counts():
     assert shape["CartesianProduct"] == 0
     assert shape["ExchangeSinglePartition"] == 1
     assert shape["SinglePartitionFunnels"] == 1
-    # BroadcastExchange / Exchange hashpartitioning both count as Exchange
+    # BroadcastExchange is its own (informational) key; "Exchange" counts
+    # shuffle exchanges only — the scale-dangerous kind
     assert shape["Exchange"] == 2
+    assert shape["BroadcastExchange"] == 1
 
 
 def test_shape_regressions_flags_dangerous_directions_only():

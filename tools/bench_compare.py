@@ -32,6 +32,26 @@ def timed(fn) -> float:
     return best
 
 
+def timed_split(mk_df) -> tuple[float, float, float]:
+    """(total, build, exec) for a Spark query: build = DataFrame
+    construction (driver Py4J/analysis + any bounded eager validation
+    the builder runs), exec = count() on the fresh plan.  Separating
+    the two makes overhead-class ratios self-explaining in the compare
+    table (VERDICT r9 item 7): build is a fixed driver cost that does
+    not grow with data."""
+    mk_df().count()
+    best = (float("inf"), float("inf"), float("inf"))
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = mk_df()
+        t1 = time.perf_counter()
+        df.count()
+        t2 = time.perf_counter()
+        if t2 - t0 < best[0]:
+            best = (t2 - t0, t1 - t0, t2 - t1)
+    return best
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
@@ -64,7 +84,7 @@ def main():
         # fresh DataFrame per timed run (PERF.md r9): re-count()ing one
         # DataFrame object reuses shuffle map outputs, which would flatter
         # Spark while DuckDB re-executes its whole query each run
-        s = timed(lambda: fn(spark, sf_dir).count())
+        s, sb, sx = timed_split(lambda: fn(spark, sf_dir))
         try:
             d = timed(lambda: con.execute(sql).fetchall())
         except duckdb.OutOfMemoryException:
@@ -73,16 +93,19 @@ def main():
             con.close()
             con = fresh_con()
             d = timed(lambda: con.execute(sql).fetchall())
-        rows.append((name, s, d))
+        rows.append((name, s, sb, sx, d))
 
     rows.sort(key=lambda r: -r[1])
-    print("| query | spark s | duckdb s | ratio |")
-    print("|---|---|---|---|")
-    for name, s, d in rows:
+    print("| query | spark s | build s | exec s | duckdb s | ratio |")
+    print("|---|---|---|---|---|---|")
+    for name, s, sb, sx, d in rows:
         ratio = s / d if d else float("inf")
-        print(f"| {name} | {s:.3f} | {d:.3f} | {ratio:.2f} |")
-    ts, td = sum(r[1] for r in rows), sum(r[2] for r in rows)
+        print(f"| {name} | {s:.3f} | {sb:.3f} | {sx:.3f} "
+              f"| {d:.3f} | {ratio:.2f} |")
+    ts, td = sum(r[1] for r in rows), sum(r[4] for r in rows)
+    tb, tx = sum(r[2] for r in rows), sum(r[3] for r in rows)
     print(f"| **total ({len(rows)} queries)** | **{ts:.1f}** "
+          f"| **{tb:.1f}** | **{tx:.1f}** "
           f"| **{td:.1f}** | **{ts / td:.2f}** |")
 
 
