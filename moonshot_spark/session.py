@@ -50,7 +50,12 @@ def get_spark(app_name: str = "moonshot_spark", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver/test overhead); SPARK_GRAFT_UI=1
+        # turns it on for harnesses that read the REST task metrics
+        # (scale_bench --skew measures per-stage max-task share)
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") == "1"
+                else "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # pandas/NaN-style semantics: divide-by-zero yields NULL (matches
         # DuckDB and the reference's NaN-guard idiom, base.py:955) instead of

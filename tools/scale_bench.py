@@ -76,14 +76,29 @@ FACT_KEYS: dict[str, list[str]] = {
 # are computed from the base data (max+1) at build time.
 
 
-def _replica_dir(base_dir: str, n: int) -> str:
+def _replica_dir(base_dir: str, n: int, skew: bool = False) -> str:
     tag = os.path.basename(base_dir.rstrip("/"))
-    return os.path.join("/tmp/moonshot_scale", f"{tag}_x{n}")
+    suffix = "_skew" if skew else ""
+    return os.path.join("/tmp/moonshot_scale", f"{tag}_x{n}{suffix}")
 
 
-def replicate_tables(spark: SparkSession, base_dir: str, n: int) -> str:
-    """Materialize an N×-replicated copy of ``base_dir`` (cached)."""
-    out = _replica_dir(base_dir, n)
+# fraction of replicated rows remapped onto ONE hot key in --skew mode
+# (pmod(row key, 5) == 0 on copies i>0 → ~20% of the grown corpus —
+# the "one hot sid / lang / fingerprint cluster" power-law stressor)
+_HOT_MOD = 5
+
+
+def replicate_tables(spark: SparkSession, base_dir: str, n: int,
+                     skew: bool = False) -> str:
+    """Materialize an N×-replicated copy of ``base_dir`` (cached).
+
+    ``skew=True`` additionally concentrates ~20% of every fact table's
+    rows onto ONE hot key — hot sid (events.user_id), hot fingerprint
+    cluster + hot lang (documents), hot part (lineitem.l_partkey), hot
+    embedding cell — modeling the power-law corpora a real 100-TB
+    ingest sees instead of the uniform replication of the plain mode.
+    """
+    out = _replica_dir(base_dir, n, skew)
     marker = os.path.join(out, "_SCALE_OK")
     if os.path.exists(marker):
         return out
@@ -99,6 +114,15 @@ def replicate_tables(spark: SparkSession, base_dir: str, n: int) -> str:
         row = df.select([F.max(k).alias(k) for k in keys]).first()
         for k in keys:
             spans[k] = int(row[k]) + 1
+
+    hot_text = None
+    hot_vec = None
+    if skew:
+        docs0 = spark.read.parquet(f"{base_dir}/documents.parquet")
+        hot_text = docs0.orderBy("doc_id").select("text").first()[0]
+        emb0 = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+        hot_vec = [float(x) for x in
+                   emb0.orderBy("vec_id").select("embedding").first()[0]]
 
     for t, keys in FACT_KEYS.items():
         base = spark.read.parquet(f"{base_dir}/{t}.parquet")
@@ -124,6 +148,36 @@ def replicate_tables(spark: SparkSession, base_dir: str, n: int) -> str:
                     lambda x, j: (x + F.sin((F.col("vec_id") % 997 + j)
                                             * F.lit(float(i)))
                                   * F.lit(0.01)).cast("float")))
+            if skew and i > 0:
+                hot = F.pmod(F.col(keys[0]), F.lit(_HOT_MOD)) == 0
+                if t == "events":
+                    # one hot sid holds ~20% of all ticks; key is OUTSIDE
+                    # every shifted copy's range so it stays one key
+                    hot_uid = (n + 1) * spans["user_id"] + 7
+                    c = c.withColumn("user_id", F.when(
+                        hot, F.lit(hot_uid)).otherwise(F.col("user_id")))
+                elif t == "documents":
+                    # one hot fingerprint cluster (identical text) + one
+                    # hot lang: stresses exact-dedup's hash key, minhash's
+                    # band buckets (hot-bucket guard), lang-sharded ops
+                    c = (c.withColumn("text", F.when(
+                            hot, F.lit(hot_text)).otherwise(F.col("text")))
+                         .withColumn("lang", F.when(
+                            hot, F.lit("hot")).otherwise(F.col("lang"))))
+                elif t == "lineitem":
+                    hot_part = (n + 1) * spans["l_partkey"] + 7
+                    c = c.withColumn("l_partkey", F.when(
+                        hot, F.lit(hot_part)).otherwise(F.col("l_partkey")))
+                elif t == "embeddings":
+                    # one hot cell: identical base vector + per-row
+                    # micro-jitter (no exact top-k ties, same LSH/IVF cell)
+                    hot_arr = F.array(*[F.lit(x) for x in hot_vec])
+                    c = c.withColumn("embedding", F.when(
+                        hot,
+                        F.transform(hot_arr, lambda x, j: (
+                            x + F.sin(F.col("vec_id") + j) * F.lit(1e-4)
+                        ).cast("float"))
+                    ).otherwise(F.col("embedding")))
             copies.append(c)
         full = copies[0]
         for c in copies[1:]:
@@ -132,6 +186,136 @@ def replicate_tables(spark: SparkSession, base_dir: str, n: int) -> str:
 
     open(marker, "w").write("ok")
     return out
+
+
+# --skew query set: the heavy queries whose cost is INPUT-driven.  The
+# true-pair-listing queries (ppjoin_jaccard_pairs, lsh_recall_report)
+# are excluded BY SPEC, not silently: a 20% identical-text cluster makes
+# their exact output quadratic in the cluster (~(0.2N)^2/2 pairs), so
+# runtime tracks that output mass and no partitioning strategy can — or
+# should — hide it.  Their skew behavior is the hot-bucket guard's and
+# is exercised through dedup_corpus_minhash / prepare_corpus below.
+SKEW_QUERIES = [q for q in HEAVY_QUERIES
+                if q not in ("ppjoin_jaccard_pairs", "lsh_recall_report")]
+
+# a single task may not hold more than this share of a heavy stage's
+# total executor run time in the skewed run (hot key ≈ 20% of rows; a
+# well-partitioned plan keeps the hot task near that, a bad one
+# funnels half the stage into one task)
+MAX_TASK_SHARE = 0.5
+_SHARE_MIN_TASKS = 8          # AQE-coalesced tiny stages are exempt
+_SHARE_MIN_STAGE_MS = 500     # ...as are trivially cheap stages
+
+
+def _max_task_share(spark, group: str) -> tuple[float, str] | None:
+    """Worst (max task runtime / stage total runtime) over the heavy
+    stages of the jobs in ``group``, via the UI REST API.  Returns None
+    when the UI is disabled (plain mode keeps it off)."""
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    import urllib.request
+
+    def get(path):
+        with urllib.request.urlopen(f"{ui}/api/v1/{path}") as r:
+            return json.loads(r.read())
+
+    app = get("applications")[0]["id"]
+    jobs = [j for j in get(f"applications/{app}/jobs?status=succeeded")
+            if j.get("jobGroup") == group]
+    stage_ids = sorted({s for j in jobs for s in j["stageIds"]})
+    worst: tuple[float, str] = (0.0, "")
+    for sid in stage_ids:
+        try:
+            infos = get(f"applications/{app}/stages/{sid}")
+        except Exception:
+            continue
+        for st in infos:
+            if (st.get("status") != "COMPLETE"
+                    or st.get("numTasks", 0) < _SHARE_MIN_TASKS
+                    or st.get("executorRunTime", 0) < _SHARE_MIN_STAGE_MS):
+                continue
+            try:
+                summ = get(f"applications/{app}/stages/{sid}"
+                           f"/{st['attemptId']}/taskSummary?quantiles=1.0")
+                max_ms = summ["executorRunTime"][0]
+            except Exception:
+                continue
+            share = max_ms / max(st["executorRunTime"], 1)
+            if share > worst[0]:
+                worst = (share,
+                         f"stage {sid} ({st['numTasks']} tasks, "
+                         f"{st['executorRunTime']} ms total)")
+    return worst if worst[1] else None
+
+
+def run_skew(base_dir: str, scales: list[int], query_names: list[str],
+             timed_runs: int = 2) -> dict:
+    """Skew stress: at each scale > 1, run each query on the uniform AND
+    the hot-key replicas; assert shape parity (no CartesianProduct/
+    funnel appearing under skew), bounded slowdown (skew wall-clock
+    <= 3x uniform — the hot key holds ~20% of rows, so a plan whose
+    skew cost explodes is funneling, not amortizing), and bounded
+    max-task share (no task holds > 50% of a heavy stage)."""
+    from moonshot_spark.plans.audit import (
+        executed_plan, plan_shape, shape_regressions)
+    from moonshot_spark.queries import QUERIES
+    from moonshot_spark.session import get_spark
+
+    spark = get_spark("moonshot_scale_bench")
+    sc = spark.sparkContext
+    results: dict[str, dict] = {q: {} for q in query_names}
+    violations: dict[str, list[str]] = {}
+
+    for n in sorted(s for s in scales if s > 1):
+        uni_dir = replicate_tables(spark, base_dir, n)
+        skew_dir = replicate_tables(spark, base_dir, n, skew=True)
+        for q in query_names:
+            timings = {}
+            shapes = {}
+            for tag, d in (("uniform", uni_dir), ("skew", skew_dir)):
+                df = QUERIES[q](spark, d)
+                out_rows = df.count()                      # warm
+                shapes[tag] = plan_shape(executed_plan(df))
+                group = f"skew_{q}_{n}_{tag}"
+                sc.setJobGroup(group, group)
+                elapsed = float("inf")
+                for _ in range(timed_runs):
+                    t0 = time.perf_counter()
+                    QUERIES[q](spark, d).count()
+                    elapsed = min(elapsed, time.perf_counter() - t0)
+                sc.setJobGroup("", "")
+                timings[tag] = elapsed
+                if tag == "skew":
+                    share = _max_task_share(spark, group)
+                    results[q].setdefault(n, {})["max_task_share"] = (
+                        None if share is None
+                        else {"share": round(share[0], 3),
+                              "stage": share[1]})
+                results[q].setdefault(n, {})[f"{tag}_sec"] = round(
+                    elapsed, 4)
+                results[q][n][f"{tag}_rows_out"] = out_rows
+            slowdown = timings["skew"] / max(timings["uniform"], 1e-9)
+            results[q][n]["slowdown"] = round(slowdown, 2)
+            print(f"[skew {n:>3}x] {q:<28} uniform={timings['uniform']:6.3f}s"
+                  f" skew={timings['skew']:6.3f}s x{slowdown:.2f}",
+                  flush=True)
+            regs = shape_regressions(shapes["uniform"], shapes["skew"])
+            if regs:
+                violations.setdefault(q, []).extend(
+                    f"skew-shape@{n}x: {r}" for r in regs)
+            if slowdown > 3.0:
+                violations.setdefault(q, []).append(
+                    f"skew slowdown @{n}x: {slowdown:.2f}x > 3x")
+            mts = results[q][n].get("max_task_share")
+            if mts and mts["share"] > MAX_TASK_SHARE:
+                violations.setdefault(q, []).append(
+                    f"max task share @{n}x: {mts['share']} "
+                    f"({mts['stage']})")
+    return {"base": base_dir,
+            "scales": sorted(s for s in scales if s > 1),
+            "hot_fraction": f"~{100 // _HOT_MOD}% of replicated rows",
+            "results": results, "violations": violations}
 
 
 def run(base_dir: str, scales: list[int], query_names: list[str],
@@ -198,7 +382,55 @@ def run(base_dir: str, scales: list[int], query_names: list[str],
             "results": results, "violations": violations}
 
 
-def write_reports(payload: dict) -> None:
+def write_skew_section(skew_payload: dict) -> list[str]:
+    lines = [
+        "",
+        "## Skew stress (`--skew`)",
+        "",
+        f"Hot-key replicas at scales {skew_payload['scales']}: "
+        f"{skew_payload['hot_fraction']} concentrated onto ONE hot key "
+        "per fact table — hot sid (events.user_id), hot fingerprint "
+        "cluster + hot lang (documents: identical text), hot part "
+        "(lineitem.l_partkey), hot embedding cell.  Invariants: no "
+        "plan-shape regression uniform→skew at the same scale, skew "
+        "wall-clock ≤ 3× uniform, and no task holding > "
+        f"{int(MAX_TASK_SHARE * 100)}% of a heavy stage's executor run "
+        "time (stages ≥ 8 tasks and ≥ 0.5 s; REST task metrics).",
+        "",
+        "`ppjoin_jaccard_pairs` / `lsh_recall_report` are excluded BY "
+        "SPEC: their exact output is quadratic in the hot cluster "
+        "(~(0.2N)²/2 true pairs), so runtime tracks output mass — the "
+        "hot-cluster behavior of the banded path is exercised via "
+        "`dedup_corpus_minhash`/`prepare_corpus` (hot-bucket guard).",
+        "",
+        "| query | scale | uniform s | skew s | slowdown | "
+        "max task share |",
+        "|---|---|---|---|---|---|",
+    ]
+    for q, per in skew_payload["results"].items():
+        for n, r in sorted(per.items(), key=lambda kv: int(kv[0])):
+            mts = r.get("max_task_share")
+            mts_s = "n/a" if not mts else f"{mts['share']:.2f}"
+            lines.append(
+                f"| {q} | {n}× | {r['uniform_sec']} | {r['skew_sec']} "
+                f"| {r['slowdown']}× | {mts_s} |")
+    if skew_payload["violations"]:
+        lines.append("")
+        lines.append("### SKEW VIOLATIONS")
+        for q, v in skew_payload["violations"].items():
+            lines.append(f"- **{q}**: {'; '.join(v)}")
+    else:
+        lines.append("")
+        lines.append("### Skew violations: none — every query holds its "
+                     "shape, its ≤3× slowdown bound, and its max-task "
+                     "share under the hot key.")
+    return lines
+
+
+def write_reports(payload: dict, skew_payload: dict | None = None) -> None:
+    if skew_payload is not None:
+        payload = dict(payload)
+        payload["skew"] = skew_payload
     with open(os.path.join(REPO, "SCALE.json"), "w") as f:
         json.dump(payload, f, indent=1)
     scales = payload["scales"]
@@ -243,6 +475,8 @@ def write_reports(payload: dict) -> None:
     else:
         lines.append("## Violations: none — every query holds its plan "
                      "shape and its throughput floor across the sweep.")
+    if skew_payload is not None:
+        lines.extend(write_skew_section(skew_payload))
     with open(os.path.join(REPO, "SCALE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -255,22 +489,36 @@ def main(argv=None) -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--queries", default=",".join(HEAVY_QUERIES),
                     help="comma-separated subset of the heavy set")
+    ap.add_argument("--skew", action="store_true",
+                    help="also run the hot-key skew stress (20%% of rows "
+                         "on one key; shape/slowdown/task-share bounds)")
     args = ap.parse_args(argv)
+    if args.skew:
+        # UI on BEFORE the session exists: the skew mode reads per-stage
+        # task metrics over the REST API
+        os.environ.setdefault("SPARK_GRAFT_UI", "1")
     scales = [int(s) for s in args.scales.split(",")]
     names = [q.strip() for q in args.queries.split(",") if q.strip()]
     unknown = [q for q in names if q not in HEAVY_QUERIES]
     if unknown:
         ap.error(f"not in HEAVY_QUERIES: {unknown}")
     payload = run(args.base, scales, names)
-    write_reports(payload)
+    skew_payload = None
+    if args.skew:
+        skew_payload = run_skew(
+            args.base, scales, [q for q in names if q in SKEW_QUERIES])
+    write_reports(payload, skew_payload)
+    n_viol = sum(len(v) for v in payload["violations"].values())
+    if skew_payload:
+        n_viol += sum(len(v) for v in skew_payload["violations"].values())
     summary = {
         "metric": "scale_bench", "base": payload["base"],
-        "scales": payload["scales"],
-        "violations": sum(len(v) for v in payload["violations"].values()),
+        "scales": payload["scales"], "skew": bool(args.skew),
+        "violations": n_viol,
         "detail": "SCALE.md",
     }
     print(json.dumps(summary))
-    return 1 if payload["violations"] else 0
+    return 1 if n_viol else 0
 
 
 if __name__ == "__main__":
