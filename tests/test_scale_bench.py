@@ -76,3 +76,20 @@ def test_heavy_queries_scale_invariant():
         "MOONSHOT_SCALE_FACTORS", "1,10").split(",")]
     payload = run(base, scales, list(HEAVY_QUERIES))
     assert not payload["violations"], payload["violations"]
+
+
+@pytest.mark.scale
+@pytest.mark.skipif(not os.environ.get("MOONSHOT_SCALE"),
+                    reason="replicated scale bench: set MOONSHOT_SCALE=1")
+def test_heavy_queries_survive_hot_key_skew():
+    """--skew invariants (VERDICT r9 item 2): one hot key holding ~20%
+    of rows must not change plan shape, must not slow any input-driven
+    query past 3x its uniform time at the same scale, and must not
+    funnel >50% of a heavy stage into one task."""
+    from tools.scale_bench import SKEW_QUERIES, run_skew
+
+    base = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.01")
+    scales = [int(s) for s in os.environ.get(
+        "MOONSHOT_SCALE_FACTORS", "1,10").split(",")]
+    payload = run_skew(base, scales, SKEW_QUERIES)
+    assert not payload["violations"], payload["violations"]
