@@ -76,10 +76,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-# session-lifetime panel memo, opt-in via SPARK_GRAFT_CACHE_PANEL=1
-# (bench.py sets it): dozens of catalog queries start from the same
-# (sid, date) OHLCV rollup — materializing it once is the classic
-# shared-CTE/materialized-view move and changes no query's semantics.
+# session-lifetime panel memo, opt-in via SPARK_GRAFT_CACHE_PANEL=1:
+# dozens of catalog queries start from the same (sid, date) OHLCV
+# rollup — materializing it once is the classic shared-CTE/
+# materialized-view move and changes no query's semantics.  bench.py
+# deliberately does NOT set it: the DuckDB side recomputes the panel
+# CTE per query, so the honest engine-vs-engine compare must too.
 _PANEL_CACHE: dict = {}
 
 
