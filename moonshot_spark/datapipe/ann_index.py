@@ -15,6 +15,32 @@ assigned against the SAME persisted centroids and appended to its cell
 directories (``mode("append")``); results equal a full rebuild because
 cell assignment is a pure function of (vector, centroids).
 
+**Cell-skew maintenance** (VERDICT r9 item 4): a drifted corpus
+concentrates appends into a few hot cells, silently degrading a probe
+of the hot cell toward a full scan.  The layout is therefore TWO-LEVEL
+— ``__cell=<c>/__subcell=<s>`` with ``__subcell=0`` meaning "unsplit" —
+and three maintenance surfaces exist:
+
+- ``ivf_cell_stats``: per-cell row count + on-disk bytes + share (rows
+  from a partition-column groupBy, bytes from the Hadoop FileSystem
+  API, so it works on hdfs/s3a like the streaming index listing);
+- ``split_hot_cells``: cells above a row-share/row-count threshold are
+  re-split under deterministic sub-centroids (the n_sub lowest-id
+  members) and ONLY those cell directories are rewritten; the result
+  row-equals a from-scratch ``write_ivf_index`` with the same
+  ``sub_codebooks`` (assignment is a pure function — pinned by test);
+- ``probe_ivf_index(..., nprobe_sub=...)``: probing a split cell can
+  prune to the query's ``nprobe_sub`` nearest SUB-cells — a second
+  partition-filter level — while ``nprobe_sub=None`` keeps the exact
+  pre-split candidate set (pinned by test).
+
+The rewrite is append-then-delete (new subcell directories land before
+the stale ``__subcell=0`` directory is removed): a concurrent reader
+between the two steps can double-count the hot cell — the same
+non-atomicity window any file-level compaction has; production wraps
+maintenance in the table format's commit (Iceberg/Delta) or an index
+version swap (streaming/pipeline.py's versioned-index pattern).
+
 Reference: the quantrocket reference has no vector surface; this is the
 beyond-reference LLM-datapipe layer (cf. Jégou et al., "Product
 Quantization for Nearest Neighbor Search", TPAMI 2011 — the IVF coarse
@@ -23,46 +49,212 @@ quantizer half).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["write_ivf_index", "append_to_ivf_index", "probe_ivf_index"]
+__all__ = ["write_ivf_index", "append_to_ivf_index", "probe_ivf_index",
+           "ivf_cell_stats", "split_hot_cells"]
 
 _CELL = "__cell"
+_SUBCELL = "__subcell"
+_META = "_ivf_subcells.json"
+
+
+# --------------------------------------------------------------------- #
+# Hadoop FS helpers (work on file://, hdfs://, s3a:// alike)            #
+# --------------------------------------------------------------------- #
+
+def _fs(spark: SparkSession, path: str):
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), jpath
+
+
+def _write_meta(spark: SparkSession, path: str,
+                sub_codebooks: dict[int, list[list[float]]]) -> None:
+    fs, root = _fs(spark, path)
+    meta_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+        root, _META)
+    out = fs.create(meta_path, True)
+    out.write(bytearray(json.dumps(
+        {str(c): cb for c, cb in sub_codebooks.items()}).encode()))
+    out.close()
+
+
+def _read_meta(spark: SparkSession, path: str
+               ) -> dict[int, list[list[float]]]:
+    fs, root = _fs(spark, path)
+    meta_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+        root, _META)
+    if not fs.exists(meta_path):
+        return {}
+    # JVM-side copy to a byte buffer: a Python bytearray handed to Java
+    # readFully is passed BY VALUE (py4j), never mutated back, and
+    # spark.read ignores underscore-prefixed files entirely (the same
+    # listing rule that keeps the meta out of parquet discovery)
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(meta_path)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    try:
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+    finally:
+        stream.close()
+    content = baos.toString("UTF-8")
+    return {int(c): cb for c, cb in json.loads(content).items()}
+
+
+def _assign(df: DataFrame, centroids: list[list[float]], vec_col: str,
+            sub_codebooks: dict[int, list[list[float]]] | None = None
+            ) -> DataFrame:
+    """(vector rows) -> rows + __cell + __subcell columns.  Subcell 0 =
+    unsplit; split cells number their subcells 1..n_sub (the 0-based
+    sub-assignment + 1), so "unsplit" is never aliased."""
+    from moonshot_spark.datapipe.similarity import ivf_assign_col
+
+    out = df.withColumn(_CELL, ivf_assign_col(vec_col, centroids))
+    sub = F.lit(0)
+    for c, cb in (sub_codebooks or {}).items():
+        sub = F.when(F.col(_CELL) == c,
+                     ivf_assign_col(vec_col, cb) + F.lit(1)).otherwise(sub)
+    return out.withColumn(_SUBCELL, sub.cast("int"))
 
 
 def write_ivf_index(corpus: DataFrame, centroids: list[list[float]],
-                    path: str, vec_col: str = "embedding") -> None:
-    """Materialize the corpus partitioned by IVF cell id.
+                    path: str, vec_col: str = "embedding",
+                    sub_codebooks: dict[int, list[list[float]]] | None = None
+                    ) -> None:
+    """Materialize the corpus partitioned by (IVF cell, sub-cell).
 
     One linear assignment pass (Arrow-batched matmul, similarity.py::
     ivf_assign_col) and one partitioned write; no shuffle beyond the
-    write's own file layout.  Store the centroids next to the index in
-    real deployments — assignment determinism is what makes appends
-    equal rebuilds."""
-    from moonshot_spark.datapipe.similarity import ivf_assign_col
-
-    (corpus.withColumn(_CELL, ivf_assign_col(vec_col, centroids))
-     .write.mode("overwrite").partitionBy(_CELL).parquet(path))
+    write's own file layout.  ``sub_codebooks`` pre-splits the given
+    cells at write time (identical layout to ``split_hot_cells`` after
+    the fact — the rebuild-equivalence contract)."""
+    (_assign(corpus, centroids, vec_col, sub_codebooks)
+     .write.mode("overwrite").partitionBy(_CELL, _SUBCELL).parquet(path))
+    spark = corpus.sparkSession
+    _write_meta(spark, path, sub_codebooks or {})
 
 
 def append_to_ivf_index(new_vecs: DataFrame, centroids: list[list[float]],
                         path: str, vec_col: str = "embedding") -> None:
     """Incremental ingest: assign the batch against the SAME centroids
-    and append to the cell directories.  The post-append index is
-    row-identical to ``write_ivf_index`` over the unioned corpus (cell
-    assignment is a pure function of the vector and the codebook)."""
+    (and any persisted sub-codebooks) and append to the cell
+    directories.  The post-append index is row-identical to
+    ``write_ivf_index`` over the unioned corpus (cell assignment is a
+    pure function of the vector and the codebook)."""
+    spark = new_vecs.sparkSession
+    subs = _read_meta(spark, path)
+    (_assign(new_vecs, centroids, vec_col, subs or None)
+     .write.mode("append").partitionBy(_CELL, _SUBCELL).parquet(path))
+
+
+def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell health report of a persisted index: row count, on-disk
+    bytes, row share, and sub-cell count.  Row counts come from a
+    groupBy on the PARTITION columns (no data columns read); bytes from
+    the Hadoop FileSystem content summary of each cell directory.  One
+    row per cell — the input ``split_hot_cells`` thresholds on, and the
+    report an operator reads to see probe-cost drift before it bites."""
+    from moonshot_spark.sources.local import local_df
+
+    counts = (spark.read.parquet(path)
+              .groupBy(_CELL)
+              .agg(F.count("*").alias("n_rows"),
+                   F.countDistinct(_SUBCELL).alias("n_subcells"),
+                   F.max(_SUBCELL).alias("max_subcell")))
+    fs, root = _fs(spark, path)
+    sizes = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(f"{_CELL}="):
+            cell = int(name.split("=", 1)[1])
+            n_bytes = fs.getContentSummary(st.getPath()).getLength()
+            sizes.append((cell, n_bytes))
+    bytes_df = local_df(spark, sizes, f"{_CELL} int, n_bytes bigint")
+    # unpartitioned window over ONE ROW PER CELL — bounded by the
+    # codebook size, never data scale (the single-partition allow-list
+    # class of exemption)
+    total = F.sum("n_rows").over(Window.partitionBy())
+    out = (counts.join(F.broadcast(bytes_df), _CELL, "left")
+           .withColumn("row_share",
+                       F.col("n_rows").cast("double")
+                       / total.cast("double")))
+    return out.select(F.col(_CELL).alias("cell"), "n_rows", "n_bytes",
+                      "row_share", "n_subcells", "max_subcell")
+
+
+def split_hot_cells(spark: SparkSession, path: str,
+                    centroids: list[list[float]],
+                    max_share: float = 0.2,
+                    max_rows: int | None = None,
+                    n_sub: int = 4,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding"
+                    ) -> dict[int, list[list[float]]]:
+    """Re-split every unsplit cell whose row share exceeds ``max_share``
+    (or row count exceeds ``max_rows``) into ``n_sub`` sub-cells, and
+    rewrite ONLY those cell directories.
+
+    Sub-centroids are the cell's ``n_sub`` lowest-``id_col`` members —
+    deterministic, so the re-split index row-equals a from-scratch
+    ``write_ivf_index(corpus, centroids, sub_codebooks=<returned>)``
+    (pinned by test).  A smarter trainer (per-cell Lloyd iterations)
+    slots in here without changing the layout contract.  Already-split
+    cells are left alone (re-splitting a split cell would need a
+    sub-codebook merge — out of scope, the stats report shows
+    ``max_subcell`` so the operator can see residual skew).
+
+    Returns the NEW sub-codebooks (merged meta is persisted next to the
+    index for ``append_to_ivf_index``/``probe_ivf_index``)."""
+    existing = _read_meta(spark, path)
+    stats = {r["cell"]: r for r in ivf_cell_stats(spark, path).collect()}
+    hot = [c for c, r in sorted(stats.items())
+           if c not in existing
+           and (r["row_share"] > max_share
+                or (max_rows is not None and r["n_rows"] > max_rows))]
+    new_subs: dict[int, list[list[float]]] = {}
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    fs, root = _fs(spark, path)
     from moonshot_spark.datapipe.similarity import ivf_assign_col
 
-    (new_vecs.withColumn(_CELL, ivf_assign_col(vec_col, centroids))
-     .write.mode("append").partitionBy(_CELL).parquet(path))
+    for c in hot:
+        cell_rows = (spark.read.parquet(path)
+                     .where((F.col(_CELL) == c) & (F.col(_SUBCELL) == 0))
+                     .drop(_CELL, _SUBCELL))
+        seeds = (cell_rows.orderBy(id_col).limit(n_sub)
+                 .select(vec_col).collect())
+        sub_cb = [[float(x) for x in r[0]] for r in seeds]
+        if len(sub_cb) < 2:
+            continue                      # nothing to split
+        new_subs[c] = sub_cb
+        # append the re-assigned rows under __subcell=1..n_sub, then
+        # drop the stale __subcell=0 directory (see module docstring on
+        # the non-atomicity window)
+        (cell_rows
+         .withColumn(_CELL, F.lit(c))
+         .withColumn(_SUBCELL,
+                     (ivf_assign_col(vec_col, sub_cb) + F.lit(1))
+                     .cast("int"))
+         .write.mode("append").partitionBy(_CELL, _SUBCELL).parquet(path))
+        stale = jvm_path(root, f"{_CELL}={c}/{_SUBCELL}=0")
+        if fs.exists(stale):
+            fs.delete(stale, True)
+    if new_subs:
+        merged = dict(existing)
+        merged.update(new_subs)
+        _write_meta(spark, path, merged)
+    return new_subs
 
 
 def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
                     centroids: list[list[float]], nprobe: int = 4,
                     k: int = 5, id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    query_id_col: str = "query_id") -> DataFrame:
+                    query_id_col: str = "query_id",
+                    nprobe_sub: int | None = None) -> DataFrame:
     """Top-k cosine neighbors from the PERSISTED index — bit-identical
     to ``ivf_topk`` over the same corpus/centroids/nprobe (same
     assignment, same scoring, same two-phase reduction), but the scan is
@@ -71,11 +263,19 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
     1. the query batch's probe cells are computed (queries × nprobe,
        driver-bounded: the query set is the small side by contract —
        collect() here is |queries|·nprobe ints, not corpus data);
-    2. the index scan gets ``__cell IN (distinct probe cells)`` — a
-       partition filter, so only those cell directories are read
-       (``PartitionFilters`` in the plan, pinned by the test);
+    2. the index scan gets a PARTITION filter — ``__cell IN (distinct
+       probe cells)``, narrowed further to ``(__cell, __subcell)``
+       pairs for split cells when ``nprobe_sub`` is given — so only
+       those directories are read (``PartitionFilters`` in the plan,
+       pinned by the test);
     3. the per-(query, cell) candidate join and grouped_topk run on the
        pruned candidates only.
+
+    ``nprobe_sub=None`` probes ALL sub-cells of each probed cell: the
+    candidate set — and therefore the result — is exactly the unsplit
+    index's (pinned by test).  Setting it prunes a split cell to the
+    query's ``nprobe_sub`` nearest sub-cells, the same approximation
+    step the top level already makes.
     """
     from moonshot_spark.datapipe.similarity import _cosine_udf, ivf_probe_col
     from moonshot_spark.operators.ranking import grouped_topk
@@ -85,8 +285,44 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
              ivf_probe_col("__qvec", centroids, nprobe))))
     probe_cells = sorted({r[_CELL] for r in q.select(_CELL)
                           .distinct().collect()})
-    index = spark.read.parquet(path).where(F.col(_CELL).isin(probe_cells))
-    joined = index.join(F.broadcast(q), _CELL)
+    subs = _read_meta(spark, path) if nprobe_sub is not None else {}
+    hot = {c: subs[c] for c in probe_cells if c in subs}
+
+    if not hot:
+        index = spark.read.parquet(path).where(
+            F.col(_CELL).isin(probe_cells))
+        joined = index.join(F.broadcast(q), _CELL)
+    else:
+        cold = [c for c in probe_cells if c not in hot]
+        # per-hot-cell sub-probe: each hot cell has its own sub-codebook,
+        # so the (query, cell) rows probing it get their own nearest
+        # sub-cells; hot-cell candidates join on (cell, subcell)
+        hot_parts = []
+        for c, cb in sorted(hot.items()):
+            hot_parts.append(
+                q.where(F.col(_CELL) == c)
+                .withColumn(_SUBCELL, F.explode(F.transform(
+                    ivf_probe_col("__qvec", cb, nprobe_sub),
+                    lambda x: x + 1))))
+        hot_q = hot_parts[0]
+        for p in hot_parts[1:]:
+            hot_q = hot_q.unionByName(p)
+        pairs = sorted({(r[_CELL], r[_SUBCELL]) for r in
+                        hot_q.select(_CELL, _SUBCELL).distinct().collect()})
+        part_filter = F.col(_CELL).isin(cold) if cold else F.lit(False)
+        for c, s in pairs:
+            part_filter = part_filter | (
+                (F.col(_CELL) == c) & (F.col(_SUBCELL) == s))
+        index = spark.read.parquet(path).where(part_filter)
+        keep = [query_id_col, "__qvec", id_col, vec_col]
+        cold_join = (index.join(
+            F.broadcast(q.where(F.col(_CELL).isin(cold))), _CELL)
+            .select(*keep)) if cold else None
+        hot_join = (index.join(F.broadcast(hot_q), [_CELL, _SUBCELL])
+                    .select(*keep))
+        joined = (hot_join if cold_join is None
+                  else cold_join.unionByName(hot_join))
+
     sim = _cosine_udf(F.col(vec_col), F.col("__qvec"))
     scored = joined.select(query_id_col, id_col, sim.alias("cosine"))
     return (grouped_topk(scored, [query_id_col],

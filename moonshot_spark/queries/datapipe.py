@@ -4771,3 +4771,76 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(is_dup).cast("bigint").alias("n_dup_docs"),
                  F.floor(F.lit(1000.0) * F.sum(is_dup) / F.count("*"))
                  .cast("bigint").alias("dup_permille")))
+
+
+# --------------------------------------------------------------------- #
+# IVF cell-size statistics (the skew report behind                      #
+# datapipe/ann_index.py::ivf_cell_stats / split_hot_cells)              #
+# --------------------------------------------------------------------- #
+
+@register("ivf_cell_stats", """
+WITH corpus AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS q
+    FROM embeddings
+), cents AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, q
+    FROM corpus ORDER BY vec_id LIMIT 8
+), d AS (
+    SELECT c.vec_id, ct.cell,
+           list_reduce(list_transform(range(1, len(c.q) + 1),
+               i -> (c.q[i] - ct.q[i]) * (c.q[i] - ct.q[i])),
+               (x, y) -> x + y) AS dist2
+    FROM corpus c CROSS JOIN cents ct
+), assigned AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cell) AS rn
+        FROM d
+    ) WHERE rn = 1
+), sized AS (
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM assigned
+    GROUP BY cell
+)
+SELECT cell, n_vecs,
+       CAST(n_vecs AS DOUBLE)
+           / CAST(sum(n_vecs) OVER () AS DOUBLE) AS row_share,
+       CAST(n_vecs AS DOUBLE)
+           / CAST(sum(n_vecs) OVER () AS DOUBLE) > 0.2 AS hot
+FROM sized
+""")
+def ivf_cell_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell size/share report of an IVF assignment — the skew
+    diagnostic behind ``datapipe/ann_index.py::ivf_cell_stats`` (there
+    computed from the persisted partitioned layout + FS bytes; here,
+    oracle-checkable, from a deterministic literal codebook so DuckDB
+    can replay the assignment).  Codebook = the 8 lowest-vec_id
+    vectors; distances are EXACT int64 micro-unit squared-L2 (the
+    clustering.py Arrow kernel — integer sums are association-free, so
+    Spark's pairwise numpy reduction and DuckDB's sequential
+    list_reduce agree bit-for-bit), argmin ties to the lowest cell.
+    ``hot`` is the flag ``split_hot_cells`` thresholds on (share >
+    0.2).  One narrow shuffle (the 8-row codebook rides the UDF
+    closure); the unpartitioned share window runs over ONE ROW PER
+    CELL, bounded by the codebook."""
+    from moonshot_spark.datapipe.clustering import _assign_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0))
+        .cast("bigint"))
+    quantized = emb.select("vec_id", q.alias("__q"))
+    cents = [[int(v) for v in r["__q"]] for r in
+             quantized.orderBy("vec_id").limit(8).collect()]
+    sized = (quantized
+             .select(_assign_expr(F.col("__q"), cents).alias("cell"))
+             .groupBy("cell")
+             .agg(F.count("*").alias("n_vecs")))
+    share = (F.col("n_vecs").cast("double")
+             / F.sum("n_vecs").over(Window.partitionBy()).cast("double"))
+    return (sized.select("cell", "n_vecs", share.alias("row_share"),
+                         (share > F.lit(0.2)).alias("hot")))

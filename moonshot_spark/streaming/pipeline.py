@@ -392,3 +392,45 @@ def stream_incremental_exactsubstr(doc_stream: DataFrame, index_root: str,
             .foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append"))
+
+
+def stream_ivf_ingest(vec_stream: DataFrame, index_root: str,
+                      checkpoint_dir: str, centroids: list[list[float]],
+                      vec_col: str = "embedding"):
+    """Streaming vector ingest into a persisted IVF layout: each
+    micro-batch is assigned against the FIXED centroids (and any
+    persisted sub-codebooks) and lands cell-partitioned — the streaming
+    face of ``datapipe/ann_index.py::append_to_ivf_index`` (completes
+    the batch/incremental/streaming matrix for the ANN store).
+
+    Exactly-once discipline: each batch writes
+    ``index_root/ingest=<batch_id>/__cell=<c>/__subcell=<s>`` with
+    OVERWRITE, so a replayed batch rewrites its own directory
+    idempotently instead of double-appending (same recipe as the dedup
+    streams above; a bare ``mode("append")`` would duplicate vectors on
+    replay).  ``ingest`` is just another partition column: probes
+    filter on ``__cell``/``__subcell``, which Catalyst prunes across
+    every ingest directory, so probe cost is unchanged.  Because cell
+    assignment is a pure function of (vector, codebooks), probing the
+    stream-built root is bit-identical to probing a batch
+    ``write_ivf_index`` over the same vectors (pinned by test).
+    Cell maintenance (``split_hot_cells``) applies to batch-built
+    roots; for a streaming root, compact ingest generations into a
+    batch root first (the stats/split listing keys on top-level cell
+    directories)."""
+    from moonshot_spark.datapipe.ann_index import (_CELL, _SUBCELL, _assign,
+                                                   _read_meta)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        subs = _read_meta(spark, index_root)
+        (_assign(batch_df, centroids, vec_col, subs or None)
+         .write.mode("overwrite").partitionBy(_CELL, _SUBCELL)
+         .parquet(f"{index_root}/ingest={batch_id}"))
+
+    return (vec_stream.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append"))

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from moonshot_spark.datapipe.ann_index import (
+    ivf_cell_stats, split_hot_cells,
     append_to_ivf_index, probe_ivf_index, write_ivf_index,
 )
 from moonshot_spark.datapipe.similarity import (
@@ -86,3 +87,94 @@ def test_probe_prunes_partitions_on_disk(spark, emb, cents, tmp_path):
     m = re.search(r"__cell#\d+ IN \(([^)]*)\)", scan_filters[0])
     assert m, scan_filters[0][:300]
     assert len(m.group(1).split(",")) <= 2, m.group(0)
+
+
+# --------------------------------------------------------------------- #
+# cell-skew maintenance (VERDICT r9 item 4)                             #
+# --------------------------------------------------------------------- #
+
+def skewed(emb):
+    """~40% of vectors forced into one cell: every vec_id % 5 in {0,1}
+    gets (nearly) the same embedding — one hot cell plus micro-jitter
+    so cosine ties don't degenerate."""
+    hot = F.transform(
+        "embedding",
+        lambda x, j: F.when(F.col("vec_id") % 5 < 2,
+                            (F.sin(j.cast("double")) +
+                             F.col("vec_id").cast("double") * 1e-6)
+                            .cast("float")).otherwise(x))
+    return emb.withColumn("embedding", hot)
+
+
+def test_cell_stats_report(spark, emb, cents, tmp_path):
+    path = str(tmp_path / "ivf")
+    corpus = skewed(emb)
+    write_ivf_index(corpus, cents, path)
+    stats = {r["cell"]: r for r in ivf_cell_stats(spark, path).collect()}
+    want = {r["__cell"]: r["count"] for r in
+            corpus.withColumn(
+                "__cell",
+                __import__("moonshot_spark.datapipe.similarity",
+                           fromlist=["ivf_assign_col"])
+                .ivf_assign_col("embedding", cents))
+            .groupBy("__cell").count().collect()}
+    assert {c: r["n_rows"] for c, r in stats.items()} == want
+    assert all(r["n_bytes"] > 0 for r in stats.values())
+    total = sum(want.values())
+    assert all(abs(r["row_share"] - want[c] / total) < 1e-12
+               for c, r in stats.items())
+    assert max(r["row_share"] for r in stats.values()) > 0.2  # skew visible
+    assert all(r["n_subcells"] == 1 and r["max_subcell"] == 0
+               for r in stats.values())
+
+
+def test_split_hot_cells_equals_fresh_two_level_write(spark, emb, cents,
+                                                      tmp_path):
+    """The rebuild-equivalence contract: re-splitting the hot cells of a
+    built index must produce the SAME rows (including subcell
+    assignment) as writing a fresh index with the returned
+    sub-codebooks — assignment is a pure function of (vector,
+    codebooks)."""
+    corpus = skewed(emb)
+    inc = str(tmp_path / "inc")
+    fresh = str(tmp_path / "fresh")
+    write_ivf_index(corpus, cents, inc)
+    subs = split_hot_cells(spark, inc, cents, max_share=0.2, n_sub=3)
+    assert subs, "fixture must produce at least one hot cell"
+    write_ivf_index(corpus, cents, fresh, sub_codebooks=subs)
+    assert rows(spark.read.parquet(inc)) == rows(spark.read.parquet(fresh))
+    # appends keep honoring the persisted sub-codebooks
+    extra = corpus.withColumn("vec_id", F.col("vec_id") + 100000)
+    append_to_ivf_index(extra, cents, inc)
+    write_ivf_index(corpus.unionByName(extra), cents, fresh,
+                    sub_codebooks=subs)
+    assert rows(spark.read.parquet(inc)) == rows(spark.read.parquet(fresh))
+
+
+def test_probe_after_split_unchanged_and_subprobe_prunes(spark, emb, cents,
+                                                         tmp_path):
+    corpus = skewed(emb)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, cents, path)
+    q = corpus.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    before = probe_ivf_index(spark, path, q, cents, nprobe=3, k=5)
+    before_rows = rows(before)
+    subs = split_hot_cells(spark, path, cents, max_share=0.2, n_sub=3)
+    assert subs
+    # nprobe_sub=None probes every sub-cell: bit-identical results
+    after = probe_ivf_index(spark, path, q, cents, nprobe=3, k=5)
+    assert rows(after) == before_rows
+    # sub-probing returns a valid top-k over a candidate SUBSET: per
+    # query, every returned cosine is <= the full probe's same-rank one
+    sub = probe_ivf_index(spark, path, q, cents, nprobe=3, k=5,
+                          nprobe_sub=1)
+    full = {(r["query_id"], r["rank"]): r["cosine"] for r in before_rows
+            and before.collect()}
+    for r in sub.collect():
+        assert r["cosine"] <= full[(r["query_id"], r["rank"])] + 1e-9
+    # and the plan prunes on BOTH partition levels
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    scans = [line for line in plan.split("\n")
+             if "FileScan" in line and "PartitionFilters:" in line]
+    assert any("__subcell" in s for s in scans), plan[:3000]

@@ -378,6 +378,8 @@ def test_catalog_wide_no_unbounded_single_partition_funnels():
         "sid_liquidity_screen": "one row per sid",
         "token_budget_waterfill": "one row per language (domain dim)",
         "ivf_recall_report": "one row per IVF cell (nprobe spine)",
+        "ivf_cell_stats": "one row per IVF cell (codebook-bounded "
+                          "share window)",
         "universe_churn_weekly": "one row per week",
         "walkforward_ar1_cv": "fold grid",
     }

@@ -701,3 +701,52 @@ def test_stream_trade_orders_matches_batch_at_each_cutoff(spark, tmp_path):
         got = spark.read.parquet(f"{out}/batch_id={batch_id}")
         assert order_set(got) == order_set(want), f"batch {batch_id}"
         assert len(order_set(got)) > 0, f"batch {batch_id} emitted nothing"
+
+
+def test_stream_ivf_ingest_probe_equals_batch(spark, tmp_path):
+    """Streaming IVF ingest (stream_ivf_ingest): after two micro-batches
+    land, probing the stream-built root is bit-identical to probing a
+    batch write_ivf_index over the same vectors — assignment is a pure
+    function of (vector, centroids) — and the probe still prunes on the
+    __cell partition column across the ingest generations."""
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+
+    from moonshot_spark.datapipe.ann_index import (probe_ivf_index,
+                                                   write_ivf_index)
+    from moonshot_spark.datapipe.similarity import train_ivf_centroids
+    from moonshot_spark.sources.parquet import load_table
+    from moonshot_spark.streaming.pipeline import stream_ivf_ingest
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = train_ivf_centroids(emb, n_cells=8)
+    b1 = emb.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    b2 = emb.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+
+    src = str(tmp_path / "vecs")
+    os.makedirs(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding", ArrayType(FloatType()))])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    stream_root = str(tmp_path / "ivf_stream")
+    q = stream_ivf_ingest(stream, stream_root, str(tmp_path / "ckpt"),
+                          cents).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    batch_root = str(tmp_path / "ivf_batch")
+    write_ivf_index(b1.unionByName(b2), cents, batch_root)
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = probe_ivf_index(spark, stream_root, queries, cents, nprobe=3, k=4)
+    want = probe_ivf_index(spark, batch_root, queries, cents, nprobe=3, k=4)
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(map(tuple, want.collect()))
+    assert got_rows
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert any("PartitionFilters" in line and "__cell" in line
+               for line in plan.split("\n")), plan[:3000]
