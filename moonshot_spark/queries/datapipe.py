@@ -4539,9 +4539,9 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_clusters_incremental"] = ORACLES["dedup_clusters"]
 
 
-@register("lsh_recall_report", """
+_LSH_RECALL_SQL = """
 WITH toks0 AS (
-    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents{sample_where}
 ), sh AS (
     SELECT doc_id, CASE WHEN len(t) >= 3 THEN
         list_distinct(list_transform(range(0, len(t) - 2),
@@ -4593,8 +4593,16 @@ SELECT CAST(sum(in_cand) AS BIGINT) AS n_candidates,
        CAST(sum(in_cand * in_truth) AS DOUBLE)
            / CAST(sum(in_cand) AS DOUBLE) AS candidate_precision
 FROM joined
-""")
-def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+# deterministic hash-sample predicate, identical in both engines
+# (sampling.py::hash_bucket_expr replayed in DuckDB syntax)
+_LSH_SAMPLE_WHERE = ("\n    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS "
+                     "VARCHAR)), 1, 8)) AS BIGINT) % 100 < {pct}")
+
+
+def _lsh_recall_frame(spark: SparkSession, sf_dir: str,
+                      sample_frac: float = 1.0) -> DataFrame:
     """LSH tuning report: candidate pairs from the 16-hash/4-band MinHash
     index scored against the EXACT Jaccard >= 0.8 pair set (brute-force
     ground truth, the quality the PPJoin path guarantees) — the
@@ -4609,6 +4617,14 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_candidate_pairs, prefix_filter_jaccard_pairs, shingle_frame)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if sample_frac < 1.0:
+        # the 100-TB mode (VERDICT r9 item 5): the exact-truth side is
+        # all-pairs by spec, so the report runs on a deterministic
+        # md5-bucket sample — BOTH sides see the identical subset, and
+        # the oracle replays the identical predicate
+        from moonshot_spark.datapipe.sampling import hash_bucket_expr
+        docs = docs.where(
+            hash_bucket_expr("doc_id", 100) < int(sample_frac * 100))
     # shingle the corpus ONCE for both sides (candidate index + exact
     # truth): both consumers hang off this ONE DataFrame, so the DAG
     # scheduler computes its stages once per job — no persist() needed
@@ -4640,6 +4656,26 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.sum("in_truth").cast("double")).alias("recall"),
         (F.sum(F.col("in_cand") * F.col("in_truth")).cast("double")
          / F.sum("in_cand").cast("double")).alias("candidate_precision"))
+
+
+@register("lsh_recall_report",
+          _LSH_RECALL_SQL.format(sample_where=""))
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus LSH recall/precision report (see _lsh_recall_frame)."""
+    return _lsh_recall_frame(spark, sf_dir, 1.0)
+
+
+@register("lsh_recall_report_sampled",
+          _LSH_RECALL_SQL.format(
+              sample_where=_LSH_SAMPLE_WHERE.format(pct=20)))
+def lsh_recall_report_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator a user actually runs at 100 TB: the LSH tuning
+    report over a 20% deterministic md5-bucket sample of the corpus —
+    the truth side is exact all-pairs BY SPEC, so corpus-scale runs
+    sample first; the identical predicate gates both the candidate and
+    truth sides here AND in the oracle, and sample_frac=1.0 equals the
+    full report bit-for-bit (pinned by test)."""
+    return _lsh_recall_frame(spark, sf_dir, 0.2)
 
 
 @register("token_budget_waterfill", """
