@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["write_ivf_index", "append_to_ivf_index", "probe_ivf_index",
-           "ivf_cell_stats", "split_hot_cells"]
+           "ivf_cell_stats", "split_hot_cells", "compact_ivf_ingest"]
 
 _CELL = "__cell"
 _SUBCELL = "__subcell"
@@ -329,3 +329,22 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
                          [F.desc("cosine"), F.asc(id_col)], k)
             .select(query_id_col, id_col, "cosine",
                     F.col("rank").cast("int")))
+
+
+def compact_ivf_ingest(spark: SparkSession, stream_root: str,
+                       batch_root: str) -> None:
+    """Compact a streaming-ingest root (``ingest=<batch>/__cell=.../
+    __subcell=...`` generations written by
+    ``streaming/pipeline.py::stream_ivf_ingest``) into a plain
+    batch-layout root, where ``ivf_cell_stats`` / ``split_hot_cells``
+    apply.  Rows keep their (cell, subcell) assignment verbatim — no
+    re-assignment pass, so the compaction is a pure layout rewrite and
+    probing the compacted root equals probing the streaming root
+    (pinned by test).  The streaming root's meta (if any) is carried
+    over.  Writes are one partitioned write of the unioned generations;
+    run it between stream restarts or against a snapshot — the same
+    compaction window any file-format maintenance has."""
+    df = spark.read.parquet(stream_root).drop("ingest")
+    (df.write.mode("overwrite").partitionBy(_CELL, _SUBCELL)
+     .parquet(batch_root))
+    _write_meta(spark, batch_root, _read_meta(spark, stream_root))

@@ -178,3 +178,51 @@ def test_probe_after_split_unchanged_and_subprobe_prunes(spark, emb, cents,
     scans = [line for line in plan.split("\n")
              if "FileScan" in line and "PartitionFilters:" in line]
     assert any("__subcell" in s for s in scans), plan[:3000]
+
+
+def test_compact_streaming_root_probe_and_maintenance(spark, emb, cents,
+                                                      tmp_path):
+    """compact_ivf_ingest: a streaming root's ingest generations merge
+    into a batch root with identical probe results, and the compacted
+    root accepts cell maintenance (stats + split)."""
+    import os
+
+    from moonshot_spark.datapipe.ann_index import compact_ivf_ingest
+    from moonshot_spark.streaming.pipeline import stream_ivf_ingest
+
+    corpus = skewed(emb)
+    b1 = corpus.where(F.col("vec_id") % 2 == 0)
+    b2 = corpus.where(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "vecs")
+    os.makedirs(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding", ArrayType(FloatType())),
+                         StructField("label", IntegerType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    stream_root = str(tmp_path / "sroot")
+    q = stream_ivf_ingest(stream, stream_root, str(tmp_path / "ck"),
+                          cents).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    batch_root = str(tmp_path / "broot")
+    compact_ivf_ingest(spark, stream_root, batch_root)
+    queries = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = probe_ivf_index(spark, batch_root, queries, cents, nprobe=3, k=4)
+    want = probe_ivf_index(spark, stream_root, queries, cents,
+                           nprobe=3, k=4)
+    assert rows(got) == rows(want) and got.count() > 0
+    # maintenance applies to the compacted root
+    stats = ivf_cell_stats(spark, batch_root)
+    assert stats.count() > 0
+    subs = split_hot_cells(spark, batch_root, cents, max_share=0.2,
+                           n_sub=3)
+    assert subs   # the skewed fixture has a hot cell
+    after = probe_ivf_index(spark, batch_root, queries, cents,
+                            nprobe=3, k=4)
+    assert rows(after) == rows(want)
