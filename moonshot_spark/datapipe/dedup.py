@@ -360,21 +360,58 @@ def dedup_corpus(docs: DataFrame, method: str = "exact",
                      .select(F.col("dup_id").alias(id_col)))
         return docs.join(removable, id_col, "left_anti")
     if method == "minhash":
+        # Exact-collapse pre-pass (r10): RAW-identical texts have
+        # identical shingle sets, so every non-min member of a
+        # raw-identical group is removable unconditionally (Jaccard 1 >=
+        # any threshold <= 1) and only the min-id representative needs
+        # to enter the LSH stage.  Provably output-identical to running
+        # LSH over the full corpus: a doc survives iff no lower-id doc
+        # has Jaccard >= threshold with it, and raw-identical members
+        # share every Jaccard value with their representative.  The
+        # point is SKEW: a mega-duplicate cluster (boilerplate, mirrored
+        # pages — the hot-fingerprint case) collapses to ONE row via a
+        # map-side-combinable groupBy instead of a |cluster|^2 in-bucket
+        # pair join; where the hot-bucket guard previously had to DROP
+        # an oversized bucket (recall loss), the collapse removes the
+        # duplicates exactly.  Raw md5, NOT fingerprint_expr: the
+        # normalized fingerprint equates case/whitespace variants whose
+        # raw shingle sets differ — those must face the real Jaccard
+        # test.  Docs with < 3 tokens yield no shingles, join no pairs,
+        # and must survive exactly as before — they are excluded from
+        # the collapse.
+        exact_removable = None
+        reps = docs
+        if threshold <= 1.0:
+            raw_fp = F.md5(F.encode(F.col(text_col), "UTF-8"))
+            shingleable = F.size(F.split(F.col(text_col), " ")) >= 3
+            keyed = docs.where(shingleable).select(
+                F.col(id_col), raw_fp.alias("__raw_fp"))
+            grp = (keyed.groupBy("__raw_fp")
+                   .agg(F.min(id_col).alias("__keep"),
+                        F.count("*").alias("__n"))
+                   .where(F.col("__n") > 1))
+            exact_removable = (keyed.join(grp, "__raw_fp")
+                               .where(F.col(id_col) != F.col("__keep"))
+                               .select(F.col(id_col)))
+            reps = docs.join(exact_removable, id_col, "left_anti")
         # ONE shingle pass shared by signature building and verification
         # (persisted: tiny vs the corpus at bench scale; at 100 TB switch
         # to DISK_ONLY or drop the persist and eat the recompute — see
-        # shingle_frame).  Hot-bucket guard ON by default for the E2E
-        # path: an uncapped boilerplate bucket is the one thing that makes
-        # this quadratic at corpus scale (cap warns, never silently).
-        sh = shingle_frame(docs, text_col, id_col).persist()
-        candidates = lsh_candidate_pairs(docs, text_col, id_col,
+        # shingle_frame).  Hot-bucket guard stays ON for the E2E path:
+        # after the collapse it guards NEAR-duplicate boilerplate
+        # buckets (distinct texts, shared bands), which the collapse
+        # can't touch.
+        sh = shingle_frame(reps, text_col, id_col).persist()
+        candidates = lsh_candidate_pairs(reps, text_col, id_col,
                                          max_bucket_size=max_bucket_size,
                                          shingles=sh,
                                          include_est_jaccard=False)
-        verified = (ngram_jaccard_pairs(docs, candidates, text_col, id_col,
+        verified = (ngram_jaccard_pairs(reps, candidates, text_col, id_col,
                                         shingles=sh)
                     .where(F.col("jaccard") >= threshold))
         removable = verified.select(F.col("doc_b").alias(id_col)).distinct()
+        if exact_removable is not None:
+            removable = removable.unionByName(exact_removable).distinct()
         return docs.join(removable, id_col, "left_anti")
     raise ValueError(f"unknown dedup method: {method!r}")
 

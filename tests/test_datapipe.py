@@ -1310,3 +1310,33 @@ def test_lsh_recall_sample_frac_one_equals_full(spark):
     # at sf0.001 the 20% sample can hold zero qualifying pairs — the
     # aggregate sums are then NULL, which still satisfies "subset"
     assert (sampled[0]["n_truth"] or 0) <= full[0]["n_truth"]
+
+
+def test_dedup_corpus_minhash_exact_collapse_semantics(spark):
+    """The r10 exact-collapse pre-pass must be output-invariant:
+    raw-identical long docs keep only the min id (same as the LSH path
+    found them); sub-shingle-length identical docs SURVIVE exactly as
+    before (no shingles, no pairs); case variants are NOT equated by
+    the collapse (raw md5, not the normalized fingerprint) and face the
+    real Jaccard test."""
+    from moonshot_spark.datapipe.dedup import dedup_corpus
+
+    long_a = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliet kilo lima")
+    near_a = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliet kilo zulu")          # high Jaccard vs long_a
+    case_a = long_a.upper()                # fingerprint-equal, raw-distinct
+    docs = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, long_a),      # exact cluster
+         (4, near_a),                                # near-dup of 1
+         (5, "tiny doc"), (6, "tiny doc"),           # < 3 tokens: survive
+         (7, case_a),                                # case variant
+         (8, "completely different content with many unique tokens here "
+             "that share nothing at all with anything else")],
+        "doc_id long, text string")
+    survivors = sorted(r["doc_id"] for r in
+                       dedup_corpus(docs, method="minhash",
+                                    threshold=0.8).collect())
+    # 2,3 collapse into 1; 4 near-dups against 1; 5,6 shingle-less
+    # survive; 7's raw shingles are disjoint from 1's (upper vs lower)
+    assert survivors == [1, 5, 6, 7, 8]
