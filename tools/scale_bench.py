@@ -189,14 +189,17 @@ def replicate_tables(spark: SparkSession, base_dir: str, n: int,
 
 
 # --skew query set: the heavy queries whose cost is INPUT-driven.  The
-# true-pair-listing queries (ppjoin_jaccard_pairs, lsh_recall_report)
-# are excluded BY SPEC, not silently: a 20% identical-text cluster makes
-# their exact output quadratic in the cluster (~(0.2N)^2/2 pairs), so
-# runtime tracks that output mass and no partitioning strategy can — or
-# should — hide it.  Their skew behavior is the hot-bucket guard's and
-# is exercised through dedup_corpus_minhash / prepare_corpus below.
+# pair-LISTING queries (ppjoin_jaccard_pairs, lsh_recall_report,
+# minhash_incremental_pairs) are excluded BY SPEC, not silently: a 20%
+# identical-text cluster makes their output quadratic in the cluster
+# (~(0.2N)^2/2 emitted pairs), so runtime tracks that output mass and
+# no partitioning strategy can — or should — hide it.  The hot-cluster
+# path that SHOULD stay linear is exercised through
+# dedup_corpus_minhash (exact-collapse pre-pass + hot-bucket guard) and
+# prepare_corpus (exact dedup first) below.
 SKEW_QUERIES = [q for q in HEAVY_QUERIES
-                if q not in ("ppjoin_jaccard_pairs", "lsh_recall_report")]
+                if q not in ("ppjoin_jaccard_pairs", "lsh_recall_report",
+                             "minhash_incremental_pairs")]
 
 # a single task may not hold more than this share of a heavy stage's
 # total executor run time in the skewed run (hot key ≈ 20% of rows; a
@@ -397,11 +400,13 @@ def write_skew_section(skew_payload: dict) -> list[str]:
         f"{int(MAX_TASK_SHARE * 100)}% of a heavy stage's executor run "
         "time (stages ≥ 8 tasks and ≥ 0.5 s; REST task metrics).",
         "",
-        "`ppjoin_jaccard_pairs` / `lsh_recall_report` are excluded BY "
-        "SPEC: their exact output is quadratic in the hot cluster "
-        "(~(0.2N)²/2 true pairs), so runtime tracks output mass — the "
-        "hot-cluster behavior of the banded path is exercised via "
-        "`dedup_corpus_minhash`/`prepare_corpus` (hot-bucket guard).",
+        "`ppjoin_jaccard_pairs` / `lsh_recall_report` / "
+        "`minhash_incremental_pairs` are excluded BY SPEC: their exact "
+        "output is quadratic in the hot cluster (~(0.2N)²/2 emitted "
+        "pairs), so runtime tracks output mass — the hot-cluster path "
+        "that must stay linear is exercised via `dedup_corpus_minhash` "
+        "(exact-collapse pre-pass + hot-bucket guard) and "
+        "`prepare_corpus` (exact dedup first).",
         "",
         "| query | scale | uniform s | skew s | slowdown | "
         "max task share |",
