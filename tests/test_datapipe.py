@@ -1340,3 +1340,19 @@ def test_dedup_corpus_minhash_exact_collapse_semantics(spark):
     # 2,3 collapse into 1; 4 near-dups against 1; 5,6 shingle-less
     # survive; 7's raw shingles are disjoint from 1's (upper vs lower)
     assert survivors == [1, 5, 6, 7, 8]
+
+
+def test_local_df_edge_cases(spark):
+    """local_df (Arrow-backed tiny dims) must handle empty row lists,
+    None cells, and integer columns — the shapes balances/rates/
+    allocations and the ivf_cell_stats bytes map actually take."""
+    from moonshot_spark.sources.local import local_df
+
+    empty = local_df(spark, [], "a string, b double")
+    assert empty.count() == 0
+    assert empty.schema.simpleString() == "struct<a:string,b:double>"
+    nulls = local_df(spark, [("x", None)], "a string, b double").collect()
+    assert nulls == [("x", None)] or (nulls[0]["a"] == "x"
+                                      and nulls[0]["b"] is None)
+    ints = local_df(spark, [(7, 2.5)], "a bigint, b double").collect()
+    assert ints[0]["a"] == 7 and ints[0]["b"] == 2.5
