@@ -226,3 +226,25 @@ def test_compact_streaming_root_probe_and_maintenance(spark, emb, cents,
     after = probe_ivf_index(spark, batch_root, queries, cents,
                             nprobe=3, k=4)
     assert rows(after) == rows(want)
+
+
+def test_split_hot_cells_max_rows_threshold_and_split_skip(spark, emb,
+                                                           cents, tmp_path):
+    """max_rows thresholding splits exactly the over-threshold cells,
+    and a second maintenance pass leaves already-split cells alone
+    (the documented no-resplit scope)."""
+    corpus = skewed(emb)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, cents, path)
+    stats = {r["cell"]: r["n_rows"] for r in
+             ivf_cell_stats(spark, path).collect()}
+    cut = sorted(stats.values())[-1] - 1          # only the biggest cell
+    subs = split_hot_cells(spark, path, cents, max_share=1.1,
+                           max_rows=cut, n_sub=3)
+    assert set(subs) == {c for c, n in stats.items() if n > cut}
+    again = split_hot_cells(spark, path, cents, max_share=1.1,
+                            max_rows=cut, n_sub=3)
+    assert again == {}                             # no re-split
+    after = {r["cell"]: r for r in ivf_cell_stats(spark, path).collect()}
+    for c in subs:
+        assert after[c]["max_subcell"] >= 1 and after[c]["n_rows"] == stats[c]
