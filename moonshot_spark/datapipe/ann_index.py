@@ -32,7 +32,11 @@ and three maintenance surfaces exist:
 - ``probe_ivf_index(..., nprobe_sub=...)``: probing a split cell can
   prune to the query's ``nprobe_sub`` nearest SUB-cells — a second
   partition-filter level — while ``nprobe_sub=None`` keeps the exact
-  pre-split candidate set (pinned by test).
+  pre-split candidate set (pinned by test);
+- ``rebalance_split_cells``: when appends drift a split cell until one
+  SUB-cell dominates (``max_subcell_rows`` in the stats), the cell's
+  sub-codebook is retrained from its current members (md5-spread
+  seeds) and only that cell directory is rewritten.
 
 The rewrite is append-then-delete (new subcell directories land before
 the stale ``__subcell=0`` directory is removed): a concurrent reader
@@ -55,7 +59,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["write_ivf_index", "append_to_ivf_index", "probe_ivf_index",
-           "ivf_cell_stats", "split_hot_cells", "compact_ivf_ingest"]
+           "ivf_cell_stats", "split_hot_cells", "compact_ivf_ingest",
+           "rebalance_split_cells"]
 
 _CELL = "__cell"
 _SUBCELL = "__subcell"
@@ -161,10 +166,12 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     from moonshot_spark.sources.local import local_df
 
     counts = (spark.read.parquet(path)
+              .groupBy(_CELL, _SUBCELL).agg(F.count("*").alias("__sn"))
               .groupBy(_CELL)
-              .agg(F.count("*").alias("n_rows"),
-                   F.countDistinct(_SUBCELL).alias("n_subcells"),
-                   F.max(_SUBCELL).alias("max_subcell")))
+              .agg(F.sum("__sn").alias("n_rows"),
+                   F.count("*").alias("n_subcells"),
+                   F.max(_SUBCELL).alias("max_subcell"),
+                   F.max("__sn").alias("max_subcell_rows")))
     fs, root = _fs(spark, path)
     sizes = []
     for st in fs.listStatus(root):
@@ -183,7 +190,8 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
                        F.col("n_rows").cast("double")
                        / total.cast("double")))
     return out.select(F.col(_CELL).alias("cell"), "n_rows", "n_bytes",
-                      "row_share", "n_subcells", "max_subcell")
+                      "row_share", "n_subcells", "max_subcell",
+                      "max_subcell_rows")
 
 
 def split_hot_cells(spark: SparkSession, path: str,
@@ -348,3 +356,78 @@ def compact_ivf_ingest(spark: SparkSession, stream_root: str,
     (df.write.mode("overwrite").partitionBy(_CELL, _SUBCELL)
      .parquet(batch_root))
     _write_meta(spark, batch_root, _read_meta(spark, stream_root))
+
+
+def rebalance_split_cells(spark: SparkSession, path: str,
+                          centroids: list[list[float]],
+                          max_subcell_share: float = 0.5,
+                          n_sub: int = 4,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding"
+                          ) -> dict[int, list[list[float]]]:
+    """Re-split a SPLIT cell whose sub-codebook has drifted: when one
+    sub-cell holds more than ``max_subcell_share`` of its cell's rows
+    (``ivf_cell_stats.max_subcell_rows``), retrain a fresh ``n_sub``
+    sub-codebook from the cell's CURRENT members and rewrite that cell
+    — closing the loop ``split_hot_cells`` leaves open (appends drift
+    the data away from the original sub-centroids; splitting again
+    with the same seeds would be a no-op).
+
+    Seeding is an md5-spread pick — the ``n_sub`` members with the
+    lowest ``md5(id)`` — deterministic like everything here but
+    decorrelated from insertion order, so a drifted cell whose
+    LOW-ID members all sit in one clump still gets seeds across the
+    current distribution.  (The lowest-id seeding of the initial split
+    is kept: it makes split == fresh-write reproducible from ids
+    alone.)
+
+    Rewrite protocol: the cell's rows are staged to a sibling
+    ``<path>__rebalance_<cell>`` directory, the cell directory is
+    deleted, the staged rows are re-assigned under the new sub-codebook
+    and appended back, and the stage is removed.  Between delete and
+    append the cell is absent for readers — a wider window than
+    split_hot_cells' append-then-delete (see module docstring); a
+    crash leaves the staged copy on disk for manual replay.  Returns
+    {cell: new sub-codebook}; the merged meta is persisted.
+    """
+    from moonshot_spark.datapipe.similarity import ivf_assign_col
+
+    meta = _read_meta(spark, path)
+    if not meta:
+        return {}
+    stats = {r["cell"]: r for r in ivf_cell_stats(spark, path).collect()}
+    drifted = [c for c in sorted(meta)
+               if c in stats and stats[c]["n_rows"] > 0
+               and stats[c]["max_subcell_rows"]
+               > max_subcell_share * stats[c]["n_rows"]]
+    jvm_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    fs, root = _fs(spark, path)
+    new_subs: dict[int, list[list[float]]] = {}
+    for c in drifted:
+        cell_rows = (spark.read.parquet(path)
+                     .where(F.col(_CELL) == c).drop(_CELL, _SUBCELL))
+        seeds = (cell_rows
+                 .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+                 .limit(n_sub).select(vec_col).collect())
+        sub_cb = [[float(x) for x in r[0]] for r in seeds]
+        if len(sub_cb) < 2 or sub_cb == meta.get(c):
+            continue      # nothing to retrain toward
+        stage = f"{path}__rebalance_{c}"
+        cell_rows.write.mode("overwrite").parquet(stage)
+        cell_dir = jvm_path(root, f"{_CELL}={c}")
+        if fs.exists(cell_dir):
+            fs.delete(cell_dir, True)
+        (spark.read.parquet(stage)
+         .withColumn(_CELL, F.lit(c))
+         .withColumn(_SUBCELL,
+                     (ivf_assign_col(vec_col, sub_cb) + F.lit(1))
+                     .cast("int"))
+         .write.mode("append").partitionBy(_CELL, _SUBCELL).parquet(path))
+        stage_fs, stage_path = _fs(spark, stage)
+        stage_fs.delete(stage_path, True)
+        new_subs[c] = sub_cb
+    if new_subs:
+        merged = dict(meta)
+        merged.update(new_subs)
+        _write_meta(spark, path, merged)
+    return new_subs

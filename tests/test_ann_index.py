@@ -248,3 +248,69 @@ def test_split_hot_cells_max_rows_threshold_and_split_skip(spark, emb,
     after = {r["cell"]: r for r in ivf_cell_stats(spark, path).collect()}
     for c in subs:
         assert after[c]["max_subcell"] >= 1 and after[c]["n_rows"] == stats[c]
+
+
+def test_rebalance_split_cells_retrains_drifted_subcodebook(spark, tmp_path):
+    """rebalance_split_cells: a split cell whose low-id seeds were all
+    in one clump (degenerate sub-codebook → one dominant sub-cell) gets
+    retrained from md5-spread seeds; only that cell is rewritten, the
+    nprobe_sub=None probe results are unchanged (same rows, same cell),
+    the sub-cell skew strictly improves, and appends honor the new
+    codebook."""
+    import hashlib
+
+    from moonshot_spark.datapipe.ann_index import rebalance_split_cells
+
+    dim = 8
+    ids = list(range(100, 140))
+    # clump split by id: A = 100-119, B = 120-139.  The initial split
+    # seeds (lowest ids 100, 101) are both in A — degenerate; the
+    # rebalance's md5-spread seeds span BOTH clumps (verified below),
+    # which is the property the md5 ordering exists to provide.
+    b_ids = set(ids[20:])
+    by_md5 = sorted(ids, key=lambda i: hashlib.md5(str(i).encode())
+                    .hexdigest())
+    seed4 = set(by_md5[:4])
+    assert seed4 & b_ids and seed4 - b_ids, \
+        "fixture: md5 seeds must span both clumps"
+
+    def vec(i):
+        base = ([0.0] * dim)
+        if i in b_ids:
+            base[1] = 10.0               # clump B
+        else:
+            base[0] = 10.0               # clump A
+        base[2] = (i % 7) * 1e-3         # micro-jitter, no exact ties
+        return [float(x) for x in base]
+
+    corpus = spark.createDataFrame([(i, vec(i)) for i in ids],
+                                   "vec_id long, embedding array<float>")
+    far = [[0.0] * (dim - 1) + [100.0]]
+    cents = [[1.0, 1.0] + [0.0] * (dim - 2)] + far   # all rows in cell 0
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, cents, path)
+    subs = split_hot_cells(spark, path, cents, max_share=0.5, n_sub=2)
+    assert 0 in subs                      # cell 0 split on low-id seeds
+    stats0 = ivf_cell_stats(spark, path).where(F.col("cell") == 0).first()
+    assert stats0["max_subcell_rows"] / stats0["n_rows"] > 0.5  # degenerate
+
+    q = corpus.where(F.col("vec_id") < 104).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    before = rows(probe_ivf_index(spark, path, q, cents, nprobe=1, k=5))
+
+    new = rebalance_split_cells(spark, path, cents,
+                                max_subcell_share=0.5, n_sub=4)
+    assert set(new) == {0}
+    stats1 = ivf_cell_stats(spark, path).where(F.col("cell") == 0).first()
+    assert stats1["n_rows"] == stats0["n_rows"]
+    assert stats1["max_subcell_rows"] < stats0["max_subcell_rows"]
+    # full-subcell probing is unchanged: same rows, same cell membership
+    assert rows(probe_ivf_index(spark, path, q, cents, nprobe=1, k=5)) \
+        == before
+    # appends honor the retrained codebook (meta persisted)
+    extra = spark.createDataFrame([(900, vec(139))],
+                                  "vec_id long, embedding array<float>")
+    append_to_ivf_index(extra, cents, path)
+    got = rows(probe_ivf_index(spark, path, q, cents, nprobe=1, k=5,
+                               nprobe_sub=4))
+    assert got                            # probe across retrained subcells
