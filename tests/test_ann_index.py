@@ -169,8 +169,9 @@ def test_probe_after_split_unchanged_and_subprobe_prunes(spark, emb, cents,
     # query, every returned cosine is <= the full probe's same-rank one
     sub = probe_ivf_index(spark, path, q, cents, nprobe=3, k=5,
                           nprobe_sub=1)
-    full = {(r["query_id"], r["rank"]): r["cosine"] for r in before_rows
-            and before.collect()}
+    # use the PRE-split collected rows: re-executing `before` here would
+    # re-list files split_hot_cells has since deleted (ADVICE r10)
+    full = {(r[0], r[3]): r[2] for r in before_rows}
     for r in sub.collect():
         assert r["cosine"] <= full[(r["query_id"], r["rank"])] + 1e-9
     # and the plan prunes on BOTH partition levels
@@ -314,3 +315,240 @@ def test_rebalance_split_cells_retrains_drifted_subcodebook(spark, tmp_path):
     got = rows(probe_ivf_index(spark, path, q, cents, nprobe=1, k=5,
                                nprobe_sub=4))
     assert got                            # probe across retrained subcells
+
+
+# --------------------------------------------------------------------- #
+# retrain_cell deepening + crash repair (VERDICT r10 missing #1,        #
+# ADVICE r10 medium)                                                    #
+# --------------------------------------------------------------------- #
+
+def clumped_corpus(spark, dim=8, n=40):
+    """4 orthogonal clumps interleaved by id (i % 4), all landing in ONE
+    IVF cell: the initial lowest-id split seeds (100, 101) see only
+    clumps 0 and 1 (300 % 4 = 0, 301 % 4 = 1), so a 2-ary sub-codebook
+    is structurally too shallow — the deepening fixture."""
+    ids = list(range(300, 300 + n))
+
+    def vec(i):
+        base = [0.0] * dim
+        base[i % 4] = 10.0
+        base[5] = (i % 7) * 1e-3        # jitter: no exact cosine ties
+        return [float(x) for x in base]
+
+    corpus = spark.createDataFrame([(i, vec(i)) for i in ids],
+                                   "vec_id long, embedding array<float>")
+    far = [[0.0] * (dim - 1) + [100.0]]
+    cents = [[1.0, 1.0, 1.0, 1.0] + [0.0] * (dim - 4)] + far
+    return corpus, cents, ids
+
+
+def test_retrain_cell_deepens_and_equals_fresh_write(spark, tmp_path):
+    """Deepening contract: retraining a split cell at HIGHER arity
+    strictly reduces max_subcell_rows, row-equals a fresh write with
+    the returned {codebook, base} entry, keeps nprobe_sub=None probe
+    results bit-identical, and still prunes on __subcell."""
+    import hashlib
+
+    from moonshot_spark.datapipe.ann_index import retrain_cell
+
+    corpus, cents, ids = clumped_corpus(spark)
+    by_md5 = sorted(ids, key=lambda i: hashlib.md5(str(i).encode())
+                    .hexdigest())
+    assert len({i % 4 for i in by_md5[:4]}) >= 3, \
+        "fixture: md5 seeds must span >=3 clumps"
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, cents, path)
+    subs = split_hot_cells(spark, path, cents, max_share=0.5, n_sub=2)
+    assert 0 in subs
+    stats0 = ivf_cell_stats(spark, path).where(F.col("cell") == 0).first()
+    assert stats0["max_subcell_rows"] >= 20     # 2-ary can't separate 4 clumps
+
+    q = corpus.where(F.col("vec_id") < 306).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    before = rows(probe_ivf_index(spark, path, q, cents, nprobe=1, k=5))
+
+    entry = retrain_cell(spark, path, 0, n_sub=4)
+    assert entry is not None and entry["base"] == 3   # old base 1 + arity 2
+    stats1 = ivf_cell_stats(spark, path).where(F.col("cell") == 0).first()
+    assert stats1["n_rows"] == stats0["n_rows"]
+    assert stats1["max_subcell_rows"] < stats0["max_subcell_rows"]
+    assert stats1["n_subcells"] >= 3
+
+    # row-equals a fresh two-level write with the returned entry
+    fresh = str(tmp_path / "fresh")
+    write_ivf_index(corpus, cents, fresh, sub_codebooks={0: entry})
+    assert rows(spark.read.parquet(path)) == rows(spark.read.parquet(fresh))
+
+    # nprobe_sub=None probing unchanged; sub-probe prunes on __subcell
+    assert rows(probe_ivf_index(spark, path, q, cents, nprobe=1, k=5)) \
+        == before
+    sub = probe_ivf_index(spark, path, q, cents, nprobe=1, k=5,
+                          nprobe_sub=2)
+    sub.count()
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    scans = [line for line in plan.split("\n")
+             if "FileScan" in line and "PartitionFilters:" in line]
+    assert any("__subcell" in s for s in scans), plan[:3000]
+    # appends honor the deepened codebook
+    extra = corpus.withColumn("vec_id", F.col("vec_id") + 1000)
+    append_to_ivf_index(extra, cents, path)
+    write_ivf_index(corpus.unionByName(extra), cents, fresh,
+                    sub_codebooks={0: entry})
+    assert rows(spark.read.parquet(path)) == rows(spark.read.parquet(fresh))
+
+
+def test_retrain_crash_repair_finish_and_rollback(spark, tmp_path,
+                                                  monkeypatch):
+    """Crash-safety contract (ADVICE r10): a retrain interrupted AFTER
+    its per-cell meta flip is FINISHED by repair_retrains (old range
+    dropped); one interrupted BEFORE the flip is ROLLED BACK (new range
+    dropped) — either way meta and directories agree, no rows are lost,
+    and the retrain can re-run."""
+    import moonshot_spark.datapipe.ann_index as ai
+
+    corpus, cents, ids = clumped_corpus(spark)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, cents, path)
+    split_hot_cells(spark, path, cents, max_share=0.5, n_sub=2)
+    baseline = rows(spark.read.parquet(path)
+                    .drop("__cell", "__subcell"))
+
+    # ---- crash AFTER the meta flip (before old-range delete) ----
+    real_delete = ai._delete_subcell_range
+    monkeypatch.setattr(ai, "_delete_subcell_range",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("crash")))
+    with pytest.raises(RuntimeError):
+        ai.retrain_cell(spark, path, 0, n_sub=4)
+    monkeypatch.setattr(ai, "_delete_subcell_range", real_delete)
+    # sub-probes stay CORRECT in the crashed state: meta points at the
+    # complete new generation (the ADVICE scenario this fix removes)
+    meta = ai._read_meta(spark, path)
+    assert meta[0]["base"] == 3
+    assert ai.repair_retrains(spark, path) == {0: "finished"}
+    stats = ivf_cell_stats(spark, path).where(F.col("cell") == 0).first()
+    assert stats["n_rows"] == 40                 # no rows lost/duplicated
+    assert rows(spark.read.parquet(path).drop("__cell", "__subcell")) \
+        == baseline
+    assert ai.repair_retrains(spark, path) == {}  # idempotent
+
+    # ---- crash BEFORE the meta flip ----
+    real_write = ai._write_meta
+    monkeypatch.setattr(ai, "_write_meta",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("crash")))
+    with pytest.raises(RuntimeError):
+        ai.retrain_cell(spark, path, 0, n_sub=3)
+    monkeypatch.setattr(ai, "_write_meta", real_write)
+    meta_before = ai._read_meta(spark, path)
+    assert meta_before[0]["base"] == 3           # flip never landed
+    assert ai.repair_retrains(spark, path) == {0: "rolled_back"}
+    stats = ivf_cell_stats(spark, path).where(F.col("cell") == 0).first()
+    assert stats["n_rows"] == 40
+    assert rows(spark.read.parquet(path).drop("__cell", "__subcell")) \
+        == baseline
+    # the rolled-back retrain re-runs cleanly
+    entry = ai.retrain_cell(spark, path, 0, n_sub=3)
+    assert entry is not None and entry["base"] == 7  # base 3 + arity 4
+    assert ai._read_meta(spark, path)[0] == entry
+
+
+def test_ivf_maintenance_lifecycle(spark, emb, cents, tmp_path):
+    """E2E vector-store maintenance (VERDICT r10 item 5): stream ingest
+    -> compact -> split hot cells -> drifted append -> retrain, with
+    probe recall vs brute force and partition-pruning plan pins asserted
+    at EVERY stage.  The nprobe_sub=None invariant — maintenance never
+    changes probe results over the same corpus — anchors each step."""
+    import os
+
+    from moonshot_spark.datapipe.ann_index import (compact_ivf_ingest,
+                                                   retrain_cell)
+    from moonshot_spark.datapipe.similarity import brute_force_topk
+    from moonshot_spark.streaming.pipeline import stream_ivf_ingest
+
+    corpus = skewed(emb).cache()
+    qdf = corpus.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding").cache()
+
+    def recall_and_plan(root, truth_corpus, nprobe=3):
+        got = probe_ivf_index(spark, root, qdf, cents, nprobe=nprobe, k=5)
+        got_rows = rows(got)
+        truth = {(r["query_id"], r["vec_id"])
+                 for r in brute_force_topk(truth_corpus, qdf, k=5).collect()}
+        hits = {(r[0], r[1]) for r in got_rows}
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        pruned = any("FileScan" in line and "PartitionFilters:" in line
+                     and "__cell" in line for line in plan.split("\n"))
+        return len(hits & truth) / len(truth), got_rows, pruned
+
+    # stage 1: streaming ingest in two drifting batches
+    b1 = corpus.where(F.col("vec_id") % 2 == 0)
+    b2 = corpus.where(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "vecs")
+    os.makedirs(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                   LongType, StructField, StructType)
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding", ArrayType(FloatType())),
+                         StructField("label", IntegerType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    stream_root = str(tmp_path / "sroot")
+    q = stream_ivf_ingest(stream, stream_root, str(tmp_path / "ck"),
+                          cents).trigger(availableNow=True).start()
+    q.awaitTermination()
+    r1, rows1, pruned1 = recall_and_plan(stream_root, corpus)
+    assert pruned1 and r1 > 0
+
+    # stage 2: compact — identical probe, still pruned
+    batch_root = str(tmp_path / "broot")
+    compact_ivf_ingest(spark, stream_root, batch_root)
+    r2, rows2, pruned2 = recall_and_plan(batch_root, corpus)
+    assert pruned2 and rows2 == rows1
+
+    # stage 3: split the hot cell — identical probe, still pruned
+    subs = split_hot_cells(spark, batch_root, cents, max_share=0.2, n_sub=3)
+    assert subs
+    r3, rows3, pruned3 = recall_and_plan(batch_root, corpus)
+    assert pruned3 and rows3 == rows1
+
+    # stage 4: drifted append into the hot cell, then deepen it
+    extra = (corpus.where(F.col("vec_id") % 5 < 2)
+             .withColumn("vec_id", F.col("vec_id") + 100000))
+    append_to_ivf_index(extra, cents, batch_root)
+    corpus2 = corpus.unionByName(extra).cache()
+    hot = max(ivf_cell_stats(spark, batch_root).collect(),
+              key=lambda r: r["max_subcell_rows"])
+    pre = probe_ivf_index(spark, batch_root, qdf, cents, nprobe=3, k=5)
+    pre_rows = rows(pre)
+    entry = retrain_cell(spark, batch_root, hot["cell"], n_sub=4)
+    r4, rows4, pruned4 = recall_and_plan(batch_root, corpus2)
+    assert pruned4 and rows4 == pre_rows       # retrain: probe-invariant
+    n_after = (spark.read.parquet(batch_root)
+               .groupBy().count().first()[0])
+    assert n_after == corpus2.count()          # no rows lost/duplicated
+
+    # stage 5: exactness anchor — probing ALL cells is bit-identical to
+    # the in-memory ivf_topk (same scoring path), and matches brute
+    # force per-rank within float tolerance (the skewed fixture's
+    # near-duplicate vectors sit ULPs apart between the Arrow-UDF and
+    # codegen'd-fold cosine paths)
+    full = probe_ivf_index(spark, batch_root, qdf, cents,
+                           nprobe=len(cents), k=5)
+    full_rows = rows(full)
+    assert full_rows == rows(ivf_topk(corpus2, qdf, cents,
+                                      nprobe=len(cents), k=5))
+    bf = {(r[0], r[3]): r[2]
+          for r in rows(brute_force_topk(corpus2, qdf, k=5))}
+    assert all(abs(r[2] - bf[(r[0], r[3])]) < 1e-9 for r in full_rows)
+    # and the sub-probe prunes on BOTH levels after the whole lifecycle
+    sub = probe_ivf_index(spark, batch_root, qdf, cents, nprobe=3, k=5,
+                          nprobe_sub=1)
+    sub.count()
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert any("FileScan" in line and "__subcell" in line
+               for line in plan.split("\n")
+               if "PartitionFilters:" in line), plan[:3000]
