@@ -28,6 +28,34 @@ sys.path.insert(0, HERE)
 # stdout tail, with headroom for the fixed fields.
 MAX_LINE_BYTES = 1900
 
+# Noise canary (VERDICT r10 item 4): a constant-work calibration query is
+# timed FIRST and LAST; a contended box shows up as the two disagreeing
+# or blowing past the pinned clean-box envelope, making a driver-side
+# environmental artifact (like r10's 251.9 s vs 139.97 s committed run,
+# same code) self-diagnosing instead of looking like a code regression.
+# Envelope: ~2.5x the clean-box min-of-2 measurement of 0.15-0.19 s
+# (see PERF.md r11).
+CANARY_RATIO_LIMIT = 1.5
+CANARY_ENVELOPE_SEC = 0.45
+
+
+def _canary_seconds(spark) -> float:
+    """One fixed shuffle+agg over spark.range: data-independent work that
+    exercises scheduling, shuffle, and codegen — the same fixed costs the
+    per-query floor is made of.  Min of two runs (like the queries)."""
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        start = time.perf_counter()
+        (spark.range(0, 20_000_000, 1, 32)
+         .groupBy((F.col("id") % 1024).alias("k"))
+         .agg(F.sum("id").alias("s"))
+         .select(F.sum("s")).count())
+        return time.perf_counter() - start
+
+    run()                                    # warm-up, untimed
+    return min(run(), run())
+
 
 def _compact_payload(total: float, n_queries: int, timings: dict, sf: float) -> dict:
     """Build the printed payload: fixed fields + as many of the slowest
@@ -75,6 +103,8 @@ def main():
         except ValueError:
             pass
 
+    canary_first = round(_canary_seconds(spark), 4)
+
     timings: dict[str, float] = {}
     split: dict[str, dict[str, float]] = {}
     total = 0.0
@@ -106,6 +136,21 @@ def main():
                        "exec": round(best_exec, 4)}
         total += elapsed
 
+    canary_last = round(_canary_seconds(spark), 4)
+    # the LAST canary is expected to be a bit faster (deeper JIT after
+    # the full suite); only a SLOWDOWN across the run (contention grew)
+    # or an envelope breach (contended from the start) marks the box
+    ratio = canary_last / max(canary_first, 1e-9)
+    noisy = (ratio > CANARY_RATIO_LIMIT
+             or max(canary_first, canary_last) > CANARY_ENVELOPE_SEC)
+    canary = {
+        "first_sec": canary_first,
+        "last_sec": canary_last,
+        "ratio": round(ratio, 3),
+        "envelope_sec": CANARY_ENVELOPE_SEC,
+        "noisy_box": noisy,
+    }
+
     with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as f:
         json.dump(
             {
@@ -114,6 +159,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "build_exec_split": split,
+                "canary": canary,
                 "sf": sf,
             },
             f,
@@ -121,6 +167,10 @@ def main():
         )
 
     payload = _compact_payload(total, len(timings), timings, sf)
+    if noisy:
+        # keep the flag in the harness-visible line too: a flagged run's
+        # timings reflect the box, not the code
+        payload["noisy_box"] = True
     line = json.dumps(payload)
     assert len(line) <= 2000, f"bench line too long: {len(line)}"
     print(line)

@@ -1351,6 +1351,30 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
     return edges, deg
 
 
+def _orient_copurchase(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-orient the symmetric co-purchase edge list: each undirected
+    edge points from its (deg, id)-smaller endpoint to the larger, so a
+    hub's wedges are generated only from its LOWER-degree neighbors and
+    every out-degree is bounded by O(sqrt(|E|)) (Suri & Vassilvitskii) —
+    the property the skew bench measures directly on the hot-node
+    replicas (tools/scale_bench.py)."""
+    pairs = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("item_a"), F.col("dst").alias("item_b"))
+    da = deg.select(F.col("node").alias("item_a"),
+                    F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("item_b"),
+                    F.col("deg").alias("deg_b"))
+    keyed = pairs.join(da, "item_a").join(db, "item_b")
+    a_first = ((F.col("deg_a") < F.col("deg_b"))
+               | ((F.col("deg_a") == F.col("deg_b"))
+                  & (F.col("item_a") < F.col("item_b"))))
+    return keyed.select(
+        F.when(a_first, F.col("item_a")).otherwise(F.col("item_b"))
+         .alias("u"),
+        F.when(a_first, F.col("item_b")).otherwise(F.col("item_a"))
+         .alias("v"))
+
+
 def _pagerank_sql_iter(prev: str, out: str) -> str:
     """One unrolled PageRank iteration for the DuckDB oracle: neighbor
     contributions folded in src order so float addition order matches
@@ -1453,25 +1477,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, deg = _copurchase_edges(spark, sf_dir)
     edges = edges.localCheckpoint(eager=True)
     deg = deg.localCheckpoint(eager=True)
-    pairs = edges.where(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("item_a"), F.col("dst").alias("item_b"))
-    da = deg.select(F.col("node").alias("item_a"),
-                    F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("node").alias("item_b"),
-                    F.col("deg").alias("deg_b"))
-    keyed = pairs.join(da, "item_a").join(db, "item_b")
-    a_first = ((F.col("deg_a") < F.col("deg_b"))
-               | ((F.col("deg_a") == F.col("deg_b"))
-                  & (F.col("item_a") < F.col("item_b"))))
-    ori = keyed.select(
-        F.when(a_first, F.col("item_a")).otherwise(F.col("item_b"))
-         .alias("u"),
-        F.when(a_first, F.col("item_b")).otherwise(F.col("item_a"))
-         .alias("v"))
+    ori = _orient_copurchase(edges, deg)
     o1 = ori.select(F.col("u").alias("a"), F.col("v").alias("b"))
     o2 = ori.select(F.col("u").alias("b"), F.col("v").alias("c"))
     o3 = ori.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = o1.join(o2, "b").join(o3, ["a", "c"])
+    pairs = edges.where(F.col("src") < F.col("dst"))
     return (tri.agg(F.count("*").alias("n_triangles"))
             .crossJoin(pairs.agg(F.count("*").alias("n_edges")))
             .crossJoin(deg.agg(F.count("*").alias("n_nodes"))))

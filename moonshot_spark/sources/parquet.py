@@ -19,26 +19,44 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # Parquet-schema memo: schema inference reads a footer on the driver per
 # ``spark.read.parquet`` call — a fixed ~50-100 ms of Py4J + IO that a
 # 240-query bench pays 240+ times on identical paths (VERDICT r9 item 1).
-# Keyed by (abspath, mtime): an overwritten/appended dataset changes the
-# directory mtime, so a stale schema is never replayed onto new files.
-# The memo holds StructTypes (plain driver objects), never DataFrames, so
-# nothing pins a SparkSession.
+# Keyed by path with a stored freshness fingerprint — the root mtime plus
+# a first-level listing digest (entry count + max child mtime), so a
+# partitioned append that only touches a nested subdirectory (which does
+# NOT bump the root mtime) still invalidates the memo (ADVICE r10).  One
+# entry per path: a fingerprint change REPLACES the stale entry instead
+# of accreting beside it, so a long-lived session can't grow the cache
+# unboundedly.  The memo holds StructTypes (plain driver objects), never
+# DataFrames, so nothing pins a SparkSession.
 _SCHEMA_CACHE: dict = {}
+
+
+def _fingerprint(path: str) -> tuple:
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size, 0)
+    n, max_child = 0, 0
+    with os.scandir(path) as it:
+        for e in it:
+            n += 1
+            m = e.stat(follow_symlinks=False).st_mtime_ns
+            if m > max_child:
+                max_child = m
+    return (st.st_mtime_ns, n, max_child)
 
 
 def _read_with_schema_memo(spark: SparkSession, path: str) -> DataFrame:
     try:
-        key = (path, os.stat(path).st_mtime_ns)
+        fp = _fingerprint(path)
     except OSError:
         # nonexistent / non-local path (s3a, hdfs): no driver-side stat —
         # fall through to plain inference, Spark raises its own error
         return spark.read.parquet(path)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is None or hit[0] != fp:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+        _SCHEMA_CACHE[path] = (fp, df.schema)
         return df
-    return spark.read.schema(schema).parquet(path)
+    return spark.read.schema(hit[1]).parquet(path)
 
 
 def clear_schema_cache() -> int:

@@ -1065,14 +1065,17 @@ class Moonshot:
         stub_rows = order_stubs.collect()
         if not stub_rows:
             return None
-        # re-create via pandas + Arrow: createDataFrame(list-of-Rows)
-        # parallelizes into defaultParallelism pickled slices, each
-        # costing a Python-worker round-trip on every downstream action;
-        # the Arrow path ships one JVM-deserialized batch (3x faster on
-        # the dim-sized orders frame, no Python workers in consumers)
-        import pandas as pd
-        stub_pdf = pd.DataFrame(stub_rows, columns=order_stubs.columns)
-        order_stubs = spark.createDataFrame(stub_pdf, order_stubs.schema)
+        # re-create via explicitly-typed Arrow (sources/local.py):
+        # createDataFrame(list-of-Rows) parallelizes into
+        # defaultParallelism pickled slices, each costing a Python-worker
+        # round-trip on every downstream action; the Arrow path ships one
+        # JVM-deserialized batch (3x faster on the dim-sized orders
+        # frame, no Python workers in consumers) and — unlike a bare
+        # pd.DataFrame — keeps nullable int64 columns integral (ADVICE
+        # r10: pandas would coerce None-bearing ints to float64, losing
+        # precision above 2^53)
+        from moonshot_spark.sources.local import local_df
+        order_stubs = local_df(spark, stub_rows, order_stubs.schema)
         return self.order_stubs_to_orders(order_stubs, prices)
 
     @staticmethod

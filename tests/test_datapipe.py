@@ -1356,3 +1356,61 @@ def test_local_df_edge_cases(spark):
                                       and nulls[0]["b"] is None)
     ints = local_df(spark, [(7, 2.5)], "a bigint, b double").collect()
     assert ints[0]["a"] == 7 and ints[0]["b"] == 2.5
+
+
+def test_local_df_nullable_bigint_keeps_precision(spark):
+    """ADVICE r10: a nullable int64 column containing None must NOT
+    round-trip through float64 (pandas' coercion) — values above 2^53
+    stay exact, and a date column alongside survives."""
+    import datetime
+
+    from moonshot_spark.sources.local import local_df
+
+    big = (1 << 53) + 1                      # not representable in float64
+    got = local_df(spark, [("a", big, datetime.date(2024, 1, 2)),
+                           ("b", None, None)],
+                   "sid string, qty bigint, d date").collect()
+    assert got[0]["qty"] == big
+    assert got[1]["qty"] is None
+    assert got[0]["d"] == datetime.date(2024, 1, 2)
+
+
+def test_schema_memo_invalidates_without_root_mtime(spark, tmp_path):
+    """ADVICE r10: mutations that don't bump the ROOT mtime (overwrites
+    aliasing within mtime granularity, appends that only touch nested
+    partition directories) must still invalidate the parquet-schema
+    memo via the first-level listing fingerprint — otherwise a schema
+    change is silently replayed stale — and the cache must hold ONE
+    entry per path (no unbounded growth)."""
+    import os
+
+    from moonshot_spark.sources.parquet import (_SCHEMA_CACHE,
+                                                _fingerprint,
+                                                _read_with_schema_memo)
+
+    path = str(tmp_path / "flat")
+    spark.createDataFrame([(1, "x")], "k int, a string") \
+        .write.parquet(path)
+    first = _read_with_schema_memo(spark, path)
+    assert set(first.columns) == {"k", "a"}
+    # overwrite with a WIDER schema, then pin the root mtime back so
+    # only the child-listing part of the fingerprint can catch it
+    root_stat = os.stat(path)
+    spark.createDataFrame([(2, "y", 7.5)], "k int, a string, b double") \
+        .write.mode("overwrite").parquet(path)
+    os.utime(path, ns=(root_stat.st_atime_ns, root_stat.st_mtime_ns))
+    again = _read_with_schema_memo(spark, path)
+    assert "b" in again.columns, "stale memoized schema dropped new column"
+    assert sum(1 for k in _SCHEMA_CACHE if k == path) == 1
+
+    # and a partitioned append that only touches a NESTED subdirectory
+    # still changes the fingerprint with the root mtime pinned
+    part = str(tmp_path / "part")
+    spark.createDataFrame([(1, "x")], "k int, a string") \
+        .write.partitionBy("k").parquet(part)
+    fp0 = _fingerprint(part)
+    root_stat = os.stat(part)
+    spark.createDataFrame([(1, "z")], "k int, a string") \
+        .write.mode("append").partitionBy("k").parquet(part)
+    os.utime(part, ns=(root_stat.st_atime_ns, root_stat.st_mtime_ns))
+    assert _fingerprint(part) != fp0
