@@ -45,8 +45,13 @@ def quality_exprs(col: Column | str) -> dict[str, Column]:
     return {
         "n_chars": n_chars.cast("bigint"),
         "n_tokens": n_tokens.cast("bigint"),
-        "mean_token_len": (F.aggregate(toks, F.lit(0).cast("bigint"),
-                                       lambda acc, t: acc + F.length(t)).cast("double")
+        # identity for a single-char separator: sum(len(token)) ==
+        # n_chars - (n_tokens - 1) for EVERY input (empty tokens from
+        # doubled/leading separators contribute 0 to both sides), so the
+        # interpreted per-element aggregate HOF is replaced by codegen'd
+        # integer arithmetic — bit-identical, measured ~25% cheaper per
+        # corpus pass (PERF.md r11)
+        "mean_token_len": ((n_chars - n_tokens + F.lit(1)).cast("double")
                            / n_tokens),
         "stopword_ratio": n_stop.cast("double") / n_tokens,
         "punct_ratio": n_punct.cast("double") / n_chars,

@@ -2343,8 +2343,13 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("sid_a", "sid_b", "date", "ca", "cb"))
     # both passes (OLS sufficient stats, residual ADF) read the pair
     # frame; checkpoint it once instead of re-running the self-join
-    # (the pagerank/CC idiom) — measured 2x at sf0.1
-    pp = pp.localCheckpoint(eager=False)
+    # (the pagerank/CC idiom) — measured 2x at sf0.1.  Repartition by
+    # the PAIR KEY first: AQE coalesces the date-join output to one
+    # tiny-byte/CPU-heavy partition (r10 profile: two 1-task stages
+    # re-reading a 67 MB checkpoint), and both consumers — the OLS
+    # groupBy, the residual join + lag window — want exactly this
+    # partitioning, so the exchange is paid once and reused
+    pp = pp.repartition(32, "sid_a", "sid_b").localCheckpoint(eager=False)
 
     s1 = (pp.groupBy("sid_a", "sid_b")
           .agg(F.count("*").alias("n"),

@@ -397,8 +397,11 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     set = every 50th doc; count shared 3-grams per training doc via a
     broadcast probe of the eval n-gram set."""
     from moonshot_spark.datapipe.decontam import ngram_overlap
+    from moonshot_spark.sources.parquet import ensure_scan_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the 3-gram explode is pre-shuffle per-row work: parallelize the
+    # single-row-group scan (no-op on real layouts)
+    docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
     ev = docs.where(F.col("doc_id") % 50 == 0)
     train = docs.where(F.col("doc_id") % 50 != 0)
     return ngram_overlap(train, ev)
@@ -1896,8 +1899,13 @@ def prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from moonshot_spark.datapipe.decontam import decontaminate
     from moonshot_spark.datapipe.packing import pack_bins, token_count_expr
     from moonshot_spark.datapipe.text import fingerprint_expr, quality_exprs
+    from moonshot_spark.sources.parquet import ensure_scan_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    # row-level parallelism for the pre-shuffle tokenize/fingerprint
+    # work: a single-row-group file scans as ONE task (r10 exec-band
+    # profile: 1.5 s of 1.9 s in that task); no-op on real multi-file
+    # layouts
+    docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
     q = quality_exprs("text")
     passed = docs.where(
         (q["n_tokens"] >= 20)
@@ -1914,7 +1922,10 @@ def prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window variant measured -0.25 s at sf0.1 but is skew-fatal at
     # 100 TB).  The survivor id set is corpus-cardinality: never
     # force-broadcast it — left_semi lets AQE pick the strategy.
-    surv = fp.join(keep.select("doc_id"), "doc_id", "left_semi")
+    # Probe side joins from `passed`, NOT `fp`: __f is unused past the
+    # survivor selection, and the fp lineage would re-run the md5+
+    # normalize fingerprint on the whole probe branch for nothing.
+    surv = passed.join(keep.select("doc_id"), "doc_id", "left_semi")
     ev_docs = docs.where(F.col("doc_id") % 50 == 0)
     train = surv.where(F.col("doc_id") % 50 != 0)
     clean = decontaminate(train, ev_docs)
@@ -2722,8 +2733,11 @@ def dsir_bucket_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) so its join broadcasts safely at any corpus scale — the
     whole op is two map-side explodes + one groupBy(doc)."""
     from moonshot_spark.datapipe.text import dsir_bucket_stats
+    from moonshot_spark.sources.parquet import ensure_scan_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    # both explode passes are pre-shuffle per-row work: parallelize the
+    # single-row-group scan (no-op on real layouts)
+    docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
     return dsir_bucket_stats(docs, F.col("lang") == "en")
 
 

@@ -67,6 +67,33 @@ def clear_schema_cache() -> int:
     return n
 
 
+def ensure_scan_parallelism(df: DataFrame, min_fraction: float = 0.5
+                            ) -> DataFrame:
+    """Give a CPU-heavy scan-headed lineage at least defaultParallelism
+    partitions.
+
+    Parquet cannot split BELOW a row group, so a table written as one
+    row group scans as ONE task no matter what ``maxPartitionBytes``
+    says — and every tokenize/shingle/fingerprint expression upstream of
+    the first shuffle then runs single-threaded (the r10 exec-band
+    profile: prepare_corpus spent 1.5 s of its 1.9 s exec in a 1-task
+    stage).  A row-level repartition costs one shuffle of the (by
+    construction small) scan output and buys full-width parallelism for
+    the per-row work.
+
+    Scale-safe by being conditional: when the file layout already yields
+    >= ``min_fraction * defaultParallelism`` partitions — any real
+    multi-file/multi-row-group dataset — this is a NO-OP, so a 100 TB
+    corpus never pays a gratuitous full-data shuffle.  Apply it only to
+    lineages whose heavy per-row work sits BEFORE the first shuffle;
+    aggregation-first queries already parallelize at their groupBy."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(target * min_fraction)):
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _read_with_schema_memo(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
