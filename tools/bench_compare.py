@@ -53,7 +53,14 @@ def timed_split(mk_df) -> tuple[float, float, float]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # usage: bench_compare.py [sf_dir] [--queries a,b,c]
+    args = [a for a in sys.argv[1:]]
+    only = None
+    if "--queries" in args:
+        i = args.index("--queries")
+        only = [q.strip() for q in args[i + 1].split(",") if q.strip()]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     import __spark_entry__ as entry_mod
     from moonshot_spark.session import get_spark
@@ -78,6 +85,8 @@ def main():
     oracles = entry_mod.oracle_sql()
     rows = []
     for name, fn in queries.items():
+        if only is not None and name not in only:
+            continue
         sql = oracles.get(name)
         if sql is None:
             continue
