@@ -416,6 +416,75 @@ def dedup_corpus(docs: DataFrame, method: str = "exact",
     raise ValueError(f"unknown dedup method: {method!r}")
 
 
+def near_dup_clusters(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.5,
+                      max_bucket_size: int | None = 100_000) -> DataFrame:
+    """Near-duplicate CLUSTERS — (doc_id, cluster_id, cluster_size),
+    cluster_id = min member id — with the exact-collapse pre-pass.
+
+    The r10 collapse argument (``dedup_corpus``) extended from survivor
+    selection to clustering: raw-identical texts share every Jaccard
+    value, so only the min-id representative of each raw-identical group
+    enters the LSH → verify → connected-components stage, and members
+    are re-attached afterwards:
+
+    - a member joins its representative's component (identical text ⇒
+      Jaccard 1 ≥ threshold edge to the rep, and the same edges to
+      everything else the rep touches);
+    - a raw-identical group whose rep lands in NO component is its own
+      clique-cluster (its internal pairs are all true duplicates) with
+      cluster_id = rep = the group's min id;
+    - cluster_id is preserved exactly: the rep is its group's min, so
+      the component min over reps equals the min over all members;
+    - cluster_size is recomputed over the EXPANDED membership.
+
+    Only shingleable docs (≥ 3 tokens) are collapsed — shingle-less docs
+    produce no candidate pairs and never cluster, exactly as in the
+    uncollapsed form.
+
+    Why it exists: found by the r11 skew-mode paired compare — on a 10×
+    replica with 20% identical text the uncollapsed form grinds through
+    a quadratic verified-pair intermediate (~(0.2N)²/2 true duplicate
+    pairs) before CC even starts, while the collapse makes the hot
+    cluster cost ONE map-side-combinable groupBy.  Same failure mode
+    DuckDB's oracle hits at 44.7 GiB OOM on identical data."""
+    from pyspark.sql import Window
+
+    from moonshot_spark.datapipe.graph import duplicate_clusters
+
+    raw_fp = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    shingleable = F.size(F.split(F.col(text_col), " ")) >= 3
+    keyed = docs.where(shingleable).select(
+        F.col(id_col), raw_fp.alias("__raw_fp"))
+    grp = (keyed.groupBy("__raw_fp")
+           .agg(F.min(id_col).alias("__rep"), F.count("*").alias("__n")))
+    mapping = keyed.join(grp, "__raw_fp").select(id_col, "__rep", "__n")
+    reps = docs.join(
+        mapping.where(F.col(id_col) != F.col("__rep")).select(id_col),
+        id_col, "left_anti")
+
+    sh = shingle_frame(reps, text_col, id_col).persist()
+    candidates = lsh_candidate_pairs(reps, text_col, id_col,
+                                     max_bucket_size=max_bucket_size,
+                                     shingles=sh,
+                                     include_est_jaccard=False)
+    verified = (ngram_jaccard_pairs(reps, candidates, text_col, id_col,
+                                    shingles=sh)
+                .where(F.col("jaccard") >= threshold)
+                .select("doc_a", "doc_b"))
+    comp = (duplicate_clusters(verified, id_out=id_col)
+            .select(F.col(id_col).alias("__rep"), "cluster_id"))
+    expanded = (mapping.join(comp, "__rep", "left")
+                .withColumn("cluster_id",
+                            F.coalesce(F.col("cluster_id"),
+                                       F.when(F.col("__n") > 1,
+                                              F.col("__rep"))))
+                .where(F.col("cluster_id").isNotNull())
+                .select(id_col, "cluster_id"))
+    return expanded.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("cluster_id")))
+
+
 def simhash_expr(col, bits: int = 32):
     """SimHash signature as a ``bits``-char '0'/'1' string.
 

@@ -840,22 +840,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a recursive CTE (min reachable id), pinning the fixpoint of the
     iterative Spark algorithm, not just its row count.  Clone-seeded like
     dedup_exact so clusters of size 3 (requiring actual multi-hop
-    propagation) exist at small SFs."""
-    from moonshot_spark.datapipe.dedup import (
-        lsh_candidate_pairs, ngram_jaccard_pairs, shingle_frame)
-    from moonshot_spark.datapipe.graph import duplicate_clusters
+    propagation) exist at small SFs.  Routed through
+    ``near_dup_clusters`` (r11): raw-identical texts enter LSH as ONE
+    representative and re-attach to their rep's component afterwards —
+    output-equal, but a mega-duplicate cluster (the 20%-hot-text skew
+    replica) costs a groupBy instead of a quadratic verified-pair
+    intermediate."""
+    from moonshot_spark.datapipe.dedup import near_dup_clusters
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     clones = (docs.where(F.col("doc_id") < 25)
               .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
     corpus = docs.unionByName(clones)
-    sh = shingle_frame(corpus).persist()
-    cand = lsh_candidate_pairs(corpus, shingles=sh,
-                               include_est_jaccard=False)
-    verified = (ngram_jaccard_pairs(corpus, cand, shingles=sh)
-                .where(F.col("jaccard") >= 0.5)
-                .select("doc_a", "doc_b"))
-    return duplicate_clusters(verified)
+    return near_dup_clusters(corpus, threshold=0.5)
 
 
 @register("simhash_signatures", """
@@ -3154,7 +3151,11 @@ def speculative_ngram_acceptance(spark: SparkSession, sf_dir: str) \
     tie-break, no float scores), acceptance is an integer tally per
     lang, and the rate is one division.  The draft join keys on the
     current token (Zipf-skewed — AQE skew-join, never broadcast)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from moonshot_spark.sources.parquet import ensure_scan_parallelism
+
+    # the bigram explode is pre-shuffle per-row work: parallelize the
+    # single-row-group scan (no-op on real layouts; PERF.md r11)
+    docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
     tok = docs.select("lang", F.split("text", " ").alias("t"))
     prs = F.transform(
         F.sequence(F.lit(1), F.size("t") - 1),

@@ -1414,3 +1414,41 @@ def test_schema_memo_invalidates_without_root_mtime(spark, tmp_path):
         .write.mode("append").partitionBy("k").parquet(part)
     os.utime(part, ns=(root_stat.st_atime_ns, root_stat.st_mtime_ns))
     assert _fingerprint(part) != fp0
+
+
+def test_near_dup_clusters_equals_uncollapsed(spark):
+    """The r11 collapse-for-clusters contract: near_dup_clusters (exact
+    collapse -> LSH on representatives -> component expansion) is
+    row-identical to clustering the FULL corpus, including (a) a
+    mega-duplicate group attached to a near-dup chain, (b) an isolated
+    exact-dup pair with no LSH neighbors, (c) shingle-less docs that
+    must never cluster, and (d) singletons absent from the output."""
+    from moonshot_spark.datapipe.dedup import (
+        lsh_candidate_pairs, near_dup_clusters, ngram_jaccard_pairs,
+        shingle_frame)
+    from moonshot_spark.datapipe.graph import duplicate_clusters
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta "
+            "kappa lam mu nu")
+    near = ("alpha beta gamma delta epsilon zeta eta theta "
+            "kappa lam mu xi")                       # 1 token: jac 7/13
+    rows = ([(i, base) for i in range(10, 20)]        # mega dup group
+            + [(5, near)]                              # near-dup of group
+            + [(30, "lone pair text here"), (31, "lone pair text here")]
+            + [(40, "xx yy")]                          # shingle-less
+            + [(50, "completely different words nothing shared at all")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sorted(map(tuple, near_dup_clusters(docs, threshold=0.5)
+                     .collect()))
+
+    sh = shingle_frame(docs).persist()
+    cand = lsh_candidate_pairs(docs, shingles=sh, include_est_jaccard=False)
+    verified = (ngram_jaccard_pairs(docs, cand, shingles=sh)
+                .where(F.col("jaccard") >= 0.5).select("doc_a", "doc_b"))
+    want = sorted(map(tuple, duplicate_clusters(verified).collect()))
+    assert got == want and got                         # non-trivial
+    by_doc = {r[0]: (r[1], r[2]) for r in got}
+    assert by_doc[19] == (5, 11)     # group + near-dup: min id 5, size 11
+    assert by_doc[31] == (30, 2)     # isolated exact pair
+    assert 40 not in by_doc and 50 not in by_doc

@@ -74,9 +74,13 @@ def main():
         c.execute("SET memory_limit='32GB'")
         for t in TABLES:
             p = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.exists(p):
-                c.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            if not os.path.exists(p):
+                continue
+            # Spark-written replicas (tools/scale_bench.py) are
+            # DIRECTORIES of part files; the driver testdata is flat files
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
         return c
 
     con = fresh_con()
