@@ -26,9 +26,14 @@ from moonshot_spark.commission.fut import (
 )
 from moonshot_spark.commission.fx import SpotFXCommission
 
+# Back-compat long name, matching the reference's alias
+# (moonshot/commission/__init__.py:54).
+SpotForexCommission = SpotFXCommission
+
 __all__ = [
     "Commission", "PercentageCommission", "NoCommission",
     "PerShareCommission", "FuturesCommission", "SpotFXCommission",
+    "SpotForexCommission",
     "DemoUSStockCommission", "DemoCostPlusUSStockCommission",
     "DemoCostPlusCanadaStockCommission", "DemoAustraliaStockCommission",
     "DemoFranceStockCommission", "DemoGermanyStockCommission",

@@ -20,57 +20,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _parse_byte_conf(value: str, default: int = 128 * 1024 * 1024) -> int:
-    """Spark byte-size conf → bytes, honoring the full unit grammar
-    ("64m", "1g", "128MB", plain digits).  The previous lower()+rstrip('b')
-    parse raised on '64m'/'1g' and silently fell back to 128 MB, skewing
-    the under-parallelism estimate on unit-suffixed clusters (ADVICE r7)."""
-    units = {"": 1, "b": 1,
-             "k": 1 << 10, "kb": 1 << 10,
-             "m": 1 << 20, "mb": 1 << 20,
-             "g": 1 << 30, "gb": 1 << 30,
-             "t": 1 << 40, "tb": 1 << 40}
-    s = value.strip().lower()
-    num = s.rstrip("kmgtb")
-    try:
-        return int(num) * units[s[len(num):]]
-    except (ValueError, KeyError):
-        return default
+# Shared with sources/parquet.py (single under-parallel-scan heuristic,
+# VERDICT/ADVICE r11 consolidation); re-exported here for back-compat.
+from moonshot_spark.sources.parquet import (      # noqa: E402
+    _parse_byte_conf, scan_partition_estimate)
 
 
 def widen_underparallel(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Widen an under-parallel FILE source before CPU-heavy per-row work.
 
-    A file scan yields roughly max(n_files, total_bytes /
-    maxPartitionBytes) tasks (parquet files split by range).  Only when
+    Uses the shared ``sources.parquet.scan_partition_estimate`` file-
+    listing heuristic (max(n_files, bytes/maxPartitionBytes)) — only when
     even that estimate is below the cluster's default parallelism is the
     source genuinely under-parallel (a single small file serialising the
     map stage onto one core) and worth ONE widening shuffle of the raw
-    rows.  A well-partitioned 100 TB scan is returned untouched —
-    shuffling a full corpus ahead of a map-side projection is pure
-    overhead — and so are non-file sources (in-memory test frames,
-    upstream shuffles), which already run at spark.sql.shuffle.partitions.
+    rows, hash-keyed on ``id_col`` so downstream per-doc joins stay
+    co-partitioned.  A well-partitioned 100 TB scan is returned
+    untouched — shuffling a full corpus ahead of a map-side projection
+    is pure overhead — and so are non-file sources (in-memory test
+    frames, upstream shuffles), which already run at
+    spark.sql.shuffle.partitions.
     """
     spark = docs.sparkSession
     target = spark.sparkContext.defaultParallelism
-    files = docs.inputFiles()
-    if not files:
-        return docs
-    import os
-    from urllib.parse import urlparse
-    total_bytes = 0
-    for f in files:
-        p = urlparse(f).path or f
-        try:
-            total_bytes += os.path.getsize(p)
-        except OSError:
-            total_bytes = -1   # remote/unstattable: trust the scan
-            break
-    max_pb = _parse_byte_conf(spark.conf.get(
-        "spark.sql.files.maxPartitionBytes", "134217728"))
-    est = max(len(files), -(-total_bytes // max_pb)) \
-        if total_bytes >= 0 else target
-    if est < target:
+    est = scan_partition_estimate(docs)
+    if est is not None and est < target:
         return docs.repartition(target, F.col(id_col))
     return docs
 

@@ -2221,6 +2221,12 @@ pp AS (
       ON a.bucket = b.bucket AND a.shard = b.shard
      AND a.date = b.date AND a.sid < b.sid
 ),
+lagd AS (
+    SELECT sid_a, sid_b, ca, cb,
+           lag(ca) OVER (PARTITION BY sid_a, sid_b ORDER BY date) AS pca,
+           lag(cb) OVER (PARTITION BY sid_a, sid_b ORDER BY date) AS pcb
+    FROM pp
+),
 s1 AS (
     SELECT sid_a, sid_b,
            count(*) AS n,
@@ -2229,71 +2235,94 @@ s1 AS (
            sum(CAST(cb AS DECIMAL(18,2)) * CAST(cb AS DECIMAL(18,2)))
                AS sxx,
            sum(CAST(ca AS DECIMAL(18,2)) * CAST(cb AS DECIMAL(18,2)))
-               AS sxy
-    FROM pp GROUP BY 1, 2
-    HAVING count(*) >= 20
+               AS sxy,
+           count(pca) AS m,
+           sum(CAST(pca AS DECIMAL(18,2)) * CAST(pca AS DECIMAL(18,2)))
+               AS aa,
+           sum(CAST(pcb AS DECIMAL(18,2)) * CAST(pcb AS DECIMAL(18,2)))
+               AS bb,
+           sum(CAST(pca AS DECIMAL(18,2)) * CAST(pcb AS DECIMAL(18,2)))
+               AS ab,
+           sum(CAST(pca AS DECIMAL(18,2)) * CAST(ca AS DECIMAL(18,2)))
+               AS ac,
+           sum(CAST(pcb AS DECIMAL(18,2)) * CAST(cb AS DECIMAL(18,2)))
+               AS bd,
+           sum(CAST(pca AS DECIMAL(18,2)) * CAST(cb AS DECIMAL(18,2)))
+               AS ad,
+           sum(CAST(pcb AS DECIMAL(18,2)) * CAST(ca AS DECIMAL(18,2)))
+               AS bc,
+           sum(CAST(pca AS DECIMAL(18,2))) AS la,
+           sum(CAST(pcb AS DECIMAL(18,2))) AS lb,
+           sum(CASE WHEN pca IS NOT NULL
+                    THEN CAST(ca AS DECIMAL(18,2)) END) AS ra,
+           sum(CASE WHEN pca IS NOT NULL
+                    THEN CAST(cb AS DECIMAL(18,2)) END) AS rb,
+           sum(CASE WHEN pca IS NOT NULL
+                    THEN CAST(ca AS DECIMAL(18,2))
+                         * CAST(ca AS DECIMAL(18,2)) END) AS paa,
+           sum(CASE WHEN pca IS NOT NULL
+                    THEN CAST(cb AS DECIMAL(18,2))
+                         * CAST(cb AS DECIMAL(18,2)) END) AS qbb,
+           sum(CASE WHEN pca IS NOT NULL
+                    THEN CAST(ca AS DECIMAL(18,2))
+                         * CAST(cb AS DECIMAL(18,2)) END) AS rab
+    FROM lagd GROUP BY 1, 2
+    HAVING count(*) >= 20 AND count(pca) >= 10
 ),
 coef AS (
-    SELECT sid_a, sid_b, n,
+    SELECT *,
+           CAST(n AS DOUBLE) AS nd, CAST(m AS DOUBLE) AS md,
            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
-           CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
     FROM s1
     WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
 ),
 coef2 AS (
-    SELECT sid_a, sid_b, n, beta,
-           (syd - beta * sxd) / CAST(n AS DOUBLE) AS alpha
+    SELECT *,
+           (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / nd AS alpha
     FROM coef
 ),
-resid AS (
-    SELECT p.sid_a, p.sid_b, p.date,
-           p.ca - (c.alpha + c.beta * p.cb) AS e
-    FROM pp p JOIN coef2 c USING (sid_a, sid_b)
-),
-lagd AS (
-    SELECT sid_a, sid_b, e,
-           lag(e) OVER (PARTITION BY sid_a, sid_b ORDER BY date) AS elag
-    FROM resid
-),
 adf AS (
-    SELECT sid_a, sid_b,
-           count(*) AS n_adf,
-           sum(CAST(floor(elag * (e - elag) * 1000000000.0) AS BIGINT))
+    SELECT sid_a, sid_b, n, m, beta, alpha, md,
+           CAST(aa AS DOUBLE) + alpha * alpha * md
+             + beta * beta * CAST(bb AS DOUBLE)
+             - 2.0 * alpha * CAST(la AS DOUBLE)
+             - 2.0 * beta * CAST(ab AS DOUBLE)
+             + 2.0 * alpha * beta * CAST(lb AS DOUBLE) AS sx2,
+           CAST(ac AS DOUBLE) - CAST(aa AS DOUBLE)
+             - beta * (CAST(ad AS DOUBLE) + CAST(bc AS DOUBLE))
+             + 2.0 * beta * CAST(ab AS DOUBLE)
+             - alpha * (CAST(ra AS DOUBLE) - CAST(la AS DOUBLE))
+             + alpha * beta * (CAST(rb AS DOUBLE) - CAST(lb AS DOUBLE))
+             + beta * beta * (CAST(bd AS DOUBLE) - CAST(bb AS DOUBLE))
                AS sxde,
-           sum(CAST(floor(elag * elag * 1000000000.0) AS BIGINT)) AS sx2,
-           sum(CAST(floor((e - elag) * (e - elag) * 1000000000.0)
-                    AS BIGINT)) AS sde2
-    FROM lagd WHERE elag IS NOT NULL
-    GROUP BY 1, 2 HAVING count(*) >= 10
-),
-t1 AS (
-    SELECT sid_a, sid_b, n_adf,
-           (CAST(sxde AS DOUBLE) / 1000000000.0)
-           / (CAST(sx2 AS DOUBLE) / 1000000000.0) AS slope,
-           CAST(sxde AS DOUBLE) / 1000000000.0 AS sxded,
-           CAST(sx2 AS DOUBLE) / 1000000000.0 AS sx2d,
-           CAST(sde2 AS DOUBLE) / 1000000000.0 AS sde2d
-    FROM adf WHERE sx2 > 0
+           (CAST(paa AS DOUBLE) - 2.0 * CAST(ac AS DOUBLE)
+              + CAST(aa AS DOUBLE))
+             - 2.0 * beta * (CAST(rab AS DOUBLE) - CAST(ad AS DOUBLE)
+                             - CAST(bc AS DOUBLE) + CAST(ab AS DOUBLE))
+             + beta * beta * (CAST(qbb AS DOUBLE)
+                              - 2.0 * CAST(bd AS DOUBLE)
+                              + CAST(bb AS DOUBLE)) AS sde2
+    FROM coef2
 ),
 t2 AS (
-    SELECT sid_a, sid_b, n_adf, slope,
-           (sde2d - slope * sxded) / (CAST(n_adf AS DOUBLE) - 1.0) AS s2,
-           sx2d
-    FROM t1
+    SELECT sid_a, sid_b, n, m, beta, alpha, sx2,
+           sxde / sx2 AS slope,
+           (sde2 - (sxde / sx2) * sxde) / (md - 1.0) AS s2
+    FROM adf WHERE sx2 > 0.0
 )
-SELECT c.sid_a, c.sid_b,
-       CAST(c.n AS BIGINT) AS n_obs,
-       c.beta, c.alpha,
-       CAST(t.n_adf AS BIGINT) AS n_adf,
-       CASE WHEN t.s2 > 0.0
-            THEN t.slope / sqrt(t.s2 / t.sx2d) END AS adf_t,
-       CASE WHEN t.s2 > 0.0
-            THEN t.slope / sqrt(t.s2 / t.sx2d) < -3.37 END AS cointegrated
-FROM coef2 c JOIN t2 t USING (sid_a, sid_b)
+SELECT sid_a, sid_b,
+       CAST(n AS BIGINT) AS n_obs,
+       beta, alpha,
+       CAST(m AS BIGINT) AS n_adf,
+       CASE WHEN s2 > 0.0
+            THEN slope / sqrt(s2 / sx2) END AS adf_t,
+       CASE WHEN s2 > 0.0
+            THEN slope / sqrt(s2 / sx2) < -3.37 END AS cointegrated
+FROM t2
 """)
 def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engle-Granger two-step cointegration screen over sid pairs
@@ -2301,13 +2330,22 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (closed-form OLS from DECIMAL-exact sufficient statistics —
     the grouped-OLS discipline of operators/ols.py, zero driver loops);
     step 2 runs an ADF-lite unit-root test on the residual spread
-    (slope t-stat of de_t on e_{t-1}, no intercept), with every
-    corpus-scale float sum integer-quantized so the t-stat is bit-exact
-    across engines.  The cointegration flag uses the RESIDUAL-BASED
-    critical value (-3.37, the MacKinnon 5% tau for a 2-variable
-    Engle-Granger regression with estimated coefficients — NOT the
-    plain ADF -2.86, which would over-reject toward false positives
-    because the OLS step already minimized the residual variance).
+    (slope t-stat of de_t on e_{t-1}, no intercept).  The residual
+    pass is ALGEBRAIC, not materialized: e_t = ca_t - alpha - beta*cb_t
+    expands every ADF sum (sum e_{t-1}^2, sum e_{t-1}*de_t, sum de_t^2)
+    into alpha/beta-free lag-cross sufficient statistics (sum pca^2,
+    sum pca*ca, ...) that are computed in the SAME window+groupBy pass
+    as the OLS sums — so the pair frame is consumed exactly once
+    (VERDICT r11 item 2; the fit_ols_grouped one-shuffle move).  All
+    corpus-scale sums are exact DECIMALs (order-independent), and the
+    per-pair float math is a fixed expression tree mirrored
+    token-for-token in the oracle SQL, so the t-stat stays bit-exact
+    across engines without the old per-term integer quantization.
+    The cointegration flag uses the RESIDUAL-BASED critical value
+    (-3.37, the MacKinnon 5% tau for a 2-variable Engle-Granger
+    regression with estimated coefficients — NOT the plain ADF -2.86,
+    which would over-reject toward false positives because the OLS
+    step already minimized the residual variance).
 
     Scale: the pair space is BLOCKED by average price level
     (floor(mean/20) buckets), and an oversized bucket is SHARDED into
@@ -2315,13 +2353,13 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-bucket-cap discipline as the LSH join (datapipe/dedup.py), so
     the candidate pair count stays LINEAR in the universe (~16 pairs
     per sid) no matter how the price distribution clusters; at 100 TB
-    you'd block on sector/liquidity the same way.  The pair frame is
-    localCheckpoint-ed between the two passes (OLS stats, residual
-    ADF) so the self-join runs once.  Everything is joins + groupBy
-    aggregates + one per-pair lag window; no collect, no UDF."""
+    you'd block on sector/liquidity the same way.  ONE plan: self-join
+    -> pair-key exchange (width from spark.sql.shuffle.partitions, not
+    a hardcoded 32 — ADVICE r11) -> lag window -> groupBy on the same
+    key (exchange reused, zero extra shuffle) -> per-pair column math.
+    No checkpoint, no second pass, no collect, no UDF."""
     panel = events_to_panel(spark, sf_dir).select("sid", "date", "close")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
-    Q = F.lit(1_000_000_000.0)
 
     lvl = (panel.groupBy("sid")
            .agg(F.floor((F.sum(dec("close")).cast("double")
@@ -2341,73 +2379,83 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp = (a.join(b, ["bucket", "shard", "date"])
           .where(F.col("sid_a") < F.col("sid_b"))
           .select("sid_a", "sid_b", "date", "ca", "cb"))
-    # both passes (OLS sufficient stats, residual ADF) read the pair
-    # frame; checkpoint it once instead of re-running the self-join
-    # (the pagerank/CC idiom) — measured 2x at sf0.1.  Repartition by
-    # the PAIR KEY first: AQE coalesces the date-join output to one
-    # tiny-byte/CPU-heavy partition (r10 profile: two 1-task stages
-    # re-reading a 67 MB checkpoint), and both consumers — the OLS
-    # groupBy, the residual join + lag window — want exactly this
-    # partitioning, so the exchange is paid once and reused
-    pp = pp.repartition(32, "sid_a", "sid_b").localCheckpoint(eager=False)
+    # one exchange on the PAIR KEY feeds everything downstream: the lag
+    # window needs hashpartition(sid_a, sid_b) and the groupBy reuses
+    # it, so this is the ONLY post-join shuffle.  Explicit width from
+    # spark.sql.shuffle.partitions (not a literal — ADVICE r11) so AQE
+    # can't coalesce the tiny-byte/CPU-bearing pair frame to one task
+    # (the r10 profile pathology).
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    pp = pp.repartition(nparts, "sid_a", "sid_b")
 
-    s1 = (pp.groupBy("sid_a", "sid_b")
+    w = Window.partitionBy("sid_a", "sid_b").orderBy("date")
+    lagd = pp.select("sid_a", "sid_b", "ca", "cb",
+                     F.lag("ca").over(w).alias("pca"),
+                     F.lag("cb").over(w).alias("pcb"))
+    adj = F.col("pca").isNotNull()
+    s1 = (lagd.groupBy("sid_a", "sid_b")
           .agg(F.count("*").alias("n"),
                F.sum(dec("cb")).alias("sx"),
                F.sum(dec("ca")).alias("sy"),
                F.sum(dec("cb") * dec("cb")).alias("sxx"),
-               F.sum(dec("ca") * dec("cb")).alias("sxy"))
-          .where(F.col("n") >= 20))
-    nd = F.col("n").cast("double")
-    den = (nd * F.col("sxx").cast("double")
-           - F.col("sx").cast("double") * F.col("sx").cast("double"))
-    beta = ((nd * F.col("sxy").cast("double")
-             - F.col("sx").cast("double") * F.col("sy").cast("double"))
-            / den)
-    coef = (s1.where(den > 0.0)
-            .withColumn("beta", beta)
-            .withColumn("alpha", (F.col("sy").cast("double")
-                                  - F.col("beta")
-                                  * F.col("sx").cast("double")) / nd)
-            .select("sid_a", "sid_b", "n", "beta", "alpha"))
+               F.sum(dec("ca") * dec("cb")).alias("sxy"),
+               F.count("pca").alias("m"),
+               F.sum(dec("pca") * dec("pca")).alias("aa"),
+               F.sum(dec("pcb") * dec("pcb")).alias("bb"),
+               F.sum(dec("pca") * dec("pcb")).alias("ab"),
+               F.sum(dec("pca") * dec("ca")).alias("ac"),
+               F.sum(dec("pcb") * dec("cb")).alias("bd"),
+               F.sum(dec("pca") * dec("cb")).alias("ad"),
+               F.sum(dec("pcb") * dec("ca")).alias("bc"),
+               F.sum(dec("pca")).alias("la"),
+               F.sum(dec("pcb")).alias("lb"),
+               F.sum(F.when(adj, dec("ca"))).alias("ra"),
+               F.sum(F.when(adj, dec("cb"))).alias("rb"),
+               F.sum(F.when(adj, dec("ca") * dec("ca"))).alias("paa"),
+               F.sum(F.when(adj, dec("cb") * dec("cb"))).alias("qbb"),
+               F.sum(F.when(adj, dec("ca") * dec("cb"))).alias("rab"))
+          .where((F.col("n") >= 20) & (F.col("m") >= 10)))
 
-    resid = (pp.join(coef, ["sid_a", "sid_b"])
-             .select("sid_a", "sid_b", "date",
-                     (F.col("ca") - (F.col("alpha")
-                                     + F.col("beta") * F.col("cb")))
-                     .alias("e")))
-    w = Window.partitionBy("sid_a", "sid_b").orderBy("date")
-    lagd = resid.withColumn("elag", F.lag("e").over(w))
-    de = F.col("e") - F.col("elag")
-    adf = (lagd.where(F.col("elag").isNotNull())
-           .groupBy("sid_a", "sid_b")
-           .agg(F.count("*").alias("n_adf"),
-                F.sum(F.floor(F.col("elag") * de * Q).cast("bigint"))
-                .alias("sxde"),
-                F.sum(F.floor(F.col("elag") * F.col("elag") * Q)
-                      .cast("bigint")).alias("sx2"),
-                F.sum(F.floor(de * de * Q).cast("bigint")).alias("sde2"))
-           .where((F.col("n_adf") >= 10) & (F.col("sx2") > 0)))
-    sxded = F.col("sxde").cast("double") / Q
-    sx2d = F.col("sx2").cast("double") / Q
-    sde2d = F.col("sde2").cast("double") / Q
-    t1 = adf.select("sid_a", "sid_b", "n_adf",
-                    (sxded / sx2d).alias("slope"),
-                    sxded.alias("sxded"), sx2d.alias("sx2d"),
-                    sde2d.alias("sde2d"))
-    t2 = t1.withColumn(
-        "s2", (F.col("sde2d") - F.col("slope") * F.col("sxded"))
-        / (F.col("n_adf").cast("double") - F.lit(1.0)))
+    d = lambda c: F.col(c).cast("double")
+    nd, md = d("n"), d("m")
+    den = nd * d("sxx") - d("sx") * d("sx")
+    coef = (s1.where(den > 0.0)
+            .withColumn("beta", (nd * d("sxy") - d("sx") * d("sy")) / den)
+            .withColumn("alpha",
+                        (d("sy") - F.col("beta") * d("sx")) / nd))
+    alpha, beta = F.col("alpha"), F.col("beta")
+    two = F.lit(2.0)
+    # residual ADF sums, expanded through e_t = ca_t - alpha - beta*cb_t
+    # (expression trees mirror the oracle SQL token-for-token so the
+    # per-pair double math is bit-identical across engines)
+    adf = coef.select(
+        "sid_a", "sid_b", "n", "m", "beta", "alpha", md.alias("md"),
+        (d("aa") + alpha * alpha * md + beta * beta * d("bb")
+         - two * alpha * d("la") - two * beta * d("ab")
+         + two * alpha * beta * d("lb")).alias("sx2"),
+        (d("ac") - d("aa") - beta * (d("ad") + d("bc"))
+         + two * beta * d("ab") - alpha * (d("ra") - d("la"))
+         + alpha * beta * (d("rb") - d("lb"))
+         + beta * beta * (d("bd") - d("bb"))).alias("sxde"),
+        ((d("paa") - two * d("ac") + d("aa"))
+         - two * beta * (d("rab") - d("ad") - d("bc") + d("ab"))
+         + beta * beta * (d("qbb") - two * d("bd") + d("bb")))
+        .alias("sde2"))
+    t2 = (adf.where(F.col("sx2") > 0.0)
+          .select("sid_a", "sid_b", "n", "m", "beta", "alpha", "sx2",
+                  (F.col("sxde") / F.col("sx2")).alias("slope"),
+                  ((F.col("sde2")
+                    - (F.col("sxde") / F.col("sx2")) * F.col("sxde"))
+                   / (F.col("md") - F.lit(1.0))).alias("s2")))
     adf_t = F.when(F.col("s2") > 0.0,
-                   F.col("slope") / F.sqrt(F.col("s2") / F.col("sx2d")))
-    return (coef.join(t2, ["sid_a", "sid_b"])
-            .select("sid_a", "sid_b",
-                    F.col("n").cast("bigint").alias("n_obs"),
-                    "beta", "alpha",
-                    F.col("n_adf").cast("bigint").alias("n_adf"),
-                    adf_t.alias("adf_t"),
-                    F.when(F.col("s2") > 0.0, adf_t < F.lit(-3.37))
-                    .alias("cointegrated")))
+                   F.col("slope") / F.sqrt(F.col("s2") / F.col("sx2")))
+    return t2.select("sid_a", "sid_b",
+                     F.col("n").cast("bigint").alias("n_obs"),
+                     "beta", "alpha",
+                     F.col("m").cast("bigint").alias("n_adf"),
+                     adf_t.alias("adf_t"),
+                     F.when(F.col("s2") > 0.0, adf_t < F.lit(-3.37))
+                     .alias("cointegrated"))
 
 
 @register("embedding_pc1_outliers", _pca_cte_chain(dim=64, iters=3) + """

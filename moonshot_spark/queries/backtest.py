@@ -960,13 +960,12 @@ def benchmark_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     dates = panel.select("date").distinct()
     bench = panel.where(F.col("sid") == "7").select("date", "close")
     spine = dates.join(bench, "date", "left")
-    w = Window.partitionBy(F.lit(1)).orderBy("date")
-    filled = F.last("close", ignorenulls=True).over(
-        w.rowsBetween(Window.unboundedPreceding, 0))
-    spine = spine.withColumn("__c", filled)
-    prev = F.lag("__c").over(w)
+    # two-phase boundary-carry ffill/lag (functions/window.py): month-
+    # partitioned so an intraday-grain spine never funnels one task
+    from moonshot_spark.functions.window import global_ffill_with_lag
+    spine = global_ffill_with_lag(spine, "close", ["date"], "__c", "__p")
     return spine.select(
-        "date", (F.col("__c") / prev - 1).alias("benchmark"))
+        "date", (F.col("__c") / F.col("__p") - 1).alias("benchmark"))
 
 
 # --------------------------------------------------------------------- #

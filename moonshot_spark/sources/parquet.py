@@ -31,6 +31,16 @@ _SCHEMA_CACHE: dict = {}
 
 
 def _fingerprint(path: str) -> tuple:
+    """Freshness fingerprint: root mtime + first-level entry count + max
+    first-level child mtime.
+
+    Depth-1 by design: a Spark-committed rewrite ALWAYS bumps a
+    first-level entry (_SUCCESS is rewritten at the root on every
+    commit), so any `df.write.parquet(path)` mutation is caught.  The
+    remaining blind spot is a NON-Spark writer appending files at depth
+    >= 2 of a multi-level-partitioned path without touching the root or
+    any first-level mtime (ADVICE r11) — callers mutating datasets that
+    way should call ``clear_schema_cache()`` or touch the root."""
     st = os.stat(path)
     if not os.path.isdir(path):
         return (st.st_mtime_ns, st.st_size, 0)
@@ -67,6 +77,48 @@ def clear_schema_cache() -> int:
     return n
 
 
+def _parse_byte_conf(value: str, default: int = 128 * 1024 * 1024) -> int:
+    units = {"": 1, "b": 1,
+             "k": 1 << 10, "kb": 1 << 10,
+             "m": 1 << 20, "mb": 1 << 20,
+             "g": 1 << 30, "gb": 1 << 30,
+             "t": 1 << 40, "tb": 1 << 40}
+    s = value.strip().lower()
+    num = s.rstrip("kmgtb")
+    try:
+        return int(num) * units[s[len(num):]]
+    except (ValueError, KeyError):
+        return default
+
+
+def scan_partition_estimate(df: DataFrame) -> int | None:
+    """Estimate how many scan tasks a FILE-headed lineage will yield,
+    without forcing physical planning.
+
+    A parquet scan yields roughly ``max(n_files, total_bytes /
+    maxPartitionBytes)`` tasks (files split by byte range, never below a
+    row group).  Returns ``None`` for non-file sources (in-memory
+    frames, upstream shuffles — already parallel at
+    ``spark.sql.shuffle.partitions``) and for unstattable remote paths
+    (trust the scan).  This replaces the old ``df.rdd.getNumPartitions``
+    probe, which forced a plan→RDD conversion on the driver per wrapped
+    lineage (VERDICT r11)."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    from urllib.parse import urlparse
+    total_bytes = 0
+    for f in files:
+        p = urlparse(f).path or f
+        try:
+            total_bytes += os.path.getsize(p)
+        except OSError:
+            return None   # remote/unstattable: trust the scan layout
+    max_pb = _parse_byte_conf(df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"))
+    return max(len(files), -(-total_bytes // max_pb))
+
+
 def ensure_scan_parallelism(df: DataFrame, min_fraction: float = 0.5
                             ) -> DataFrame:
     """Give a CPU-heavy scan-headed lineage at least defaultParallelism
@@ -82,14 +134,16 @@ def ensure_scan_parallelism(df: DataFrame, min_fraction: float = 0.5
     the per-row work.
 
     Scale-safe by being conditional: when the file layout already yields
-    >= ``min_fraction * defaultParallelism`` partitions — any real
+    >= ``min_fraction * defaultParallelism`` scan tasks (estimated from
+    the file listing, no ``.rdd`` plan-forcing probe) — any real
     multi-file/multi-row-group dataset — this is a NO-OP, so a 100 TB
     corpus never pays a gratuitous full-data shuffle.  Apply it only to
     lineages whose heavy per-row work sits BEFORE the first shuffle;
     aggregation-first queries already parallelize at their groupBy."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(1, int(target * min_fraction)):
+    est = scan_partition_estimate(df)
+    if est is None or est >= max(1, int(target * min_fraction)):
         return df
     return df.repartition(target)
 
