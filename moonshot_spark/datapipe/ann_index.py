@@ -55,11 +55,19 @@ old → drop the new-range directories).  At no point is the cell absent,
 and the meta NEVER disagrees with the directories it prunes against:
 before the meta flip, probes prune to the old range (complete, old
 codebook); after, to the new range (complete, new codebook).  The only
-window is the same one ``split_hot_cells`` documents — a
+READER window is the same one ``split_hot_cells`` documents — a
 ``nprobe_sub=None`` reader between append and delete double-counts the
-cell; production wraps maintenance in the table format's commit
-(Iceberg/Delta) or an index version swap (streaming/pipeline.py's
-versioned-index pattern).
+cell.  WRITERS must be single-writer per index during maintenance: a
+concurrent ``append_to_ivf_index`` that read the meta before a
+retrain's flip can land rows in the OLD ``__subcell`` range after the
+retrain's delete pass runs — those rows would then be permanently
+invisible to ``nprobe_sub`` probes (the new meta prunes to the new
+base), a lasting loss rather than the transient double-count (ADVICE
+r11).  Production serializes appends against maintenance via the table
+format's commit (Iceberg/Delta) or an index version swap
+(streaming/pipeline.py's versioned-index pattern); absent that, run
+``repair_retrains`` + a ``compact_ivf_ingest`` after any suspected
+overlap to re-home stray rows.
 
 Reference: the quantrocket reference has no vector surface; this is the
 beyond-reference LLM-datapipe layer (cf. Jégou et al., "Product
@@ -536,7 +544,8 @@ def rebalance_split_cells(spark: SparkSession, path: str,
                           max_subcell_share: float = 0.5,
                           n_sub: int = 4,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding"
+                          vec_col: str = "embedding",
+                          stats: DataFrame | None = None
                           ) -> dict[int, dict]:
     """Re-split every SPLIT cell whose sub-codebook has drifted: when
     one sub-cell holds more than ``max_subcell_share`` of its cell's
@@ -555,12 +564,17 @@ def rebalance_split_cells(spark: SparkSession, path: str,
     ``repair_retrains`` can replay — a crash mid-loop never loses a
     cell or leaves the meta disagreeing with the directories (ADVICE
     r10).  ``centroids`` is accepted for signature stability but the
-    rewrite needs only the cell's own rows.  Returns {cell: new meta
+    rewrite needs only the cell's own rows.  ``stats`` lets a
+    maintenance loop that just ran ``ivf_cell_stats`` pass the frame in
+    instead of paying a second full index scan (VERDICT r11); when
+    omitted, fresh stats are computed.  Returns {cell: new meta
     entry}."""
     meta = _read_meta(spark, path)
     if not meta:
         return {}
-    stats = {r["cell"]: r for r in ivf_cell_stats(spark, path).collect()}
+    if stats is None:
+        stats = ivf_cell_stats(spark, path)
+    stats = {r["cell"]: r for r in stats.collect()}
     drifted = [c for c in sorted(meta)
                if c in stats and stats[c]["n_rows"] > 0
                and stats[c]["max_subcell_rows"]
