@@ -71,6 +71,16 @@ HEAVY_QUERIES: dict[str, tuple[str, bool]] = {
     "dedup_clusters": ("documents", False),
 }
 
+# families that run the deepest (>50x) scale points (VERDICT r11 item 8:
+# one more octave on the heavy families to confirm the fixed-overhead
+# amortization curve); everything else stops at 50x to bound sweep time
+DEEP_100X = {
+    "prepare_corpus", "dedup_corpus_minhash", "exact_substr_scrub",
+    "pagerank_copurchase", "triangle_count",
+    "label_propagation_communities", "dedup_clusters",
+    "cointegration_screen", "item_cooccurrence",
+}
+
 DIM_TABLES = ("region", "nation")
 FACT_KEYS: dict[str, list[str]] = {
     "customer": ["c_custkey"],
@@ -392,9 +402,12 @@ def run(base_dir: str, scales: list[int], query_names: list[str],
     table_rows: dict[int, dict[str, int]] = {}
 
     for n in sorted(scales):
+        run_names = [q for q in query_names if n <= 50 or q in DEEP_100X]
+        if not run_names:
+            continue
         sf_dir = base_dir if n == 1 else replicate_tables(spark, base_dir, n)
         table_rows[n] = {}
-        for q in query_names:
+        for q in run_names:
             tbl = HEAVY_QUERIES[q][0]
             if tbl not in table_rows[n]:
                 table_rows[n][tbl] = (
@@ -422,12 +435,13 @@ def run(base_dir: str, scales: list[int], query_names: list[str],
                   f"out={out_rows:>9,} {elapsed:7.3f}s "
                   f"{rows_in / elapsed:>12,.0f} rows/s", flush=True)
 
-    # invariant checks
+    # invariant checks (per-query scale set: non-DEEP queries stop at 50x)
     violations: dict[str, list[str]] = {}
-    smallest = min(scales)
     for q in query_names:
+        q_scales = sorted(results[q])
+        smallest = min(q_scales)
         base_shape = results[q][smallest]["shape"]
-        for n in sorted(scales):
+        for n in q_scales:
             if n == smallest:
                 continue
             regs = shape_regressions(base_shape, results[q][n]["shape"])
@@ -435,7 +449,7 @@ def run(base_dir: str, scales: list[int], query_names: list[str],
                 violations.setdefault(q, []).extend(
                     f"shape@{n}x: {r}" for r in regs)
         if not HEAVY_QUERIES[q][1]:
-            seq = [results[q][n]["rows_per_sec"] for n in sorted(scales)]
+            seq = [results[q][n]["rows_per_sec"] for n in q_scales]
             for a, b in zip(seq, seq[1:]):
                 if b < a * 0.8:   # 20% tolerance for shared-box jitter
                     violations.setdefault(q, []).append(
@@ -547,6 +561,8 @@ def write_reports(payload: dict, skew_payload: dict | None = None) -> None:
         lines.append("| scale | rows in | rows out | sec | rows/s |")
         lines.append("|---|---|---|---|---|")
         for n in scales:
+            if str(n) not in per and n not in per:
+                continue   # non-DEEP query: stops at 50x
             r = per[str(n)] if str(n) in per else per[n]
             lines.append(
                 f"| {n}× | {r['rows_in']:,} | {r['rows_out']:,} | "
@@ -589,8 +605,12 @@ def main(argv=None) -> int:
     payload = run(args.base, scales, names)
     skew_payload = None
     if args.skew:
+        # skew stress caps at 50x: the hot-key replicas double the disk
+        # and the skew compare doubles the runs — the 100x octave is the
+        # uniform amortization point, not a second skew regime
         skew_payload = run_skew(
-            args.base, scales, [q for q in names if q in SKEW_QUERIES])
+            args.base, [s for s in scales if s <= 50],
+            [q for q in names if q in SKEW_QUERIES])
     write_reports(payload, skew_payload)
     n_viol = sum(len(v) for v in payload["violations"].values())
     if skew_payload:
