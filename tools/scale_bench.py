@@ -345,6 +345,7 @@ def run_skew(base_dir: str, scales: list[int], query_names: list[str],
                     QUERIES[q](spark, d).count()
                     elapsed = min(elapsed, time.perf_counter() - t0)
                 sc.setJobGroup("", "")
+                _release_session_state(spark)
                 timings[tag] = elapsed
                 if tag == "skew":
                     share = _max_task_share(spark, group)
@@ -390,6 +391,22 @@ def run_skew(base_dir: str, scales: list[int], query_names: list[str],
             "results": results, "violations": violations}
 
 
+def _release_session_state(spark) -> None:
+    """Unpersist leftover blocks after a query's timed runs.
+
+    Iterative queries localCheckpoint their edge/degree frames; the
+    blocks outlive the (discarded) DataFrames until the ContextCleaner
+    notices, and a 1x..100x sweep through one JVM accumulates enough
+    residue to exhaust the heap at the deepest octave (r12).  Between
+    queries nothing references them, so drop them eagerly."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist(False)
+    except Exception:
+        pass   # cleanup is best-effort; the cleaner will get there
+
+
 def run(base_dir: str, scales: list[int], query_names: list[str],
         timed_runs: int = 2) -> dict:
     from moonshot_spark.plans.audit import (
@@ -423,6 +440,7 @@ def run(base_dir: str, scales: list[int], query_names: list[str],
                 t0 = time.perf_counter()
                 QUERIES[q](spark, sf_dir).count()
                 elapsed = min(elapsed, time.perf_counter() - t0)
+            _release_session_state(spark)
             rows_in = table_rows[n][tbl]
             results[q][n] = {
                 "rows_in": rows_in,
@@ -593,6 +611,11 @@ def main(argv=None) -> int:
                     help="also run the hot-key skew stress (20%% of rows "
                          "on one key; shape/slowdown/task-share bounds)")
     args = ap.parse_args(argv)
+    # the sweep drives up to 100x replicas through ONE long-lived JVM;
+    # the harness default (16g) fills with in-flight shuffle + leftover
+    # checkpoint blocks at the deepest octave (r12: GCLocker exhaustion
+    # at 100x pagerank) — give the sweep session real headroom
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     if args.skew:
         # UI on BEFORE the session exists: the skew mode reads per-stage
         # task metrics over the REST API
