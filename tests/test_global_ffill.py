@@ -29,10 +29,10 @@ def _collect(df, order_cols, fcol, pcol):
 
 def _make_daily(seed, n_days, p_null):
     rng = random.Random(seed)
-    base = dt.date(2023, 10, 15)
+    d = dt.date(2023, 10, 15)
     rows = []
-    for i in range(n_days):
-        d = base + dt.timedelta(days=rng.choice([1, 2, 3]) * i)
+    for _ in range(n_days):
+        d = d + dt.timedelta(days=rng.choice([1, 2, 3]))  # strictly increasing
         v = None if rng.random() < p_null else round(rng.uniform(10, 99), 2)
         rows.append((d, v))
     return rows
@@ -75,9 +75,8 @@ def test_intraday_grain_matches_naive(spark):
     rng = random.Random(7)
     rows = []
     d = dt.date(2024, 1, 25)
-    for i in range(90):
-        if i % 3 == 0:
-            d = d + dt.timedelta(days=2)
+    for _ in range(90):
+        d = d + dt.timedelta(days=rng.choice([1, 2]))  # one day per step
         for t in ("09:30:00", "12:00:00", "15:30:00"):
             v = None if rng.random() < 0.4 else float(rng.randint(1, 9))
             rows.append((d, t, v))
