@@ -2376,7 +2376,13 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("close").alias("ca"))
     b = pa.select(F.col("sid").alias("sid_b"), "date", "bucket", "shard",
                   F.col("close").alias("cb"))
-    pp = (a.join(b, ["bucket", "shard", "date"])
+    # pin the self-join to sort-merge: both sides are panel-scale, and at
+    # mid scales the compressed side can slip under the session's 64 MB
+    # broadcast threshold — AQE then builds a multi-million-row broadcast
+    # relation in ONE task (r12: a 26 s single-task stage at 50x that
+    # vanishes at 100x when the side outgrows the threshold).  A shuffle
+    # join is the right plan for a same-size pair explosion at EVERY scale.
+    pp = (a.hint("merge").join(b, ["bucket", "shard", "date"])
           .where(F.col("sid_a") < F.col("sid_b"))
           .select("sid_a", "sid_b", "date", "ca", "cb"))
     # one exchange on the PAIR KEY feeds everything downstream: the lag
