@@ -1283,6 +1283,13 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("cnt").alias("cnt_a"))
     b = fi.select("basket", F.col("item").alias("item_b"),
                   F.col("cnt").alias("cnt_b"))
+    # NO merge hint here (r12 negative result): a hint node breaks the
+    # two sides' subplan identity, which costs the single ReusedExchange
+    # that feeds this join from the basket window — the whole fi lineage
+    # then computes TWICE (100x: 13 s -> 61 s when tried).  AQE picks
+    # the shuffle join on its own once the side outgrows the broadcast
+    # threshold; the 10x broadcast it picks below that is a one-task
+    # relation build of a side that the reused exchange makes cheap.
     pairs = (a.join(b, "basket")
              .where(F.col("item_a") < F.col("item_b"))
              .groupBy("item_a", "item_b", "cnt_a", "cnt_b")
