@@ -430,3 +430,17 @@ def test_kmeans_assign_udf_evaluates_once():
     nodes = re.findall(r"ArrowEvalPython \[[^\]]*\]", plan)
     assert len(nodes) == 1, plan[:2000]
     assert nodes[0].count("assign(") == 1, nodes[0]
+
+
+def test_cointegration_pair_join_never_broadcasts():
+    """The pair self-join's sides are panel-scale and the SAME size; at
+    mid scales the compressed side slips under the 64 MB broadcast
+    threshold and AQE would build a multi-million-row broadcast relation
+    in ONE task (r12: a 26 s single-task stage at 50x).  The merge hint
+    must pin a parallel shuffle join at every scale — including here at
+    tiny SF, where the plan is most tempted to broadcast."""
+    plan = plan_of("cointegration_screen")
+    assert "SortMergeJoin" in plan, plan
+    # the only broadcasts allowed are the tiny lvl2 (sid->bucket/shard)
+    # dim, which appears once per side of the pair join
+    assert plan.count("BroadcastHashJoin") <= 2, plan
