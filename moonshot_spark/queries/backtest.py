@@ -1041,6 +1041,59 @@ def backtest_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("Turnover").alias("turnover"))
 
 
+@register("benchmark_returns_intraday", f"""
+WITH panel AS ({INTRADAY_PANEL_SQL}),
+spine AS (SELECT DISTINCT date, time FROM panel),
+bench AS (SELECT date, time, close FROM panel WHERE sid = '7'),
+j AS (
+    SELECT s.date, s.time, b.close
+    FROM spine s LEFT JOIN bench b ON s.date = b.date AND s.time = b.time
+),
+f AS (
+    SELECT date, time,
+           last_value(close IGNORE NULLS) OVER (
+               ORDER BY date, time
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+    FROM j
+),
+g AS (
+    SELECT date, time, c, lag(c) OVER (ORDER BY date, time) AS p FROM f
+)
+SELECT date, time, coalesce((c - p) / p, 0.0) AS benchmark FROM g
+""")
+def benchmark_returns_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17 at INTRADAY grain: the benchmark sid's 6-hour bars are
+    spine-aligned onto the panel's full (date, time) grid (bars the
+    benchmark lacks ffill; first bar is a 0.0 return) — the continuous-
+    intraday external-benchmark path of reference base.py:1446-1500.
+    The ffill/lag runs through the two-phase boundary-carry helper
+    (functions/window.py::global_ffill_with_lag, VERDICT r11 item 6):
+    month-partitioned windows plus a broadcast per-month carry, so a
+    minute-grain series never funnels one task — this entry pins its
+    (date, time)-grain output bit-exactly against the oracle's naive
+    single-window form through the driver gate."""
+    from moonshot_spark.functions.window import global_ffill_with_lag
+
+    events = load_table(spark, sf_dir, "events")
+    hour_slot = (F.hour("ts") - F.hour("ts") % 6).cast("int")
+    panel = (events
+             .withColumn("sid", F.col("user_id").cast("string"))
+             .withColumn("date", F.to_date("ts"))
+             .withColumn("time", F.concat(
+                 F.lpad(hour_slot.cast("string"), 2, "0"), F.lit(":00:00")))
+             .groupBy("sid", "date", "time")
+             .agg(F.max_by("value", "ts_ns").alias("close")))
+    spine = panel.select("date", "time").distinct()
+    bench = (panel.where(F.col("sid") == "7")
+             .select("date", "time", "close"))
+    j = spine.join(bench, ["date", "time"], "left")
+    j = global_ffill_with_lag(j, "close", ["date", "time"], "__c", "__p")
+    return j.select(
+        "date", "time",
+        F.coalesce((F.col("__c") - F.col("__p")) / F.col("__p"),
+                   F.lit(0.0)).alias("benchmark"))
+
+
 @register("backtest_once_a_day_intraday", f"""
 WITH panel AS ({INTRADAY_PANEL_SQL}),
 daily AS (
