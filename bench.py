@@ -38,6 +38,23 @@ MAX_LINE_BYTES = 1900
 CANARY_RATIO_LIMIT = 1.5
 CANARY_ENVELOPE_SEC = 0.45
 
+# In-run drift instrumentation (VERDICT r12 item 5): the endpoints-only
+# canary certifies box health but cannot see MONOTONE accumulation
+# inside the run (r12: late-table queries measured 0.2-0.8 s higher
+# in-run than solo on identical code).  Sample the same constant-work
+# canary every N queries so the BENCH_DETAIL curve shows whether the
+# session itself slows down (JVM code cache / GC / catalog growth) or
+# the late queries are just scheduled into a degraded tail.
+CANARY_SAMPLE_EVERY = 40
+
+# A/B hygiene knob for drift experiments (default: off — the driver's
+# contract run is unchanged): SPARK_GRAFT_BENCH_HYGIENE=
+#   clearcache  -> spark.catalog.clearCache() + clean leftover persisted
+#                  RDD blocks every CANARY_SAMPLE_EVERY queries
+#   recycle     -> stop and rebuild the SparkSession (fresh JVM-side
+#                  catalog/codegen state; same process) at each sample
+_HYGIENE = os.environ.get("SPARK_GRAFT_BENCH_HYGIENE", "").lower()
+
 
 def _canary_seconds(spark) -> float:
     """One fixed shuffle+agg over spark.range: data-independent work that
@@ -105,10 +122,33 @@ def main():
 
     canary_first = round(_canary_seconds(spark), 4)
 
+    def _hygiene(spark):
+        """Apply the A/B hygiene arm between query groups (no-op by
+        default).  Returns the (possibly new) session."""
+        if _HYGIENE == "clearcache":
+            spark.catalog.clearCache()
+            try:
+                for jrdd in list(
+                        spark.sparkContext._jsc.getPersistentRDDs()
+                        .values()):
+                    jrdd.unpersist(False)
+            except Exception:
+                pass
+        elif _HYGIENE == "recycle":
+            spark.stop()
+            spark = get_spark("moonshot_spark_bench")
+        return spark
+
     timings: dict[str, float] = {}
     split: dict[str, dict[str, float]] = {}
+    canary_samples: list[dict] = []
     total = 0.0
+    n_done = 0
     for name, fn in QUERIES.items():
+        if n_done and n_done % CANARY_SAMPLE_EVERY == 0:
+            spark = _hygiene(spark)
+            canary_samples.append(
+                {"after": n_done, "sec": round(_canary_seconds(spark), 4)})
         fn(spark, sf_dir).count()  # warm-up: JIT, parquet footers, broadcasts
         # min of two timed runs, each on a FRESHLY constructed DataFrame:
         # re-count()ing the same DataFrame object lets Spark skip already-
@@ -135,6 +175,7 @@ def main():
         split[name] = {"build": round(best_build, 4),
                        "exec": round(best_exec, 4)}
         total += elapsed
+        n_done += 1
 
     canary_last = round(_canary_seconds(spark), 4)
     # the LAST canary is expected to be a bit faster (deeper JIT after
@@ -149,6 +190,8 @@ def main():
         "ratio": round(ratio, 3),
         "envelope_sec": CANARY_ENVELOPE_SEC,
         "noisy_box": noisy,
+        "samples": canary_samples,
+        "hygiene": _HYGIENE or "none",
     }
 
     with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as f:

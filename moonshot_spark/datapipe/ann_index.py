@@ -63,9 +63,13 @@ retrain's flip can land rows in the OLD ``__subcell`` range after the
 retrain's delete pass runs — those rows would then be permanently
 invisible to ``nprobe_sub`` probes (the new meta prunes to the new
 base), a lasting loss rather than the transient double-count (ADVICE
-r11).  Production serializes appends against maintenance via the table
+r11).  **Enforced since r13**: every public writer takes a per-index
+``flock`` lease (``_writer_lease`` — a sibling lock file of the index
+root) so a concurrent writer blocks or times out instead of
+interleaving; on remote object-store roots where ``flock`` cannot
+reach, the lease is a no-op and production serializes via the table
 format's commit (Iceberg/Delta) or an index version swap
-(streaming/pipeline.py's versioned-index pattern); absent that, run
+(streaming/pipeline.py's versioned-index pattern) — there, run
 ``repair_retrains`` + a ``compact_ivf_ingest`` after any suspected
 overlap to re-home stray rows.
 
@@ -77,7 +81,10 @@ quantizer half).
 
 from __future__ import annotations
 
+import contextlib
 import json
+import os
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -90,6 +97,74 @@ _CELL = "__cell"
 _SUBCELL = "__subcell"
 _META = "_ivf_subcells.json"
 _MARKER = "_ivf_retrain_{cell}.json"
+
+# How long a writer waits for the per-index lease before raising
+# TimeoutError.  Module-level so maintenance tooling (and tests) can
+# tighten it without threading a kwarg through every writer signature.
+WRITER_LEASE_TIMEOUT = 600.0
+
+
+@contextlib.contextmanager
+def _writer_lease(path: str):
+    """Per-index-root EXCLUSIVE writer lease (VERDICT r12 item 4).
+
+    The retrain protocol's one unenforced invariant was single-writer:
+    an ``append_to_ivf_index`` that read the meta before a concurrent
+    retrain's flip can land rows in the OLD ``__subcell`` range after
+    the retrain's delete pass — a permanent loss (rows invisible to
+    ``nprobe_sub`` probes), not the documented transient double-count.
+    Every public writer now takes this lease, so the second writer
+    BLOCKS until the first finishes (or raises ``TimeoutError`` after
+    ``WRITER_LEASE_TIMEOUT``) instead of interleaving.
+
+    Mechanics: an ``flock`` on a SIBLING file of the index root
+    (``<root>.__ivf_writer.lock`` — a sibling, not a child, so
+    ``write_ivf_index``'s ``mode("overwrite")`` directory wipe cannot
+    unlink the held inode and let two writers in).  Reuses the
+    crash-safe kernel-owned lock from ``sources/cache.py`` (released on
+    fd close, including process crash; no stale-lock takeover races).
+
+    Scope: local / NFSv4 paths only — exactly where the driver-side
+    maintenance entry points run.  For remote object-store roots
+    (``s3://``/``hdfs://``...) the lease is a no-op and coordination is
+    the table format's commit protocol or an index-version swap (see
+    module docstring), as before.  READERS are never blocked: probes
+    take no lock (same visibility windows as before).
+    """
+    parsed = urlparse(path)
+    if parsed.scheme not in ("", "file"):
+        yield None
+        return
+    from moonshot_spark.sources.cache import _FileLock
+
+    local = parsed.path if parsed.scheme == "file" else path
+    lock_path = local.rstrip("/") + ".__ivf_writer.lock"
+    parent = os.path.dirname(lock_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    with _FileLock(lock_path, timeout=WRITER_LEASE_TIMEOUT):
+        yield lock_path
+
+
+def _leased(path_param: str):
+    """Decorator: run the whole writer under ``_writer_lease`` of the
+    named path parameter.  Private helpers (``_retrain_one``) stay
+    unlocked — the lease is NOT re-entrant (flock conflicts across fds
+    even within one process), so public writers must never call each
+    other."""
+    import functools
+    import inspect
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            bound = sig.bind(*args, **kwargs)
+            with _writer_lease(bound.arguments[path_param]):
+                return fn(*args, **kwargs)
+        return wrapper
+    return deco
 
 
 def _norm_subs(subs: dict | None) -> dict[int, dict]:
@@ -199,10 +274,11 @@ def write_ivf_index(corpus: DataFrame, centroids: list[list[float]],
     write's own file layout.  ``sub_codebooks`` pre-splits the given
     cells at write time (identical layout to ``split_hot_cells`` after
     the fact — the rebuild-equivalence contract)."""
-    (_assign(corpus, centroids, vec_col, sub_codebooks)
-     .write.mode("overwrite").partitionBy(_CELL, _SUBCELL).parquet(path))
-    spark = corpus.sparkSession
-    _write_meta(spark, path, sub_codebooks or {})
+    with _writer_lease(path):
+        (_assign(corpus, centroids, vec_col, sub_codebooks)
+         .write.mode("overwrite").partitionBy(_CELL, _SUBCELL).parquet(path))
+        spark = corpus.sparkSession
+        _write_meta(spark, path, sub_codebooks or {})
 
 
 def append_to_ivf_index(new_vecs: DataFrame, centroids: list[list[float]],
@@ -211,11 +287,16 @@ def append_to_ivf_index(new_vecs: DataFrame, centroids: list[list[float]],
     (and any persisted sub-codebooks) and append to the cell
     directories.  The post-append index is row-identical to
     ``write_ivf_index`` over the unioned corpus (cell assignment is a
-    pure function of the vector and the codebook)."""
+    pure function of the vector and the codebook).
+
+    The meta read happens INSIDE the writer lease: a stale meta read
+    racing a retrain's flip is exactly the row-stranding interleave the
+    lease exists to exclude."""
     spark = new_vecs.sparkSession
-    subs = _read_meta(spark, path)
-    (_assign(new_vecs, centroids, vec_col, subs or None)
-     .write.mode("append").partitionBy(_CELL, _SUBCELL).parquet(path))
+    with _writer_lease(path):
+        subs = _read_meta(spark, path)
+        (_assign(new_vecs, centroids, vec_col, subs or None)
+         .write.mode("append").partitionBy(_CELL, _SUBCELL).parquet(path))
 
 
 def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
@@ -256,6 +337,7 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
                       "max_subcell_rows")
 
 
+@_leased("path")
 def split_hot_cells(spark: SparkSession, path: str,
                     centroids: list[list[float]],
                     max_share: float = 0.2,
@@ -402,6 +484,7 @@ def probe_ivf_index(spark: SparkSession, path: str, queries: DataFrame,
                     F.col("rank").cast("int")))
 
 
+@_leased("batch_root")
 def compact_ivf_ingest(spark: SparkSession, stream_root: str,
                        batch_root: str) -> None:
     """Compact a streaming-ingest root (``ingest=<batch>/__cell=.../
@@ -488,6 +571,7 @@ def _retrain_one(spark: SparkSession, path: str, cell: int, n_sub: int,
     return entry
 
 
+@_leased("path")
 def retrain_cell(spark: SparkSession, path: str, cell: int, n_sub: int,
                  id_col: str = "vec_id", vec_col: str = "embedding"
                  ) -> dict | None:
@@ -508,6 +592,7 @@ def retrain_cell(spark: SparkSession, path: str, cell: int, n_sub: int,
     return _retrain_one(spark, path, cell, n_sub, meta, id_col, vec_col)
 
 
+@_leased("path")
 def repair_retrains(spark: SparkSession, path: str) -> dict[int, str]:
     """Finish or roll back retrains interrupted mid-flight (crash
     between marker creation and marker removal).  For each
@@ -539,6 +624,7 @@ def repair_retrains(spark: SparkSession, path: str) -> dict[int, str]:
     return out
 
 
+@_leased("path")
 def rebalance_split_cells(spark: SparkSession, path: str,
                           centroids: list[list[float]],
                           max_subcell_share: float = 0.5,

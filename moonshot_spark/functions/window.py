@@ -194,6 +194,15 @@ def global_ffill_with_lag(df, value_col: str, order_cols: list[str],
     last non-null ``value_col`` up to the row, ``out_prev`` = previous
     row's filled value (NULL for the first row overall).  Requires the
     first entry of ``order_cols`` to be a DATE column (the month key).
+
+    COST NOTE (ADVICE r12): the input lineage is evaluated TWICE — once
+    for the per-month boundary aggregate, once for the main frame (the
+    two exchanges hash on ``__period`` but their subplans differ, so
+    Catalyst cannot ReusedExchange them).  For a cheap spine (a
+    left-join of a date grid onto one sid's bars) the second pass is
+    noise; when the input lineage is expensive, pass a cached /
+    ``localCheckpoint(eager=False)``'d frame and the boundary pass
+    becomes one columnar re-read instead of a recompute.
     """
     date_col = order_cols[0]
     df = df.withColumn("__period", F.trunc(F.col(date_col), "month"))

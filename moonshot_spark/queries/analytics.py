@@ -15,7 +15,7 @@ from moonshot_spark.queries._base import (
 )
 from moonshot_spark.sources.parquet import events_to_panel, load_table
 from moonshot_spark.queries.datapipe import _pca_cte_chain
-
+from moonshot_spark.session import shuffle_partitions
 
 
 
@@ -2391,7 +2391,7 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spark.sql.shuffle.partitions (not a literal — ADVICE r11) so AQE
     # can't coalesce the tiny-byte/CPU-bearing pair frame to one task
     # (the r10 profile pathology).
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nparts = shuffle_partitions(spark)
     pp = pp.repartition(nparts, "sid_a", "sid_b")
 
     w = Window.partitionBy("sid_a", "sid_b").orderBy("date")

@@ -14,7 +14,7 @@ from moonshot_spark.queries._base import (
     PANEL_SQL, ORACLES, QUERIES, register,
 )
 from moonshot_spark.sources.parquet import events_to_panel, load_table
-
+from moonshot_spark.session import shuffle_partitions
 
 
 
@@ -1267,7 +1267,7 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     are identical subplans, which Spark collapses into a single
     ReusedExchange."""
     li = load_table(spark, sf_dir, "lineitem")
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nparts = shuffle_partitions(spark)
     items = (li.select(F.col("l_orderkey").alias("basket"),
                        F.col("l_partkey").alias("item"))
              .repartition(nparts, "item")

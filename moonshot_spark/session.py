@@ -68,3 +68,22 @@ def get_spark(app_name: str = "moonshot_spark", master: str | None = None,
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def shuffle_partitions(spark: SparkSession, default: int = 200) -> int:
+    """Numeric ``spark.sql.shuffle.partitions`` with a robust fallback.
+
+    Some AQE deployments set the conf to ``"auto"`` (non-numeric), which
+    made the bare ``int(spark.conf.get(...))`` at explicit-repartition
+    call sites raise ValueError (ADVICE r12).  Falls back to the
+    cluster's ``defaultParallelism`` — the same order of magnitude AQE
+    would land on — and only then to ``default``.
+    """
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions",
+                                  str(default)))
+    except (ValueError, TypeError):
+        try:
+            return int(spark.sparkContext.defaultParallelism)
+        except Exception:
+            return default

@@ -40,6 +40,18 @@ def test_single_partition_funnel_detection():
     assert not any("Window" in o for o in offs), offs
 
 
+def test_period_boundary_frame_is_exempt():
+    """The ``__period`` boundary frame of global_ffill_with_lag is one
+    row per month by construction — its single-partition Sort/Window is
+    auto-exempt; the same shape on any other key still flags."""
+    exempt = PLAN.replace("Sort [rank ASC NULLS FIRST]",
+                          "Sort [__period ASC NULLS FIRST]")
+    assert single_partition_funnels(exempt) == []
+    # shape signature follows the same exemption
+    assert plan_shape(exempt)["SinglePartitionFunnels"] == 0
+    assert plan_shape(PLAN)["SinglePartitionFunnels"] == 1
+
+
 def test_plan_shape_counts():
     shape = plan_shape(PLAN)
     assert shape["BroadcastHashJoin"] == 1

@@ -69,6 +69,10 @@ HEAVY_QUERIES: dict[str, tuple[str, bool]] = {
     "triangle_count": ("lineitem", False),
     "label_propagation_communities": ("lineitem", False),
     "dedup_clusters": ("documents", False),
+    # the boundary-carry ffill exists precisely for the minute-grain
+    # x100 case (~10^7-row single series); this row proves it
+    # (VERDICT r12 item 7)
+    "benchmark_returns_intraday": ("events", False),
 }
 
 # families that run the deepest (>50x) scale points (VERDICT r11 item 8:
@@ -79,6 +83,18 @@ DEEP_100X = {
     "pagerank_copurchase", "triangle_count",
     "label_propagation_communities", "dedup_clusters",
     "cointegration_screen", "item_cooccurrence",
+    "benchmark_returns_intraday",
+}
+
+# families whose SKEW stress also runs the 100x octave (VERDICT r12
+# item 2: item_cooccurrence's skew slowdown was TRENDING UP — 1.66x at
+# 10x -> 2.22x at 50x vs the 3x bound — and the graph family shares the
+# lineitem hot-part replica, so the extra build is free); every other
+# skew query stops at 50x as before (the hot-key replicas double the
+# disk and the compare doubles the runs)
+SKEW_DEEP_100X = {
+    "item_cooccurrence", "pagerank_copurchase", "triangle_count",
+    "label_propagation_communities", "dedup_clusters",
 }
 
 DIM_TABLES = ("region", "nation")
@@ -328,9 +344,13 @@ def run_skew(base_dir: str, scales: list[int], query_names: list[str],
     violations: dict[str, list[str]] = {}
 
     for n in sorted(s for s in scales if s > 1):
+        run_names = [q for q in query_names
+                     if n <= 50 or q in SKEW_DEEP_100X]
+        if not run_names:
+            continue
         uni_dir = replicate_tables(spark, base_dir, n)
         skew_dir = replicate_tables(spark, base_dir, n, skew=True)
-        for q in query_names:
+        for q in run_names:
             timings = {}
             shapes = {}
             for tag, d in (("uniform", uni_dir), ("skew", skew_dir)):
@@ -440,6 +460,12 @@ def run(base_dir: str, scales: list[int], query_names: list[str],
                 t0 = time.perf_counter()
                 QUERIES[q](spark, sf_dir).count()
                 elapsed = min(elapsed, time.perf_counter() - t0)
+            # INVARIANT (ADVICE r12): must run only after every frame
+            # from this query is fully consumed — it unpersists ALL
+            # session RDDs, which would strand a still-referenced
+            # localCheckpointed frame (truncated lineage, blocks gone).
+            # Here each run ends in a terminal .count() and the frames
+            # are discarded, so nothing live references the blocks.
             _release_session_state(spark)
             rows_in = table_rows[n][tbl]
             results[q][n] = {
@@ -456,6 +482,10 @@ def run(base_dir: str, scales: list[int], query_names: list[str],
     # invariant checks (per-query scale set: non-DEEP queries stop at 50x)
     violations: dict[str, list[str]] = {}
     for q in query_names:
+        if not results[q]:
+            # a non-DEEP query swept only at >50x scales never ran
+            # (ADVICE r12: min([]) crashed here after the whole sweep)
+            continue
         q_scales = sorted(results[q])
         smallest = min(q_scales)
         base_shape = results[q][smallest]["shape"]
@@ -543,6 +573,41 @@ def write_skew_section(skew_payload: dict) -> list[str]:
     return lines
 
 
+def _norm_scale_keys(results: dict) -> dict:
+    """Scale keys arrive as ints from a live run and strings from a
+    loaded SCALE.json; normalize to strings so a merge never holds both
+    ``10`` and ``"10"`` for the same point."""
+    return {q: {str(n): r for n, r in per.items()}
+            for q, per in results.items()}
+
+
+def _merge_payloads(payload: dict | None, skew_payload: dict | None) -> dict:
+    """Merge a partial run (one query / one octave) into the existing
+    SCALE.json so the report keeps the full sweep's rows (VERDICT r12
+    items 2 and 7: add the 100x-skew point and the intraday-ffill row
+    without re-running everything).  New points overwrite same
+    (query, scale) cells; new violations replace that query's entry."""
+    with open(os.path.join(REPO, "SCALE.json")) as f:
+        base = json.load(f)
+    base["results"] = _norm_scale_keys(base.get("results", {}))
+    for src in ([payload] if payload else []):
+        base["scales"] = sorted(set(base["scales"]) | set(src["scales"]))
+        for q, per in _norm_scale_keys(src["results"]).items():
+            base["results"].setdefault(q, {}).update(per)
+        base["violations"].update(src["violations"])
+    if skew_payload is not None:
+        sk = base.setdefault(
+            "skew", {"base": skew_payload["base"], "scales": [],
+                     "hot_fraction": skew_payload["hot_fraction"],
+                     "results": {}, "violations": {}})
+        sk["results"] = _norm_scale_keys(sk.get("results", {}))
+        sk["scales"] = sorted(set(sk["scales"]) | set(skew_payload["scales"]))
+        for q, per in _norm_scale_keys(skew_payload["results"]).items():
+            sk["results"].setdefault(q, {}).update(per)
+        sk["violations"].update(skew_payload["violations"])
+    return base
+
+
 def write_reports(payload: dict, skew_payload: dict | None = None) -> None:
     if skew_payload is not None:
         payload = dict(payload)
@@ -610,7 +675,21 @@ def main(argv=None) -> int:
     ap.add_argument("--skew", action="store_true",
                     help="also run the hot-key skew stress (20%% of rows "
                          "on one key; shape/slowdown/task-share bounds)")
+    ap.add_argument("--skew-only", action="store_true",
+                    help="skip the uniform sweep (run_skew measures its "
+                         "own uniform baseline per scale); implies --skew "
+                         "and requires --merge for the report")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge this run's results into the existing "
+                         "SCALE.json instead of regenerating the report "
+                         "from scratch — for adding one query or one "
+                         "octave without re-running the full sweep")
     args = ap.parse_args(argv)
+    if args.skew_only:
+        args.skew = True
+        if not args.merge:
+            ap.error("--skew-only needs --merge (no uniform payload to "
+                     "write a standalone report from)")
     # the sweep drives up to 100x replicas through ONE long-lived JVM;
     # the harness default (16g) fills with in-flight shuffle + leftover
     # checkpoint blocks at the deepest octave (r12: GCLocker exhaustion
@@ -625,15 +704,20 @@ def main(argv=None) -> int:
     unknown = [q for q in names if q not in HEAVY_QUERIES]
     if unknown:
         ap.error(f"not in HEAVY_QUERIES: {unknown}")
-    payload = run(args.base, scales, names)
+    payload = (None if args.skew_only
+               else run(args.base, scales, names))
     skew_payload = None
     if args.skew:
-        # skew stress caps at 50x: the hot-key replicas double the disk
-        # and the skew compare doubles the runs — the 100x octave is the
-        # uniform amortization point, not a second skew regime
+        # skew caps at 50x for most queries (the hot-key replicas double
+        # the disk and the compare doubles the runs); the SKEW_DEEP_100X
+        # families additionally run the 100x octave (filter inside
+        # run_skew — VERDICT r12 item 2)
         skew_payload = run_skew(
-            args.base, [s for s in scales if s <= 50],
+            args.base, scales,
             [q for q in names if q in SKEW_QUERIES])
+    if args.merge:
+        payload = _merge_payloads(payload, skew_payload)
+        skew_payload = payload.get("skew")
     write_reports(payload, skew_payload)
     n_viol = sum(len(v) for v in payload["violations"].values())
     if skew_payload:
