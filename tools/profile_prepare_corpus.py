@@ -18,6 +18,15 @@ linear stage doubles, a superlinear one more than doubles):
 
 Usage: python tools/profile_prepare_corpus.py [--scales 50,100] [--base DIR]
 Appends nothing; prints a markdown table to paste into PERF.md.
+
+``--fixed-eval`` holds the eval/benchmark slice at copy 0 of the
+replica (base-corpus-sized) while the training corpus scales — the
+PRODUCTION shape, where the benchmark set does not grow with the
+corpus.  The replica harness suffixes every token per copy
+(scale_bench.replicate_tables), so the default doc_id%50 eval slice
+doubles its distinct-n-gram count at every octave and the broadcast
+probe table grows with scale; --fixed-eval isolates whether the
+superlinear `clean` growth is that harness artifact or real.
 """
 
 from __future__ import annotations
@@ -42,7 +51,7 @@ def timed(mk) -> float:
     return best
 
 
-def stages(spark, sf_dir):
+def stages(spark, sf_dir, eval_max_id=None):
     from moonshot_spark.datapipe.decontam import decontaminate, eval_ngrams
     from moonshot_spark.datapipe.packing import pack_bins
     from moonshot_spark.datapipe.text import fingerprint_expr, quality_exprs
@@ -63,12 +72,18 @@ def stages(spark, sf_dir):
         keep = fp.groupBy("__f").agg(F.min("doc_id").alias("doc_id"))
         return passed().join(keep.select("doc_id"), "doc_id", "left_semi")
 
+    def eval_slice():
+        ev = docs().where(F.col("doc_id") % 50 == 0)
+        if eval_max_id is not None:
+            ev = ev.where(F.col("doc_id") < eval_max_id)
+        return ev
+
     def evg():
-        return eval_ngrams(docs().where(F.col("doc_id") % 50 == 0))
+        return eval_ngrams(eval_slice())
 
     def clean():
         return decontaminate(surv().where(F.col("doc_id") % 50 != 0),
-                             docs().where(F.col("doc_id") % 50 == 0))
+                             eval_slice())
 
     def full():
         packed = pack_bins(clean(), budget=256)
@@ -86,6 +101,9 @@ def main():
     ap.add_argument("--scales", default="50,100")
     ap.add_argument("--base", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--fixed-eval", action="store_true",
+                    help="hold the eval slice at copy 0 (base-sized) "
+                         "while the corpus scales — the production shape")
     args = ap.parse_args()
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 
@@ -93,12 +111,17 @@ def main():
     from tools.scale_bench import replicate_tables
 
     spark = get_spark("profile_prepare_corpus")
+    eval_max_id = None
+    if args.fixed_eval:
+        base_docs = spark.read.parquet(f"{args.base}/documents.parquet")
+        eval_max_id = int(base_docs.agg(F.max("doc_id")).first()[0]) + 1
+        print(f"fixed-eval: doc_id < {eval_max_id} (copy 0 only)")
     scales = [int(s) for s in args.scales.split(",")]
     table: dict[str, dict[int, float]] = {}
     counts: dict[str, dict[int, int]] = {}
     for n in scales:
         d = args.base if n == 1 else replicate_tables(spark, args.base, n)
-        for name, mk in stages(spark, d):
+        for name, mk in stages(spark, d, eval_max_id):
             secs = timed(mk)
             table.setdefault(name, {})[n] = secs
             counts.setdefault(name, {})[n] = mk().count()
