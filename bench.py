@@ -24,6 +24,12 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
+# zero the pinned heap at JVM start (see session.py -Xms note): keeps
+# first-touch page zeroing out of the timed windows — the r12 in-run
+# drift was G1 heap commit/uncommit churn showing up as kernel-time
+# stalls inside query timings
+os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+
 # Keep the printed line comfortably inside the harness's 2000-char
 # stdout tail, with headroom for the fixed fields.
 MAX_LINE_BYTES = 1900

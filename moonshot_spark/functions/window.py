@@ -195,17 +195,22 @@ def global_ffill_with_lag(df, value_col: str, order_cols: list[str],
     row's filled value (NULL for the first row overall).  Requires the
     first entry of ``order_cols`` to be a DATE column (the month key).
 
-    COST NOTE (ADVICE r12): the input lineage is evaluated TWICE — once
-    for the per-month boundary aggregate, once for the main frame (the
-    two exchanges hash on ``__period`` but their subplans differ, so
-    Catalyst cannot ReusedExchange them).  For a cheap spine (a
-    left-join of a date grid onto one sid's bars) the second pass is
-    noise; when the input lineage is expensive, pass a cached /
-    ``localCheckpoint(eager=False)``'d frame and the boundary pass
-    becomes one columnar re-read instead of a recompute.
+    SINGLE-EVALUATION PLAN (r13; closes the ADVICE r12 double-eval
+    note): the input is explicitly repartitioned by ``__period`` ONCE,
+    and both consumers — the per-month boundary aggregate and the main
+    month-partitioned window — hang off that same exchange.  Their
+    required distribution (hashpartitioning on ``__period``) is already
+    satisfied, so Catalyst plans no further exchange for either branch
+    and the physical plan carries a single shuffle with a
+    ReusedExchange on the second branch: the input lineage (often an
+    expensive spine join over a panel rollup) is computed exactly once.
+    The boundary branch loses its map-side partial aggregation, but the
+    window branch needed every row through this same shuffle anyway, so
+    total bytes moved are unchanged.
     """
     date_col = order_cols[0]
-    df = df.withColumn("__period", F.trunc(F.col(date_col), "month"))
+    df = (df.withColumn("__period", F.trunc(F.col(date_col), "month"))
+          .repartition("__period"))
     wp = Window.partitionBy("__period").orderBy(*order_cols)
     # per-month last non-null value: max over (order key, value) structs
     # of the non-null rows — one aggregate, no second window

@@ -50,6 +50,22 @@ def get_spark(app_name: str = "moonshot_spark", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Pin -Xms to -Xmx: with the default tiny initial heap, G1
+        # repeatedly uncommits after concurrent cycles and recommits on
+        # the next allocation burst, and the kernel page-zeroing on each
+        # recommit shows up as multi-second SYS-time stalls (r13: an
+        # 0.6 s aggregation sporadically measured 3-9 s with sys=0.78 —
+        # the root cause of the in-run bench drift the r12 driver run
+        # saw; pinned in PERF.md).  Committing the full heap up front is
+        # virtual (no RSS cost) and removes the churn; measurement
+        # harnesses additionally set SPARK_GRAFT_PRETOUCH=1 to zero the
+        # pages at startup (AlwaysPreTouch) so not even first-touch
+        # zeroing lands inside a timed window.
+        .config("spark.driver.extraJavaOptions",
+                "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+                + (" -XX:+AlwaysPreTouch"
+                   if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1"
+                   else ""))
         # UI off by default (driver/test overhead); SPARK_GRAFT_UI=1
         # turns it on for harnesses that read the REST task metrics
         # (scale_bench --skew measures per-stage max-task share)

@@ -16,6 +16,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# pre-zero the pinned heap (session.py -Xms note) so G1 commit churn
+# never lands kernel-time stalls inside a timed window
+os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -106,6 +106,7 @@ def main():
                          "while the corpus scales — the production shape")
     args = ap.parse_args()
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
 
     from moonshot_spark.session import get_spark
     from tools.scale_bench import replicate_tables

@@ -695,6 +695,11 @@ def main(argv=None) -> int:
     # checkpoint blocks at the deepest octave (r12: GCLocker exhaustion
     # at 100x pagerank) — give the sweep session real headroom
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    # pre-zero the pinned heap (session.py -Xms note): G1 commit/uncommit
+    # churn otherwise lands multi-second kernel-time stalls inside the
+    # per-octave timed windows (r13: the 100x benchmark_returns_intraday
+    # "cliff" was exactly this, not a plan defect)
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     if args.skew:
         # UI on BEFORE the session exists: the skew mode reads per-stage
         # task metrics over the REST API
