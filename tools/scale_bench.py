@@ -341,7 +341,6 @@ def run_skew(base_dir: str, scales: list[int], query_names: list[str],
     spark = get_spark("moonshot_scale_bench")
     sc = spark.sparkContext
     results: dict[str, dict] = {q: {} for q in query_names}
-    violations: dict[str, list[str]] = {}
 
     for n in sorted(s for s in scales if s > 1):
         run_names = [q for q in query_names
@@ -381,34 +380,53 @@ def run_skew(base_dir: str, scales: list[int], query_names: list[str],
             print(f"[skew {n:>3}x] {q:<28} uniform={timings['uniform']:6.3f}s"
                   f" skew={timings['skew']:6.3f}s x{slowdown:.2f}",
                   flush=True)
-            regs = shape_regressions(shapes["uniform"], shapes["skew"])
-            if regs:
-                violations.setdefault(q, []).extend(
-                    f"skew-shape@{n}x: {r}" for r in regs)
-            if slowdown > 3.0:
-                violations.setdefault(q, []).append(
-                    f"skew slowdown @{n}x: {slowdown:.2f}x > 3x")
-            mts = results[q][n].get("max_task_share")
-            if mts and mts["share"] > MAX_TASK_SHARE:
-                violations.setdefault(q, []).append(
-                    f"max task share @{n}x: {mts['share']} "
-                    f"({mts['stage']})")
+            # shape regressions are stored IN the row so a later --merge
+            # can recompute the violation list deterministically from
+            # the merged results (a clean re-run of one (query, octave)
+            # must retract its stale violation; r13)
+            results[q][n]["shape_regs"] = shape_regressions(
+                shapes["uniform"], shapes["skew"])
             if q == "triangle_count":
                 ori = _orientation_stats(spark, skew_dir)
                 results[q][n]["tri_orientation"] = ori
-                if ori["max_out_deg"] > ori["sqrt_2e_bound"]:
-                    violations.setdefault(q, []).append(
-                        f"orientation bound @{n}x: max out-degree "
-                        f"{ori['max_out_deg']} > sqrt(2|E|) "
-                        f"{ori['sqrt_2e_bound']}")
                 print(f"[skew {n:>3}x] triangle orientation: hot-node "
                       f"degree={ori['max_deg']:,} max oriented "
                       f"out-degree={ori['max_out_deg']:,} "
                       f"(bound {ori['sqrt_2e_bound']:,})", flush=True)
+    violations = _skew_violations(results)
     return {"base": base_dir,
             "scales": sorted(s for s in scales if s > 1),
             "hot_fraction": f"~{100 // _HOT_MOD}% of replicated rows",
             "results": results, "violations": violations}
+
+
+def _skew_violations(results: dict) -> dict[str, list[str]]:
+    """Recompute the skew invariant verdicts from (possibly merged)
+    result rows — every check reads only stored fields, so a --merge
+    re-derives the whole list and a clean re-run retracts stale
+    entries instead of inheriting them."""
+    violations: dict[str, list[str]] = {}
+    for q, per in results.items():
+        for n_key in sorted(per, key=lambda k: int(k)):
+            n, row = int(n_key), per[n_key]
+            for r in row.get("shape_regs") or []:
+                violations.setdefault(q, []).append(f"skew-shape@{n}x: {r}")
+            sl = row.get("slowdown")
+            if sl is not None and sl > 3.0:
+                violations.setdefault(q, []).append(
+                    f"skew slowdown @{n}x: {sl:.2f}x > 3x")
+            mts = row.get("max_task_share")
+            if mts and mts["share"] > MAX_TASK_SHARE:
+                violations.setdefault(q, []).append(
+                    f"max task share @{n}x: {mts['share']} "
+                    f"({mts['stage']})")
+            ori = row.get("tri_orientation")
+            if ori and ori["max_out_deg"] > ori["sqrt_2e_bound"]:
+                violations.setdefault(q, []).append(
+                    f"orientation bound @{n}x: max out-degree "
+                    f"{ori['max_out_deg']} > sqrt(2|E|) "
+                    f"{ori['sqrt_2e_bound']}")
+    return violations
 
 
 def _release_session_state(spark) -> None:
@@ -479,31 +497,38 @@ def run(base_dir: str, scales: list[int], query_names: list[str],
                   f"out={out_rows:>9,} {elapsed:7.3f}s "
                   f"{rows_in / elapsed:>12,.0f} rows/s", flush=True)
 
-    # invariant checks (per-query scale set: non-DEEP queries stop at 50x)
+    violations = _uniform_violations(results)
+    return {"base": base_dir, "scales": sorted(scales),
+            "results": results, "violations": violations}
+
+
+def _uniform_violations(results: dict) -> dict[str, list[str]]:
+    """Invariant checks over (possibly merged) uniform result rows
+    (per-query scale set: non-DEEP queries stop at 50x).  Reads only
+    stored fields so a --merge re-derives the whole verdict list from
+    the merged curves — a clean re-run of one (query, octave) retracts
+    that query's stale violations instead of inheriting them (r13)."""
+    from moonshot_spark.plans.audit import shape_regressions
     violations: dict[str, list[str]] = {}
-    for q in query_names:
-        if not results[q]:
+    for q, per in results.items():
+        if not per:
             # a non-DEEP query swept only at >50x scales never ran
             # (ADVICE r12: min([]) crashed here after the whole sweep)
             continue
-        q_scales = sorted(results[q])
-        smallest = min(q_scales)
-        base_shape = results[q][smallest]["shape"]
-        for n in q_scales:
-            if n == smallest:
-                continue
-            regs = shape_regressions(base_shape, results[q][n]["shape"])
+        q_scales = sorted(per, key=lambda k: int(k))
+        base_shape = per[q_scales[0]]["shape"]
+        for n_key in q_scales[1:]:
+            regs = shape_regressions(base_shape, per[n_key]["shape"])
             if regs:
                 violations.setdefault(q, []).extend(
-                    f"shape@{n}x: {r}" for r in regs)
-        if not HEAVY_QUERIES[q][1]:
-            seq = [results[q][n]["rows_per_sec"] for n in q_scales]
+                    f"shape@{int(n_key)}x: {r}" for r in regs)
+        if q in HEAVY_QUERIES and not HEAVY_QUERIES[q][1]:
+            seq = [per[n]["rows_per_sec"] for n in q_scales]
             for a, b in zip(seq, seq[1:]):
                 if b < a * 0.8:   # 20% tolerance for shared-box jitter
                     violations.setdefault(q, []).append(
                         f"throughput fell {a:,.0f} -> {b:,.0f} rows/s")
-    return {"base": base_dir, "scales": sorted(scales),
-            "results": results, "violations": violations}
+    return violations
 
 
 def write_skew_section(skew_payload: dict) -> list[str]:
@@ -594,7 +619,9 @@ def _merge_payloads(payload: dict | None, skew_payload: dict | None) -> dict:
         base["scales"] = sorted(set(base["scales"]) | set(src["scales"]))
         for q, per in _norm_scale_keys(src["results"]).items():
             base["results"].setdefault(q, {}).update(per)
-        base["violations"].update(src["violations"])
+        # recompute, never inherit: verdicts derive from the merged
+        # curves, so a clean re-run retracts its stale violation (r13)
+        base["violations"] = _uniform_violations(base["results"])
     if skew_payload is not None:
         sk = base.setdefault(
             "skew", {"base": skew_payload["base"], "scales": [],
@@ -604,7 +631,7 @@ def _merge_payloads(payload: dict | None, skew_payload: dict | None) -> dict:
         sk["scales"] = sorted(set(sk["scales"]) | set(skew_payload["scales"]))
         for q, per in _norm_scale_keys(skew_payload["results"]).items():
             sk["results"].setdefault(q, {}).update(per)
-        sk["violations"].update(skew_payload["violations"])
+        sk["violations"] = _skew_violations(sk["results"])
     return base
 
 
