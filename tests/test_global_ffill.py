@@ -105,3 +105,23 @@ def test_no_row_level_single_partition_window(spark):
     lit_windows = sum(1 for frag in plan.split("windowspecdefinition(")[1:]
                       if frag.split(",")[0].strip().isdigit())
     assert lit_windows <= 1, plan
+
+
+def test_single_evaluation_reused_exchange(spark):
+    """r13: the helper repartitions its input by __period ONCE and both
+    consumers (boundary aggregate, main window) hang off that exchange —
+    at runtime AQE must materialize the second consumer as a
+    ReusedExchange, i.e. the input lineage is computed exactly once.  A
+    refactor that breaks the shared-exchange property silently doubles
+    the cost of every expensive spine join feeding the helper (the
+    pre-r13 behavior)."""
+    from moonshot_spark.functions.window import global_ffill_with_lag
+
+    rows = _make_daily(13, 300, 0.25)
+    df = spark.createDataFrame(rows, "date date, close double")
+    # non-trivial upstream lineage (an aggregate), as at the call sites
+    df = df.groupBy("date").agg(F.max("close").alias("close"))
+    got = global_ffill_with_lag(df, "close", ["date"], "__f", "__p")
+    got.collect()   # AQE reuse materializes only at execution
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
