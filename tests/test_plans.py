@@ -137,3 +137,18 @@ def test_compact_parquet_rewrites_to_fewer_files(spark, tmp_path):
     assert back.count() == 1000
     import glob
     assert len(glob.glob(dst + "/part-*")) == 2
+
+
+def test_session_pins_initial_heap():
+    """r13: G1 heap commit/uncommit churn (tiny default -Xms vs burst
+    usage) produced multi-second kernel-time stalls inside timed windows
+    — the r12 bench-drift root cause (PERF.md r13).  The session factory
+    must pin -Xms to the configured driver memory so the heap never
+    shrinks/regrows."""
+    import inspect
+
+    from moonshot_spark import session as session_mod
+
+    src = inspect.getsource(session_mod.get_spark)
+    assert "spark.driver.extraJavaOptions" in src
+    assert "-Xms" in src
