@@ -1339,11 +1339,20 @@ deg AS (
 """
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str):
+def _copurchase_edges(spark: SparkSession, sf_dir: str,
+                      checkpoint: bool = False):
     """Symmetric support-2 co-purchase edge list + per-node degree
     (shared by pagerank_copurchase / triangle_count).  Same double guard
     as item_cooccurrence — window counts over one deduped lineage, not
-    groupBy+join-back — so lineitem is scanned once."""
+    groupBy+join-back — so lineitem is scanned once.
+
+    ``checkpoint=True`` eagerly localCheckpoints the EDGE list and
+    derives the degree table FROM that checkpoint (then checkpoints the
+    tiny aggregate too).  Callers used to checkpoint the two returned
+    frames separately, which executed the whole basket self-join
+    pipeline TWICE — edges and deg share the expensive lineage (r13:
+    1.5-1.8 s each at sf0.1, so ~1.6 s of pure recompute per graph
+    query; the deg aggregate over the materialized edges is ~0.05 s)."""
     li = load_table(spark, sf_dir, "lineitem")
     items = (li.select(F.col("l_orderkey").alias("basket"),
                        F.col("l_partkey").alias("item"))
@@ -1365,8 +1374,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
                           F.col("item_b").alias("dst"))
              .unionByName(pairs.select(F.col("item_b").alias("src"),
                                        F.col("item_a").alias("dst"))))
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg"))
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=True)
     return edges, deg
 
 
@@ -1446,9 +1459,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the 3 iterations re-references them, and without the checkpoint
     every iteration would re-run the whole basket self-join — measured
     3.1 s → ~1 s at sf0.1."""
-    edges, deg = _copurchase_edges(spark, sf_dir)
-    edges = edges.localCheckpoint(eager=True)
-    deg = deg.localCheckpoint(eager=True)
+    edges, deg = _copurchase_edges(spark, sf_dir, checkpoint=True)
     n_nodes = float(deg.count())
     ranks = deg.withColumn("r", F.lit(1.0 / n_nodes))
     Q = F.lit(1000000000000000.0)
@@ -1500,9 +1511,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented edge list is localCheckpoint-ed: the wedge join references
     it three times (o1/o2/o3), which would otherwise re-run the basket
     self-join three times."""
-    edges, deg = _copurchase_edges(spark, sf_dir)
-    edges = edges.localCheckpoint(eager=True)
-    deg = deg.localCheckpoint(eager=True)
+    edges, deg = _copurchase_edges(spark, sf_dir, checkpoint=True)
     ori = _orient_copurchase(edges, deg)
     o1 = ori.select(F.col("u").alias("a"), F.col("v").alias("b"))
     o2 = ori.select(F.col("u").alias("b"), F.col("v").alias("c"))

@@ -313,9 +313,7 @@ def _orientation_stats(spark, sf_dir: str) -> dict:
     from moonshot_spark.queries.warehouse import (_copurchase_edges,
                                                   _orient_copurchase)
 
-    edges, deg = _copurchase_edges(spark, sf_dir)
-    edges = edges.localCheckpoint(eager=True)
-    deg = deg.localCheckpoint(eager=True)
+    edges, deg = _copurchase_edges(spark, sf_dir, checkpoint=True)
     n_pairs = edges.count() // 2
     max_deg = deg.agg(F.max("deg")).first()[0]
     max_out = (_orient_copurchase(edges, deg)
