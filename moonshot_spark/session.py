@@ -13,6 +13,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+def driver_java_options() -> str:
+    """Driver JVM options: any user-supplied SPARK_GRAFT_DRIVER_JAVA_OPTS
+    are PRESERVED (ADVICE r13: hard-setting extraJavaOptions clobbered
+    env-supplied options), with the heap pin appended:
+
+    - ``-Xms`` pinned to the driver memory — with the default tiny
+      initial heap, G1 repeatedly uncommits after concurrent cycles and
+      recommits on the next allocation burst, and the kernel page
+      zeroing on each recommit shows up as multi-second SYS-time stalls
+      inside timed windows (the r12 in-run bench-drift root cause;
+      PERF.md r13).  Committing the full heap up front is virtual (no
+      RSS cost) and removes the churn.
+    - ``-XX:+AlwaysPreTouch`` when SPARK_GRAFT_PRETOUCH=1, so
+      measurement harnesses zero the pages at startup instead of inside
+      the first timed windows.
+    """
+    user = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "").strip()
+    pinned = "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1":
+        pinned += " -XX:+AlwaysPreTouch"
+    return f"{user} {pinned}".strip() if user else pinned
+
+
 def get_spark(app_name: str = "moonshot_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
@@ -50,22 +73,9 @@ def get_spark(app_name: str = "moonshot_spark", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        # Pin -Xms to -Xmx: with the default tiny initial heap, G1
-        # repeatedly uncommits after concurrent cycles and recommits on
-        # the next allocation burst, and the kernel page-zeroing on each
-        # recommit shows up as multi-second SYS-time stalls (r13: an
-        # 0.6 s aggregation sporadically measured 3-9 s with sys=0.78 —
-        # the root cause of the in-run bench drift the r12 driver run
-        # saw; pinned in PERF.md).  Committing the full heap up front is
-        # virtual (no RSS cost) and removes the churn; measurement
-        # harnesses additionally set SPARK_GRAFT_PRETOUCH=1 to zero the
-        # pages at startup (AlwaysPreTouch) so not even first-touch
-        # zeroing lands inside a timed window.
-        .config("spark.driver.extraJavaOptions",
-                "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "16g")
-                + (" -XX:+AlwaysPreTouch"
-                   if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1"
-                   else ""))
+        # Heap pin + optional pre-touch; user-supplied options preserved
+        # (see driver_java_options for the full rationale)
+        .config("spark.driver.extraJavaOptions", driver_java_options())
         # UI off by default (driver/test overhead); SPARK_GRAFT_UI=1
         # turns it on for harnesses that read the REST task metrics
         # (scale_bench --skew measures per-stage max-task share)

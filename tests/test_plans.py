@@ -1,6 +1,7 @@
 """Lookback pruning tests (D24, reference base.py:1050-1086,1146-1181)."""
 
 import datetime
+import os
 
 from moonshot_spark import Moonshot
 from moonshot_spark.plans.lookback import get_lookback_window, lookback_start_date
@@ -139,16 +140,28 @@ def test_compact_parquet_rewrites_to_fewer_files(spark, tmp_path):
     assert len(glob.glob(dst + "/part-*")) == 2
 
 
-def test_session_pins_initial_heap():
+def test_session_pins_initial_heap(spark, monkeypatch):
     """r13: G1 heap commit/uncommit churn (tiny default -Xms vs burst
     usage) produced multi-second kernel-time stalls inside timed windows
     — the r12 bench-drift root cause (PERF.md r13).  The session factory
     must pin -Xms to the configured driver memory so the heap never
-    shrinks/regrows."""
-    import inspect
+    shrinks/regrows.  Asserts on BEHAVIOR (the computed option string
+    and the live session's conf), not on source text (ADVICE r13: the
+    old getsource assert could pass on a comment alone)."""
+    from moonshot_spark.session import driver_java_options
 
-    from moonshot_spark import session as session_mod
+    # the live session was built through get_spark -> the conf must
+    # carry the pin (extraJavaOptions is set at JVM launch; reading it
+    # back from the running session proves the .config() call exists)
+    opts = spark.conf.get("spark.driver.extraJavaOptions")
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    assert f"-Xms{mem}" in opts
 
-    src = inspect.getsource(session_mod.get_spark)
-    assert "spark.driver.extraJavaOptions" in src
-    assert "-Xms" in src
+    # user-supplied driver options are preserved, not clobbered
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseG1GC")
+    monkeypatch.setenv("SPARK_DRIVER_MEMORY", "8g")
+    combined = driver_java_options()
+    assert "-XX:+UseG1GC" in combined and "-Xms8g" in combined
+    # pre-touch rides the env knob
+    monkeypatch.setenv("SPARK_GRAFT_PRETOUCH", "1")
+    assert "-XX:+AlwaysPreTouch" in driver_java_options()

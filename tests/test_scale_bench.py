@@ -105,3 +105,47 @@ def test_heavy_queries_survive_hot_key_skew():
         "MOONSHOT_SCALE_FACTORS", "1,10").split(",")]
     payload = run_skew(base, scales, SKEW_QUERIES)
     assert not payload["violations"], payload["violations"]
+
+
+def test_merge_preserves_legacy_skew_violations(tmp_path, monkeypatch):
+    """ADVICE r13: merging a partial skew run into a SCALE.json whose
+    rows predate the 'shape_regs'/'tri_orientation' fields must NOT
+    silently retract previously recorded violations for (query, octave)
+    cells that were never re-run; re-run cells recompute cleanly."""
+    import json
+
+    import tools.scale_bench as sb
+
+    legacy = {
+        "base": "b", "scales": [10], "results": {},
+        "violations": {},
+        "skew": {
+            "base": "b", "scales": [10], "hot_fraction": "~20%",
+            # legacy row: no shape_regs key at all
+            "results": {"q_old": {"10": {"slowdown": 1.0}}},
+            "violations": {
+                "q_old": ["skew-shape@10x: cartesian appeared"]},
+        },
+    }
+    scale_json = tmp_path / "SCALE.json"
+    scale_json.write_text(json.dumps(legacy))
+    monkeypatch.setattr(sb, "REPO", str(tmp_path))
+
+    new_skew = {"base": "b", "scales": [50], "hot_fraction": "~20%",
+                "results": {"q_new": {"50": {"slowdown": 1.2,
+                                             "shape_regs": []}}}}
+    merged = sb._merge_payloads(None, new_skew)
+    viols = merged["skew"]["violations"]
+    # the legacy violation survives, marked as carried
+    assert any("cartesian appeared" in v for v in viols.get("q_old", []))
+    assert any("carried" in v for v in viols.get("q_old", []))
+    # the re-run clean row stays clean
+    assert "q_new" not in viols
+
+    # and a RE-RUN of the legacy cell (now with shape fields) retracts it
+    rerun = {"base": "b", "scales": [10], "hot_fraction": "~20%",
+             "results": {"q_old": {"10": {"slowdown": 1.0,
+                                          "shape_regs": []}}}}
+    scale_json.write_text(json.dumps(merged))
+    merged2 = sb._merge_payloads(None, rerun)
+    assert "q_old" not in merged2["skew"]["violations"]

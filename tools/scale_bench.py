@@ -35,6 +35,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -627,9 +628,30 @@ def _merge_payloads(payload: dict | None, skew_payload: dict | None) -> dict:
                      "results": {}, "violations": {}})
         sk["results"] = _norm_scale_keys(sk.get("results", {}))
         sk["scales"] = sorted(set(sk["scales"]) | set(skew_payload["scales"]))
+        prior_viol = dict(sk.get("violations") or {})
         for q, per in _norm_scale_keys(skew_payload["results"]).items():
             sk["results"].setdefault(q, {}).update(per)
         sk["violations"] = _skew_violations(sk["results"])
+        # ADVICE r13: pre-r13 SCALE.json rows carry no 'shape_regs' /
+        # 'tri_orientation' fields, so recomputing from stored rows
+        # would silently RETRACT a previously recorded shape/orientation
+        # violation for a (query, octave) that was never re-run.  A
+        # legacy row (no 'shape_regs' key at all — an empty list means
+        # "checked, clean") keeps its prior entries, marked as carried.
+        _CARRIED = " [carried: legacy row, not re-run]"
+        for q, entries in prior_viol.items():
+            rows = sk["results"].get(q, {})
+            for e in entries:
+                e = e.removesuffix(_CARRIED)   # don't stack markers
+                # entries embed their octave as '@<n>x'; keep the entry
+                # iff that octave's stored row predates the shape fields
+                m = re.search(r"@(\d+)x", e)
+                octave = m.group(1) if m else None
+                row = rows.get(octave, {}) if octave else {}
+                if octave is not None and "shape_regs" not in row \
+                        and e not in sk["violations"].get(q, []) \
+                        and (e + _CARRIED) not in sk["violations"].get(q, []):
+                    sk["violations"].setdefault(q, []).append(e + _CARRIED)
     return base
 
 
