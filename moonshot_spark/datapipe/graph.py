@@ -237,7 +237,8 @@ def duplicate_clusters(pairs: DataFrame, src: str = "doc_a",
 
 
 def label_propagation(edges: DataFrame, rounds: int = 3,
-                      src: str = "src", dst: str = "dst") -> DataFrame:
+                      src: str = "src", dst: str = "dst",
+                      symmetric: bool = False) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007, the near-linear-time LPA): every node starts as its own
     label; each round a node adopts its neighbors' most frequent label,
@@ -267,8 +268,17 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
     from pyspark.sql import Window
 
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    if symmetric:
+        # caller guarantees the input already contains both directions
+        # of every edge (e.g. _copurchase_edges emits pairs UNION
+        # reversed pairs).  Re-symmetrizing would double every
+        # (node, label) count UNIFORMLY — provably argmax-neutral (see
+        # below) but it also doubles the checkpointed edge list and
+        # every round's join/aggregate volume for nothing (r14).
+        edges = fwd.localCheckpoint(eager=True)
+    else:
+        rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        edges = fwd.unionByName(rev).localCheckpoint(eager=True)
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     for _ in range(rounds):

@@ -102,13 +102,25 @@ def power_iteration_top_component(emb: DataFrame, dim: int,
                         .alias("__xs"))
              .persist(StorageLevel.MEMORY_AND_DISK))
 
-    def _lit_arr(vals):
-        return F.array(*[F.lit(float(x)) for x in vals])
+    # Iteration expressions are assembled as SQL strings and parsed in
+    # the JVM (r14): building them through the Python Column API — two
+    # 64-literal arrays plus nested transform/zip_with lambdas per
+    # iteration, each node a Py4J round trip — cost ~0.4 s of driver
+    # chatter per iteration per construction (guide §7.3).  The parsed
+    # trees are the identical Catalyst expressions (same element_at /
+    # floor / CAST structure, double literals via exact repr
+    # round-trip), so every quantized term — and therefore mu, w,
+    # trace, eigval, v — is bit-identical.
+    def _arr(vals):
+        return "array(" + ", ".join(repr(float(x)) + "D"
+                                    for x in vals) + ")"
+
+    QD = repr(QUANT) + "D"
 
     try:
         # pass 0: n + quantized per-dimension sums -> mean vector
-        q0 = F.transform("__xs", lambda x: F.floor(x * F.lit(QUANT))
-                         .cast("bigint"))
+        q0 = F.expr(f"transform(__xs, x -> CAST(floor(x * {QD}) "
+                    "AS BIGINT))")
         p0 = (feats.select(F.posexplode(q0).alias("__j", "__t"))
               .groupBy("__j")
               .agg(F.sum("__t").alias("__s"), F.count("*").alias("__n"))
@@ -138,27 +150,31 @@ def power_iteration_top_component(emb: DataFrame, dim: int,
         trace = None
         eigval = None
         for it in range(1, iters + 1):
-            mu_a = _lit_arr(mu)
-            v_a = _lit_arr(v)
+            mu_a = _arr(mu)
+            v_a = _arr(v)
             # per-row projection d = (x - mu)·v as an exact integer sum
-            d_q = F.aggregate(
-                F.transform("__xs", lambda x, j: F.floor(
-                    (x - F.element_at(mu_a, j + 1))
-                    * F.element_at(v_a, j + 1) * F.lit(QUANT))
-                    .cast("bigint")),
-                F.lit(0).cast("bigint"), lambda acc, t: acc + t)
+            d_q = F.expr(
+                f"aggregate(transform(__xs, (x, j) -> CAST(floor("
+                f"(x - element_at({mu_a}, j + 1))"
+                f" * element_at({v_a}, j + 1) * {QD}) AS BIGINT)), "
+                "CAST(0 AS BIGINT), (acc, t) -> acc + t)")
             d = (d_q.cast("double") / F.lit(QUANT)).alias("__d")
             proj = feats.select("__xs", d)
-            w_t = F.transform("__xs", lambda x, j: F.floor(
-                (x - F.element_at(mu_a, j + 1)) * F.col("__d")
-                * F.lit(QUANT)).cast("bigint"))
+            w_t = F.expr(
+                f"transform(__xs, (x, j) -> CAST(floor("
+                f"(x - element_at({mu_a}, j + 1)) * __d * {QD}) "
+                "AS BIGINT))")
             if it == 1:   # trace rides the first iteration's aggregate
-                q_t = F.transform("__xs", lambda x, j: F.floor(
-                    (x - F.element_at(mu_a, j + 1))
-                    * (x - F.element_at(mu_a, j + 1))
-                    * F.lit(QUANT)).cast("bigint"))
-                terms = F.zip_with(w_t, q_t, lambda a, b: F.struct(
-                    a.alias("w"), b.alias("q")))
+                terms = F.expr(
+                    f"zip_with("
+                    f"transform(__xs, (x, j) -> CAST(floor("
+                    f"(x - element_at({mu_a}, j + 1)) * __d * {QD}) "
+                    "AS BIGINT)), "
+                    f"transform(__xs, (x, j) -> CAST(floor("
+                    f"(x - element_at({mu_a}, j + 1))"
+                    f" * (x - element_at({mu_a}, j + 1)) * {QD}) "
+                    "AS BIGINT)), "
+                    "(a, b) -> named_struct('w', a, 'q', b))")
                 rows = (proj.select(F.posexplode(terms).alias("__j", "__t"))
                         .groupBy("__j")
                         .agg(F.sum("__t.w").alias("__w"),
@@ -203,10 +219,16 @@ def project_component(emb: DataFrame, fit: PCAFit,
     and across partitionings.  One narrow map (fit's mean/component are
     driver-held literals baked into the plan) — no join, no shuffle;
     the inference half of the PCA train/score split."""
-    d_q = None
-    for j, (mj, vj) in enumerate(zip(fit.mean, fit.component)):
-        term = F.floor((F.col(vec_col)[j].cast("double") - F.lit(mj))
-                       * F.lit(vj) * F.lit(QUANT)).cast("bigint")
-        d_q = term if d_q is None else d_q + term
+    # SQL-string assembly for the same Py4J-chatter reason as the
+    # trainer (r14): 64 chained floor terms built through the Column API
+    # cost ~0.4 s of driver time per construction; the parsed expression
+    # is identical (0-based [] indexing == Column.getItem, left-assoc +
+    # chain, exact-repr double literals) so pc1 is bit-unchanged.
+    QD = repr(QUANT) + "D"
+    terms = [
+        f"CAST(floor((CAST({vec_col}[{j}] AS DOUBLE) - "
+        f"{repr(float(mj))}D) * {repr(float(vj))}D * {QD}) AS BIGINT)"
+        for j, (mj, vj) in enumerate(zip(fit.mean, fit.component))]
+    d_q = "(" + " + ".join(terms) + ")"
     return emb.select(F.col(id_col),
-                      (d_q.cast("double") / F.lit(QUANT)).alias("pc1"))
+                      F.expr(f"CAST({d_q} AS DOUBLE) / {QD}").alias("pc1"))

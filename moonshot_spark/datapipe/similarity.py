@@ -631,22 +631,37 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
     corpus-scale join back to the source table for their grouping keys.
     """
     carry = list(carry_cols or [])
-    v = _as_double(F.col(vec_col))
-    rows = []
+    # The whole codeword-comparison tree is assembled as ONE SQL string
+    # and parsed in the JVM: building it through the Python Column API
+    # (n_sub * k nested zip_with/aggregate/struct/least nodes, each
+    # F.lit/operator a Py4J round trip) measured ~1.6 s of pure driver
+    # chatter per construction at (8 sub x 4 codewords x 8 dims), vs
+    # milliseconds for the parser (guide §7.3 plan-construction cost;
+    # r14).  The parsed tree is the identical Catalyst expression —
+    # zip_with/aggregate/named_struct/least with double literals via
+    # exact repr round-trip — so every ssd/code bit is unchanged.
+    def _d(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    sub_exprs = []
     for s in range(n_sub):
-        sub = F.slice(v, s * sub_dim + 1, sub_dim)
+        sub = f"slice(__pqv, {s * sub_dim + 1}, {sub_dim})"
         best = None
         for ci, word in enumerate(codebooks[s]):
-            lit = F.array(*[F.lit(float(x)) for x in word])
-            diffs = F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y))
-            ssd = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-            cand = F.struct(ssd.alias("ssd"), F.lit(ci).alias("code"))
-            best = cand if best is None else F.least(best, cand)
-        rows.append(F.struct(F.lit(s).alias("subspace"),
-                             best.getField("code").alias("code"),
-                             best.getField("ssd").alias("ssd")))
+            lit = "array(" + ", ".join(_d(x) for x in word) + ")"
+            diffs = f"zip_with({sub}, {lit}, (x, y) -> (x - y) * (x - y))"
+            ssd = (f"aggregate({diffs}, CAST(0.0 AS DOUBLE), "
+                   "(acc, x) -> acc + x)")
+            cand = f"named_struct('ssd', {ssd}, 'code', {ci})"
+            best = cand if best is None else f"least({best}, {cand})"
+        sub_exprs.append(f"named_struct('subspace', {s}, "
+                         f"'code', ({best}).code, "
+                         f"'ssd', ({best}).ssd)")
+    pq = "explode(array(" + ", ".join(sub_exprs) + ")) AS __pq"
+    vexpr = f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS __pqv"
     return (emb.select(F.col(id_col), *[F.col(c) for c in carry],
-                       F.explode(F.array(*rows)).alias("__pq"))
+                       F.expr(vexpr))
+            .select(id_col, *carry, F.expr(pq))
             .select(id_col, *carry,
                     F.col("__pq.subspace").alias("subspace"),
                     F.col("__pq.code").alias("code"),

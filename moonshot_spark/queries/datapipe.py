@@ -4301,7 +4301,11 @@ def label_propagation_communities(spark: SparkSession,
     from moonshot_spark.datapipe.graph import label_propagation
 
     edges, _ = _copurchase_edges(spark, sf_dir)
-    out = label_propagation(edges, rounds=3)
+    # _copurchase_edges emits pairs UNION reversed pairs — already
+    # symmetric, so LPA need not re-symmetrize (halves the checkpointed
+    # edge list and every round's join volume; output provably
+    # identical, r14)
+    out = label_propagation(edges, rounds=3, symmetric=True)
     return out.select(F.col("node").cast("bigint").alias("node"),
                       F.col("community").cast("bigint").alias("community"),
                       F.col("community_size").cast("bigint")

@@ -1354,9 +1354,20 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str,
     1.5-1.8 s each at sf0.1, so ~1.6 s of pure recompute per graph
     query; the deg aggregate over the materialized edges is ~0.05 s)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE exchange serves both the dedup and the item-frequency window
+    # (r14, guide §2.4): hash partitioning on `item` alone satisfies the
+    # dedup aggregate's ClusteredDistribution([basket, item]) (subset
+    # key), so the explicit repartition feeds dropDuplicates AND the
+    # cnt window without a second full shuffle — the old
+    # distinct-on-(basket,item) exchange could serve neither window.
+    # Plan: Exchange(item) -> dedup -> Window(cnt) -> Exchange(basket)
+    # -> Window(bs) -> self-join (reuses basket partitioning): 2 full
+    # exchanges before the pair join instead of 3.  Skew exposure is
+    # unchanged — the cnt window already keyed a full exchange by item.
     items = (li.select(F.col("l_orderkey").alias("basket"),
                        F.col("l_partkey").alias("item"))
-             .distinct())
+             .repartition(F.col("item"))
+             .dropDuplicates())
     fi = (items
           .withColumn("cnt", F.count("*").over(Window.partitionBy("item")))
           .withColumn("bs", F.count("*").over(Window.partitionBy("basket")))
