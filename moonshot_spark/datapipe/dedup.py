@@ -531,25 +531,46 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     # the corpus is shingled once, not twice.
     if shingles is None:
         shingles = shingle_frame(docs, text_col, id_col, shingle_n)
-    tok = shingles.select(id_col, F.explode("__shingles").alias("token"))
-    freq = tok.groupBy("token").agg(F.count("*").alias("__f"))
+    # Explicit id-not-null on the SHARED token frame (r14): the final
+    # pair joins already push IsNotNull(id) into the sorted-sets branch
+    # of the scan, but not into the frequency branch — the two widened
+    # source exchanges then canonicalize differently and AQE ran the
+    # single-task source scan TWICE per execution (2 x ~1.5 s of
+    # serial critical-path time at sf0.1; stage profile in
+    # OPTIMIZATION_r14.md).  Output is provably unchanged: emitted
+    # pairs carry non-null ids by construction (inner equi-joins +
+    # id < id), and frequencies only steer CANDIDATE selection — the
+    # prefix-filter guarantee holds for any fixed total order, so the
+    # exact-verified pair set is order-independent.  count(id_col)
+    # keeps the same column set alive in both branches.
+    tok = (shingles.where(F.col(id_col).isNotNull())
+           .select(id_col, F.explode("__shingles").alias("token")))
+    freq = tok.groupBy("token").agg(F.count(id_col).alias("__f"))
     # ONE groupBy(doc) builds the rarity-sorted shingle array; prefixes
     # are then a map-side slice — no per-doc rank window, and the same
     # array serves verification (no third shingle pass).  The per-doc
     # collect is bounded by document length, never corpus size.
     # The sorted-set frame feeds FOUR consumers (two candidate-join
-    # sides + two verification sides), but they all hang off THIS one
-    # DataFrame, so its shuffle stages are computed once per job by the
-    # DAG scheduler — an eager localCheckpoint here was measured SLOWER
-    # at both sf0.1 (5.7 -> 3.9 s) and 50x (39 -> 27 s): serializing the
-    # array rows to block storage costs more than the shared recompute
-    # (PERF.md r9).
+    # sides + two verification sides).  Because the input is already
+    # hash-partitioned by id (the widen repartition), the groupBy needs
+    # NO exchange — which meant there was no shuffle boundary for AQE
+    # to reuse, and the whole shingle+freq-join+collect+sort stage
+    # re-executed once PER CONSUMER (r14 stage profile: 4 identical
+    # 32-task stages, ~42 s of executor time for ~12 s of unique work).
+    # The explicit repartition below inserts that boundary: all four
+    # consumers hang off ONE identical exchange, which AQE computes
+    # once and wires to the rest as ReusedExchange — one extra (tiny:
+    # id + sorted-token array) shuffle buys three avoided recomputes.
+    # An eager localCheckpoint was the r9 alternative and measured
+    # slower (serializing to block storage, no lineage; PERF.md r9);
+    # the exchange stays inside the plan and scales with the cluster.
     sorted_sets = (tok.join(freq, "token")
                    .groupBy(id_col)
                    .agg(F.transform(
                        F.array_sort(F.collect_list(
                            F.struct("__f", "token"))),
-                       lambda s: s["token"]).alias("__ts")))
+                       lambda s: s["token"]).alias("__ts"))
+                   .repartition(F.col(id_col)))
     sz = F.size("__ts")
     prefix_len = sz - F.ceil(sz * F.lit(threshold)) + 1
     prefix = (sorted_sets

@@ -174,14 +174,26 @@ def _frozen_sorted_sets(docs: DataFrame, frozen_freq: DataFrame,
     (rarest — maximally selective prefixes for genuinely new content)."""
     from moonshot_spark.datapipe.dedup import shingle_frame
 
+    # id-not-null on the token frame: aligns this branch's source scan
+    # with every other consumer of the widened corpus exchange so AQE
+    # reuses one scan stage (same fix + output-neutrality argument as
+    # dedup.prefix_filter_jaccard_pairs, r14)
     tok = (shingle_frame(docs, text_col, id_col, shingle_n)
+           .where(F.col(id_col).isNotNull())
            .select(F.col(id_col), F.explode("__shingles").alias("token")))
     j = tok.join(frozen_freq, "token", "left")
+    # trailing repartition = an AQE-reusable shuffle boundary: the
+    # sorted-set frame feeds the prefix join AND both verification
+    # sides, and without an exchange above the (id-partitioned, hence
+    # exchange-free) groupBy the whole shingle+join+collect+sort stage
+    # re-executes once per consumer (same fix + stage-profile evidence
+    # as dedup.prefix_filter_jaccard_pairs, r14)
     return (j.groupBy(id_col)
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct(
                     F.coalesce("__f", F.lit(0)).alias("__f"), "token"))),
-                lambda s: s["token"]).alias("__ts")))
+                lambda s: s["token"]).alias("__ts"))
+            .repartition(F.col(id_col)))
 
 
 def ppjoin_index(docs: DataFrame, text_col: str = "text",
@@ -207,8 +219,15 @@ def ppjoin_index(docs: DataFrame, text_col: str = "text",
     from moonshot_spark.datapipe.dedup import shingle_frame
 
     sh = shingle_frame(docs, text_col, id_col, shingle_n)
-    frozen_freq = (sh.select(F.explode("__shingles").alias("token"))
-                   .groupBy("token").agg(F.count("*").alias("__f")))
+    # keep id_col alive + filtered in the frequency branch so its scan
+    # canonicalizes identically to the sorted-sets branch's (one reused
+    # source exchange instead of two single-task scans; r14).  count of
+    # a never-null key == count(*); excluded null-id docs steer only
+    # candidate selectivity, never the exact-verified output pairs.
+    frozen_freq = (sh.where(F.col(id_col).isNotNull())
+                   .select(F.col(id_col),
+                           F.explode("__shingles").alias("token"))
+                   .groupBy("token").agg(F.count(id_col).alias("__f")))
     sets = _frozen_sorted_sets(docs, frozen_freq, text_col, id_col,
                                shingle_n)
     return frozen_freq, sets
