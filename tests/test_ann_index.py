@@ -593,13 +593,160 @@ def test_writer_lease_serializes_concurrent_writers(spark, emb, cents,
     assert os.path.exists(path + ".__ivf_writer.lock")
 
 
-def test_writer_lease_noop_on_remote_roots():
-    """Remote object-store roots cannot flock: the lease is an explicit
-    no-op there (coordination is the table format's commit), never an
-    error."""
+def test_writer_lease_remote_noop_warns_without_session(monkeypatch):
+    """Remote roots with NO active SparkSession (no Hadoop FS reachable)
+    degrade to the old no-op — but now WARN loudly instead of staying
+    silent (VERDICT r13 item 6), and never error."""
+    from pyspark.sql import SparkSession
+
     from moonshot_spark.datapipe.ann_index import _writer_lease
 
-    with _writer_lease("s3a://bucket/ivf") as lease:
-        assert lease is None
-    with _writer_lease("hdfs://nn/ivf") as lease:
-        assert lease is None
+    monkeypatch.setattr(SparkSession, "getActiveSession",
+                        classmethod(lambda cls: None))
+    with pytest.warns(RuntimeWarning, match="UNENFORCED"):
+        with _writer_lease("s3a://bucket/ivf") as lease:
+            assert lease is None
+    with pytest.warns(RuntimeWarning, match="UNENFORCED"):
+        with _writer_lease("hdfs://nn/ivf") as lease:
+            assert lease is None
+
+
+def _local_marker_callables(marker_path):
+    """create/mtime/delete over a local file with create-if-absent
+    semantics (O_EXCL) — a local fs simulating the object-store marker
+    protocol, mirroring the Hadoop ``create(path, overwrite=false)``
+    contract."""
+    import os
+
+    def create_atomic(content: bytes) -> bool:
+        try:
+            fd = os.open(marker_path,
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, content)
+        finally:
+            os.close(fd)
+        return True
+
+    def mtime():
+        try:
+            return os.stat(marker_path).st_mtime
+        except FileNotFoundError:
+            return None
+
+    def delete():
+        try:
+            os.remove(marker_path)
+        except FileNotFoundError:
+            pass
+
+    return create_atomic, mtime, delete
+
+
+def test_marker_lease_lifecycle(tmp_path):
+    """Marker lease over create-if-absent storage: acquire creates the
+    marker with the owner recorded, a second writer times out while it
+    is held, release deletes it, and the second writer then proceeds."""
+    import json
+    import os
+
+    from moonshot_spark.datapipe.ann_index import _MarkerLease
+
+    marker = str(tmp_path / "ivf.__ivf_writer.lock.json")
+    c, m, d = _local_marker_callables(marker)
+    first = _MarkerLease(c, m, d, owner="writer-1", timeout=5.0)
+    first.acquire()
+    assert json.load(open(marker))["owner"] == "writer-1"
+
+    second = _MarkerLease(c, m, d, owner="writer-2", timeout=0.3)
+    second.POLL_SEC = 0.05
+    with pytest.raises(TimeoutError):
+        second.acquire()
+    assert json.load(open(marker))["owner"] == "writer-1"  # still held
+
+    first.release()
+    assert not os.path.exists(marker)
+    second.acquire()                       # now succeeds
+    assert json.load(open(marker))["owner"] == "writer-2"
+    second.release()
+    second.release()                       # idempotent
+
+
+def test_marker_lease_stale_takeover(tmp_path):
+    """A marker whose mtime is older than STALE_FACTOR x timeout belongs
+    to a presumed-crashed writer (object-store markers survive their
+    owner, unlike flock) and is taken over; a FRESH marker is not."""
+    import json
+    import os
+    import time
+
+    import moonshot_spark.datapipe.ann_index as ann
+    from moonshot_spark.datapipe.ann_index import _MarkerLease
+
+    marker = str(tmp_path / "ivf.__ivf_writer.lock.json")
+    c, m, d = _local_marker_callables(marker)
+    crashed = _MarkerLease(c, m, d, owner="crashed", timeout=0.5)
+    crashed.acquire()
+    # backdate past the stale horizon: the next writer takes over
+    old = time.time() - ann.MARKER_LEASE_STALE_FACTOR * 0.5 - 1.0
+    os.utime(marker, (old, old))
+    taker = _MarkerLease(c, m, d, owner="taker", timeout=0.5)
+    taker.POLL_SEC = 0.05
+    taker.acquire()
+    assert json.load(open(marker))["owner"] == "taker"
+    taker.release()
+
+
+def test_writer_lease_remote_uses_hadoop_marker(spark, tmp_path):
+    """With an active session, the remote branch goes through the real
+    Hadoop FileSystem callables.  Drive ``_hadoop_marker_lease`` against
+    the Hadoop *local* FS (same ``create(path, overwrite=false)`` API an
+    hdfs:// root would hit): held marker blocks a second writer, release
+    frees it."""
+    import os
+
+    import moonshot_spark.datapipe.ann_index as ann
+    from moonshot_spark.datapipe.ann_index import _hadoop_marker_lease
+
+    root = str(tmp_path / "ivf")
+    marker = root + ".__ivf_writer.lock.json"
+    lease = _hadoop_marker_lease(root, spark)
+    lease.acquire()
+    assert os.path.exists(marker)
+
+    rival = _hadoop_marker_lease(root, spark)
+    rival.timeout = 0.3
+    rival.POLL_SEC = 0.05
+    with pytest.raises(TimeoutError):
+        rival.acquire()
+    lease.release()
+    assert not os.path.exists(marker)
+    rival.acquire()
+    rival.release()
+
+
+def test_writer_lease_remote_scheme_warns_best_effort(spark, monkeypatch):
+    """A remote-scheme root with an active session WARNS (best-effort on
+    stores without atomic create) and acquires/releases the marker
+    through the Hadoop FS — verified by stubbing the FS factory with the
+    local-file callables so no object-store connector is needed."""
+    import moonshot_spark.datapipe.ann_index as ann
+
+    calls = {"acquired": 0, "released": 0}
+
+    class FakeLease:
+        def acquire(self):
+            calls["acquired"] += 1
+
+        def release(self):
+            calls["released"] += 1
+
+    monkeypatch.setattr(ann, "_hadoop_marker_lease",
+                        lambda path, spark: FakeLease())
+    with pytest.warns(RuntimeWarning, match="BEST-EFFORT"):
+        with ann._writer_lease("s3a://bucket/ivf") as lease:
+            assert lease == "s3a://bucket/ivf.__ivf_writer.lock.json"
+            assert calls == {"acquired": 1, "released": 0}
+    assert calls == {"acquired": 1, "released": 1}
