@@ -53,9 +53,13 @@ HEAVY_QUERIES: dict[str, tuple[str, bool]] = {
     "prepare_corpus": ("documents", False),
     "dedup_corpus_minhash": ("documents", False),
     "ppjoin_jaccard_pairs": ("documents", True),
+    "ppjoin_incremental_pairs": ("documents", True),
     "exact_substr_scrub": ("documents", False),
     "minhash_incremental_pairs": ("documents", False),
     "lsh_recall_report": ("documents", True),
+    # VERDICT r13 item 3: the worst real-denominator exec ratio needed
+    # its own scale evidence; linear output (bounded by train docs)
+    "decontaminate_overlap": ("documents", False),
     "item_cooccurrence": ("lineitem", False),
     "backtest_dma": ("events", False),
     "ann_cosine_topk": ("embeddings", False),
@@ -85,6 +89,13 @@ DEEP_100X = {
     "label_propagation_communities", "dedup_clusters",
     "cointegration_screen", "item_cooccurrence",
     "benchmark_returns_intraday",
+    # VERDICT r13 item 4: the output-bound similarity family previously
+    # stopped at 50x with no recorded justification; per-copy token
+    # perturbation keeps duplicate RATES constant, so emitted-pair mass
+    # grows linearly and the 100x octave is affordable
+    "ppjoin_jaccard_pairs", "ppjoin_incremental_pairs",
+    "minhash_incremental_pairs", "lsh_recall_report",
+    "decontaminate_overlap",
 }
 
 # families whose SKEW stress also runs the 100x octave (VERDICT r12
