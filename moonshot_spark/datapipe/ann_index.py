@@ -134,7 +134,17 @@ class _MarkerLease:
       False when the marker already exists;
     - ``mtime() -> float | None`` — marker modification time (epoch
       seconds), None when absent;
-    - ``delete() -> None`` — remove the marker (idempotent).
+    - ``delete() -> None`` — remove the marker (idempotent);
+    - ``read() -> bytes | None`` (optional) — marker content, None when
+      absent.  When provided, ``release()`` verifies ownership before
+      deleting (ADVICE r14: an unconditional delete after a stale
+      takeover would remove the USURPER's marker and admit a third
+      writer — the victim of a takeover must not cascade it);
+    - ``touch() -> None`` (optional) — bump the marker mtime.  When
+      provided, ``heartbeat()`` keeps a slow-but-alive writer's marker
+      fresh so the stale-takeover horizon measures crash age, not hold
+      time (ADVICE r14: the horizon is FACTOR x the *acquire* timeout,
+      which must not double as a max-hold bound).
 
     HONESTY NOTE: on HDFS ``create(overwrite=false)`` is atomic and
     this lease is sound; on S3-like stores without atomic
@@ -146,14 +156,36 @@ class _MarkerLease:
     POLL_SEC = 1.0
 
     def __init__(self, create_atomic, mtime, delete,
+                 read=None, touch=None,
                  owner: str | None = None,
                  timeout: float | None = None):
         import socket
         self._create = create_atomic
         self._mtime = mtime
         self._delete = delete
+        self._read = read
+        self._touch = touch
         self.owner = owner or f"{socket.gethostname()}:{os.getpid()}"
         self.timeout = WRITER_LEASE_TIMEOUT if timeout is None else timeout
+
+    def _held_by_other(self) -> str | None:
+        """Owner recorded in the marker when it is NOT us (None when the
+        marker is absent, unreadable, or ours).  Unreadable/unparseable
+        content is treated as ours-by-default only for pre-``read``
+        markers; a parseable foreign owner always wins."""
+        if self._read is None:
+            return None
+        try:
+            raw = self._read()
+        except Exception:
+            return None
+        if raw is None:
+            return None
+        try:
+            owner = json.loads(raw.decode("utf-8")).get("owner")
+        except Exception:
+            return None
+        return owner if (owner and owner != self.owner) else None
 
     def acquire(self) -> None:
         import time as _time
@@ -177,7 +209,29 @@ class _MarkerLease:
                     f"{None if ts is None else _time.time() - ts})")
             _time.sleep(min(self.POLL_SEC, self.timeout / 10 or 0.01))
 
+    def heartbeat(self) -> None:
+        """Refresh the held marker's mtime so a long build never looks
+        stale to rival writers.  No-op without a ``touch`` callable or
+        when the marker is no longer ours (stolen after a takeover —
+        touching it would keep the usurper's marker alive)."""
+        if self._touch is None or self._held_by_other() is not None:
+            return
+        try:
+            self._touch()
+        except Exception:
+            pass  # best-effort: a missed beat only risks early takeover
+
     def release(self) -> None:
+        other = self._held_by_other()
+        if other is not None:
+            import warnings
+            warnings.warn(
+                f"IVF writer marker lease released by {self.owner!r} but "
+                f"currently held by {other!r} (stale takeover occurred "
+                "mid-build) — leaving the marker in place; run "
+                "repair_retrains/compact_ivf_ingest to reconcile "
+                "overlapping writes", RuntimeWarning, stacklevel=2)
+            return
         self._delete()
 
 
@@ -212,7 +266,29 @@ def _hadoop_marker_lease(path: str, spark: SparkSession) -> _MarkerLease:
         except Exception:
             pass
 
-    return _MarkerLease(create_atomic, mtime, delete)
+    def read() -> bytes | None:
+        try:
+            stream = fs.open(hpath)
+        except Exception:
+            return None
+        try:
+            out = bytearray()
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                out.append(b)
+            return bytes(out)
+        finally:
+            stream.close()
+
+    def touch() -> None:
+        import time as _time
+        # mtime-only update; -1 leaves atime untouched
+        fs.setTimes(hpath, int(_time.time() * 1000), -1)
+
+    return _MarkerLease(create_atomic, mtime, delete, read=read,
+                        touch=touch)
 
 
 @contextlib.contextmanager
@@ -269,9 +345,25 @@ def _writer_lease(path: str):
             "serialization", RuntimeWarning, stacklevel=3)
         lease = _hadoop_marker_lease(path, spark)
         lease.acquire()
+        # Heartbeat while held: a build longer than the stale horizon
+        # (FACTOR x timeout) must not look crashed to rival writers
+        # (ADVICE r14).  Daemon thread, interval well inside the horizon.
+        import threading
+        stop_beat = threading.Event()
+        interval = max(MARKER_LEASE_STALE_FACTOR * lease.timeout / 4.0, 1.0)
+
+        def _beat():
+            while not stop_beat.wait(interval):
+                lease.heartbeat()
+
+        beater = threading.Thread(target=_beat, daemon=True,
+                                  name="ivf-lease-heartbeat")
+        beater.start()
         try:
             yield path.rstrip("/") + ".__ivf_writer.lock.json"
         finally:
+            stop_beat.set()
+            beater.join(timeout=1.0)
             lease.release()
         return
     from moonshot_spark.sources.cache import _FileLock

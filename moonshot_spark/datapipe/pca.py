@@ -50,6 +50,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+
+def sql_double(x: float) -> str:
+    """A double literal for SQL-string expression assembly.  ``repr``
+    round-trips every FINITE double exactly; non-finite values would
+    emit unparseable tokens ('nanD'/'infD' — ADVICE r14), so they take
+    the CAST-from-string spelling Spark and DuckDB both parse."""
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def sql_ident(name: str) -> str:
+    """Backtick-quote an identifier interpolated into an SQL string so
+    names with dots/spaces/keywords keep working exactly as the Column
+    API they replaced did (ADVICE r14)."""
+    return "`" + name.replace("`", "``") + "`"
+
 __all__ = ["power_iteration_top_component", "project_component", "PCAFit"]
 
 QUANT = 1_000_000_000.0  # nano-unit quantization, as datapipe/classifier.py
@@ -112,10 +132,9 @@ def power_iteration_top_component(emb: DataFrame, dim: int,
     # round-trip), so every quantized term — and therefore mu, w,
     # trace, eigval, v — is bit-identical.
     def _arr(vals):
-        return "array(" + ", ".join(repr(float(x)) + "D"
-                                    for x in vals) + ")"
+        return "array(" + ", ".join(sql_double(x) for x in vals) + ")"
 
-    QD = repr(QUANT) + "D"
+    QD = sql_double(QUANT)
 
     try:
         # pass 0: n + quantized per-dimension sums -> mean vector
@@ -224,10 +243,11 @@ def project_component(emb: DataFrame, fit: PCAFit,
     # cost ~0.4 s of driver time per construction; the parsed expression
     # is identical (0-based [] indexing == Column.getItem, left-assoc +
     # chain, exact-repr double literals) so pc1 is bit-unchanged.
-    QD = repr(QUANT) + "D"
+    QD = sql_double(QUANT)
+    vc = sql_ident(vec_col)
     terms = [
-        f"CAST(floor((CAST({vec_col}[{j}] AS DOUBLE) - "
-        f"{repr(float(mj))}D) * {repr(float(vj))}D * {QD}) AS BIGINT)"
+        f"CAST(floor((CAST({vc}[{j}] AS DOUBLE) - "
+        f"{sql_double(mj)}) * {sql_double(vj)} * {QD}) AS BIGINT)"
         for j, (mj, vj) in enumerate(zip(fit.mean, fit.component))]
     d_q = "(" + " + ".join(terms) + ")"
     return emb.select(F.col(id_col),

@@ -640,8 +640,8 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
     # r14).  The parsed tree is the identical Catalyst expression —
     # zip_with/aggregate/named_struct/least with double literals via
     # exact repr round-trip — so every ssd/code bit is unchanged.
-    def _d(x: float) -> str:
-        return repr(float(x)) + "D"
+    from moonshot_spark.datapipe.pca import sql_double as _d
+    from moonshot_spark.datapipe.pca import sql_ident
 
     sub_exprs = []
     for s in range(n_sub):
@@ -658,7 +658,8 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
                          f"'code', ({best}).code, "
                          f"'ssd', ({best}).ssd)")
     pq = "explode(array(" + ", ".join(sub_exprs) + ")) AS __pq"
-    vexpr = f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS __pqv"
+    vexpr = (f"transform({sql_ident(vec_col)}, "
+             "x -> CAST(x AS DOUBLE)) AS __pqv")
     return (emb.select(F.col(id_col), *[F.col(c) for c in carry],
                        F.expr(vexpr))
             .select(id_col, *carry, F.expr(pq))

@@ -30,10 +30,18 @@ def driver_java_options() -> str:
       the first timed windows.
     """
     user = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "").strip()
-    pinned = "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "16g")
-    if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1":
-        pinned += " -XX:+AlwaysPreTouch"
-    return f"{user} {pinned}".strip() if user else pinned
+    # A user-supplied -Xms (or explicit AlwaysPreTouch toggle) wins: the
+    # pin is appended AFTER the user options, and HotSpot takes the LAST
+    # occurrence, so appending ours would silently override theirs
+    # (ADVICE r14).  Skip the pin when the user already set one.
+    pinned = []
+    if "-Xms" not in user:
+        pinned.append("-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    if (os.environ.get("SPARK_GRAFT_PRETOUCH") == "1"
+            and "AlwaysPreTouch" not in user):
+        pinned.append("-XX:+AlwaysPreTouch")
+    joined = " ".join(pinned)
+    return f"{user} {joined}".strip() if user else joined
 
 
 def get_spark(app_name: str = "moonshot_spark", master: str | None = None,

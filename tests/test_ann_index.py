@@ -611,12 +611,14 @@ def test_writer_lease_remote_noop_warns_without_session(monkeypatch):
             assert lease is None
 
 
-def _local_marker_callables(marker_path):
+def _local_marker_callables(marker_path, with_read=False):
     """create/mtime/delete over a local file with create-if-absent
     semantics (O_EXCL) — a local fs simulating the object-store marker
     protocol, mirroring the Hadoop ``create(path, overwrite=false)``
-    contract."""
+    contract.  ``with_read=True`` adds the read/touch callables the
+    ownership-checked release and heartbeat use (ADVICE r14)."""
     import os
+    import time
 
     def create_atomic(content: bytes) -> bool:
         try:
@@ -642,7 +644,79 @@ def _local_marker_callables(marker_path):
         except FileNotFoundError:
             pass
 
-    return create_atomic, mtime, delete
+    if not with_read:
+        return create_atomic, mtime, delete
+
+    def read():
+        try:
+            with open(marker_path, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def touch():
+        now = time.time()
+        os.utime(marker_path, (now, now))
+
+    return create_atomic, mtime, delete, read, touch
+
+
+def test_marker_lease_release_respects_takeover(tmp_path):
+    """ADVICE r14 (medium): after a stale takeover, the ORIGINAL
+    (slow-but-alive) writer's release must NOT delete the usurper's
+    marker — an unconditional delete would admit a third writer and
+    cascade the mutual-exclusion violation."""
+    import json
+    import os
+    import time
+
+    import moonshot_spark.datapipe.ann_index as ann
+    from moonshot_spark.datapipe.ann_index import _MarkerLease
+
+    marker = str(tmp_path / "ivf.__ivf_writer.lock.json")
+    c, m, d, r, t = _local_marker_callables(marker, with_read=True)
+    victim = _MarkerLease(c, m, d, read=r, touch=t,
+                          owner="victim", timeout=0.5)
+    victim.acquire()
+    # stale takeover by a rival
+    old = time.time() - ann.MARKER_LEASE_STALE_FACTOR * 0.5 - 1.0
+    os.utime(marker, (old, old))
+    usurper = _MarkerLease(c, m, d, read=r, touch=t,
+                           owner="usurper", timeout=0.5)
+    usurper.POLL_SEC = 0.05
+    usurper.acquire()
+    # the victim's release must leave the usurper's marker intact
+    with pytest.warns(RuntimeWarning, match="stale takeover"):
+        victim.release()
+    assert json.load(open(marker))["owner"] == "usurper"
+    # and the victim's heartbeat must not refresh a stolen marker
+    stamp = os.stat(marker).st_mtime
+    os.utime(marker, (stamp - 5, stamp - 5))
+    victim.heartbeat()
+    assert os.stat(marker).st_mtime == pytest.approx(stamp - 5, abs=0.01)
+    usurper.release()
+    assert not os.path.exists(marker)
+
+
+def test_marker_lease_heartbeat_keeps_marker_fresh(tmp_path):
+    """ADVICE r14: a long-held lease heartbeats (mtime refresh) so the
+    stale horizon measures crash age, not hold time — a slow build is
+    never mistaken for a crashed writer."""
+    import os
+    import time
+
+    from moonshot_spark.datapipe.ann_index import _MarkerLease
+
+    marker = str(tmp_path / "ivf.__ivf_writer.lock.json")
+    c, m, d, r, t = _local_marker_callables(marker, with_read=True)
+    holder = _MarkerLease(c, m, d, read=r, touch=t,
+                          owner="holder", timeout=0.5)
+    holder.acquire()
+    old = time.time() - 100.0
+    os.utime(marker, (old, old))
+    holder.heartbeat()
+    assert time.time() - os.stat(marker).st_mtime < 5.0
+    holder.release()
 
 
 def test_marker_lease_lifecycle(tmp_path):
@@ -737,8 +811,13 @@ def test_writer_lease_remote_scheme_warns_best_effort(spark, monkeypatch):
     calls = {"acquired": 0, "released": 0}
 
     class FakeLease:
+        timeout = 0.5   # the heartbeat wiring reads lease.timeout
+
         def acquire(self):
             calls["acquired"] += 1
+
+        def heartbeat(self):
+            pass
 
         def release(self):
             calls["released"] += 1

@@ -102,3 +102,47 @@ def test_project_component_scores(spark):
     assert abs(float(vals.mean())) < 0.2
     assert float(vals.std()) == pytest.approx(
         fit.eigval ** 0.5, rel=0.05)
+
+
+def test_sql_literal_helpers(spark):
+    """ADVICE r14: SQL-string assembly must survive non-finite doubles
+    (repr would emit unparseable 'nanD'/'infD') and identifiers that
+    need quoting (dots/spaces/backticks) — both parse and evaluate to
+    the same values the Column API produced."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from moonshot_spark.datapipe.pca import sql_double, sql_ident
+
+    row = spark.range(1).select(
+        F.expr(sql_double(float("nan"))).alias("nan_v"),
+        F.expr(sql_double(float("inf"))).alias("pinf"),
+        F.expr(sql_double(float("-inf"))).alias("ninf"),
+        F.expr(sql_double(0.1)).alias("tenth"),
+        F.expr(sql_double(-2.5e-17)).alias("tiny"),
+    ).collect()[0]
+    assert math.isnan(row["nan_v"])
+    assert row["pinf"] == float("inf") and row["ninf"] == float("-inf")
+    assert row["tenth"] == 0.1 and row["tiny"] == -2.5e-17
+
+    # identifier quoting: a column name with a dot parses once quoted
+    df = spark.range(3).select(F.array(F.col("id").cast("double"))
+                               .alias("weird.name"))
+    got = df.select(F.expr(f"{sql_ident('weird.name')}[0]")
+                    .alias("v")).collect()
+    assert [r["v"] for r in got] == [0.0, 1.0, 2.0]
+
+
+def test_pq_encode_quoted_vec_col(spark):
+    """pq_encode works with a vec_col needing backtick quoting
+    (ADVICE r14: raw interpolation broke names the Column API accepted)."""
+    from moonshot_spark.datapipe.similarity import pq_encode
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0, 3.0])], ["vec_id", "emb.v"])
+    out = pq_encode(df, codebooks=[[[0.0, 1.0], [9.0, 9.0]],
+                                   [[2.0, 3.0], [9.0, 9.0]]],
+                    n_sub=2, sub_dim=2, vec_col="emb.v").collect()
+    assert sorted((r["subspace"], r["code"], r["ssd"]) for r in out) == \
+        [(0, 0, 0.0), (1, 0, 0.0)]

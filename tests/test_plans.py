@@ -165,3 +165,13 @@ def test_session_pins_initial_heap(spark, monkeypatch):
     # pre-touch rides the env knob
     monkeypatch.setenv("SPARK_GRAFT_PRETOUCH", "1")
     assert "-XX:+AlwaysPreTouch" in driver_java_options()
+
+    # ADVICE r14: a user-specified -Xms must WIN (HotSpot takes the last
+    # occurrence, so the pin must not be appended after it) — same for
+    # an explicit AlwaysPreTouch toggle
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                       "-Xms2g -XX:-AlwaysPreTouch")
+    combined = driver_java_options()
+    assert "-Xms2g" in combined
+    assert "-Xms8g" not in combined
+    assert "-XX:+AlwaysPreTouch" not in combined
