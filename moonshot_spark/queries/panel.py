@@ -481,19 +481,34 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle by sid; the frame list is materialized per row (bounded
     at 10 elements) and reduced JVM-side, no Python."""
     panel = events_to_panel(spark, sf_dir)
-    w = (Window.partitionBy("sid").orderBy("date").rowsBetween(-9, 0))
-    arr = F.transform(
-        F.array_sort(F.collect_list(F.struct("date", "close")).over(w)),
-        lambda s: s["close"])
-    m = F.size(arr)
-    weighted = F.transform(
-        arr, lambda x, i: x / F.call_function(
-            "shiftleft", F.lit(1), m - 1 - i).cast("double"))
-    wsum = F.transform(
-        arr, lambda x, i: F.lit(1.0) / F.call_function(
-            "shiftleft", F.lit(1), m - 1 - i).cast("double"))
-    num = F.aggregate(weighted, F.lit(0.0), lambda a, b: a + b)
-    den = F.aggregate(wsum, F.lit(0.0), lambda a, b: a + b)
+    # r15 (guide §1.2 per-task work): the frame element at distance d
+    # from the current row always carries weight 2^-d (the old form's
+    # m-1-i IS that distance), so the collect_list(struct)/array_sort/
+    # transform x2/aggregate x2 per-row array machinery — all
+    # interpreted higher-order functions, a fresh 10-struct array per
+    # row — collapses to 10 lag() terms on ONE shared window spec (one
+    # WindowExec, one sort, identical single exchange on sid) plus
+    # codegen'd arithmetic.  Bit-identity: the old fold added terms
+    # oldest-first starting from 0.0; this chain adds d=9..0 in that
+    # same order, and a frame shorter than 10 contributes literal 0.0
+    # terms, which IEEE addition leaves exact (x + 0.0 == x; the
+    # accumulator starts at +0.0 so no -0.0 case arises).  A null close
+    # inside the frame nulls num exactly as a null array element nulled
+    # the old aggregate; den counts every EXISTING row (rn > d)
+    # regardless of null close, as size(arr) did.  Weights 2^-d and
+    # 1.0/2^d are exact powers of two in either engine.
+    w = Window.partitionBy("sid").orderBy("date")
+    rn = F.row_number().over(w)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for dist in range(9, -1, -1):
+        scale = float(1 << dist)
+        exists = rn > F.lit(dist)
+        num = num + F.when(
+            exists, F.lag("close", dist).over(w) / F.lit(scale)
+        ).otherwise(F.lit(0.0))
+        den = den + F.when(exists, F.lit(1.0 / scale)) \
+            .otherwise(F.lit(0.0))
     return panel.select("sid", "date", "close",
                         (num / den).alias("ewma"))
 

@@ -21,7 +21,7 @@ def main(argv):
     from moonshot_spark.session import get_spark
 
     spark = get_spark("dump_plans")
-    out_dir = os.path.join(HERE, "plans", "r14")
+    out_dir = os.path.join(HERE, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = QUERIES[name](spark, sf_dir)
