@@ -76,58 +76,69 @@ def zorder_bucket_stats(df: DataFrame, col_a: str, col_b: str,
     window (an un-partitioned ``Window.orderBy`` funnels the whole table
     through one task and dies at 100 TB):
 
-    1. ``repartitionByRange(n_buckets, z, *tiebreak)`` — the one total-
-       order shuffle, sample-based range cuts, fully parallel.
-    2. ``localCheckpoint`` pins the partitioning: the range partitioner's
-       reservoir sample is seeded per-RDD-instance, so the per-partition
-       count job and the stats job must read the SAME materialized
-       partitions or their offsets would disagree.
-    3. A tiny per-partition count job (``n_buckets`` rows to the driver)
-       gives cumulative offsets; global rank = offset[pid] + local
-       row_number (a PARTITIONED window — each task ranks its own sorted
-       range).  The (z, tiebreak) tuple is unique, so ranks are exact.
-    4. ``ntile`` arithmetic on the global rank: the first ``N % k``
+    1. Rows are binned by FIXED z-value ranges (``__z >> shift``, 64
+       bins over the 2^(2*bits) z-space) — a deterministic, monotone
+       function of the row, so the count job and the stats job agree on
+       bin membership BY CONSTRUCTION.  (r15: this replaces
+       ``repartitionByRange + localCheckpoint`` — the checkpoint existed
+       only to pin the range partitioner's per-RDD-instance sample, and
+       its materialization plus the hidden sampling pass were ~60% of
+       the operator's cost; guide §2.4/§5.  The bin count exceeds the
+       bucket count so moderate z-skew still spreads; a pathological
+       single-z-value distribution degrades parallelism, not
+       correctness — the same row mass would land in one ntile sort
+       task under any exact-rank scheme.)
+    2. A tiny per-bin count job (<= 64 rows to the driver, map-side
+       partial aggregation, no wide shuffle) gives cumulative offsets;
+       global rank = offset[bin] + local row_number (a PARTITIONED
+       window — each task ranks its own bin).  The (z, tiebreak) tuple
+       is unique and binning is monotone in z, so ranks are exact.
+    3. ``ntile`` arithmetic on the global rank: the first ``N % k``
        buckets get ``ceil(N/k)`` rows, the rest ``floor(N/k)`` — bit-
        identical to the SQL ``ntile(k) OVER (ORDER BY ...)`` oracle.
 
     For a layout *write* (no exact-equal-files contract) use
-    ``zorder_write`` / ``zorder_partition_stats`` — pure streaming, no
-    checkpoint, sampled cuts are fine for file sizing.
+    ``zorder_write`` / ``zorder_partition_stats`` — pure streaming,
+    sampled cuts are fine for file sizing.
     """
     keys = ["__z"] + list(tiebreak or [])
     a_in = _check_bits_guard(F.col(col_a).cast("bigint"), bits, col_a) \
         if check_bits else F.col(col_a)
     b_in = _check_bits_guard(F.col(col_b).cast("bigint"), bits, col_b) \
         if check_bits else F.col(col_b)
+    # 64 fixed bins over the z-space; shift so bin = high-order z bits
+    shift = max(2 * bits - 6, 0)
     zdf = (df
            .withColumn("__z", z_value_expr(a_in, b_in, bits))
            .select("__z", col_a, col_b, *(tiebreak or []))
-           .repartitionByRange(n_buckets, *[F.col(k) for k in keys])
-           .localCheckpoint()
-           .withColumn("__pid", F.spark_partition_id()))
-    counts = sorted((r["__pid"], r["cnt"]) for r in
-                    zdf.groupBy("__pid").agg(F.count("*").alias("cnt"))
+           .withColumn("__bin", F.shiftright(F.col("__z"), shift)))
+    counts = sorted((r["__bin"], r["cnt"]) for r in
+                    zdf.groupBy("__bin").agg(F.count("*").alias("cnt"))
                     .collect())
     total = sum(c for _, c in counts)
     offsets, acc = {}, 0
-    for pid, c in counts:
-        offsets[pid] = acc
+    for b, c in counts:
+        offsets[b] = acc
         acc += c
     q, rem = divmod(total, n_buckets)
-    off_col = F.coalesce(
-        *[F.when(F.col("__pid") == pid, F.lit(off))
-          for pid, off in offsets.items()], F.lit(0)) \
-        if offsets else F.lit(0)
+    # literal bin->offset map, parsed once in the JVM (the pq/pca
+    # SQL-string discipline: 64 WHEN branches through the Column API
+    # would be ~200 Py4J round trips)
+    if offsets:
+        entries = ", ".join(f"{b}L, {off}L" for b, off in offsets.items())
+        off_col = F.expr(f"element_at(map({entries}), __bin)")
+    else:
+        off_col = F.lit(0)
     rank = (off_col
             + F.row_number().over(
-                Window.partitionBy("__pid").orderBy(*keys))).alias("__r")
+                Window.partitionBy("__bin").orderBy(*keys))).alias("__r")
     cut = rem * (q + 1)
     bucket = F.when(F.col("__r") <= F.lit(cut),
                     (F.col("__r") - 1) / F.lit(max(q + 1, 1)) + 1) \
         .otherwise(F.lit(rem) + (F.col("__r") - 1 - F.lit(cut))
                    / F.lit(max(q, 1)) + 1)
     return (zdf
-            .select("__pid", rank, col_a, col_b, *keys)
+            .select("__bin", rank, col_a, col_b, *keys)
             .withColumn("__bucket", F.floor(bucket).cast("int"))
             .groupBy(F.col("__bucket").alias("bucket"))
             .agg(F.min(col_a).alias(f"min_{col_a}"),
