@@ -938,7 +938,17 @@ def price_path_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact all-pairs, the LSH/IVF ANN operators in datapipe/similarity.py
     are the escape hatch; this exact kernel doubles as their recall
     oracle."""
-    panel = events_to_panel(spark, sf_dir)
+    # r15 (guide §2.4 — don't recompute shared subtrees): the static
+    # plan referenced the panel/z/vec subtrees from 2+ consumers each
+    # (dates + z off panel; sids + zfull off z; both block-join sides
+    # off vec), compounding to 12 parquet scans, 32 Exchanges and 14
+    # Windows of the SAME tiny frames per execution.  Within-plan
+    # persists of the three kilobyte-scale intermediates collapse that
+    # to one computation each (plan: 12 scans -> 1 source scan + 3
+    # InMemoryTableScans); values are unchanged (persist is
+    # materialization, not semantics; oracle green both SFs).  Solo
+    # noop-sink A/B same-session: min 7.3 -> 4.8 s.
+    panel = events_to_panel(spark, sf_dir).persist()
     ws = Window.partitionBy("sid")
     c_dec = F.col("close").cast("decimal(18,2)")
     s1 = F.sum(c_dec).over(ws).cast("double")
@@ -948,7 +958,7 @@ def price_path_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid", "date",
         ((F.col("close") - s1 / n)
          / F.sqrt((s2 - s1 * s1 / n) / (n - 1))).alias("zc")) \
-        .where(F.col("zc").isNotNull() & ~F.isnan("zc"))
+        .where(F.col("zc").isNotNull() & ~F.isnan("zc")).persist()
     # vectorize: one date-aligned z array per sid (null where the sid
     # has no observation), so each candidate pair costs ONE row and a
     # bounded in-array fold — the join-per-(pair, date) formulation
@@ -963,7 +973,7 @@ def price_path_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = (zfull.groupBy("sid")
            .agg(F.transform(
                F.array_sort(F.collect_list(F.struct("date", "zc"))),
-               lambda s: s["zc"]).alias("arr")))
+               lambda s: s["zc"]).alias("arr")).persist())
     from moonshot_spark.datapipe.similarity import pairwise_ssd_topk
 
     return pairwise_ssd_topk(vec, id_col="sid", arr_col="arr", k=5)
@@ -2358,7 +2368,16 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hardcoded 32 — ADVICE r11) -> lag window -> groupBy on the same
     key (exchange reused, zero extra shuffle) -> per-pair column math.
     No checkpoint, no second pass, no collect, no UDF."""
-    panel = events_to_panel(spark, sf_dir).select("sid", "date", "close")
+    # r15 (guide §2.4): the panel rollup fed BOTH the price-level
+    # blocking aggregate (lvl) and the pair frame (pa) as separate
+    # subtrees — two full events scans + two panel aggregations per
+    # execution.  A within-plan persist of the kilobyte-scale daily
+    # panel computes it once; values unchanged (oracle green both SFs).
+    # Measured effect at sf0.1 is within box noise (the pair join +
+    # window dominate); the win is one fewer corpus-scale scan+agg at
+    # any scale.
+    panel = (events_to_panel(spark, sf_dir)
+             .select("sid", "date", "close").persist())
     dec = lambda c: F.col(c).cast("decimal(18,2)")
 
     lvl = (panel.groupBy("sid")
