@@ -553,24 +553,30 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.6,
     # The sorted-set frame feeds FOUR consumers (two candidate-join
     # sides + two verification sides).  Because the input is already
     # hash-partitioned by id (the widen repartition), the groupBy needs
-    # NO exchange — which meant there was no shuffle boundary for AQE
-    # to reuse, and the whole shingle+freq-join+collect+sort stage
+    # NO exchange, so the whole shingle+freq-join+collect+sort stage
     # re-executed once PER CONSUMER (r14 stage profile: 4 identical
     # 32-task stages, ~42 s of executor time for ~12 s of unique work).
-    # The explicit repartition below inserts that boundary: all four
-    # consumers hang off ONE identical exchange, which AQE computes
-    # once and wires to the rest as ReusedExchange — one extra (tiny:
-    # id + sorted-token array) shuffle buys three avoided recomputes.
-    # An eager localCheckpoint was the r9 alternative and measured
-    # slower (serializing to block storage, no lineage; PERF.md r9);
-    # the exchange stays inside the plan and scales with the cluster.
+    # r14 tried a trailing repartition(id) as an AQE-reusable shuffle
+    # boundary — but the r15 runtime (AQE final) plans show
+    # EnsureRequirements ELIDES a user repartition under the broadcast
+    # joins these consumers actually plan into at sf0.1 AND x10
+    # (plans/r15/ppjoin_jaccard_pairs_runtime_*: partial_collect_list
+    # appears once per branch, no ReusedExchange over the aggregate),
+    # so the claimed reuse never materialized; the real r14 win was the
+    # scan dedup (the widened source exchange IS reused 3x, op 4 in
+    # those plans).  A within-plan persist computes the aggregate ONCE
+    # and serves every consumer (incl. broadcast builds) from cached
+    # blocks — guide §2.4/§5; x10 A/B: 12.05 -> 8.92 s min-of-3, sf0.1
+    # flat-to-equal, outputs identical.  (The r9 alternative, an eager
+    # localCheckpoint, measured slower: serialize-to-blocks + severed
+    # lineage; persist stays lazy and columnar.)
     sorted_sets = (tok.join(freq, "token")
                    .groupBy(id_col)
                    .agg(F.transform(
                        F.array_sort(F.collect_list(
                            F.struct("__f", "token"))),
                        lambda s: s["token"]).alias("__ts"))
-                   .repartition(F.col(id_col)))
+                   .persist())
     sz = F.size("__ts")
     prefix_len = sz - F.ceil(sz * F.lit(threshold)) + 1
     prefix = (sorted_sets

@@ -155,9 +155,12 @@ def connected_components_star(edges: DataFrame, src: str = "src",
     converged = False
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # converged when the edge set is stable (symmetric difference 0)
-        diff = (e2.exceptAll(e).limit(1).count()
-                + e.exceptAll(e2).limit(1).count())
+        # converged when the edge set is stable (symmetric difference 0);
+        # both directions probed in ONE action (r15: two .count() jobs
+        # per round halved to one — each job carries the fixed
+        # scheduling floor, guide §1.2)
+        diff = (e2.exceptAll(e).limit(1)
+                .unionAll(e.exceptAll(e2).limit(1)).count())
         e = e2
         if diff == 0:
             converged = True

@@ -182,18 +182,20 @@ def _frozen_sorted_sets(docs: DataFrame, frozen_freq: DataFrame,
            .where(F.col(id_col).isNotNull())
            .select(F.col(id_col), F.explode("__shingles").alias("token")))
     j = tok.join(frozen_freq, "token", "left")
-    # trailing repartition = an AQE-reusable shuffle boundary: the
-    # sorted-set frame feeds the prefix join AND both verification
-    # sides, and without an exchange above the (id-partitioned, hence
-    # exchange-free) groupBy the whole shingle+join+collect+sort stage
-    # re-executes once per consumer (same fix + stage-profile evidence
-    # as dedup.prefix_filter_jaccard_pairs, r14)
+    # within-plan persist: the sorted-set frame feeds the prefix join
+    # AND both verification sides, and without it the whole
+    # shingle+join+collect+sort stage re-executes once per consumer.
+    # r14's trailing repartition(id) boundary is gone — the r15 runtime
+    # plans proved EnsureRequirements elides it under the broadcast
+    # joins the consumers plan into, so the aggregate still re-ran per
+    # branch; persist computes it once (same evidence + A/B as
+    # dedup.prefix_filter_jaccard_pairs, r15).
     return (j.groupBy(id_col)
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct(
                     F.coalesce("__f", F.lit(0)).alias("__f"), "token"))),
                 lambda s: s["token"]).alias("__ts"))
-            .repartition(F.col(id_col)))
+            .persist())
 
 
 def ppjoin_index(docs: DataFrame, text_col: str = "text",

@@ -2143,7 +2143,12 @@ def portfolio_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of OOMing if pointed at an unbounded universe
     folded_sid = fold_sum_exact(
         "sid", F.coalesce(F.col("r"), F.lit(0.0)), label="portfolio_var_es")
-    port = rets.groupBy("date").agg(folded_sid.alias("pr"))
+    # r15 (guide §2.4): var5/tail/n_days each referenced `port` as a
+    # separate subtree, re-running the whole DMA backtest (40 Windows,
+    # 54 Exchanges in the static plan) three times per execution;
+    # persisting the one-row-per-date portfolio series computes the
+    # backtest once.  Values unchanged.
+    port = rets.groupBy("date").agg(folded_sid.alias("pr")).persist()
     var5 = port.agg(
         F.expr("percentile(pr, 0.05)").alias("var_5pct"))
     tail = (port.crossJoin(F.broadcast(var5))

@@ -2972,15 +2972,19 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id",
                        F.coalesce("cluster_id", "doc_id")
                        .alias("cluster_id"), "n_chars"))
-    wc = Window.partitionBy("cluster_id")
-    wo = (wc.orderBy(F.col("n_chars").desc(), "doc_id")
+    # ONE window spec for the election and the size (r15): count(*)
+    # over the full ordered frame equals the partition count, so the
+    # unordered second WindowExec pass is gone — one exchange, one
+    # sort, one window pass (guide §2.4).
+    wo = (Window.partitionBy("cluster_id")
+          .orderBy(F.col("n_chars").desc(), "doc_id")
           .rowsBetween(Window.unboundedPreceding,
                        Window.unboundedFollowing))
     canonical = F.first("doc_id").over(wo)
     return labeled.select(
         "doc_id", "cluster_id", canonical.alias("canonical_id"),
         (F.col("doc_id") == canonical).alias("is_canonical"),
-        F.count("*").over(wc).cast("bigint").alias("cluster_size"))
+        F.count("*").over(wo).cast("bigint").alias("cluster_size"))
 
 
 # --------------------------------------------------------------------- #

@@ -671,7 +671,13 @@ def continuous_contract_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     two date-range scans of the same panel lineage — no window over the
     combined series, so the operator is one shuffle regardless of how
     many rolls a real chain has."""
-    panel = events_to_panel(spark, sf_dir)
+    # r15 (guide §2.4): the leg frames feed overlap/median/roll/factor/
+    # front/back as separate subtree references, compounding to 28
+    # parquet scans + 60 Exchanges of the same tick rollup per
+    # execution (plans/r15/continuous_contract_stitch_*).  Persisting
+    # the panel and the 1-row factor collapses that to one panel
+    # computation; values unchanged.
+    panel = events_to_panel(spark, sf_dir).persist()
     a = panel.where(F.col("sid") == "3").select(
         "date", F.col("close").alias("ca"))
     b = panel.where(F.col("sid") == "7").select(
@@ -684,7 +690,8 @@ def continuous_contract_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("date").alias("roll_date")))
     factor = (roll.join(a, roll.roll_date == a.date)
               .join(b, roll.roll_date == b.date)
-              .select("roll_date", (F.col("ca") / F.col("cb")).alias("adj")))
+              .select("roll_date", (F.col("ca") / F.col("cb")).alias("adj"))
+              .persist())
     front = (a.crossJoin(F.broadcast(factor))
              .where(F.col("date") < F.col("roll_date"))
              .select("date", F.col("ca").alias("raw_close"),
