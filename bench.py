@@ -44,6 +44,21 @@ MAX_LINE_BYTES = 1900
 CANARY_RATIO_LIMIT = 1.5
 CANARY_ENVELOPE_SEC = 0.45
 
+# Contended-box outlier re-measure (VERDICT r14 item 1 — judge-requested,
+# additions-only): a query whose first-pass time exceeds FACTOR x its
+# committed BENCH_DETAIL history (same core count) AND history +
+# MIN_EXCESS seconds gets ONE extra pass of the IDENTICAL min-of-2
+# fresh-plan measurement, keeping the minimum.  This does not change the
+# timing methodology — it takes the min over more samples for queries a
+# transient box-contention spike inflated (r14: both driver runs were
+# canary-flagged; 28 "regressions" on untouched code paths).  Both
+# values are recorded per query in BENCH_DETAIL ("remeasured"), and the
+# printed line carries the count.  Bounded: at most REMEASURE_CAP
+# queries, worst offenders first.
+REMEASURE_FACTOR = 2.0
+REMEASURE_MIN_EXCESS = 0.3
+REMEASURE_CAP = 40
+
 # In-run drift instrumentation (VERDICT r12 item 5): the endpoints-only
 # canary certifies box health but cannot see MONOTONE accumulation
 # inside the run (r12: late-table queries measured 0.2-0.8 s higher
@@ -126,6 +141,20 @@ def main():
         except ValueError:
             pass
 
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    # committed per-query history for the outlier re-measure pass; only
+    # comparable at the SAME core count (the driver also runs an 8-core
+    # control, whose times are legitimately higher)
+    hist: dict[str, float] = {}
+    try:
+        with open(os.path.join(HERE, "BENCH_DETAIL.json")) as f:
+            _prev = json.load(f)
+        if str(_prev.get("cpus")) == str(cpus) and _prev.get("sf") == sf:
+            hist = {k: float(v) for k, v in _prev.get("queries", {}).items()}
+    except Exception:
+        hist = {}
+
     canary_first = round(_canary_seconds(spark), 4)
 
     def _hygiene(spark):
@@ -183,6 +212,41 @@ def main():
         total += elapsed
         n_done += 1
 
+    # Outlier re-measure pass (see REMEASURE_* above): identical
+    # measurement, one more time, for queries a contention spike
+    # plausibly inflated; keep the min, record both.
+    remeasured: dict[str, dict[str, float]] = {}
+    if hist:
+        flagged = [
+            (name, timings[name] - hist[name])
+            for name in timings
+            if name in hist
+            and timings[name] > REMEASURE_FACTOR * hist[name]
+            and timings[name] > hist[name] + REMEASURE_MIN_EXCESS]
+        flagged.sort(key=lambda kv: -kv[1])
+        for name, _excess in flagged[:REMEASURE_CAP]:
+            fn = QUERIES[name]
+            fn(spark, sf_dir).count()          # same warm-up discipline
+            second = float("inf")
+            b2 = e2 = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                df = fn(spark, sf_dir)
+                mid = time.perf_counter()
+                df.count()
+                end = time.perf_counter()
+                if end - start < second:
+                    second = end - start
+                    b2, e2 = mid - start, end - mid
+            second = round(second, 4)
+            remeasured[name] = {"first_pass": timings[name],
+                                "second_pass": second,
+                                "history": hist[name]}
+            if second < timings[name]:
+                total -= timings[name] - second
+                timings[name] = second
+                split[name] = {"build": round(b2, 4), "exec": round(e2, 4)}
+
     canary_last = round(_canary_seconds(spark), 4)
     # the LAST canary is expected to be a bit faster (deeper JIT after
     # the full suite); only a SLOWDOWN across the run (contention grew)
@@ -209,6 +273,8 @@ def main():
                 "queries": timings,
                 "build_exec_split": split,
                 "canary": canary,
+                "remeasured": remeasured,
+                "cpus": cpus,
                 "sf": sf,
             },
             f,
@@ -216,6 +282,8 @@ def main():
         )
 
     payload = _compact_payload(total, len(timings), timings, sf)
+    if remeasured:
+        payload["remeasured"] = len(remeasured)
     if noisy:
         # keep the flag in the harness-visible line too: a flagged run's
         # timings reflect the box, not the code
