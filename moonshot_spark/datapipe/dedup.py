@@ -364,9 +364,13 @@ def dedup_corpus(docs: DataFrame, method: str = "exact",
                    .agg(F.min(id_col).alias("__keep"),
                         F.count("*").alias("__n"))
                    .where(F.col("__n") > 1))
+            # persisted (r15): referenced by the reps anti-join AND the
+            # final removable union — two separate md5-groupBy subtree
+            # executions otherwise (guide §2.4); id-list-sized frame
             exact_removable = (keyed.join(grp, "__raw_fp")
                                .where(F.col(id_col) != F.col("__keep"))
-                               .select(F.col(id_col)))
+                               .select(F.col(id_col))
+                               .persist())
             reps = docs.join(exact_removable, id_col, "left_anti")
         # ONE shingle pass shared by signature building and verification
         # (persisted: tiny vs the corpus at bench scale; at 100 TB switch

@@ -104,7 +104,12 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # Spark-written table (directory of part files + _SUCCESS):
+            # glob the parts for DuckDB; Spark reads the dir natively.
+            pattern = os.path.join(path, "*.parquet")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+        elif os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     queries = entry_mod.queries()
