@@ -312,7 +312,8 @@ def pairwise_cosine_in_cells(corpus: DataFrame, cell_col: str = "label",
 def ivf_topk(corpus: DataFrame, queries: DataFrame,
              centroids: list[list[float]], nprobe: int = 4, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id",
+             assigned_corpus: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell; each query probes its ``nprobe`` best cells and ranks only those
     candidates.
@@ -324,8 +325,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame,
     ``nprobe == len(centroids)`` the candidate set is the full corpus and
     the result equals brute_force_topk exactly (same tie-break), which is
     the structural correctness contract.
+
+    ``assigned_corpus``: optionally a pre-computed ``corpus`` frame
+    already carrying the ``__cell`` assignment for these ``centroids``
+    (``ivf_assign_col``).  Callers probing the same corpus at several
+    ``nprobe`` settings (the ivf_topk_contract query) pass one persisted
+    assignment so the Arrow-batched coarse-quantizer pass over the
+    corpus runs once instead of once per probe — corpus assignment does
+    not depend on ``nprobe``, so results are identical by construction.
     """
-    c = corpus.withColumn("__cell", ivf_assign_col(vec_col, centroids))
+    c = (assigned_corpus if assigned_corpus is not None
+         else corpus.withColumn("__cell", ivf_assign_col(vec_col, centroids)))
     q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
          .withColumn("__cell", F.explode(
              ivf_probe_col("__qvec", centroids, nprobe))))

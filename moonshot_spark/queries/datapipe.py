@@ -1214,15 +1214,20 @@ def ivf_topk_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLlib KMeans (seeded); cell assignment is a literal-codebook
     projection with no shuffle."""
     from moonshot_spark.datapipe.similarity import (
-        brute_force_topk, ivf_topk, train_ivf_centroids)
+        brute_force_topk, ivf_assign_col, ivf_topk, train_ivf_centroids)
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = train_ivf_centroids(emb, n_cells=16)
     q = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
     brute = brute_force_topk(emb, q, k=5)
-    full = ivf_topk(emb, q, cents, nprobe=16, k=5)
-    part = ivf_topk(emb, q, cents, nprobe=2, k=5)
+    # cell assignment depends only on (corpus, centroids), not nprobe —
+    # compute the Arrow-batched coarse quantizer ONCE and share it
+    # between the full and partial probes (within-plan persist)
+    assigned = emb.withColumn(
+        "__cell", ivf_assign_col("embedding", cents)).persist()
+    full = ivf_topk(emb, q, cents, nprobe=16, k=5, assigned_corpus=assigned)
+    part = ivf_topk(emb, q, cents, nprobe=2, k=5, assigned_corpus=assigned)
 
     neighbors = (full.groupBy("query_id")
                  .agg(F.array_join(
