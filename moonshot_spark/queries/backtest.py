@@ -2110,8 +2110,23 @@ port AS (
            list_reduce(list(r ORDER BY sid), (a, b) -> a + b) AS pr
     FROM rets GROUP BY date
 ),
+pq AS (
+    SELECT list(pr ORDER BY pr) AS arr,
+           CAST(0.05 AS DOUBLE) * (count(*) - 1) AS pos5
+    FROM port
+),
 q AS (
-    SELECT quantile_cont(pr, 0.05) AS var5 FROM port
+    -- Spark percentile() interpolation, bit-exact (r15 10x-decade pin;
+    -- see the shipping_lead_time_quantiles oracle note)
+    SELECT CASE WHEN CAST(floor(pos5) AS BIGINT) = CAST(ceil(pos5) AS BIGINT)
+                  OR arr[CAST(floor(pos5) AS BIGINT) + 1]
+                     = arr[CAST(ceil(pos5) AS BIGINT) + 1]
+                THEN arr[CAST(floor(pos5) AS BIGINT) + 1]
+                ELSE (CAST(ceil(pos5) AS BIGINT) - pos5)
+                       * arr[CAST(floor(pos5) AS BIGINT) + 1]
+                   + (pos5 - CAST(floor(pos5) AS BIGINT))
+                       * arr[CAST(ceil(pos5) AS BIGINT) + 1] END AS var5
+    FROM pq
 )
 SELECT q.var5 AS var_5pct,
        (SELECT list_reduce(list(pr ORDER BY date), (a, b) -> a + b)

@@ -25,18 +25,26 @@ from moonshot_spark.session import shuffle_partitions
 
 @register("agg_lineitem_pricing", """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """)
+# oracle note (r15 10x-decade pin): DuckDB's DECIMAL->DOUBLE cast converts
+# the scaled int128 to double and THEN divides by 10^scale — two roundings,
+# 1 ulp off correctly-rounded once the scaled integer crosses 2^53 (seen at
+# the 10x-replicated sf0.1: sum_charge 27864155010.941590 cast to ...593
+# while Spark's BigDecimal.doubleValue rounds once to ...59).  Routing the
+# exact decimal sum through VARCHAR makes DuckDB's conversion correctly
+# rounded (fast_float) and bit-identical to Spark at EVERY scale; values at
+# the driver SFs are unchanged (both paths agree below 2^53).
 def agg_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all arithmetic in DECIMAL (inputs are 2-decimal money values):
     # products and sums are exact, so both engines produce identical doubles
@@ -477,10 +485,29 @@ def scalar_conditional_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- #
 
 @register("signal_winsorized", f"""
-WITH panel AS ({PANEL_SQL}), pct AS (
-    SELECT date, quantile_cont(close, 0.1) AS p10,
-           quantile_cont(close, 0.9) AS p90
+WITH panel AS ({PANEL_SQL}), pq AS (
+    SELECT date, list(close ORDER BY close) AS arr,
+           CAST(0.1 AS DOUBLE) * (count(*) - 1) AS pos10,
+           CAST(0.9 AS DOUBLE) * (count(*) - 1) AS pos90
     FROM panel GROUP BY date
+), pi AS (
+    SELECT date, arr, pos10, pos90,
+           CAST(floor(pos10) AS BIGINT) AS lo10,
+           CAST(ceil(pos10) AS BIGINT) AS hi10,
+           CAST(floor(pos90) AS BIGINT) AS lo90,
+           CAST(ceil(pos90) AS BIGINT) AS hi90
+    FROM pq
+), pct AS (
+    SELECT date,
+           CASE WHEN lo10 = hi10 OR arr[lo10 + 1] = arr[hi10 + 1]
+                THEN arr[lo10 + 1]
+                ELSE (hi10 - pos10) * arr[lo10 + 1]
+                   + (pos10 - lo10) * arr[hi10 + 1] END AS p10,
+           CASE WHEN lo90 = hi90 OR arr[lo90 + 1] = arr[hi90 + 1]
+                THEN arr[lo90 + 1]
+                ELSE (hi90 - pos90) * arr[lo90 + 1]
+                   + (pos90 - lo90) * arr[hi90 + 1] END AS p90
+    FROM pi
 )
 SELECT sid, p.date, close, p10, p90,
        least(greatest(close, p10), p90) AS winsorized,
@@ -488,6 +515,13 @@ SELECT sid, p.date, close, p10, p90,
            AS is_clipped
 FROM panel p JOIN pct USING (date)
 """)
+# oracle note (r15 10x-decade pin): quantile_cont interpolates
+# lo + frac*(hi-lo); Spark percentile() computes (hi-pos)*v_lo +
+# (pos-lo)*v_hi — same value mathematically, 1 ulp apart on some inputs
+# (seen at the 10x-replicated sf0.1: 5.44 vs 5.440000000000001, and the
+# clip propagates the ulp into winsorized).  The oracle now computes
+# Spark's exact formula over the sorted per-date list, so both engines
+# are bit-identical at every scale; driver-SF values unchanged.
 def signal_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-sectional winsorization: clip each day's closes at that
     day's exact [p10, p90] — the standard outlier guard before ranking/
@@ -2534,13 +2568,39 @@ WITH lt AS (
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= o.o_orderdate
 )
+, pq AS (
+    SELECT o_orderpriority, list(lead_days ORDER BY lead_days) AS arr,
+           count(*) AS n,
+           CAST(0.5 AS DOUBLE) * (count(*) - 1) AS pos50,
+           CAST(0.9 AS DOUBLE) * (count(*) - 1) AS pos90
+    FROM lt GROUP BY o_orderpriority
+), pi AS (
+    SELECT o_orderpriority, arr, n, pos50, pos90,
+           CAST(floor(pos50) AS BIGINT) AS lo50,
+           CAST(ceil(pos50) AS BIGINT) AS hi50,
+           CAST(floor(pos90) AS BIGINT) AS lo90,
+           CAST(ceil(pos90) AS BIGINT) AS hi90
+    FROM pq
+)
 SELECT o_orderpriority,
-       CAST(count(*) AS BIGINT) AS n_lines,
-       median(lead_days) AS p50_days,
-       quantile_cont(lead_days, 0.9) AS p90_days,
-       CAST(max(lead_days) AS BIGINT) AS max_days
-FROM lt GROUP BY o_orderpriority
+       CAST(n AS BIGINT) AS n_lines,
+       CASE WHEN lo50 = hi50 OR arr[lo50 + 1] = arr[hi50 + 1]
+            THEN CAST(arr[lo50 + 1] AS DOUBLE)
+            ELSE (hi50 - pos50) * arr[lo50 + 1]
+               + (pos50 - lo50) * arr[hi50 + 1] END AS p50_days,
+       CASE WHEN lo90 = hi90 OR arr[lo90 + 1] = arr[hi90 + 1]
+            THEN CAST(arr[lo90 + 1] AS DOUBLE)
+            ELSE (hi90 - pos90) * arr[lo90 + 1]
+               + (pos90 - lo90) * arr[hi90 + 1] END AS p90_days,
+       CAST(arr[n] AS BIGINT) AS max_days
+FROM pi
 """)
+# oracle note (r15 10x-decade pin): quantile_cont/median replaced by
+# Spark percentile()'s exact interpolation — (hi-pos)*v_lo+(pos-lo)*v_hi
+# with pos = p*(n-1) — so both engines are bit-identical at every scale
+# (the two formulas differ in association order and can drift 1 ulp on
+# replicated data; see signal_winsorized).  Values at driver SFs
+# unchanged (they already agreed there).
 def shipping_lead_time_quantiles(spark: SparkSession, sf_dir: str) \
         -> DataFrame:
     """Order-to-ship lead-time distribution per priority — the SLA
@@ -2863,21 +2923,21 @@ def inventory_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q1_pricing_summary", """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
            AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE)
            AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE)
            AS sum_charge,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
            / count(*) AS avg_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
            / count(*) AS avg_price,
-       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
            / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
@@ -2885,6 +2945,9 @@ WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """)
+# oracle note: VARCHAR-routed decimal->double casts — see the
+# agg_lineitem_pricing r15 pin (DuckDB double-rounds the direct cast
+# above 2^53; the string path is correctly rounded, matching Spark).
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: the canonical map-side-combinable scan→agg.  One
     exchange on a 6-value grouping key; every aggregate is a partial-agg

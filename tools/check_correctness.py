@@ -117,16 +117,35 @@ def main():
     names = only or list(queries)
     passed = failed = skipped = 0
     results = {}
+    errored = 0
     for name in names:
         fn = queries[name]
         sql = oracles.get(name)
-        spark_pdf = fn(spark, sf_dir).toPandas()
+        # a query (or its oracle) may raise on non-driver data — e.g. the
+        # z-order bit-budget guard fires, BY DESIGN, on 10x-replicated
+        # keys that exceed 2^16.  Record the error and keep sweeping so
+        # one loud guard doesn't hide every later query's verdict.
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            msg = str(exc).splitlines()[0][:300]
+            print(f"{name}: ERROR — {msg}")
+            results[name] = {"status": "error", "err": msg}
+            errored += 1
+            continue
         if sql is None:
             print(f"{name}: NO ORACLE (rows-only) — {len(spark_pdf)} rows")
             results[name] = {"status": "rows_only", "rows": len(spark_pdf)}
             skipped += 1
             continue
-        duck_pdf = con.execute(sql).df()
+        try:
+            duck_pdf = con.execute(sql).df()
+        except Exception as exc:
+            msg = str(exc).splitlines()[0][:300]
+            print(f"{name}: ORACLE ERROR — {msg}")
+            results[name] = {"status": "error", "err": "oracle: " + msg}
+            errored += 1
+            continue
         if compare(name, spark_pdf, duck_pdf):
             print(f"{name}: OK ({len(spark_pdf)} rows)")
             results[name] = {"status": "pass", "rows": len(spark_pdf)}
@@ -135,7 +154,9 @@ def main():
             print(f"{name}: FAILED")
             results[name] = {"status": "fail", "rows": len(spark_pdf)}
             failed += 1
-    print(f"\n{passed} passed, {failed} failed, {skipped} rows-only")
+    print(f"\n{passed} passed, {failed} failed, {skipped} rows-only, "
+          f"{errored} errored")
+    failed += errored
     # registry-completeness gate (r7 judge item 2): a FULL sweep must
     # cover every registered query — a sweep artifact that silently lags
     # the catalog is itself a failure
@@ -150,7 +171,7 @@ def main():
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "ts": time.time(),
                        "passed": passed, "failed": failed,
-                       "rows_only": skipped,
+                       "errored": errored, "rows_only": skipped,
                        "registry_complete": registry_complete,
                        "queries": results}, f, indent=1)
     sys.exit(1 if failed else 0)
