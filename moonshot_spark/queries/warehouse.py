@@ -1603,18 +1603,25 @@ def q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q14_promo_revenue", """
-SELECT CAST(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+SELECT CAST(100.0 AS DOUBLE)
+       * CAST(CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
                      * CAST(1 - l.l_discount AS DECIMAL(18,2))
-                ELSE CAST(0 AS DECIMAL(36,4)) END)
-       / sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-             * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                ELSE CAST(0 AS DECIMAL(36,4)) END) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
        AS promo_revenue_pct,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= DATE '1995-09-01'
   AND l.l_shipdate < DATE '1995-10-01'
 """)
+# oracle note (r15 10x-decade pin): Spark's lit(100.0) promotes the
+# numerator sum to DOUBLE before the multiply, while DuckDB kept
+# 100.0*sum exact in DECIMAL and only went to double at the divide —
+# a different rounding order, 1 ulp apart at 10x.  The oracle now
+# mirrors Spark exactly: decimal sums -> correctly-rounded double (via
+# VARCHAR, see agg_lineitem_pricing), then 100.0*a/b in double.
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: promotional revenue share for one ship month.  The part
     dim broadcasts; the shipdate range prunes at the parquet scan
