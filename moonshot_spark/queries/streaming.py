@@ -27,6 +27,30 @@ _STREAM_QUERY_SEQ = [0]
 _UNLOAD_WARNED = [False]
 
 
+def _stage_stream_source(path: str) -> str:
+    """Stage a parquet table behind a directory of symlinks for the file
+    stream source (which watches a directory of arriving files).
+
+    Driver testdata ships each table as a single ``<t>.parquet`` FILE;
+    replicated/Spark-written tables are DIRECTORIES of part files.  Link
+    whichever shape we got — one link per part file for a directory (the
+    10x correctness decade), one link for a plain file.  Same rows
+    either way, so driver-SF results are unchanged."""
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    src = os.path.abspath(path)
+    if os.path.isdir(src):
+        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        for i, f in enumerate(parts):
+            os.symlink(os.path.join(src, f),
+                       os.path.join(stage, f"part-{i}.parquet"))
+    else:
+        os.symlink(src, os.path.join(stage, "part-0.parquet"))
+    return stage
+
+
 def _unload_state_stores(spark: SparkSession) -> None:
     """Unload every loaded state-store provider and stop the maintenance
     task (it restarts lazily on the next streaming query start).
@@ -87,14 +111,10 @@ def streaming_ohlcv_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     production the source is Kafka and the trigger continuous; the plan
     is identical."""
     import os
-    import tempfile
 
     path = os.path.join(sf_dir, "events.parquet")
     sch = spark.read.parquet(path).schema       # ts: long ns OR timestamp[us]
-    # the file stream source watches a DIRECTORY of arriving files; stage
-    # the (possibly single-file) table behind a symlink dir
-    stage = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(os.path.abspath(path), os.path.join(stage, "part-0.parquet"))
+    stage = _stage_stream_source(path)
     stream = spark.readStream.schema(sch).parquet(stage)
     if sch["ts"].dataType.simpleString() != "bigint":
         # µs-timestamp schema: normalize to epoch-ns long so the rollup
@@ -177,8 +197,7 @@ def streaming_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(sf_dir, "events.parquet")
     sch = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix="stream_dbars_src_")
-    os.symlink(os.path.abspath(path), os.path.join(stage, "part-0.parquet"))
+    stage = _stage_stream_source(path)
     out_dir = tempfile.mkdtemp(prefix="stream_dbars_out_")
     ckpt = tempfile.mkdtemp(prefix="stream_dbars_ckpt_")
 

@@ -81,6 +81,11 @@ def get_spark(app_name: str = "moonshot_spark", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # default = Spark's own 1g; the 10x-replicated correctness sweep
+        # raises it (pair-output queries legitimately return ~100x the
+        # rows, and the dual-engine compare pulls the FULL result)
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "1g"))
         # Heap pin + optional pre-touch; user-supplied options preserved
         # (see driver_java_options for the full rationale)
         .config("spark.driver.extraJavaOptions", driver_java_options())
