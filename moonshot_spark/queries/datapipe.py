@@ -2412,21 +2412,40 @@ def part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per block instead of across the whole catalog (the blocking-key
     discipline of Fellegi-Sunter pipelines; at 100 TB the block key IS
     the shuffle key and no executor ever sees a cross-block pair).
-    Levenshtein is integer-valued — no float drift."""
+    Levenshtein is integer-valued — no float drift.
+
+    The distance runs THRESHOLDED (r15, guide §1.2 cheaper per-row
+    work): ``levenshtein(a, b, 3)`` computes the banded O(len*k) DP
+    with early exit and returns -1 past the threshold, vs the full
+    O(len^2) matrix per pair — same exact distance for every emitted
+    row (``>= 0`` ≡ ``<= 3``; the DuckDB oracle keeps the plain
+    two-arg form, results bit-identical).
+
+    The frame is hash-repartitioned BY THE BLOCK KEY before the
+    self-join (r15, guide §2.2/§2.5 stragglers): the pair comparison's
+    CPU cost scales with Σ block², not input bytes, so byte-based
+    adaptivity under-parallelizes it — at bench SF the one-file scan +
+    broadcast join ran the whole comparison in ONE task (the r14
+    8c/32c scaling ratio of 0.33 was real serialism, not box noise).
+    defaultParallelism spreads blocks across every core; block sizes
+    bound the per-task work (no block straddles tasks, no cross-block
+    pairs)."""
     part = load_table(spark, sf_dir, "part")
     p = part.select(
         "p_partkey", "p_brand", "p_name",
         F.split(F.col("p_name"), " ")[1].alias("blk"))
+    p = p.repartition(spark.sparkContext.defaultParallelism,
+                      "p_brand", "blk")
     a = p.select(F.col("p_brand"), F.col("blk"),
                  F.col("p_partkey").alias("key_a"),
                  F.col("p_name").alias("name_a"))
     b = p.select(F.col("p_brand"), F.col("blk"),
                  F.col("p_partkey").alias("key_b"),
                  F.col("p_name").alias("name_b"))
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 3)
     return (a.join(b, ["p_brand", "blk"])
             .where(F.col("key_a") < F.col("key_b"))
-            .where(dist <= 3)
+            .where(dist >= 0)
             .select("p_brand", "key_a", "key_b", "name_a", "name_b",
                     dist.cast("int").alias("edit_dist")))
 

@@ -1376,9 +1376,11 @@ deg AS (
 def _copurchase_edges(spark: SparkSession, sf_dir: str,
                       checkpoint: bool = False):
     """Symmetric support-2 co-purchase edge list + per-node degree
-    (shared by pagerank_copurchase / triangle_count).  Same double guard
-    as item_cooccurrence — window counts over one deduped lineage, not
-    groupBy+join-back — so lineitem is scanned once.
+    (shared by pagerank_copurchase / triangle_count /
+    label_propagation_communities).  The basket-size guard is a window
+    count over one deduped lineage, not groupBy+join-back, so lineitem
+    is scanned once; the item-frequency guard is subsumed by the pair
+    support filter (see the in-body proof).
 
     ``checkpoint=True`` eagerly localCheckpoints the EDGE list and
     derives the degree table FROM that checkpoint (then checkpoints the
@@ -1388,24 +1390,30 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str,
     1.5-1.8 s each at sf0.1, so ~1.6 s of pure recompute per graph
     query; the deg aggregate over the materialized edges is ~0.05 s)."""
     li = load_table(spark, sf_dir, "lineitem")
-    # ONE exchange serves both the dedup and the item-frequency window
-    # (r14, guide §2.4): hash partitioning on `item` alone satisfies the
-    # dedup aggregate's ClusteredDistribution([basket, item]) (subset
-    # key), so the explicit repartition feeds dropDuplicates AND the
-    # cnt window without a second full shuffle — the old
-    # distinct-on-(basket,item) exchange could serve neither window.
-    # Plan: Exchange(item) -> dedup -> Window(cnt) -> Exchange(basket)
-    # -> Window(bs) -> self-join (reuses basket partitioning): 2 full
-    # exchanges before the pair join instead of 3.  Skew exposure is
-    # unchanged — the cnt window already keyed a full exchange by item.
+    # ONE exchange keyed on `basket` serves the dedup, the basket-size
+    # window AND the self-join (r15, guide §2.4): hash partitioning on
+    # `basket` satisfies the dedup aggregate's ClusteredDistribution(
+    # [basket, item]) (subset key) and IS the pair-join key.  The item-
+    # frequency window (`cnt >= 2`, the graph definition's support
+    # prefilter) is NOT computed at all — it is provably redundant with
+    # the pair filter `n_ab >= 2` below: a pair co-occurring in >= 2
+    # baskets forces BOTH endpoints into >= 2 baskets, and `freq`
+    # membership is a global item property (all of a frequent item's
+    # rows survive), so the surviving pairs and their counts are
+    # bit-identical with or without it (the oracle keeps the freq CTE;
+    # results proven equal at sf0.1 and x10).  Plan: Exchange(basket)
+    # -> dedup -> Window(bs) -> self-join: ONE full exchange and ONE
+    # window sort before the pair aggregate, vs item-Exchange + 2
+    # windows + basket-Exchange through r14 (edge-build plans in
+    # plans/r15/copurchase_edge_build_{before,after}.txt; x10 A/B
+    # 3.76 -> 3.23 s min-of-4, new faster in all 4 rounds).
     items = (li.select(F.col("l_orderkey").alias("basket"),
                        F.col("l_partkey").alias("item"))
-             .repartition(F.col("item"))
+             .repartition(F.col("basket"))
              .dropDuplicates())
     fi = (items
-          .withColumn("cnt", F.count("*").over(Window.partitionBy("item")))
           .withColumn("bs", F.count("*").over(Window.partitionBy("basket")))
-          .where((F.col("bs") <= 50) & (F.col("cnt") >= 2))
+          .where(F.col("bs") <= 50)
           .select("basket", "item"))
     a = fi.select("basket", F.col("item").alias("item_a"))
     b = fi.select("basket", F.col("item").alias("item_b"))
