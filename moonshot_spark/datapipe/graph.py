@@ -54,7 +54,7 @@ def _hash_min(edges: DataFrame, src: str, dst: str,
               .localCheckpoint(eager=True))
 
     converged = False
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr_min = (sym.join(labels.withColumnRenamed("node", "v")
                             .withColumnRenamed("comp", "v_comp"), "v")
                    .groupBy("u")
@@ -67,8 +67,17 @@ def _hash_min(edges: DataFrame, src: str, dst: str,
                                    F.coalesce(F.col("nbr_comp"),
                                               F.col("comp"))).alias("comp"))
                    .localCheckpoint(eager=True))
-        changed = stepped.where(F.col("comp") != F.col("old_comp")).count()
         labels = stepped.select("node", "comp")
+        if i == 0 and max_iter > 1:
+            # round 1 cannot converge on a nonempty edge set — for any
+            # edge (u, v) with u < v, v's label drops to <= u < v — so
+            # the convergence-probe job is provably redundant; skip it
+            # (one fewer action per CC run, r15 guide §1.2: every job
+            # carries the fixed scheduling floor).  An EMPTY edge set
+            # (which DID converge at round 1) now detects convergence
+            # one round later over empty frames: same labels, same flag.
+            continue
+        changed = stepped.where(F.col("comp") != F.col("old_comp")).count()
         if changed == 0:
             converged = True
             break
